@@ -1,0 +1,22 @@
+"""sparkgraft — a PySpark-native analytics engine.
+
+A library of composable DataFrame->DataFrame operators generalizing the
+event-instrumentation verification pipeline of the reference
+(``/root/reference/event_verify.py``) into single declarative Catalyst
+plans, plus LLM-data-pipeline operators (dedup, similarity search, text
+analysis) designed for 100 TB scale.
+
+Modules:
+  session      SparkSession factory with scale-appropriate defaults
+  io           sources/sinks (SURVEY §2.1 S1-S7)
+  json_ops     JSON introspection (SURVEY §2.8 F1-F3, P7 fixed)
+  relational   generic relational operators (windows, melt, joins, set ops)
+  conformance  flagship spec-vs-observed event verification (one lazy plan)
+  text         text analysis: lang-id, quality, tokens, fingerprints
+  dedup        exact + near-duplicate detection (minhash/simhash/jaccard)
+  similarity   embedding cosine top-k (brute force + LSH-bucketed)
+  multimodal   binary-column plumbing for image/audio payloads (stubbed decode)
+  streaming    Structured Streaming variants of the conformance aggregations
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,142 @@
+"""Sources and sinks (SURVEY §2.1, S1-S7).
+
+The reference templates partition values into the read path
+(event_verify.py:18-21) and writes a single CSV via ``coalesce(1)``
+(event_verify.py:230-231). Here:
+
+- reads go through the table root and filter on partition columns, so
+  Catalyst's partition pruning does the work and the same code serves
+  one day or a thousand days;
+- schemas for CSV are explicit (the reference's ``inferSchema``,
+  event_verify.py:29, makes column typing run-dependent — SURVEY §4.2.6);
+- writers default to partitioned Parquet; single-file CSV is an opt-in
+  for small final results only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark cannot map
+    natively (PARQUET_TYPE_ILLEGAL). Detected from the footer via Arrow."""
+    try:
+        import pyarrow.parquet as pq
+        from pyarrow import types as pat
+    except ImportError:  # pragma: no cover
+        return []
+    try:
+        schema = pq.read_schema(path)
+    except Exception:  # directory / remote path: caller handles explicitly
+        return []
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table (TESTDATA.md layout): ``{sf_dir}/{name}.parquet``.
+
+    The driver-generated files store timestamps as TIMESTAMP(NANOS);
+    Spark has no nanosecond timestamp type, so they are read as
+    nanos-since-epoch longs (``spark.sql.legacy.parquet.nanosAsLong``)
+    and truncated to microsecond timestamps — the same truncation DuckDB
+    applies when casting TIMESTAMP_NS to TIMESTAMP, keeping the oracle
+    comparison exact. Set at runtime because the session is caller-owned.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the stored nanos are naive (isAdjustedToUTC=false); pin the
+        # session TZ so epoch->timestamp->collect round-trips the same
+        # wall-clock values DuckDB reads, whatever the caller's TZ
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # integer `div`, not `/`: float division loses precision on
+        # ~1e18 nanosecond epoch values (double mantissa is 53 bits)
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    names = names or TPCH_TABLES
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register each table as a temp view so the SQL surface mirrors the
+    DuckDB oracle's pre-registered views."""
+    for name, df in read_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_partitioned(
+    spark: SparkSession,
+    root: str,
+    partition_filters: dict[str, str] | None = None,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Partition-pruned Parquet read.
+
+    Replaces the reference's path templating
+    (``.../process_date=X/event_date=Y``, event_verify.py:21): read the
+    table root, apply equality filters on the Hive partition columns, and
+    let Catalyst prune directories — `.explain` shows ``PartitionFilters``.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(root)
+    for col, value in (partition_filters or {}).items():
+        df = df.where(F.col(col) == F.lit(value))
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+) -> DataFrame:
+    """CSV read with a mandatory explicit schema (no inference — SURVEY §4.2.6)."""
+    return spark.read.csv(path, header=header, schema=schema)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Single-file CSV sink for small final results (reference S7,
+    event_verify.py:230-231). Only safe when the result fits one task."""
+    df.coalesce(1).write.mode(mode).option("header", True).csv(path)

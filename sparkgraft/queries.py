@@ -1,0 +1,190 @@
+"""Named queries + DuckDB oracle SQL — the harness-facing surface.
+
+Every operator from SURVEY.md §2 (and the LLM-pipeline extensions) is
+exposed here as a named query ``(spark, sf_dir) -> DataFrame`` paired
+with ANSI SQL that DuckDB runs on the same parquet tables. Column names
+and value representations are aligned on both sides (the driver compares
+row-count + schema + order-insensitive value hash):
+
+- every computed column is aliased identically in both;
+- sums of doubles go through exact DECIMAL arithmetic, then cast to
+  double — deterministic under any row order / partitioning;
+- percentages / ratios are ``round(x, 4)`` on both sides;
+- timestamps are microsecond-truncated on read (io.read_table) which
+  matches DuckDB's TIMESTAMP(NANOS) -> TIMESTAMP truncation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import conformance as C
+from .io import read_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def dec(col: str, scale: int = 2) -> Column:
+    """Exact-decimal view of a double column (deterministic sums)."""
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: conformance composite (SURVEY §7.1; reference event_verify.py:33-231)
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+SPEC_PROPS = ("k", "session_id")
+
+
+def _event_spec(spark: SparkSession) -> DataFrame:
+    rows = [(t, p) for t in EVENT_TYPES for p in SPEC_PROPS]
+    return spark.createDataFrame(rows, "event_name string, prop_name string")
+
+
+_CONFORMANCE_ORACLE = """
+WITH spec(event_name, prop_name) AS (
+    SELECT t.event_name, p.prop_name
+    FROM (VALUES ('click'),('error'),('purchase'),('signup'),('view')) t(event_name)
+    CROSS JOIN (VALUES ('k'),('session_id')) p(prop_name)
+), joined AS (
+    SELECT s.event_name, s.prop_name,
+           list_contains(json_keys(e.props), s.prop_name) AS key_present,
+           nullif(json_extract_string(e.props, '$.' || s.prop_name), '') AS v
+    FROM events e JOIN spec s ON e.event_type = s.event_name
+), agg AS (
+    SELECT event_name, prop_name,
+           count(*) AS total_records,
+           count(CASE WHEN key_present THEN 1 END) AS keys_not_null_count,
+           count(v) AS value_not_null_count
+    FROM joined GROUP BY 1, 2
+)
+SELECT s.event_name, s.prop_name,
+       coalesce(a.total_records, 0) AS total_records,
+       coalesce(a.keys_not_null_count, 0) AS keys_not_null_count,
+       coalesce(a.total_records, 0) - coalesce(a.keys_not_null_count, 0)
+           AS key_null_count,
+       CASE WHEN coalesce(a.total_records, 0) > 0
+            THEN round((a.total_records - a.keys_not_null_count) * 100.0
+                       / a.total_records, 4)
+            ELSE 0.0 END AS key_null_count_percentage,
+       coalesce(a.value_not_null_count, 0) AS value_not_null_count,
+       coalesce(a.total_records, 0) - coalesce(a.value_not_null_count, 0)
+           AS value_null_count,
+       CASE WHEN coalesce(a.total_records, 0) > 0
+            THEN round((a.total_records - a.value_not_null_count) * 100.0
+                       / a.total_records, 4)
+            ELSE 0.0 END AS value_null_count_percentage
+FROM spec s LEFT JOIN agg a USING (event_name, prop_name)
+"""
+
+
+@register("conformance_flagship", _CONFORMANCE_ORACLE)
+def conformance_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-vs-observed conformance metrics, one lazy plan (flagship)."""
+    catalog = read_table(spark, sf_dir, "events").withColumnRenamed(
+        "event_type", "event_name"
+    )
+    return C.verify_events(catalog, _event_spec(spark), payload_cols=["props"])
+
+
+# ---------------------------------------------------------------------------
+# A1: grouped counts (reference event_verify.py:44)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_per_type",
+    """
+    SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 shape: multi-agg group-by with derived expressions (A1-A5, F17)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4) AS avg_qty,
+           round(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.round(
+            F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_qty"),
+        F.round(
+            F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/O3: deterministic top-1-per-group (reference event_verify.py:36-41)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import top_k_per_group
+
+    ev = read_table(spark, sf_dir, "events")
+    latest = top_k_per_group(
+        ev, ["user_id"], [F.desc("ts"), F.desc("event_id")], k=1
+    )
+    return latest.select("user_id", "event_id", "ts", "event_type", "value")

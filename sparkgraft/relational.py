@@ -1,0 +1,152 @@
+"""General relational operators (SURVEY §2.2-2.7).
+
+Each of these re-expresses a reference idiom as a single declarative
+plan fragment:
+
+- ``top_k_per_group`` — the reference's latest-version selection
+  (rank window + filter + ``.first()`` driver pull, event_verify.py:36-41)
+  without the driver round-trip, and with ``row_number`` for a
+  deterministic single winner (``rank`` keeps ties — SURVEY §4.2.5).
+- ``melt`` — the reference's string-templated ``stack`` selectExpr
+  (event_verify.py:186-198) via the native ``unpivot``.
+- ``counts_with_total`` — grouped counts with the denominator computed
+  IN-PLAN (window or join) instead of repeated ``df.count()`` actions
+  (event_verify.py:150,202,205,206 — SURVEY §4.2.2).
+- ``union_all`` — ``unionByName`` fold replacing positional union chains
+  (event_verify.py:212-214, 227-229).
+- semi/anti join helpers for spec-vs-observed diffs (absent from the
+  reference but the natural formulation of its conformance question).
+
+All pure DataFrame API: Catalyst chooses hash vs sort-merge, AQE fixes
+skew; ``broadcast`` hints are applied only where a side is known-small.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "top_k_per_group",
+    "latest_per_group",
+    "melt",
+    "counts_with_total",
+    "union_all",
+    "missing_in",
+    "present_in",
+]
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int = 1,
+    keep_rank: bool = False,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Deterministic top-k rows per group via ``row_number``.
+
+    The ``order_by`` list should include a unique tiebreaker column for
+    full determinism (e.g. the primary key) — ``row_number`` over a
+    non-unique ordering picks an arbitrary row among ties.
+
+    Scale note: one shuffle on ``partition_by``; skewed groups are
+    handled by AQE. For k==1 with a single max column prefer
+    ``latest_per_group`` (aggregate + broadcast-able self-join is
+    cheaper than a full sort within groups when groups are huge).
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+    return out if keep_rank else out.drop(rank_col)
+
+
+def latest_per_group(
+    df: DataFrame, group_cols: Sequence[str], version_col: str
+) -> DataFrame:
+    """Rows holding the max ``version_col`` per group (ties all kept —
+    this is the reference's ``rank()==1`` semantics, event_verify.py:38-39,
+    kept in-plan: ``groupBy.max`` + join back, no ``.first()`` driver pull).
+
+    The aggregate side is |groups| rows — tiny — so it broadcasts,
+    making this cheaper than a window sort when groups are very large.
+    """
+    maxes = df.groupBy(*group_cols).agg(F.max(version_col).alias(version_col))
+    return df.join(F.broadcast(maxes), [*group_cols, version_col], "inner")
+
+
+def melt(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str] | None = None,
+    var_name: str = "prop_name",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide -> long unpivot (reference F14).
+
+    The reference builds a ``stack(...)`` SQL string from ``df.columns``
+    on the driver (event_verify.py:195-198); here the native ``unpivot``
+    does it, with values cast to string first (the unpivot value column
+    must share one type — the reference's ``cast("String")`` loop at
+    :190). ``value_cols=None`` melts every non-id column, which handles
+    the reference's dynamically-shaped wide spec (SURVEY §1.3).
+    """
+    if value_cols is None:
+        value_cols = [c for c in df.columns if c not in set(id_cols)]
+    casted = df.select(
+        *[F.col(c) for c in id_cols],
+        *[F.col(c).cast("string").alias(c) for c in value_cols],
+    )
+    return casted.unpivot(list(id_cols), list(value_cols), var_name, value_name)
+
+
+def counts_with_total(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    total_over: Sequence[str],
+    count_name: str = "count",
+    total_name: str = "total_records",
+) -> DataFrame:
+    """Grouped counts plus a denominator over a coarser grouping, one plan.
+
+    Replaces the reference's pattern of a separate
+    ``groupBy(event).count()`` DataFrame joined back (event_verify.py:44-45,
+    :101) and its repeated scalar ``count()`` actions (:202-206): a
+    single aggregation then a window sum over the coarser key — one
+    shuffle, map-side partial aggregation, no second scan.
+    """
+    counted = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias(count_name))
+    w = Window.partitionBy(*total_over)
+    return counted.withColumn(total_name, F.sum(count_name).over(w))
+
+
+def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
+    """By-name union fold (reference U2/U3, positional ``union`` chains at
+    event_verify.py:212-214/227-229). In the engine proper, per-group
+    results never exist as separate DataFrames — this exists for API
+    completeness and tests."""
+    if not dfs:
+        raise ValueError("union_all needs at least one DataFrame")
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def missing_in(
+    expected: DataFrame, observed: DataFrame, on: Sequence[str]
+) -> DataFrame:
+    """Expected rows with no observed match (anti join) — 'spec'd but
+    never seen'. The reference approximates this with a left join +
+    null-count accounting (event_verify.py:120-129)."""
+    return expected.join(observed, list(on), "left_anti")
+
+
+def present_in(
+    candidates: DataFrame, reference: DataFrame, on: Sequence[str]
+) -> DataFrame:
+    """Candidate rows that DO have a match (semi join) — no column
+    pollution from the right side."""
+    return candidates.join(reference, list(on), "left_semi")

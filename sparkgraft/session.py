@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference creates a bare session (event_verify.py:13-15) and relies on
+cluster-level config. Here every knob that matters for a 1000-executor /
+100 TB deployment is set explicitly, with local-mode overrides for tests:
+
+- AQE on (runtime partition coalescing, skew-join splitting, dynamic
+  broadcast demotion) so plans self-correct at scale.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster you'd size it to ~2-3x total executor cores (or leave AQE's
+  ``coalescePartitions`` to shrink an intentionally-high value).
+- UTC session timezone so timestamp semantics match DuckDB / Parquet.
+- Arrow enabled for any pandas interchange (vectorized batches, not rows).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sparkgraft",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with sparkgraft defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    for this environment; on a real cluster pass ``None`` via
+    ``spark-submit`` and the builder inherits the cluster master.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,105 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkgraft import conformance as C
+
+
+def fixture_catalog(spark):
+    # FIXTURES.md §1 content requirements: present-with-value,
+    # present-with-empty, absent, value-contains-key-name
+    rows = [
+        ("signup", '{"k": "1", "s": "ok"}'),
+        ("signup", '{"k": "", "s": "ok"}'),  # k present but empty
+        ("signup", '{"s": "k"}'),  # k absent; appears as VALUE only
+        ("click", '{"k": "9"}'),
+    ]
+    return spark.createDataFrame(rows, "event_name string, props string")
+
+
+def fixture_spec(spark):
+    rows = [("signup", "k"), ("signup", "s"), ("click", "k"), ("ghost", "k")]
+    return spark.createDataFrame(rows, "event_name string, prop_name string")
+
+
+def test_verify_events_metrics(spark):
+    out = C.verify_events(
+        fixture_catalog(spark), fixture_spec(spark), payload_cols=["props"]
+    )
+    got = {
+        (r.event_name, r.prop_name): (
+            r.total_records,
+            r.keys_not_null_count,
+            r.value_not_null_count,
+            r.value_null_count,
+        )
+        for r in out.collect()
+    }
+    # k: present in 2 of 3 signup rows as a KEY (no regex false positive on
+    # the row where "k" is only a value); value extractable+non-empty in 1
+    assert got[("signup", "k")] == (3, 2, 1, 2)
+    assert got[("signup", "s")] == (3, 3, 3, 0)
+    assert got[("click", "k")] == (1, 1, 1, 0)
+    # spec'd but never observed -> kept at 0 (reference left join + fill)
+    assert got[("ghost", "k")] == (0, 0, 0, 0)
+
+
+def test_verify_events_invariants(spark):
+    out = C.verify_events(
+        fixture_catalog(spark), fixture_spec(spark), payload_cols=["props"]
+    ).collect()
+    for r in out:
+        assert r.value_null_count + r.value_not_null_count == r.total_records
+        assert r.key_null_count + r.keys_not_null_count == r.total_records
+        assert 0 <= r.key_null_count_percentage <= 100
+        assert 0 <= r.value_null_count_percentage <= 100
+        # a key can be present with an empty value, never the reverse
+        assert r.keys_not_null_count >= r.value_not_null_count
+
+
+def test_melt_spec(spark):
+    wide = spark.createDataFrame(
+        [("web", "1.0", "signup", "k", "s", None), ("web", "1.0", "click", "k", "", None)],
+        "channel string, version string, event_name string, p1 string, p2 string, p3 string",
+    )
+    out = C.melt_spec(wide, id_cols=["channel", "version", "event_name"])
+    got = {(r.event_name, r.prop_name) for r in out.collect()}
+    # blank/None cells drop; id cols excluded
+    assert got == {("signup", "k"), ("signup", "s"), ("click", "k")}
+
+
+def test_verify_pipeline_end_to_end(spark):
+    # two channels x two versions; catalog carries version in $.app.version
+    spec = spark.createDataFrame(
+        [
+            ("web", "2.0", "signup", "k", "org_id"),
+            ("web", "1.0", "signup", "old_prop", None),
+            ("ios", "5.5", "click", "k", None),
+        ],
+        "channel string, version string, event_name string, p1 string, p2 string",
+    )
+    catalog = spark.createDataFrame(
+        [
+            ("web", "signup", '{"app": {"version": "2.0"}, "k": "v"}', '{"organisation_id": "o1"}', "{}"),
+            ("web", "signup", '{"app": {"version": "2.0"}}', "{}", '{"k": "v2"}'),
+            ("web", "signup", '{"app": {"version": "1.0"}, "old_prop": "x"}', "{}", "{}"),  # stale version: excluded
+            ("ios", "click", '{"app": {"version": "5.5"}}', "{}", '{"k": ""}'),
+        ],
+        "client_name string, event_name string, context string, traits string, properties string",
+    )
+    out = C.verify_pipeline(catalog, spec)
+    got = {
+        (r.channel, r.version, r.event_name, r.prop_name): (
+            r.total_records,
+            r.keys_not_null_count,
+            r.value_not_null_count,
+        )
+        for r in out.collect()
+    }
+    # only latest version per channel is checked; version 1.0 spec row gone
+    assert ("web", "1.0", "signup", "old_prop") not in got
+    assert got[("web", "2.0", "signup", "k")] == (2, 2, 2)
+    # org_id key not present under that exact name; top-level extraction none
+    assert got[("web", "2.0", "signup", "org_id")] == (2, 0, 0)
+    # k present on ios click but value empty-string -> scrubbed
+    assert got[("ios", "5.5", "click", "k")] == (1, 1, 0)

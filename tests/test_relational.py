@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkgraft import relational as R
+
+
+def test_top_k_per_group_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 10), ("a", 3, 5), ("b", 4, 7)],
+        "grp string, id int, score int",
+    )
+    out = R.top_k_per_group(df, ["grp"], [F.desc("score"), F.desc("id")], k=1)
+    rows = {r.grp: r.id for r in out.collect()}
+    # tie on score=10 broken by id desc -> deterministic single winner
+    assert rows == {"a": 2, "b": 4}
+
+
+def test_latest_per_group_keeps_ties(spark):
+    df = spark.createDataFrame(
+        [("a", "2.0", "x"), ("a", "2.0", "y"), ("a", "1.0", "z"), ("b", "3.0", "w")],
+        "grp string, version string, payload string",
+    )
+    out = R.latest_per_group(df, ["grp"], "version")
+    got = {(r.grp, r.version, r.payload) for r in out.collect()}
+    assert got == {("a", "2.0", "x"), ("a", "2.0", "y"), ("b", "3.0", "w")}
+
+
+def test_melt_defaults_to_non_id_columns(spark):
+    df = spark.createDataFrame(
+        [("e1", "p_a", 1), ("e2", None, 2)],
+        "event string, c1 string, c2 int",
+    )
+    out = R.melt(df, id_cols=["event"]).collect()
+    got = {(r.event, r.prop_name, r.value) for r in out}
+    assert got == {
+        ("e1", "c1", "p_a"),
+        ("e1", "c2", "1"),
+        ("e2", "c1", None),
+        ("e2", "c2", "2"),
+    }
+
+
+def test_counts_with_total_in_plan(spark):
+    df = spark.createDataFrame(
+        [("e1", "k1"), ("e1", "k1"), ("e1", "k2"), ("e2", "k1")],
+        "event string, key string",
+    )
+    out = R.counts_with_total(df, ["event", "key"], total_over=["event"])
+    got = {(r.event, r.key): (r["count"], r.total_records) for r in out.collect()}
+    assert got == {
+        ("e1", "k1"): (2, 3),
+        ("e1", "k2"): (1, 3),
+        ("e2", "k1"): (1, 1),
+    }
+
+
+def test_semi_anti_helpers(spark):
+    expected = spark.createDataFrame([("e1",), ("e2",), ("e3",)], "event string")
+    observed = spark.createDataFrame([("e1",), ("e3",), ("e4",)], "event string")
+    missing = {r.event for r in R.missing_in(expected, observed, ["event"]).collect()}
+    present = {r.event for r in R.present_in(expected, observed, ["event"]).collect()}
+    assert missing == {"e2"}
+    assert present == {"e1", "e3"}
+
+
+def test_union_all_by_name(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, v string")
+    b = spark.createDataFrame([("y", 2)], "v string, id int")
+    out = R.union_all([a, b]).orderBy("id").collect()
+    assert [(r.id, r.v) for r in out] == [(1, "x"), (2, "y")]

@@ -1,0 +1,140 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, sorted
+column names, and cell values (rows sorted by all columns; floats with a
+tiny tolerance for diagnostics — the real driver hashes exactly, so any
+tolerance-saved mismatch is still reported as WARN).
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sparkgraft.io import TPCH_TABLES  # noqa: E402
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    out = df[sorted(df.columns)].copy()
+    for c in out.columns:
+        if str(out[c].dtype).startswith("datetime64"):
+            out[c] = out[c].astype("datetime64[us]")
+    return out.sort_values(by=list(out.columns), ignore_index=True)
+
+
+def cells_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+        if pd.isna(a) != pd.isna(b):
+            return False
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return a == b or math.isclose(float(a), float(b), rel_tol=1e-12, abs_tol=1e-12)
+        except (TypeError, ValueError):
+            return False
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+        la, lb = list(a), list(b)
+        return len(la) == len(lb) and all(cells_equal(x, y) for x, y in zip(la, lb))
+    return a == b
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    if len(sdf) != len(odf):
+        problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
+    s, o = canon(sdf), canon(odf)
+    n = min(len(s), len(o))
+    bad = 0
+    for i in range(n):
+        for c in s.columns:
+            if not cells_equal(s.iloc[i][c], o.iloc[i][c]):
+                if bad < 3:
+                    problems.append(
+                        f"row {i} col {c}: spark={s.iloc[i][c]!r} oracle={o.iloc[i][c]!r}"
+                    )
+                bad += 1
+    if bad:
+        problems.append(f"total mismatched cells: {bad}")
+    # exact-representation check for floats (the driver hashes exactly)
+    for c in s.columns:
+        if str(s[c].dtype).startswith("float") and n:
+            if not (s[c].iloc[:n].fillna(0.0).values == o[c].iloc[:n].fillna(0.0).values).all():
+                problems.append(f"WARN: float col {c} differs bit-exactly (tolerance hid it)")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF_DIR
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from sparkgraft.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb_con(sf_dir)
+
+    queries, oracles = E.queries(), E.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"[FAIL] {name}: spark error: {exc}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"[FAIL] {name}: oracle error: {exc}")
+            failures += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            failures += 1
+            print(f"[FAIL] {name} ({time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"       {p}")
+        else:
+            print(f"[ok]   {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+    spark.stop()
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
