@@ -66,17 +66,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_cols(path)
+    # All stored timestamps are naive (isAdjustedToUTC=false). Pin UTC so
+    # every LTZ<->NTZ conversion below is wall-clock identity, whatever
+    # the caller's session TZ; queries then see uniform TIMESTAMP_NTZ —
+    # the exact values DuckDB reads.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # the stored nanos are naive (isAdjustedToUTC=false); pin the
-        # session TZ so epoch->timestamp->collect round-trips the same
-        # wall-clock values DuckDB reads, whatever the caller's TZ
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in ns_cols:
         # integer `div`, not `/`: float division loses precision on
         # ~1e18 nanosecond epoch values (double mantissa is 53 bits)
-        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        df = df.withColumn(
+            c, F.expr(f"timestamp_micros(`{c}` div 1000)").cast("timestamp_ntz")
+        )
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "timestamp":  # LTZ -> NTZ (UTC pinned)
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp_ntz"))
     return df
 
 

@@ -16,31 +16,12 @@ row-count + schema + order-insensitive value hash):
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import conformance as C
-from .io import read_table
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def register(name: str, oracle: str | None = None):
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-def dec(col: str, scale: int = 2) -> Column:
-    """Exact-decimal view of a double column (deterministic sums)."""
-    return F.col(col).cast(f"decimal(18,{scale})")
+from .. import conformance as C
+from ..io import read_table
+from .registry import dec, register
 
 
 # ---------------------------------------------------------------------------
@@ -181,7 +162,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .relational import top_k_per_group
+    from ..relational import top_k_per_group
 
     ev = read_table(spark, sf_dir, "events")
     latest = top_k_per_group(

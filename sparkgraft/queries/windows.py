@@ -1,0 +1,217 @@
+"""Window-function breadth (SURVEY §2.5) + sessionization + as-of join.
+
+The reference uses exactly two windows (rank for latest-version, a dead
+row_number — event_verify.py:36-39, 95-96). The engine exposes the full
+surface: ranking family, frame-spec running aggregates, lag/lead, and
+the two composite operators built on them (gap sessionization, union-
+merge as-of join).
+
+Every ordering carries a unique tiebreaker so results are deterministic
+under any partitioning — a window over a non-unique ordering is the
+reference's nondeterminism bug class (SURVEY §4.2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from ..relational import as_of_join, counts_with_total, epoch_us, sessionize
+from .registry import dec, register
+
+
+@register(
+    "rank_family",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+           ntile(4)     OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+    """,
+)
+def rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    by_price = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    strict = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    # ranks cast to bigint: DuckDB's rank family returns BIGINT, Spark INT
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.rank().over(by_price).cast("bigint").alias("rnk"),
+        F.dense_rank().over(by_price).cast("bigint").alias("drnk"),
+        F.row_number().over(strict).cast("bigint").alias("rn"),
+        F.ntile(4).over(strict).cast("bigint").alias("quartile"),
+    )
+
+
+@register(
+    "running_spend",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DOUBLE)
+             / count(*) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS moving_avg_3
+    FROM orders
+    """,
+)
+def running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame specs: cumulative sum + 3-row moving average. Decimal-exact
+    accumulation so the result is independent of partition layout."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spend"),
+        # exact decimal sum / count, divided in DOUBLE: decimal AVG would
+        # round at its result scale, which DuckDB's double avg does not
+        (
+            F.sum(dec("o_totalprice")).over(w.rowsBetween(-2, 0)).cast("double")
+            / F.count(F.lit(1)).over(w.rowsBetween(-2, 0))
+        ).alias("moving_avg_3"),
+    )
+
+
+@register(
+    "order_gaps_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           lag(o_orderkey)  OVER w AS prev_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           epoch_us(o_orderdate) - epoch_us(lag(o_orderdate) OVER w)
+               AS micros_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def order_gaps_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        (epoch_us("o_orderdate") - F.lag(epoch_us("o_orderdate")).over(w)).alias(
+            "micros_since_prev"
+        ),
+    )
+
+
+@register(
+    "counts_with_global_total",
+    """
+    SELECT event_type, n_events,
+           SUM(n_events) OVER () AS total_records
+    FROM (SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type)
+    """,
+)
+def counts_with_global_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan denominator (SURVEY §4.2.2): the reference recomputes
+    totals as repeated ``df.count()`` driver actions; here one window
+    over the aggregate — the post-agg rowset is tiny, the window free."""
+    ev = read_table(spark, sf_dir, "events")
+    out = counts_with_total(ev, ["event_type"], total_over=[], count_name="n_events")
+    return out
+
+
+@register(
+    "user_sessions",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): lag + running boundary sum,
+    one shuffle on user_id (SURVEY §7 extension surface)."""
+    ev = read_table(spark, sf_dir, "events")
+    sess = sessionize(ev, ["user_id"], "ts", gap_seconds=1800, order_extra=["event_id"])
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "last_order_asof_event",
+    """
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate
+    FROM events e
+    LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    QUALIFY row_number() OVER (
+        PARTITION BY e.event_id
+        ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) = 1
+    """,
+)
+def last_order_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event annotated with the user's most recent
+    order at event time. The oracle is the naive range join + top-1;
+    the engine runs the union-merge plan (relational.as_of_join) which
+    does one shuffle instead of a per-key cross product."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+        )
+    )
+    return as_of_join(
+        ev,
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["last_orderkey", "last_orderdate"],
+        right_tiebreak="last_orderkey",
+    ).select("event_id", "user_id", "ts", "last_orderkey", "last_orderdate")

@@ -37,7 +37,20 @@ __all__ = [
     "union_all",
     "missing_in",
     "present_in",
+    "as_of_join",
+    "sessionize",
 ]
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since epoch for either timestamp flavor.
+
+    ``unix_micros`` only accepts TIMESTAMP (LTZ); our tables read as
+    TIMESTAMP_NTZ (io.read_table), so cast first — wall-clock identity
+    because read_table pins the session TZ to UTC.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def top_k_per_group(
@@ -150,3 +163,93 @@ def present_in(
     """Candidate rows that DO have a match (semi join) — no column
     pollution from the right side."""
     return candidates.join(reference, list(on), "left_semi")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, carry the values of the LATEST
+    right row with ``right_time <= left_time`` for the same key
+    (left-outer semantics: unmatched left rows keep NULLs).
+
+    Spark has no native as-of join. The naive formulation — range
+    join on ``key AND r.t <= l.t`` then top-1 — is a partial cross
+    product: O(|left_k| x |right_k|) per key, catastrophic at scale.
+    This implementation is the union-merge pattern instead: tag both
+    sides, union, and ``last(value, ignorenulls) OVER (PARTITION BY key
+    ORDER BY time ROWS UNBOUNDED PRECEDING)`` — one shuffle on the key,
+    one sort, O(n log n) total, no blow-up however dense the right side.
+
+    Right rows sort BEFORE left rows at equal timestamps, making the
+    match inclusive (<=); ``right_tiebreak`` breaks equal-time right
+    rows deterministically (highest wins).
+    """
+    value_cols = list(value_cols)
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
+
+    tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+    left_tagged = (
+        left.withColumn("__time", F.col(left_time))
+        .withColumn("__side", F.lit(1))
+        .withColumn("__tb", F.lit(None).cast("long"))
+    )
+    right_tagged = right.select(
+        F.col(on),
+        F.col(right_time).alias("__time"),
+        F.lit(0).alias("__side"),
+        tb.cast("long").alias("__tb"),
+        *[F.col(v) for v in value_cols],
+    )
+    unioned = left_tagged.unionByName(right_tagged, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__time").asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = [
+        F.last(F.when(F.col("__side") == 0, F.col(v)), ignorenulls=True)
+        .over(w)
+        .alias(v)
+        for v in value_cols
+    ]
+    out = unioned.select(*left.columns, "__side", *filled).where(
+        F.col("__side") == 1
+    )
+    return out.drop("__side")
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    gap_seconds: int,
+    order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when
+    the time since the previous row for the same key exceeds
+    ``gap_seconds``. Adds a ``session_id`` column (1-based per key).
+
+    The lag + running-sum-of-boundaries idiom: one shuffle on the key,
+    one sort — the standard scalable sessionization (for streaming use
+    ``session_window`` — streaming.py).
+    """
+    order = [F.col(time_col).asc()] + [F.col(c).asc() for c in order_extra]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    t = epoch_us(time_col)
+    prev = F.lag(t).over(w)
+    is_new = (
+        prev.isNull() | ((t - prev) > gap_seconds * 1_000_000)
+    ).cast("long")
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
