@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+The Spark-side pattern for multimodal training data at 100 TB:
+
+- payloads are ``binary`` columns with a typed metadata struct
+  alongside (modality, format, width/height/duration, ...);
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages — Python touches each batch once, schema in /
+  schema out, so the operator composes with any DataFrame plan and
+  partitioning carries through;
+- the actual codec calls are STUBBED here (this environment has no
+  image/audio libraries): ``decode_fn`` defaults to a deterministic
+  fake that "decodes" byte statistics. Swap in a real decoder (PIL,
+  torchaudio, ...) without touching the Spark plumbing — the batch
+  shape, schema contract and partitioning are the real, tested parts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_media_metadata",
+    "fake_decode_stats",
+    "extract_features",
+    "sample_frames",
+]
+
+# Canonical metadata struct carried next to every binary payload.
+MEDIA_SCHEMA = (
+    "media_id long, modality string, format string, n_bytes long, payload binary"
+)
+
+
+def attach_media_metadata(
+    df: DataFrame, payload_col: str, modality: str, format: str, id_col: str
+) -> DataFrame:
+    """Normalize an arbitrary binary column into the canonical media
+    shape (pure column ops — no Python)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(modality).alias("modality"),
+        F.lit(format).alias("format"),
+        F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+        F.col(payload_col).alias("payload"),
+    )
+
+
+def fake_decode_stats(payload: bytes) -> dict[str, Any]:
+    """Deterministic stand-in for a real decoder: byte-level statistics.
+
+    A real deployment replaces this with e.g. PIL image decode; it MUST
+    stay a pure bytes -> dict function so the mapInPandas stage below
+    needs no change. Raises on None payloads like a real decoder would.
+    """
+    if payload is None:
+        raise NotImplementedError("no payload: real decoder would fail here")
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "mean_byte": (sum(payload) / n) if n else 0.0,
+        "first_byte": payload[0] if n else -1,
+    }
+
+
+def extract_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], dict[str, Any]] = fake_decode_stats,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Decode + featurize via Arrow-batched ``mapInPandas``.
+
+    Contract: input carries (media_id, payload); output is
+    ``media_id, feat_n_bytes, feat_mean_byte, feat_first_byte`` — one
+    row per payload, errors surfaced as NULL features (a
+    corrupt file must not kill a 100 TB job; dead-letter them instead).
+    Python cost is per-BATCH, not per-row: Arrow moves each partition's
+    rows in vectorized batches.
+    """
+    import pandas as pd
+
+    out_schema = (
+        "media_id long, feat_n_bytes long, feat_mean_byte double, "
+        "feat_first_byte long"
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    s = decode_fn(bytes(payload) if payload is not None else None)
+                    rows.append(
+                        (media_id, s["n_bytes"], float(s["mean_byte"]),
+                         int(s["first_byte"]))
+                    )
+                except (NotImplementedError, ValueError):
+                    rows.append((media_id, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "feat_n_bytes", "feat_mean_byte", "feat_first_byte"
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(featurize, out_schema)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, frame_bytes: int = 16
+) -> DataFrame:
+    """Frame sampling for video-ish payloads, no Python at all: slice
+    the binary at evenly-spaced offsets with built-in functions
+    (posexplode over a generated offset sequence). Real frame decode
+    belongs in ``extract_features``; THIS stage just demonstrates that
+    even byte-slicing plumbing stays declarative."""
+    n = F.length("payload")
+    offsets = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: (i * F.greatest(n - frame_bytes, F.lit(1)))
+        / F.lit(max(n_frames - 1, 1)),
+    )
+    return (
+        media.select(
+            "media_id",
+            F.posexplode(offsets).alias("frame_idx", "offset"),
+            F.col("payload"),
+        )
+        .select(
+            "media_id",
+            "frame_idx",
+            F.col("payload")
+            .substr(F.col("offset").cast("int") + 1, F.lit(frame_bytes))
+            .alias("frame"),
+        )
+        .where(F.length("frame") > 0)
+    )

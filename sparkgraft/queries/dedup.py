@@ -1,1 +1,166 @@
-"""Placeholder — filled in by the extensions slice."""
+"""Deduplication extension queries over ``documents`` (BASELINE.json
+north star: exact hash-groupBy, n-gram Jaccard, MinHash+LSH, SimHash).
+
+Every hash is md5 so the DuckDB oracle reproduces signatures, band
+hashes and SimHash values bit-for-bit — the comparison verifies the
+dedup math itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import dedup as D
+from ..io import read_table
+from .registry import register
+
+# DuckDB fragments mirroring text.tokens / dedup.word_shingles (k=3)
+_TOK = (
+    "CASE WHEN text IS NULL OR trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = '' "
+    "THEN []::VARCHAR[] "
+    "ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') END"
+)
+_SHINGLES = (
+    "CASE WHEN len(tok) = 0 THEN []::VARCHAR[] ELSE list_distinct("
+    "list_transform(range(1, greatest(len(tok) - 2, 1) + 1), "
+    "i -> array_to_string(tok[i:i+2], ' '))) END"
+)
+_SH_CTE = f"""
+    tok AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle
+        FROM tok
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT doc_a, doc_b, common,
+               x.n_shingles AS size_a, y.n_shingles AS size_b,
+               round(common / (x.n_shingles + y.n_shingles - common), 6) AS jaccard
+        FROM common
+        JOIN sizes x ON common.doc_a = x.doc_id
+        JOIN sizes y ON common.doc_b = y.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_exact_keep_first",
+    """
+    SELECT doc_id, lang, source, n_chars FROM (
+        SELECT d.*, row_number() OVER (
+            PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            ORDER BY doc_id ASC) AS rn
+        FROM documents d
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (lowest doc_id) per content
+    fingerprint. One shuffle on the fingerprint — the md5 key is
+    uniformly distributed, so no skew at any corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.dedup_exact(docs, "text", "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "ngram_jaccard_near_dups",
+    f"""
+    WITH {_SH_CTE}
+    SELECT doc_a, doc_b, common, size_a, size_b, jaccard
+    FROM jac WHERE jaccard >= 0.2
+    """,
+)
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.2 via shingle inverted index — no
+    all-pairs comparison exists in the plan (SURVEY §7 extension)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2)
+
+
+_MINHASH_SEEDS = 16
+_BANDS = 4
+_ROWS = _MINHASH_SEEDS // _BANDS
+
+_SIG_SQL = (
+    "["
+    + ", ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('{i}|' || s)), 'min')"
+        for i in range(_MINHASH_SEEDS)
+    )
+    + "]"
+)
+_BANDS_SQL = ", ".join(
+    f"md5(array_to_string(sig[{b * _ROWS + 1}:{b * _ROWS + _ROWS}], ',')) AS bh_{b}"
+    for b in range(_BANDS)
+)
+_BAND_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, bh_{b} AS band_hash FROM banded"
+    for b in range(_BANDS)
+)
+
+
+@register(
+    "minhash_lsh_near_dups",
+    f"""
+    WITH {_SH_CTE},
+    shs AS (SELECT doc_id, {_SHINGLES} AS shingles FROM tok),
+    sigs AS (SELECT doc_id, {_SIG_SQL} AS sig FROM shs WHERE len(shingles) > 0),
+    banded AS (SELECT doc_id, {_BANDS_SQL} FROM sigs),
+    bands AS ({_BAND_UNION}),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b USING (band, band_hash)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, j.jaccard
+    FROM candidates c JOIN jac j USING (doc_a, doc_b)
+    WHERE j.jaccard >= 0.2
+    """,
+)
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) candidates, exact-Jaccard verified at
+    0.2. The oracle recomputes the full signature/banding pipeline in
+    SQL — both engines agree on every md5, so the candidate sets match
+    exactly, not just statistically."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.minhash_near_dups(
+        docs,
+        "text",
+        "doc_id",
+        k=3,
+        num_hashes=_MINHASH_SEEDS,
+        num_bands=_BANDS,
+        threshold=0.2,
+    )
+
+
+@register(
+    "simhash_by_doc",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOK} AS tok FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(tok) = 0 THEN NULL
+                ELSE CAST(list_sum(list_transform(range(0, 32), j ->
+                    CASE WHEN list_sum(list_transform(tok, t ->
+                            2 * ((CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) >> j) & 1) - 1
+                         )) > 0
+                         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)
+           END AS simhash
+    FROM base
+    """,
+)
+def simhash_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (md5-derived token hashes -> per-bit
+    sign sums). Near-dup = small Hamming distance; the per-doc value is
+    the oracle-checkable unit."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash32("text").alias("simhash"))

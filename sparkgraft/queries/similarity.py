@@ -1,1 +1,137 @@
-"""Placeholder — filled in by the extensions slice."""
+"""Similarity-search extension queries over ``embeddings`` (BASELINE.json
+north star: brute-force cosine top-k baseline + LSH-bucketed ANN).
+
+The brute-force queries oracle against DuckDB recomputing the identical
+double-precision math; the ANN query is engine-specific by nature
+(bucketing is the point) so it gets a rows-only check plus a recall
+test against the brute-force baseline in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import similarity as S
+from ..io import read_table
+from .registry import register
+
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"round({_DOT.format(a=a, b=b)} / "
+        f"({_NORM.format(a=a)} * {_NORM.format(a=b)}), 6)"
+    )
+
+
+@register(
+    "knn_cosine_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_cos('e.embedding', 'q.qv')} AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, rank, vec_id, cos_sim FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors: broadcast queries, one
+    corpus pass, per-query top-k window. Ranking on rounded cosine +
+    id tiebreak = engine-independent result set."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.cosine_topk(emb, queries, k=10)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_cos('a.embedding', 'b.embedding')} AS cos_sim
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.4
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine >= 0.4 (embedding-based near-dup
+    detection; this corpus maxes out ~0.51 so 0.4 exercises real pairs).
+    Exact/quadratic — the LSH path below is the corpus-scale variant."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.cosine_pairs(emb, threshold=0.4)
+
+
+@register("ann_lsh_topk")  # engine-specific bucketing: rows-only check
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via sign-random-projection LSH (6 planes x
+    4 tables, md5-derived hyperplanes): candidates share a bucket with
+    the query, exact cosine ranks them. The scale path — one hash
+    shuffle instead of a quadratic cross join. Recall vs brute force is
+    asserted in tests/test_similarity.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.rp_lsh_topk(emb, queries, dim=64, k=10, num_planes=6, num_tables=4)
+
+
+@register(
+    "label_centroid_similarity",
+    f"""
+    WITH exploded AS (
+        SELECT label, t.i AS pos,
+               CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS v
+        FROM embeddings, range(1, 65) t(i)
+    ), means AS (
+        SELECT label, pos, sum(v) / count(*) AS m
+        FROM exploded GROUP BY label, pos
+    ), centroids AS (
+        SELECT label, list(m ORDER BY pos) AS centroid
+        FROM means GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           {_cos('e.embedding', 'c.centroid')} AS cos_to_centroid
+    FROM embeddings e JOIN centroids c USING (label)
+    """,
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (columnar mean via posexplode + group-by)
+    then each vector's cosine to its own centroid — the cluster-purity
+    diagnostic for embedding quality."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    # posexplode -> (label, pos, value): mean per (label, pos), then
+    # collect back to an ordered array — the distributed columnar mean
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+    )
+    means = exploded.groupBy("label", "pos").agg(
+        (F.sum(F.col("v").cast("double")) / F.count(F.lit(1))).alias("m")
+    )
+    centroids = means.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("m")))
+        ).alias("pm")
+    ).select(
+        "label", F.transform(F.col("pm"), lambda s: s.getField("m")).alias("centroid")
+    )
+    return emb.join(F.broadcast(centroids), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            S.cosine(F.col("embedding"), F.col("centroid")), 6
+        ).alias("cos_to_centroid"),
+    )

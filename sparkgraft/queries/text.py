@@ -1,1 +1,153 @@
-"""Placeholder — filled in by the extensions slice."""
+"""Text-analysis extension queries over ``documents`` (BASELINE.json
+north star: language-ID, quality scoring, token counting, document
+fingerprinting). Oracles recompute everything — including md5
+fingerprints — in DuckDB, so the hash comparison verifies the actual
+text math, not just row shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import text as T
+from ..io import read_table
+from .registry import register
+
+# DuckDB fragment: whitespace tokens of normalized text (mirrors
+# text.tokens — note the 'g' flag: DuckDB regexp_replace is
+# first-match-only by default, Spark's is global)
+_TOK = (
+    "CASE WHEN text IS NULL OR trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = '' "
+    "THEN []::VARCHAR[] "
+    "ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') END"
+)
+
+_EN = "['the','a','and','of','to','in','is','it','you','that']"
+_ES = "['el','la','de','que','y','en','un','una','es','los']"
+_FR = "['le','la','et','les','des','un','une','du','est','que']"
+_DE = "['der','die','das','und','ist','ein','eine','zu','den','von']"
+
+
+@register(
+    "doc_quality_metrics",
+    f"""
+    WITH base AS (
+        SELECT doc_id, source, {_TOK} AS tok,
+               coalesce(length(text), 0) AS n_chars,
+               coalesce(length(text), 0)
+                 - coalesce(length(regexp_replace(text, '[^\\w\\s]', '', 'g')), 0)
+                 AS n_punct
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           len(tok) AS n_tokens,
+           round(n_punct / nullif(n_chars, 0), 6) AS punct_ratio,
+           round(len(list_filter(tok, t -> list_contains({_EN}, t)))
+                 / nullif(len(tok), 0), 6) AS stopword_ratio,
+           round(list_sum(list_transform(tok, t -> length(t)))
+                 / nullif(len(tok), 0), 6) AS mean_token_len
+    FROM base
+    """,
+)
+def doc_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: char/token counts, punctuation + stopword
+    ratios, mean token length — all codegen'd expressions, one scan."""
+    docs = read_table(spark, sf_dir, "documents")
+    m = T.quality_metrics("text")
+    return docs.select(
+        "doc_id",
+        "source",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        m["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+@register(
+    "doc_lang_id",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter({_TOK}, t -> list_contains({_DE}, t))) AS s_de,
+               len(list_filter({_TOK}, t -> list_contains({_EN}, t))) AS s_en,
+               len(list_filter({_TOK}, t -> list_contains({_ES}, t))) AS s_es,
+               len(list_filter({_TOK}, t -> list_contains({_FR}, t))) AS s_fr,
+               coalesce(length(text), 0)
+                 - coalesce(length(regexp_replace(text, '[一-鿿]', '', 'g')), 0)
+                 AS s_zh
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(s_de AS BIGINT) AS s_de, CAST(s_en AS BIGINT) AS s_en,
+           CAST(s_es AS BIGINT) AS s_es, CAST(s_fr AS BIGINT) AS s_fr,
+           CAST(s_zh AS BIGINT) AS s_zh,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM scored
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/CJK-heuristic language ID with deterministic argmax
+    (first language alphabetically wins ties; all-zero -> 'und').
+    ``lang`` (ground truth) rides along for accuracy eyeballing."""
+    docs = read_table(spark, sf_dir, "documents")
+    scores = T.lang_scores("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"s_{lang}") for lang in sorted(scores)],
+        T.lang_id("text").alias("lang_pred"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           count(*) OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           ) AS n_same
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint per document + collision count (exact-dedup
+    key; this corpus has no exact dups, so n_same == 1 everywhere —
+    the interesting near-dup cases live in the dedup queries)."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    with_fp = docs.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return with_fp.withColumn("n_same", F.count(F.lit(1)).over(w))
+
+
+@register(
+    "token_counts_by_source",
+    f"""
+    WITH base AS (SELECT source, lang, {_TOK} AS tok FROM documents)
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(len(tok)) AS BIGINT) AS total_tokens,
+           CAST(max(len(tok)) AS BIGINT) AS max_tokens
+    FROM base GROUP BY source, lang
+    """,
+)
+def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per (source, lang) — the budgeting query
+    every training-data pipeline runs first."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_tok = F.size(T.tokens("text")).cast("bigint")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.max(n_tok).alias("max_tokens"),
+    )

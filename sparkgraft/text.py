@@ -1,0 +1,134 @@
+"""Text analysis for LLM training-data pipelines.
+
+Operators over a ``documents(doc_id, text, ...)`` table: tokenization,
+quality scoring, language identification, and content fingerprinting.
+All pure ``pyspark.sql.functions`` expressions (no UDFs) so they run
+inside whole-stage codegen and scale linearly with the scan — the
+shapes a 100 TB corpus cleanup actually needs.
+
+Design constraint shared with dedup.py: anything that hashes uses md5,
+which produces identical hex on every engine — so the DuckDB oracle can
+recompute fingerprints exactly rather than trusting ours.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "normalize_text",
+    "fingerprint",
+    "quality_metrics",
+    "lang_scores",
+    "lang_id",
+    "STOPWORDS",
+]
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately small and embedded: broadcast as literals into the plan.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "you", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es", "los"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "du", "est", "que"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for hashing: lowercase, whitespace collapsed."""
+    return F.trim(F.regexp_replace(F.lower(_col(text)), r"\s+", " "))
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of the lowercased text; empty/NULL -> [].
+
+    ``split`` on an empty string yields ``[""]``, so guard explicitly —
+    the classic tokenizer edge case (documents table contains empty docs).
+    """
+    norm = normalize_text(text)
+    return F.when(
+        norm.isNull() | (norm == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(norm, " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text. Identical texts
+    modulo case/whitespace collide — the exact-dedup key."""
+    return F.md5(normalize_text(text))
+
+
+def quality_metrics(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring column bundle (attach with ``df.select(**)`` or
+    ``withColumns``): char/token counts, punctuation + stopword +
+    whitespace ratios, mean token length.
+
+    Ratios are ``round(x, 6)`` so downstream comparisons are
+    representation-stable.
+    """
+    t = _col(text)
+    tok = tokens(t)
+    n_chars = F.coalesce(F.length(t), F.lit(0)).cast("bigint")
+    n_tokens = F.size(tok).cast("bigint")
+    # punctuation = anything outside \w and \s (ASCII classes both engines)
+    n_punct = (
+        F.coalesce(F.length(t), F.lit(0))
+        - F.coalesce(F.length(F.regexp_replace(t, r"[^\w\s]", "")), F.lit(0))
+    ).cast("bigint")
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(tok, lambda x: F.array_contains(en_stop, x))).cast(
+        "bigint"
+    )
+    sum_tok_len = F.aggregate(
+        tok, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    nz = lambda d: F.when(d > 0, d)  # noqa: E731  NULL-safe denominators
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.round(n_punct / nz(n_chars), 6),
+        "stopword_ratio": F.round(n_stop / nz(n_tokens), 6),
+        "mean_token_len": F.round(sum_tok_len / nz(n_tokens), 6),
+    }
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts plus a CJK character count —
+    the cheap lang-id signal (stopword n-gram heuristic)."""
+    tok = tokens(text)
+    scores: dict[str, Column] = {}
+
+    def contains(words: tuple[str, ...]):
+        # closure factory, NOT a default arg: Spark counts lambda params
+        # to decide (element) vs (element, index) form
+        arr = F.array(*[F.lit(w) for w in words])
+        return lambda x: F.array_contains(arr, x)
+
+    for lang, words in STOPWORDS.items():
+        scores[lang] = F.size(F.filter(tok, contains(words))).cast("bigint")
+    t = _col(text)
+    cjk = (
+        F.coalesce(F.length(t), F.lit(0))
+        - F.coalesce(F.length(F.regexp_replace(t, r"[一-鿿]", "")), F.lit(0))
+    ).cast("bigint")
+    scores["zh"] = cjk
+    return scores
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax over ``lang_scores`` with deterministic tiebreak
+    (language code ascending); all-zero scores -> 'und'."""
+    scores = lang_scores(text)
+    ordered = sorted(scores.items())  # tiebreak: first alphabetically wins
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("bigint")
+    for lang, score in ordered:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang

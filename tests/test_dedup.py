@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkgraft import dedup as D
+
+
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "The  Quick Brown Fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different text about spark engines here"),
+        (5, ""),
+        (6, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "")], "doc_id int, text string"
+    )
+    out = {r.doc_id: r.sh for r in df.select("doc_id", D.word_shingles("text", 3).alias("sh")).collect()}
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == ["a b"]  # shorter than k -> one full shingle
+    assert out[3] == []
+
+
+def test_exact_dedup(spark):
+    kept = D.dedup_exact(corpus(spark), "text", "doc_id")
+    ids = {r.doc_id for r in kept.collect()}
+    assert 1 in ids and 3 not in ids  # 3 is a dup of 1, lowest id wins
+    assert ids >= {1, 2, 4, 6}
+    groups = D.exact_dup_groups(corpus(spark), "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 2 and groups[0].canonical_id == 1
+
+
+def test_jaccard_pairs(spark):
+    pairs = D.jaccard_pairs(corpus(spark), "text", "doc_id", k=3, threshold=0.4)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+    # 1-3 identical after normalization -> jaccard 1.0; 1-2 share most shingles
+    assert got[(1, 3)] == 1.0
+    assert 0.4 <= got[(1, 2)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_minhash_near_dups_match_jaccard(spark):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.jaccard_pairs(corpus(spark), "text", "doc_id", k=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_near_dups(
+            corpus(spark), "text", "doc_id", k=3, num_hashes=16, num_bands=8, threshold=0.5
+        ).collect()
+    }
+    # verification guarantees no false positives; generous banding (8
+    # bands of 2) makes false negatives implausible at jaccard >= 0.5
+    assert lsh <= exact
+    assert (1, 3) in lsh and (1, 2) in lsh
+
+
+def test_simhash_similarity(spark):
+    out = {r.doc_id: r.sh for r in corpus(spark).select("doc_id", D.simhash32("text").alias("sh")).collect()}
+    assert out[5] is None  # empty doc
+    assert out[1] == out[3]  # exact dups -> identical simhash
+    ham_near = bin(out[1] ^ out[2]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer in hamming space

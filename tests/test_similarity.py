@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkgraft import similarity as S
+from sparkgraft.io import read_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def test_cosine_basics(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [2.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    out = df.select(
+        S.cosine(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0))).alias("c")
+    ).collect()
+    assert [round(r.c, 6) for r in out] == [1.0, 0.0, 1.0]
+
+
+def test_cosine_topk_deterministic(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    out = S.cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cos_sim))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert len(rows) == 5
+        sims = [c for _, _, c in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(v != q for _, v, _ in rows)  # self excluded
+
+
+def test_rp_lsh_recall_vs_bruteforce(spark, emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in S.rp_lsh_topk(
+            emb, queries, dim=64, k=5, num_planes=4, num_tables=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 8 tables x 4 planes on 500 vecs: buckets are large, recall high
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_cosine_pairs_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.14]), (3, [0.0, 1.0])],
+        "vec_id int, embedding array<float>",
+    )
+    pairs = {(r.id_a, r.id_b) for r in S.cosine_pairs(df, threshold=0.95).collect()}
+    assert pairs == {(1, 2)}

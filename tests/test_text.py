@@ -1,0 +1,56 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkgraft import text as T
+
+
+def docs(spark):
+    rows = [
+        (1, "The cat and the dog, in a house!"),
+        (2, ""),
+        (3, None),
+        (4, "  SPACED   out\ttext  "),
+        (5, "el la de que y en"),
+        (6, "数据处理引擎"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_tokens_edge_cases(spark):
+    out = docs(spark).select("doc_id", T.tokens("text").alias("tok")).collect()
+    by_id = {r.doc_id: r.tok for r in out}
+    assert by_id[1][:2] == ["the", "cat"]
+    assert by_id[2] == []  # empty string -> no [''] artifact
+    assert by_id[3] == []
+    assert by_id[4] == ["spaced", "out", "text"]  # whitespace collapsed
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r.fp for r in df.select("doc_id", T.fingerprint("text").alias("fp")).collect()}
+    assert out[1] == out[2]  # case + whitespace insensitive
+    assert out[1] != out[3]
+
+
+def test_quality_metrics(spark):
+    m = T.quality_metrics("text")
+    out = docs(spark).select("doc_id", *[v.alias(k) for k, v in m.items()]).collect()
+    r1 = next(r for r in out if r.doc_id == 1)
+    assert r1.n_tokens == 8
+    assert r1.punct_ratio > 0  # comma + exclamation
+    assert r1.stopword_ratio > 0  # 'the' x2, 'and', 'in', 'a'
+    r2 = next(r for r in out if r.doc_id == 2)
+    assert r2.n_tokens == 0 and r2.stopword_ratio is None
+
+
+def test_lang_id(spark):
+    out = {r.doc_id: r.lang for r in docs(spark).select("doc_id", T.lang_id("text").alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[5] == "es"
+    assert out[6] == "zh"
+    assert out[2] == "und"
+    assert out[3] == "und"
