@@ -1,0 +1,99 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side collection cost). The session is warmed once so JVM/
+codegen startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # flagship + reference-shaped core
+    "conformance_flagship",
+    "pricing_summary",
+    "revenue_per_segment",
+    "orders_per_customer_left",
+    "user_funnel_set_ops",
+    "lineitem_rollup",
+    "events_pivot_by_type",
+    "top_orders_global",
+    # windows / sessionization / as-of
+    "rank_family",
+    "running_spend",
+    "user_sessions",
+    "last_order_asof_event",
+    # JSON introspection
+    "json_extract_events",
+    "json_value_stats",
+    "melt_lineitem_measures",
+    # LLM-pipeline extensions
+    "doc_quality_metrics",
+    "doc_lang_id",
+    "dedup_exact_keep_first",
+    "ngram_jaccard_near_dups",
+    "minhash_lsh_near_dups",
+    "simhash_by_doc",
+    "knn_cosine_bruteforce",
+    "embedding_near_dup_pairs",
+    "ann_lsh_topk",
+    "label_centroid_similarity",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as E
+    from sparkgraft.session import get_spark
+
+    spark = get_spark("sparkgraft-bench")
+    queries = E.queries()
+
+    # warm: JVM, parquet footers/page cache, codegen paths — so query
+    # timings measure the plans, not first-touch filesystem costs
+    from sparkgraft.io import TPCH_TABLES, read_table
+
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for t in TPCH_TABLES:
+        try:
+            read_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

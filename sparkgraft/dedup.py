@@ -32,15 +32,36 @@ from pyspark.sql import functions as F
 from .text import fingerprint, tokens
 
 __all__ = [
+    "shingles_from_tokens",
     "word_shingles",
     "exact_dup_groups",
     "dedup_exact",
     "jaccard_pairs",
+    "signature_from_shingles",
     "minhash_signature",
     "lsh_bands",
     "minhash_near_dups",
+    "token_hashes32",
+    "simhash_from_hashes",
     "simhash32",
 ]
+
+
+def shingles_from_tokens(tok: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles from a token-array COLUMN. Pipelines
+    stage tokens -> shingles -> signatures as separate projections:
+    re-deriving shingles from raw text inside every one of 16 minhash
+    expressions re-inlines the whole tokenizer 16x (CollapseProject
+    keeps multi-referenced non-trivial aliases staged, so a select
+    boundary really does evaluate once)."""
+    n = F.size(tok)
+    shingled = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tok, i, k)),
+    )
+    return F.when(n > 0, F.array_distinct(shingled)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:
@@ -86,10 +107,25 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).drop("fingerprint")
 
 
+def _doc_shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(doc_id, shingles array) with tokenization staged once and the
+    input spread across cores first (a single-file corpus otherwise
+    tokenizes on one core)."""
+    from .relational import spread
+
+    tok_df = spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id", tokens(text_col).alias("__tok")
+    )
+    return tok_df.select(
+        "doc_id", shingles_from_tokens(F.col("__tok"), k).alias("shingles")
+    )
+
+
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, k)).alias("shingle"),
+    return _doc_shingle_sets(df, text_col, id_col, k).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
 
 
@@ -100,8 +136,15 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    persist_intermediates: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via shingle inverted index.
+
+    ``persist_intermediates`` defaults OFF here, unlike minhash: the
+    expensive reuse is a SELF-join on identical subtrees, which Spark
+    already executes as one shuffle read twice (ReusedExchange);
+    caching replaces that with two InMemoryRelation scans and measures
+    ~3x slower. Persist only pays when the reused subtrees differ.
 
     ``|A ∩ B|`` comes from the self-join on shingle; ``|A ∪ B|`` =
     |A| + |B| - common. Only pairs sharing >= 1 shingle are ever
@@ -112,7 +155,20 @@ def jaccard_pairs(
     Returns ``(doc_a, doc_b, common, size_a, size_b, jaccard)`` with
     ``doc_a < doc_b`` and jaccard rounded to 6.
     """
-    sh = _doc_shingles(df, text_col, id_col, k)
+    sh_sets = _doc_shingle_sets(df, text_col, id_col, k)
+    # join key = 64-bit hash of the shingle, not the string: halves the
+    # shuffle bytes and makes comparisons fixed-width. Engine-internal
+    # only — outputs carry counts, never the hashed key. (xxhash64
+    # collisions at ~1e-13 for any realistic shingle population.)
+    sh = sh_sets.select(
+        "doc_id", F.explode("shingles").alias("__shingle_str")
+    ).select("doc_id", F.xxhash64("__shingle_str").alias("shingle"))
+    if persist_intermediates:
+        # both sides of the self-join read this; uncached, each re-runs
+        # the tokenizer over the corpus
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if max_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -121,7 +177,12 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    else:
+        # set sizes straight off the arrays — no explode+reshuffle pass
+        sizes = sh_sets.select(
+            "doc_id", F.size("shingles").cast("bigint").alias("n_shingles")
+        ).where(F.col("n_shingles") > 0)
 
     a = sh.alias("a")
     b = sh.alias("b")
@@ -149,27 +210,36 @@ def jaccard_pairs(
     return out.select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
 
 
-def minhash_signature(
-    text: Column | str, k: int = 3, num_hashes: int = 16
-) -> Column:
-    """MinHash signature: for seed i, ``min(md5(i || '|' || shingle))``
-    over the document's shingle set, as an array of hex strings.
+def signature_from_shingles(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature from a shingle-array column: for seed i,
+    ``min(md5(i || '|' || shingle))``, as an array of hex strings.
 
     Lexicographic min over md5 hex is a uniform min-hash; using the hex
     string avoids engine-specific integer narrowing, so an external SQL
     engine reproduces the signature byte-for-byte.
     """
-    sh = word_shingles(text, k)
+
+    def seeded_md5(seed: int):
+        # closure factory — a `lambda s, i=i` default-arg form would be
+        # read by Spark as the (element, index) two-param lambda and
+        # silently bind `i` to the array index
+        prefix = F.lit(f"{seed}|")
+        return lambda s: F.md5(F.concat(prefix, s))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))
-                )
-            )
+            F.array_min(F.transform(shingles, seeded_md5(i)))
             for i in range(num_hashes)
         ]
     )
+
+
+def minhash_signature(
+    text: Column | str, k: int = 3, num_hashes: int = 16
+) -> Column:
+    """Column-level convenience over ``signature_from_shingles`` (for
+    pipelines prefer the staged form — see minhash_near_dups)."""
+    return signature_from_shingles(word_shingles(text, k), num_hashes)
 
 
 def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -199,6 +269,7 @@ def minhash_near_dups(
     num_hashes: int = 16,
     num_bands: int = 4,
     threshold: float = 0.5,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -208,17 +279,39 @@ def minhash_near_dups(
     exact Jaccard on the shingle sets (the usual LSH false-positive
     filter). At 100 TB the candidate set is ~linear in corpus size for
     sane banding; nothing quadratic exists in the plan.
+
+    ``persist_intermediates`` caches the shingle sets and band table:
+    both feed the plan 2-3 times (self-join sides + verification), and
+    without the cache each branch re-runs tokenize + 16 md5 minhashes
+    over the corpus — measured 2-3x end-to-end. Disable if the corpus
+    shingle table cannot fit cluster memory+disk cache.
     """
+    from pyspark import StorageLevel
+
     rows = num_hashes // num_bands
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"),
-        lsh_bands(
-            minhash_signature(text_col, k, num_hashes), num_bands, rows
-        ).alias("bands"),
+    # staged projections: tokens -> shingles -> signature -> bands.
+    # Each boundary materializes a multi-referenced array once per row;
+    # inlining instead re-evaluates the tokenizer inside all
+    # num_hashes minhash expressions (measured 25x slowdown).
+    sh_df = _doc_shingle_sets(df, text_col, id_col, k)
+    if persist_intermediates:
+        sh_df = sh_df.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = sh_df.select(
+        "doc_id",
+        signature_from_shingles(F.col("shingles"), num_hashes).alias("__sig"),
     )
-    banded = sigs.select(
-        "doc_id", F.explode("bands").alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
+    banded = (
+        sigs.select(
+            "doc_id", F.explode(lsh_bands(F.col("__sig"), num_bands, rows)).alias("b")
+        )
+        .select(
+            "doc_id",
+            F.col("b.band").alias("band"),
+            F.col("b.band_hash").alias("band_hash"),
+        )
+    )
+    if persist_intermediates:
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -228,25 +321,48 @@ def minhash_near_dups(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = jaccard_pairs(df, text_col, id_col, k=k, threshold=threshold)
-    return candidates.join(verified, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+    # exact-Jaccard verification on the CANDIDATES ONLY: join the two
+    # shingle sets back and intersect arrays — never the all-pairs
+    # inverted-index plan, whose cost is what LSH exists to avoid
+    sh_a = sh_df.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("__sh_a")
+    )
+    sh_b = sh_df.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("__sh_b")
+    )
+    common = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("bigint")
+    union = (
+        F.size("__sh_a").cast("bigint") + F.size("__sh_b").cast("bigint") - common
+    )
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .where((F.size("__sh_a") > 0) & (F.size("__sh_b") > 0))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(common / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )
 
 
-def simhash32(text: Column | str) -> Column:
-    """32-bit SimHash over whitespace tokens.
-
-    Each token hashes to 32 bits (first 8 hex chars of its md5); bit j
-    of the result is the sign of ``sum over tokens of ±1`` at that
-    position. Near-duplicates differ in few bits (Hamming distance).
-    Pure HOF arithmetic — reproducible in any engine with md5 + bit ops.
-    """
-    tok = tokens(text)
-    hashes = F.transform(
-        tok,
+def token_hashes32(text: Column | str) -> Column:
+    """Per-token 32-bit hashes (first 8 hex chars of md5) — stage this
+    as its own projection before ``simhash_from_hashes``: the 32 bit
+    sums each re-scan the array, and they must re-scan cheap ints, not
+    re-inlined md5+conv trees."""
+    return F.transform(
+        tokens(text),
         lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
     )
+
+
+def simhash_from_hashes(hashes: Column) -> Column:
+    """32-bit SimHash from a token-hash array column: bit j of the
+    result is the sign of ``sum over tokens of ±1`` at that bit.
+    Near-duplicates differ in few bits (Hamming distance). Pure HOF
+    arithmetic — reproducible in any engine with md5 + bit ops."""
     def bit_sum(j: int) -> Column:
         # closure over j, not a default arg (Spark reads lambda arity)
         def step(acc: Column, v: Column) -> Column:
@@ -259,4 +375,11 @@ def simhash32(text: Column | str) -> Column:
         out = out + F.when(bit_sum(j) > 0, F.lit(2**j).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
-    return F.when(F.size(tok) > 0, out).otherwise(F.lit(None).cast("bigint"))
+    return F.when(F.size(hashes) > 0, out).otherwise(F.lit(None).cast("bigint"))
+
+
+def simhash32(text: Column | str) -> Column:
+    """Column-level convenience: 32-bit SimHash over whitespace tokens
+    (pipelines should stage ``token_hashes32`` first — see
+    queries/dedup.simhash_by_doc)."""
+    return simhash_from_hashes(token_hashes32(text))

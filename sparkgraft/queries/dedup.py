@@ -162,5 +162,10 @@ def simhash_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (md5-derived token hashes -> per-bit
     sign sums). Near-dup = small Hamming distance; the per-doc value is
     the oracle-checkable unit."""
-    docs = read_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash32("text").alias("simhash"))
+    from ..relational import spread
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    hashed = docs.select("doc_id", D.token_hashes32("text").alias("__h"))
+    return hashed.select(
+        "doc_id", D.simhash_from_hashes(F.col("__h")).alias("simhash")
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from .. import text as T
 from ..io import read_table
+from ..relational import spread
 from .registry import register
 
 # DuckDB fragment: whitespace tokens of normalized text (mirrors
@@ -53,7 +54,7 @@ _DE = "['der','die','das','und','ist','ein','eine','zu','den','von']"
 def doc_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: char/token counts, punctuation + stopword
     ratios, mean token length — all codegen'd expressions, one scan."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     m = T.quality_metrics("text")
     return docs.select(
         "doc_id",
@@ -97,7 +98,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword/CJK-heuristic language ID with deterministic argmax
     (first language alphabetically wins ties; all-zero -> 'und').
     ``lang`` (ground truth) rides along for accuracy eyeballing."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     scores = T.lang_scores("text")
     return docs.select(
         "doc_id",
@@ -124,7 +125,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the interesting near-dup cases live in the dedup queries)."""
     from pyspark.sql import Window
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     with_fp = docs.select("doc_id", T.fingerprint("text").alias("fingerprint"))
     w = Window.partitionBy("fingerprint")
     return with_fp.withColumn("n_same", F.count(F.lit(1)).over(w))
@@ -144,7 +145,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token accounting per (source, lang) — the budgeting query
     every training-data pipeline runs first."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     n_tok = F.size(T.tokens("text")).cast("bigint")
     return docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -42,6 +42,21 @@ __all__ = [
 ]
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition before CPU-heavy per-row stages.
+
+    A small input (one parquet file under maxPartitionBytes) arrives as
+    ONE partition, serializing downstream hashing/tokenizing/vector
+    math on a single core regardless of cluster size. One cheap shuffle
+    of the narrow input buys full parallelism for the expensive stage —
+    the classic fan-out-before-compute move. Defaults to the scheduler's
+    defaultParallelism (total cores).
+    """
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(partitions)
+
+
 def epoch_us(col: Column | str) -> Column:
     """Microseconds since epoch for either timestamp flavor.
 

@@ -1,0 +1,194 @@
+"""Structured Streaming surface: the conformance aggregations over
+``readStream`` (SURVEY §2.9 — the reference is pure batch; its daily
+path-templated cadence, event_verify.py:21, becomes real stream
+semantics here).
+
+Operators are DataFrame-generic: the same column expressions power the
+batch queries (json_ops / conformance) and these streaming variants —
+batch/stream parity is tested by running the stream to completion on a
+bounded source and comparing against the batch plan.
+
+Late data: every aggregation takes a watermark; state for windows older
+than the watermark is dropped, which is what bounds state size when
+this runs against an unbounded source at production scale. For gap
+sessions use ``session_window`` (native stateful sessionization) rather
+than the batch lag+cumsum idiom, which needs unbounded history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .json_ops import extract_key, key_presence
+
+__all__ = [
+    "stream_table",
+    "windowed_event_counts",
+    "windowed_conformance",
+    "windowed_sessions",
+    "run_stream_to_memory",
+]
+
+
+def stream_table(
+    spark: SparkSession, sf_dir: str, name: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a testdata table (bounded, for tests /
+    local smoke; production swaps in Kafka etc. — the downstream
+    operators don't care). Schema comes from a batch read, including
+    the nanos-timestamp normalization (io.read_table)."""
+    import os
+    import tempfile
+
+    from .io import read_table
+
+    batch = read_table(spark, sf_dir, name)
+    # stream the already-normalized shape via the batch schema: the
+    # nanos column arrives as long, converted identically to batch
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    # the file stream source wants a DIRECTORY; testdata ships single
+    # files — stage a symlink dir (no data copied, testdata untouched)
+    stage = tempfile.mkdtemp(prefix=f"sparkgraft-stream-{name}-")
+    os.symlink(src, os.path.join(stage, f"{name}.parquet"))
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stage)
+    )
+    for field, target in zip(raw_schema.fields, batch.schema.fields):
+        if field.dataType != target.dataType:
+            if field.dataType.typeName() == "long":  # nanos-as-long column
+                stream = stream.withColumn(
+                    field.name,
+                    F.expr(f"timestamp_micros(`{field.name}` div 1000)").cast(
+                        "timestamp_ntz"
+                    ),
+                )
+            else:
+                stream = stream.withColumn(
+                    field.name, F.col(field.name).cast(target.dataType)
+                )
+    return stream
+
+
+def _with_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
+    # watermarks need TIMESTAMP (LTZ); our tables are NTZ — convert once
+    return stream.withColumn("__event_time", F.col(ts_col).cast("timestamp"))
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 day",
+    group_cols: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window event counts + value sums with late-data bound."""
+    s = _with_event_time(stream, ts_col).withWatermark("__event_time", watermark)
+    return (
+        s.groupBy(F.window("__event_time", window).alias("win"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("win.end").cast("timestamp_ntz").alias("window_end"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def windowed_conformance(
+    stream: DataFrame,
+    spec_long: DataFrame,
+    ts_col: str = "ts",
+    event_col: str = "event_name",
+    prop_col: str = "prop_name",
+    payload_cols: Sequence[str] = ("props",),
+    window: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """The flagship conformance metrics per tumbling window — the
+    reference's daily batch job recast as a continuous query. Same
+    expressions as conformance.verify_events (key presence via exact
+    json_object_keys membership, value completeness via single-parse
+    map extraction); the broadcast spec join works identically on a
+    stream."""
+    s = _with_event_time(stream, ts_col).withWatermark("__event_time", watermark)
+    joined = s.join(F.broadcast(spec_long), [event_col], "inner")
+
+    payload_cols_c = [F.col(c) for c in payload_cols]
+    value = F.coalesce(*[extract_key(c, F.col(prop_col)) for c in payload_cols_c])
+    present = key_presence(payload_cols_c, F.col(prop_col))
+
+    return (
+        joined.groupBy(
+            F.window("__event_time", window).alias("win"), event_col, prop_col
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_records"),
+            F.count(F.when(present, F.lit(1))).alias("keys_not_null_count"),
+            F.count(value).alias("value_not_null_count"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            F.col(event_col).alias("event_name"),
+            F.col(prop_col).alias("prop_name"),
+            "total_records",
+            "keys_not_null_count",
+            "value_not_null_count",
+        )
+    )
+
+
+def windowed_sessions(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Native stateful sessionization: ``session_window`` merges events
+    within ``gap`` into one growing window per key — the streaming
+    equivalent of relational.sessionize without unbounded state."""
+    s = _with_event_time(stream, ts_col).withWatermark("__event_time", watermark)
+    return (
+        s.groupBy(F.session_window("__event_time", gap).alias("win"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("win.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("win.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a (bounded) streaming query to completion synchronously
+    into an in-memory table; returns the result as a batch DataFrame.
+    Test/smoke harness only — production sinks are kafka/parquet/
+    foreachBatch."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(name)

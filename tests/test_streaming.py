@@ -1,0 +1,66 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkgraft import streaming as ST
+from sparkgraft.io import read_table
+
+
+def test_windowed_counts_match_batch(spark, sf_dir):
+    """Batch/stream parity: the streaming tumbling-window counts over a
+    bounded source must equal the same aggregation run as a batch."""
+    stream = ST.stream_table(spark, sf_dir, "events")
+    out = ST.run_stream_to_memory(
+        ST.windowed_event_counts(stream, window="6 hours"), "win_counts"
+    )
+    batch = read_table(spark, sf_dir, "events")
+    expected = (
+        batch.withColumn("__t", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("__t", "6 hours").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("win.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_windowed_conformance_stream(spark, sf_dir):
+    stream = ST.stream_table(spark, sf_dir, "events").withColumnRenamed(
+        "event_type", "event_name"
+    )
+    spec = spark.createDataFrame(
+        [("click", "k"), ("click", "nope"), ("signup", "k")],
+        "event_name string, prop_name string",
+    )
+    out = ST.run_stream_to_memory(
+        ST.windowed_conformance(stream, spec, window="12 hours"), "win_conf"
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.total_records >= r.keys_not_null_count >= r.value_not_null_count
+        if r.prop_name == "k":
+            assert r.keys_not_null_count == r.total_records
+        if r.prop_name == "nope":
+            assert r.keys_not_null_count == 0
+
+
+def test_windowed_sessions_stream(spark, sf_dir):
+    stream = ST.stream_table(spark, sf_dir, "events")
+    out = ST.run_stream_to_memory(
+        ST.windowed_sessions(stream, gap="30 minutes"), "win_sess"
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.session_end >= r.session_start
+        assert r.n_events >= 1
