@@ -180,6 +180,40 @@ def present_in(
     return candidates.join(reference, list(on), "left_semi")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for skew.
+
+    A hot key (one value holding a large share of rows) lands an entire
+    shuffle partition on one task. Salting splits each left key into
+    ``salt_buckets`` random sub-keys and replicates every right row once
+    per bucket, so a hot key spreads over ``salt_buckets`` tasks at the
+    cost of a ``salt_buckets``-times-larger right side — use when the
+    right side is small-to-medium and AQE's skew-join splitting isn't
+    enough (it can't split a single key within one partition of a
+    broadcast-ineligible join).
+
+    ``rand``-based salt never leaves the plan, so results are exactly
+    the plain join's.
+    """
+    salted_left = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_right = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(salt_buckets).select(
+                F.col("id").cast("int").alias("__salt")
+            )
+        )
+    )
+    return salted_left.join(salted_right, [on, "__salt"], how).drop("__salt")
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,

@@ -1,0 +1,77 @@
+from __future__ import annotations
+
+import io as _io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkgraft import io as IO
+from sparkgraft.relational import salted_join
+
+
+def plan_of(df) -> str:
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    IO.write_parquet(df, str(tmp_path / "t"))
+    back = spark.read.parquet(str(tmp_path / "t"))
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3}") for i in range(30)], "id int, dt string"
+    )
+    root = str(tmp_path / "part")
+    IO.write_parquet(df, root, partition_by=("dt",))
+    pruned = IO.read_partitioned(spark, root, {"dt": "2024-01-02"})
+    assert pruned.count() == 10
+    # the filter must reach the scan as a PartitionFilter, not a
+    # post-scan Filter — the whole point of replacing the reference's
+    # path templating (SURVEY §2.1 S1)
+    plan = plan_of(pruned)
+    assert "PartitionFilters" in plan
+    assert "dt" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_csv_requires_explicit_schema(spark, tmp_path):
+    p = str(tmp_path / "spec.csv")
+    with open(p, "w") as f:
+        f.write("channel,version,event_name\nweb,1.2,signup\n")
+    df = IO.read_csv(spark, p, "channel string, version string, event_name string")
+    row = df.collect()[0]
+    # schema is pinned: version stays a string, never inference-dependent
+    assert row.version == "1.2" and isinstance(row.version, str)
+
+
+def test_single_csv_sink(spark, tmp_path):
+    import glob
+
+    df = spark.createDataFrame([(1, "x")], "id int, v string")
+    out = str(tmp_path / "out_csv")
+    IO.write_single_csv(df, out)
+    files = glob.glob(f"{out}/part-*.csv")
+    assert len(files) == 1  # coalesce(1): exactly one data file
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavily skewed left side: one hot key
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 0), (3, 1)], "k int, payload int"
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "a"), (4, "unused")], "k int, name string")
+    plain = left.join(right, "k").select("k", "payload", "name")
+    salted = salted_join(left, right, "k").select("k", "payload", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    IO.register_views(spark, sf_dir, "events", "orders")
+    n = spark.sql("SELECT count(*) AS n FROM events").collect()[0].n
+    assert n > 0

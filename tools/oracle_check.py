@@ -74,12 +74,22 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     s, o = canon(sdf), canon(odf)
     n = min(len(s), len(o))
     bad = 0
-    for i in range(n):
-        for c in s.columns:
-            if not cells_equal(s.iloc[i][c], o.iloc[i][c]):
+    for c in s.columns:
+        sc, oc = s[c].iloc[:n], o[c].iloc[:n]
+        # vectorized fast path; fall back to cell-wise only on columns
+        # that actually differ (object/array columns compare cell-wise)
+        try:
+            eq = (sc.values == oc.values) | (sc.isna().values & oc.isna().values)
+            col_ok = bool(eq.all())
+        except (TypeError, ValueError):
+            col_ok = False
+        if col_ok:
+            continue
+        for i in range(n):
+            if not cells_equal(sc.iloc[i], oc.iloc[i]):
                 if bad < 3:
                     problems.append(
-                        f"row {i} col {c}: spark={s.iloc[i][c]!r} oracle={o.iloc[i][c]!r}"
+                        f"row {i} col {c}: spark={sc.iloc[i]!r} oracle={oc.iloc[i]!r}"
                     )
                 bad += 1
     if bad:
