@@ -30,7 +30,6 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .json_ops import extract_key, key_presence
 from .relational import latest_per_group, melt
 
 __all__ = [
@@ -100,14 +99,32 @@ def verify_events(
     group_cols = list(group_cols)
     join_keys = [*group_cols, event_col]
 
-    payload_cols_c = [F.col(c) for c in payload_cols]
+    # Parse each payload ONCE per row (staged projection): both the key
+    # membership test and the value extraction read the same
+    # map<string,string> — json_object_keys + a second from_json would
+    # parse every payload twice per fanned row.
+    from .json_ops import payload_map
+
+    map_aliases = [f"__m{i}" for i in range(len(payload_cols))]
+    parsed = catalog.select(
+        "*", *[payload_map(c).alias(a) for c, a in zip(payload_cols, map_aliases)]
+    )
+
     # One broadcast fan-out: each catalog row appears once per expected
     # prop of its event; per-(event,prop) count(*) therefore equals the
     # event's total record count — the denominator lives in the plan.
-    joined = catalog.join(F.broadcast(spec_long), join_keys, "inner")
+    joined = parsed.join(F.broadcast(spec_long), join_keys, "inner")
 
-    value = F.coalesce(*[extract_key(c, F.col(prop_col)) for c in payload_cols_c])
-    present = key_presence(payload_cols_c, F.col(prop_col))
+    prop = F.col(prop_col)
+    value = F.coalesce(
+        *[F.nullif(F.try_element_at(F.col(a), prop), F.lit("")) for a in map_aliases]
+    )
+    present_terms = [
+        F.array_contains(F.map_keys(F.col(a)), prop) for a in map_aliases
+    ]
+    present = present_terms[0]
+    for term in present_terms[1:]:
+        present = present | term
 
     agg = joined.groupBy(*join_keys, prop_col).agg(
         F.count(F.lit(1)).alias("total_records"),

@@ -37,6 +37,7 @@ __all__ = [
     "exact_dup_groups",
     "dedup_exact",
     "jaccard_pairs",
+    "jaccard_pairs_prefix",
     "signature_from_shingles",
     "minhash_signature",
     "lsh_bands",
@@ -234,6 +235,84 @@ def signature_from_shingles(shingles: Column, num_hashes: int = 16) -> Column:
     )
 
 
+def _verify_candidate_pairs(
+    candidates: DataFrame, sh_df: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidate pairs by
+    joining the full shingle sets back and intersecting arrays — the
+    shared disposal stage behind every candidate generator (LSH bands,
+    prefix filter). Never materializes non-candidate pairs."""
+    sh_a = sh_df.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("__sh_a")
+    )
+    sh_b = sh_df.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("__sh_b")
+    )
+    common = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("bigint")
+    union = (
+        F.size("__sh_a").cast("bigint") + F.size("__sh_b").cast("bigint") - common
+    )
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .where((F.size("__sh_a") > 0) & (F.size("__sh_b") > 0))
+        .select("doc_a", "doc_b", F.round(common / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Jaccard >= threshold via PREFIX FILTERING (the AllPairs/PPJoin
+    family): exact results, far fewer candidates than the full inverted
+    index.
+
+    Under a global rarity order on shingles (document frequency asc,
+    shingle asc as tiebreak), any pair with ``jaccard >= t`` must share
+    a shingle within each side's first ``n - ceil(t*n) + 1`` shingles
+    (since overlap >= ceil(t*n) for both sizes n). So only the PREFIX
+    of each document is indexed and self-joined; common shingles — the
+    quadratic-blowup generators in a same-domain corpus — land at the
+    END of the order and never produce candidates on their own.
+
+    Plan shape: one df-count aggregation, one rank window per doc, a
+    self-join keyed on (rare) prefix shingles, then exact verification
+    on the candidate set. Output identical to ``jaccard_pairs``.
+    """
+    from pyspark.sql import Window
+
+    sh_sets = _doc_shingle_sets(df, text_col, id_col, k)
+    sh = sh_sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+
+    w_rank = Window.partitionBy("doc_id").orderBy(F.asc("__df"), F.asc("shingle"))
+    w_all = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("__pos", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+    )
+    prefix = ranked.where(
+        F.col("__pos")
+        <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    ).select("doc_id", "shingle")
+
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    candidates = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_candidate_pairs(candidates, sh_sets, threshold)
+
+
 def minhash_signature(
     text: Column | str, k: int = 3, num_hashes: int = 16
 ) -> Column:
@@ -321,30 +400,9 @@ def minhash_near_dups(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact-Jaccard verification on the CANDIDATES ONLY: join the two
-    # shingle sets back and intersect arrays — never the all-pairs
-    # inverted-index plan, whose cost is what LSH exists to avoid
-    sh_a = sh_df.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("__sh_a")
-    )
-    sh_b = sh_df.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("__sh_b")
-    )
-    common = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("bigint")
-    union = (
-        F.size("__sh_a").cast("bigint") + F.size("__sh_b").cast("bigint") - common
-    )
-    return (
-        candidates.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .where((F.size("__sh_a") > 0) & (F.size("__sh_b") > 0))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(common / union, 6).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    # exact-Jaccard verification on the CANDIDATES ONLY — never the
+    # all-pairs inverted-index plan, whose cost is what LSH exists to avoid
+    return _verify_candidate_pairs(candidates, sh_df, threshold)
 
 
 def token_hashes32(text: Column | str) -> Column:

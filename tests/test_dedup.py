@@ -63,6 +63,26 @@ def test_minhash_near_dups_match_jaccard(spark):
     assert (1, 3) in lsh and (1, 2) in lsh
 
 
+def test_prefix_filter_equals_inverted_index(spark, sf_dir):
+    """Prefix filtering is an exact method: outputs must be identical
+    to the full inverted-index formulation at every threshold."""
+    from sparkgraft.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    for t in (0.1, 0.3, 0.6):
+        full = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in D.jaccard_pairs(docs, "text", "doc_id", k=3, threshold=t).collect()
+        }
+        pref = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in D.jaccard_pairs_prefix(
+                docs, "text", "doc_id", k=3, threshold=t
+            ).collect()
+        }
+        assert pref == full, f"threshold {t}: prefix={len(pref)} full={len(full)}"
+
+
 def test_simhash_similarity(spark):
     out = {r.doc_id: r.sh for r in corpus(spark).select("doc_id", D.simhash32("text").alias("sh")).collect()}
     assert out[5] is None  # empty doc
