@@ -64,6 +64,18 @@ def test_semi_anti_helpers(spark):
     assert present == {"e1", "e3"}
 
 
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    from sparkgraft.io import read_table
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events")
+    r = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(r.approx - r.exact) <= max(3, 0.1 * r.exact)
+
+
 def test_union_all_by_name(spark):
     a = spark.createDataFrame([(1, "x")], "id int, v string")
     b = spark.createDataFrame([("y", 2)], "v string, id int")
