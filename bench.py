@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     # flagship + reference-shaped core
     "conformance_flagship",
+    "conformance_pipeline_versioned",
     "pricing_summary",
     "revenue_per_segment",
     "orders_per_customer_left",
