@@ -7,7 +7,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import conformance as C
 from ..io import read_table
 from .core import _event_spec
 from .registry import register

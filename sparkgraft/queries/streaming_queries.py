@@ -13,7 +13,6 @@ divisor-of-24h widths, so 6-hour buckets coincide exactly.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from .. import streaming as ST
 from .registry import register

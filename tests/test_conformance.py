@@ -57,6 +57,28 @@ def test_verify_events_invariants(spark):
         assert r.keys_not_null_count >= r.value_not_null_count
 
 
+def test_verify_events_malformed_payloads(spark):
+    """Non-object / invalid JSON payloads must count as absent, never
+    crash or miscount — from_json(map) and key membership both yield
+    NULL for them, which count(when(...)) treats as 0."""
+    catalog = spark.createDataFrame(
+        [
+            ("e", '{"k": "1"}'),  # valid
+            ("e", "[1, 2, 3]"),  # JSON array, not object
+            ("e", "not json at all"),
+            ("e", "42"),
+            ("e", None),
+        ],
+        "event_name string, props string",
+    )
+    spec = spark.createDataFrame([("e", "k")], "event_name string, prop_name string")
+    r = C.verify_events(catalog, spec, payload_cols=["props"]).collect()[0]
+    assert r.total_records == 5
+    assert r.keys_not_null_count == 1
+    assert r.value_not_null_count == 1
+    assert r.value_null_count == 4
+
+
 def test_melt_spec(spark):
     wide = spark.createDataFrame(
         [("web", "1.0", "signup", "k", "s", None), ("web", "1.0", "click", "k", "", None)],
