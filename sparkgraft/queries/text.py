@@ -132,6 +132,121 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_counts_bpe",
+    r"""
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN 0
+                ELSE len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+           END AS n_bpe_tokens,
+           CASE WHEN text IS NULL THEN 0
+                ELSE len(list_distinct(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')))
+           END AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counts (letter runs / digit runs / symbol
+    runs) — the model-token-budget proxy next to whitespace counts
+    (token_counts_by_source). Pattern restricted to classes Java regex
+    and RE2 agree on."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    tok = T.regex_tokens("text")
+    staged = docs.select("doc_id", "text", tok.alias("__t"))
+    return staged.select(
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size("__t"))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(F.array_distinct("__t")))
+        .cast("bigint")
+        .alias("n_distinct_tokens"),
+    )
+
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "winnowing_shared_fingerprints",
+    f"""
+    WITH kg AS (
+        SELECT doc_id,
+               CASE WHEN text IS NULL OR length({_NORM}) < 8 THEN []::VARCHAR[]
+                    ELSE list_transform(
+                        range(1, greatest(length({_NORM}) - 8 + 1, 1) + 1),
+                        i -> md5(substr({_NORM}, CAST(i AS INT), 8)))
+               END AS kgh
+        FROM documents
+    ), winnowed AS (
+        SELECT doc_id,
+               CASE WHEN len(kgh) = 0 THEN []::VARCHAR[]
+                    ELSE list_distinct(list_transform(
+                        range(1, greatest(len(kgh) - 4 + 1, 1) + 1),
+                        j -> list_aggregate(kgh[j:j+3], 'min')))
+               END AS fps
+        FROM kg
+    ), fp_all AS (
+        SELECT doc_id, unnest(fps) AS fp FROM winnowed
+    ), rare AS (
+        SELECT fp FROM fp_all GROUP BY fp HAVING count(*) <= 10
+    ), fp AS (
+        SELECT doc_id, fp FROM fp_all JOIN rare USING (fp)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM fp a JOIN fp b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 20
+    """,
+)
+def winnowing_shared_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (MOSS winnowing, k=8
+    char-grams, window=4): documents sharing >= 20 winnowed
+    fingerprints share long verbatim substrings — the substring-level
+    near-dup signal word-shingle Jaccard misses. (Threshold 20 + df<=10
+    fingerprint pruning: this tiny-vocab corpus shares short substrings
+    ubiquitously; pruning ubiquitous prints before the join keeps the
+    candidate set linear, the standard winnowing-index practice.) The
+    oracle recomputes the full winnow in SQL (same md5 rolling hashes,
+    same window minima).
+
+    The fingerprint table is persisted before the explode: the explode
+    makes the optimizer infer a ``size(fps) > 0`` filter and push it
+    below the staged Projects, re-inlining the whole winnow chain into
+    the filter — O(n^2) md5 per document, measured ~90x slower. The
+    cache is also read 3x downstream (df-pruning + both self-join
+    sides)."""
+    from pyspark import StorageLevel
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    winnowed = T.winnow_fingerprints(
+        docs.select("doc_id", "text"), "text", k=8, window=4, out="__fps"
+    ).select("doc_id", "__fps").persist(StorageLevel.MEMORY_AND_DISK)
+    fp_all = winnowed.select("doc_id", F.explode("__fps").alias("fp"))
+    # df-cap pruning: ubiquitous fingerprints (this corpus's tiny vocab
+    # makes many 8-grams near-universal) generate quadratic join output
+    # for zero signal — drop them BEFORE the self-join, like jaccard's
+    # max_df. Mirrored exactly in the oracle SQL.
+    rare = (
+        fp_all.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= 10)
+        .select("fp")
+    )
+    fp = fp_all.join(rare, "fp")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 20)
+    )
+
+
+@register(
     "token_counts_by_source",
     f"""
     WITH base AS (SELECT source, lang, {_TOK} AS tok FROM documents)

@@ -18,13 +18,20 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens",
+    "regex_tokens",
     "normalize_text",
     "fingerprint",
+    "winnow_fingerprints",
     "quality_metrics",
     "lang_scores",
     "lang_id",
     "STOPWORDS",
 ]
+
+# BPE-ish pretokenizer classes: letter runs, digit runs, non-space
+# symbol runs — the coarse shape GPT-style pretokenizers split on,
+# restricted to constructs Java regex and RE2 treat identically.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Deliberately small and embedded: broadcast as literals into the plan.
@@ -57,10 +64,77 @@ def tokens(text: Column | str) -> Column:
     ).otherwise(F.split(norm, " "))
 
 
+def regex_tokens(text: Column | str) -> Column:
+    """BPE-ish pretokenization: splits 'don't stop2x!' into
+    ``[don, ', t, stop, 2, x, !]`` — the subword-boundary shape a BPE
+    tokenizer refines. Counting THESE is the cheap proxy for model
+    token budgets that whitespace counting underestimates."""
+    return F.regexp_extract_all(F.lower(_col(text)), F.lit(BPE_ISH_PATTERN), 0)
+
+
 def fingerprint(text: Column | str) -> Column:
     """Content fingerprint: md5 of the normalized text. Identical texts
     modulo case/whitespace collide — the exact-dedup key."""
     return F.md5(normalize_text(text))
+
+
+def winnow_fingerprints(
+    df: "DataFrame",  # noqa: F821 - forward ref, avoids module-level import
+    text: str = "text",
+    k: int = 8,
+    window: int = 4,
+    out: str = "fps",
+) -> "DataFrame":  # noqa: F821
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    MOSS): hash every character k-gram of the normalized text, then
+    keep the minimum hash of each sliding window of ``window``
+    consecutive k-gram hashes. Guarantees: any shared substring of
+    length >= k + window - 1 between two documents yields at least one
+    shared fingerprint — the substring-level near-dup signal that
+    word-shingle Jaccard (word level) misses.
+
+    Hashes are md5-hex (lexicographic min), so an external engine
+    reproduces the fingerprint set exactly. Pure HOFs: substr via a
+    position sequence plays the "rolling" part (content-identical to a
+    true rolling hash; the classic Rabin-Karp trick only saves CPU).
+    Adds an ``out`` column holding the DISTINCT fingerprint set (empty
+    array for NULL / shorter-than-k text).
+
+    DataFrame-level on purpose, NOT a Column function: the k-gram hash
+    array is referenced by every winnow position, so it must be staged
+    through its own Project. Inlined into a single expression tree the
+    whole k-gram array re-evaluates per position — O(n^2) md5+regexp
+    per document instead of O(n).
+    """
+    norm_c, kgh_c = f"__{out}_norm", f"__{out}_kgh"
+    empty = F.array().cast("array<string>")
+    staged = df.withColumn(norm_c, normalize_text(text))
+    staged = staged.withColumn(
+        kgh_c,
+        F.when(F.col(norm_c).isNull() | (F.length(norm_c) < k), empty).otherwise(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(norm_c) - k + 1, F.lit(1))
+                ),
+                lambda i: F.md5(F.col(norm_c).substr(i, F.lit(k))),
+            )
+        ),
+    )
+    staged = staged.withColumn(
+        out,
+        F.when(F.size(kgh_c) == 0, empty).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(kgh_c) - window + 1, F.lit(1)),
+                    ),
+                    lambda j: F.array_min(F.slice(F.col(kgh_c), j, window)),
+                )
+            )
+        ),
+    )
+    return staged.drop(norm_c, kgh_c)
 
 
 def quality_metrics(text: Column | str) -> dict[str, Column]:

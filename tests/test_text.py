@@ -54,3 +54,52 @@ def test_lang_id(spark):
     assert out[6] == "zh"
     assert out[2] == "und"
     assert out[3] == "und"
+
+
+def test_regex_tokens_bpe_ish(spark):
+    df = spark.createDataFrame(
+        [(1, "Don't stop2x!"), (2, ""), (3, None)], "doc_id int, text string"
+    )
+    out = {
+        r.doc_id: r.tok
+        for r in df.select("doc_id", T.regex_tokens("text").alias("tok")).collect()
+    }
+    # letter runs / digit runs / symbol runs, lowercased
+    assert out[1] == ["don", "'", "t", "stop", "2", "x", "!"]
+    assert out[2] == []
+    assert out[3] is None  # regexp on NULL stays NULL; callers coalesce
+
+
+def test_winnow_fingerprints_shared_substring_guarantee(spark):
+    # Winnowing guarantee: a shared substring of length >= k+window-1
+    # (= 11 for k=8, window=4) yields at least one shared fingerprint.
+    shared = "abcdefghijk"  # exactly 11 chars
+    df = spark.createDataFrame(
+        [
+            (1, f"xxxx {shared} yyyy"),
+            (2, f"zz {shared} qqqq"),
+            (3, "completely different words here"),
+            (4, "short"),  # < k chars after normalization
+            (5, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: set(r.fps)
+        for r in T.winnow_fingerprints(df, "text", k=8, window=4).collect()
+    }
+    assert out[1] & out[2]  # guarantee: shared fingerprint exists
+    assert not (out[1] & out[3])
+    assert out[4] == set()
+    assert out[5] == set()
+
+
+def test_winnow_fingerprints_case_whitespace_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "The Quick   Brown Fox Jumps"), (2, "the quick brown fox jumps")],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: set(r.fps) for r in T.winnow_fingerprints(df).collect()
+    }
+    assert out[1] == out[2]
