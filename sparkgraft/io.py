@@ -142,6 +142,34 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+) -> str:
+    """Bucketed parquet table (external, at ``path``): rows are
+    hash-partitioned into ``num_buckets`` files by ``bucket_cols`` AT
+    WRITE TIME, and the layout is recorded in the catalog. A join or
+    aggregation keyed on the bucket columns then reads each bucket
+    co-located — no Exchange in the plan at all, which at 100 TB removes
+    the single most expensive stage of a fact-fact join. ``sort_cols``
+    additionally sorts within buckets so sort-merge joins skip the sort.
+
+    This is the persisted-layout counterpart of ``repartition``: pay the
+    shuffle once at ingest, reuse it across every downstream query.
+    """
+    writer = df.write.mode("overwrite").option("path", path).bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+    return table_name
+
+
 def write_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Single-file CSV sink for small final results (reference S7,
     event_verify.py:230-231). Only safe when the result fits one task."""

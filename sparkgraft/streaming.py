@@ -29,17 +29,30 @@ __all__ = [
     "windowed_event_counts",
     "windowed_conformance",
     "windowed_sessions",
+    "stateful_running_stats",
     "run_stream_to_memory",
+    "run_stream_foreach_batch",
+    "foreach_batch_parquet_sink",
 ]
 
 
 def stream_table(
-    spark: SparkSession, sf_dir: str, name: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    max_files_per_trigger: int = 1,
+    split_files: int | None = None,
 ) -> DataFrame:
     """File-source stream over a testdata table (bounded, for tests /
     local smoke; production swaps in Kafka etc. — the downstream
     operators don't care). Schema comes from a batch read, including
-    the nanos-timestamp normalization (io.read_table)."""
+    the nanos-timestamp normalization (io.read_table).
+
+    ``split_files``: re-stage the single-file table as N parquet files
+    so the bounded stream produces N micro-batches (with
+    ``max_files_per_trigger=1``) — required to exercise cross-batch
+    state (stateful ops, foreachBatch idempotence) rather than a
+    degenerate one-batch run."""
     import os
     import tempfile
 
@@ -53,7 +66,16 @@ def stream_table(
     # the file stream source wants a DIRECTORY; testdata ships single
     # files — stage a symlink dir (no data copied, testdata untouched)
     stage = tempfile.mkdtemp(prefix=f"sparkgraft-stream-{name}-")
-    os.symlink(src, os.path.join(stage, f"{name}.parquet"))
+    if split_files is not None:
+        spark.read.parquet(src).repartition(split_files).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        # drop non-data files so maxFilesPerTrigger counts real batches
+        for f in os.listdir(stage):
+            if not f.endswith(".parquet"):
+                os.remove(os.path.join(stage, f))
+    else:
+        os.symlink(src, os.path.join(stage, f"{name}.parquet"))
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -171,6 +193,106 @@ def windowed_sessions(
             "n_events",
         )
     )
+
+
+def stateful_running_stats(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (SURVEY
+    §7.4.5): per-key RUNNING totals that survive across micro-batches —
+    the one streaming shape tumbling windows cannot express, because the
+    aggregate never closes (no window end, no watermark eviction).
+
+    Each micro-batch emits one updated row per key seen in that batch:
+    ``(key, n_events, sum_value)`` where the counts accumulate over the
+    whole stream so far. State is a tiny fixed-width tuple per key —
+    O(distinct keys) cluster-wide, partitioned by the groupBy key, so
+    1000 executors each hold only their key range. Arrow-batched both
+    directions (this is the sanctioned Python hook for custom state;
+    per-row python UDFs never appear).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, s double"
+
+    def update(key, pdfs, state):  # pragma: no cover (runs in worker)
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return (
+        stream.select(key_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_foreach_batch(
+    stream_df: DataFrame,
+    batch_fn,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> int:
+    """Drive a (bounded) stream through ``foreachBatch`` to completion:
+    ``batch_fn(batch_df, batch_id)`` runs once per micro-batch with a
+    BATCH DataFrame — the escape hatch for sinks Structured Streaming
+    lacks (merge/upsert targets, multi-table writes, JDBC). The
+    checkpoint records committed batch ids, so a restarted production
+    query re-runs at-least-once and ``batch_id`` is what makes the sink
+    idempotent. Returns the number of batches executed."""
+    seen: list[int] = []
+
+    def _wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        batch_fn(batch_df, batch_id)
+
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .foreachBatch(_wrapped)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return len(seen)
+
+
+def foreach_batch_parquet_sink(
+    stream_df: DataFrame, path: str, checkpoint_dir: str
+) -> int:
+    """Idempotent parquet append via foreachBatch: each micro-batch
+    lands under ``batch_id=N/`` (dynamic partition overwrite), so a
+    replayed batch overwrites its own partition instead of duplicating
+    rows — the standard exactly-once-by-idempotence recipe."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    return run_stream_foreach_batch(stream_df, write_batch, checkpoint_dir)
 
 
 def run_stream_to_memory(

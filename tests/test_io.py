@@ -71,6 +71,45 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with NO
+    Exchange — the pay-once-at-ingest layout that removes the shuffle
+    from every downstream fact-fact join."""
+    from sparkgraft.io import read_table
+
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    IO.write_bucketed(
+        lineitem, "li_b", str(tmp_path / "li"), ("l_orderkey",), 4,
+        sort_cols=("l_orderkey",),
+    )
+    IO.write_bucketed(
+        orders, "ord_b", str(tmp_path / "ord"), ("o_orderkey",), 4,
+        sort_cols=("o_orderkey",),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li, od = spark.table("li_b"), spark.table("ord_b")
+        joined = li.join(od, li.l_orderkey == od.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = plan_of(joined)
+        assert "Exchange" not in plan
+        plain = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        )
+        assert joined.count() == plain.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
 def test_register_views_sql_surface(spark, sf_dir):
     IO.register_views(spark, sf_dir, "events", "orders")
     n = spark.sql("SELECT count(*) AS n FROM events").collect()[0].n

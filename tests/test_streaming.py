@@ -55,6 +55,55 @@ def test_windowed_conformance_stream(spark, sf_dir):
             assert r.keys_not_null_count == 0
 
 
+def test_stateful_running_stats_multibatch(spark, sf_dir):
+    """applyInPandasWithState: per-user running totals must accumulate
+    ACROSS micro-batches (3-file split => 3 batches) and converge to the
+    batch groupBy result."""
+    stream = ST.stream_table(spark, sf_dir, "events", split_files=3)
+    out = ST.run_stream_to_memory(
+        ST.stateful_running_stats(stream), "run_stats", output_mode="update"
+    )
+    rows = out.orderBy("n_events").collect()
+    assert len(rows) > 0
+    # counts only grow per key, so last row in n_events order = final state
+    final = {r.user_id: (r.n_events, r.sum_value) for r in rows}
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("s"),
+        )
+    )
+    want = {r.user_id: (r.n, r.s) for r in batch.collect()}
+    assert set(final) == set(want)
+    for u, (n, s) in want.items():
+        assert final[u][0] == n
+        assert final[u][1] == pytest.approx(s, rel=1e-9)
+    # multi-batch actually happened: some key must have been emitted
+    # more than once (update mode emits per batch seen)
+    assert len(rows) > len(want)
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    """foreachBatch sink: batch-id-partitioned parquet lands every row
+    exactly once across multiple micro-batches."""
+    stream = ST.stream_table(spark, sf_dir, "events", split_files=3)
+    out_path = str(tmp_path / "out")
+    n_batches = ST.foreach_batch_parquet_sink(
+        stream, out_path, str(tmp_path / "ckpt")
+    )
+    assert n_batches >= 2
+    got = spark.read.parquet(out_path)
+    batch = read_table(spark, sf_dir, "events")
+    assert got.count() == batch.count()
+    assert (
+        got.select(F.sum("event_id")).first()[0]
+        == batch.select(F.sum("event_id")).first()[0]
+    )
+    assert got.select("batch_id").distinct().count() == n_batches
+
+
 def test_windowed_sessions_stream(spark, sf_dir):
     stream = ST.stream_table(spark, sf_dir, "events")
     out = ST.run_stream_to_memory(
