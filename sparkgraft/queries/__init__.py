@@ -19,6 +19,7 @@ from .registry import ORACLES, QUERIES, dec, register  # noqa: F401
 # Import order = SURVEY §2 order; each module registers its queries.
 from . import core  # noqa: E402,F401  (flagship + first slice)
 from . import relational  # noqa: E402,F401  (filters, joins, set ops, sorts)
+from . import multijoin  # noqa: E402,F401  (TPC-H Q3/Q5/Q10 multi-table chains)
 from . import windows  # noqa: E402,F401  (window functions, sessionization)
 from . import json_queries  # noqa: E402,F401  (JSON introspection)
 from . import functions  # noqa: E402,F401  (string/date/array/higher-order)

@@ -1,0 +1,221 @@
+"""Multi-table join pipelines (TPC-H Q3/Q5/Q10 shapes).
+
+The reference's joins are two-table, single-hop (event_verify.py:101,
+:120-129, :215). These queries exercise the join-planning surface that
+actually decides 100 TB performance: 3-6 table chains where Catalyst +
+AQE must pick broadcast vs shuffle per hop, reorder around selective
+dimension filters, and keep the fact table streaming map-side through
+every broadcast hop.
+
+Scale design, common to all three:
+- dimension filters (`c_mktsegment`, `r_name`) are applied BEFORE the
+  join so the broadcast side is minimal and the filter reaches the
+  parquet scan as a pushed predicate;
+- date-range predicates on the fact tables prune row groups (and, on a
+  date-partitioned production table, whole partitions);
+- revenue math runs in exact DECIMAL then casts to double once, so the
+  result is identical under any partitioning / aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .registry import dec, register
+
+# revenue term: l_extendedprice * (1 - l_discount), decimal-exact.
+# Spark DECIMAL(18,2) * DECIMAL(18,2) and DuckDB both produce an exact
+# product; the sum stays exact and only the final cast is lossy.
+_REV_SQL = "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))"
+
+
+def _revenue() -> F.Column:
+    return F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+
+
+@register(
+    "shipping_priority_top10",
+    f"""
+    SELECT l_orderkey,
+           CAST({_REV_SQL} AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers -> their unshipped
+    orders -> top-10 by open revenue.
+
+    Join order matters at scale: customer is filtered to one segment
+    (~1/5) and broadcast into orders; the surviving (orderkey) set joins
+    lineitem on its natural key. lineitem never shuffles — both hops are
+    broadcast from the fact table's perspective at bench scale, and at
+    100 TB AQE downgrades only the orders⋈lineitem hop to sort-merge on
+    l_orderkey. Final ORDER BY+LIMIT is TakeOrderedAndProject (per-
+    partition top-k, no global sort); revenue ties break on l_orderkey.
+    """
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
+    return (
+        li.where(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.where(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue().cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "local_supplier_volume",
+    f"""
+    SELECT n_name, CAST({_REV_SQL} AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join with the non-key constraint
+    c_nationkey = s_nationkey ("customer and supplier in the same
+    nation"), revenue per nation within one region.
+
+    region -> nation is pre-joined and broadcast (25 rows after the
+    r_name filter); supplier and customer each broadcast-join it, then
+    broadcast into the fact chain. The one genuinely big hop, orders ⋈
+    lineitem, runs on the orderkey both tables already share — at 100 TB
+    bucketing both by orderkey (io.write_bucketed) makes it shuffle-free.
+    The same-nation constraint lands as a post-join filter on two
+    broadcast-carried columns, costing nothing extra.
+    """
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+
+    asia_nations = nation.join(
+        F.broadcast(region.where(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(asia_nations),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey", "s_nationkey", "n_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(_revenue().cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "returned_items_top_customers",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST({_REV_SQL} AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue in a quarter-ish
+    window — fact-side filter (l_returnflag) + two broadcast dims.
+
+    The l_returnflag predicate is pushed to the lineitem scan (dictionary-
+    encoded column -> whole row groups skip); orders' date range prunes
+    its scan; customer and nation broadcast. Group-by key includes the
+    customer attributes so no second join is needed to re-attach them.
+    """
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                customer.join(
+                    F.broadcast(nation),
+                    F.col("c_nationkey") == F.col("n_nationkey"),
+                ).select("c_custkey", "c_name", "n_name", "c_acctbal")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(_revenue().cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
