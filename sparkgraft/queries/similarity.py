@@ -89,6 +89,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.rp_lsh_topk(emb, queries, dim=64, k=10, num_planes=6, num_tables=4)
 
 
+@register("ann_ivf_topk")  # engine-specific index: rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via an IVF index (spherical k-means coarse
+    quantizer, deterministic lowest-id init, 3 Lloyd passes; probe the
+    4 nearest of 16 inverted lists per query). The data-adaptive
+    counterpart to ``ann_lsh_topk``'s data-independent hashing — at
+    corpus scale the candidate shuffle moves ~n_probe/n_centroids of
+    the vectors. Recall vs brute force asserted in
+    tests/test_similarity.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.ivf_topk(
+        emb, queries, dim=64, k=10, n_centroids=16, n_probe=4, iters=3
+    )
+
+
 @register(
     "label_centroid_similarity",
     f"""

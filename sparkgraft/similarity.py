@@ -16,6 +16,12 @@ Three tiers:
                       The scale path: shuffle keyed on bucket hash,
                       nothing quadratic. Recall is tested against the
                       brute-force baseline (tests/test_similarity.py).
+- ``ivf_*``         — inverted-file index: a sample-trained spherical
+                      k-means coarse quantizer partitions the corpus
+                      into lists; queries probe their n_probe nearest
+                      lists. Data-adaptive where LSH is data-blind;
+                      the candidate shuffle moves ~n_probe/n_centroids
+                      of the corpus.
 
 All vector math is built-in HOFs (zip_with / aggregate / transform)
 over doubles — JVM codegen, no Python in the hot path. Elements are
@@ -36,6 +42,8 @@ __all__ = [
     "cosine_pairs",
     "rp_lsh_bucket",
     "rp_lsh_topk",
+    "ivf_train",
+    "ivf_topk",
 ]
 
 
@@ -288,6 +296,172 @@ def rp_lsh_topk(
             F.round(cosine(F.col("__cvec"), F.col("__qvec")), round_to).alias(
                 "cos_sim"
             ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: inverted-file index (coarse k-means quantizer + n_probe search)
+# ---------------------------------------------------------------------------
+
+
+def _centroid_scores(
+    dv: Column, nv: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Array of (cos_sim, centroid_id) structs for a vector against the
+    (driver-held, literal) centroid table — folded into the plan as
+    constants, so scoring is pure codegen with zero joins.
+
+    ``dv``/``nv`` must be the PRE-STAGED double array and its norm
+    (separate select): referenced once per centroid, an inline
+    ``transform``/norm would be re-expanded K times by CollapseProject.
+    """
+    scored = []
+    for cid, cvec in centroids:
+        carr = F.array(*[F.lit(v) for v in cvec])
+        cnorm = sum(v * v for v in cvec) ** 0.5
+        cos = F.aggregate(
+            F.zip_with(dv, carr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) / (nv * F.lit(cnorm))
+        scored.append(F.struct(cos.alias("cos"), F.lit(cid).alias("cid")))
+    return F.array(*scored)
+
+
+def _staged(
+    df: DataFrame, id_col: str, vec_col: str, id_alias: str
+) -> DataFrame:
+    """(id, double-array, norm) staged once per vector for IVF scoring."""
+    return df.select(
+        F.col(id_col).alias(id_alias), _d(F.col(vec_col)).alias("__dv")
+    ).select(id_alias, "__dv", l2_norm_predoubled(F.col("__dv")).alias("__n"))
+
+
+def l2_norm_predoubled(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def ivf_train(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 3,
+    sample_size: int = 65536,
+) -> list[tuple[int, list[float]]]:
+    """Train the IVF coarse quantizer: spherical k-means (cosine
+    assignment, mean update) on a bounded, deterministic sample.
+
+    One Spark job pulls the ``sample_size`` lowest-id vectors
+    (TakeOrdered — per-partition top-k, no sort shuffle); Lloyd then
+    runs locally in numpy. Sample-trained quantizers are the standard
+    scale design (a coarse quantizer needs ~100x n_centroids training
+    points, not the corpus): the 100 TB pass happens once, in the
+    *assignment* stage of :func:`ivf_topk`, never in training. Init is
+    the first ``n_centroids`` sample rows; empty clusters keep their
+    previous centroid — fully deterministic, no RNG.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("__id"), _d(F.col(vec_col)).alias("__dv"))
+        .orderBy("__id")
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r["__dv"] for r in rows], dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    cents = x[:n_centroids].copy()
+    for _ in range(iters):
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = np.argmax(xn @ cn.T, axis=1)
+        for cid in range(n_centroids):
+            members = x[assign == cid]
+            if len(members):
+                cents[cid] = members.mean(axis=0)
+    return [(cid, [float(v) for v in cents[cid]]) for cid in range(n_centroids)]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k via an IVF index: assign every corpus vector to
+    its nearest trained centroid (the inverted lists), probe each
+    query's ``n_probe`` nearest centroids, exact-cosine rank only the
+    vectors in the probed lists.
+
+    The scale shape: corpus scoring against centroid literals is
+    map-side codegen; the candidate join is keyed on ``cid`` — the
+    shuffle moves ~n_probe/n_centroids of the corpus per query batch
+    instead of all of it, and nothing is quadratic. Recall tunes with
+    ``n_probe`` (= n_centroids recovers exact brute force over a
+    partitioned corpus). Complements ``rp_lsh_topk``: IVF adapts to the
+    data distribution (trained buckets), LSH is data-independent.
+    """
+    from pyspark.sql import Window
+
+    from .relational import spread
+
+    centroids = ivf_train(
+        corpus, dim, id_col=id_col, vec_col=vec_col,
+        n_centroids=n_centroids, iters=iters,
+    )
+
+    inverted = _staged(spread(corpus), id_col, vec_col, "cand_id").select(
+        "cand_id",
+        F.col("__dv").alias("__cdv"),
+        F.col("__n").alias("__cn"),
+        F.array_max(
+            _centroid_scores(F.col("__dv"), F.col("__n"), centroids)
+        )["cid"].alias("cid"),
+    )
+    probes = (
+        _staged(queries, id_col, vec_col, "query_id")
+        .select(
+            "query_id",
+            F.col("__dv").alias("__qdv"),
+            F.col("__n").alias("__qn"),
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        _centroid_scores(F.col("__dv"), F.col("__n"), centroids)
+                    )
+                ),
+                1,
+                n_probe,
+            )["cid"].alias("__cids"),
+        )
+        .select("query_id", "__qdv", "__qn", F.explode("__cids").alias("cid"))
+    )
+    scored = (
+        inverted.join(F.broadcast(probes), "cid")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("cand_id").alias(id_col),
+            F.round(
+                dot_predoubled(F.col("__cdv"), F.col("__qdv"))
+                / (F.col("__cn") * F.col("__qn")),
+                round_to,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))

@@ -54,6 +54,56 @@ def test_rp_lsh_recall_vs_bruteforce(spark, emb):
     assert recall >= 0.6, f"LSH recall too low: {recall}"
 
 
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in S.ivf_topk(
+            emb, queries, dim=64, k=5, n_centroids=8, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing half of 8 trained lists on 500 vecs keeps recall high
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_ivf_full_probe_is_exact(spark, emb):
+    """n_probe == n_centroids degenerates to exact brute force — every
+    inverted list is searched, so the result must equal cosine_topk."""
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = [
+        (r.query_id, r.rank, r.vec_id)
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    ]
+    full = [
+        (r.query_id, r.rank, r.vec_id)
+        for r in S.ivf_topk(
+            emb, queries, dim=64, k=5, n_centroids=4, n_probe=4, iters=2
+        ).collect()
+    ]
+    assert sorted(full) == sorted(exact)
+
+
+def test_ivf_train_partitions_corpus(spark, emb):
+    """Every corpus vector lands in exactly one inverted list and every
+    centroid id is within range."""
+    cents = S.ivf_train(emb, dim=64, n_centroids=8, iters=2)
+    assert len(cents) == 8
+    assert all(len(v) == 64 for _, v in cents)
+    assigned = S._staged(emb, "vec_id", "embedding", "id").select(
+        F.array_max(
+            S._centroid_scores(F.col("__dv"), F.col("__n"), cents)
+        )["cid"].alias("cid")
+    )
+    cids = {r.cid for r in assigned.distinct().collect()}
+    assert cids <= set(range(8))
+    assert assigned.count() == emb.count()
+
+
 def test_cosine_pairs_threshold(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.99, 0.14]), (3, [0.0, 1.0])],
