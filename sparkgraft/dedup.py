@@ -137,15 +137,21 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
-    persist_intermediates: bool = False,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via shingle inverted index.
 
-    ``persist_intermediates`` defaults OFF here, unlike minhash: the
-    expensive reuse is a SELF-join on identical subtrees, which Spark
-    already executes as one shuffle read twice (ReusedExchange);
-    caching replaces that with two InMemoryRelation scans and measures
-    ~3x slower. Persist only pays when the reused subtrees differ.
+    ``persist_intermediates`` caches the per-doc shingle-ARRAY stage
+    (one row per doc), which feeds both the exploded self-join input
+    and the ``sizes`` branch. WHAT gets persisted matters: the self-
+    join's two sides are identical subtrees that Spark already dedupes
+    via ReusedExchange — persisting the EXPLODED table replaces that
+    with two cache scans and measured ~3x slower. But ``sizes`` is a
+    *different* subtree; uncached it re-runs the tokenizer over the
+    corpus per consumer. Persisting the compact array stage keeps the
+    ReusedExchange AND kills the re-tokenize — measured 5x end-to-end
+    at sf0.1. Disable if per-doc shingle arrays exceed cluster
+    memory+disk cache.
 
     ``|A ∩ B|`` comes from the self-join on shingle; ``|A ∪ B|`` =
     |A| + |B| - common. Only pairs sharing >= 1 shingle are ever
@@ -157,6 +163,10 @@ def jaccard_pairs(
     ``doc_a < doc_b`` and jaccard rounded to 6.
     """
     sh_sets = _doc_shingle_sets(df, text_col, id_col, k)
+    if persist_intermediates:
+        from pyspark import StorageLevel
+
+        sh_sets = sh_sets.persist(StorageLevel.MEMORY_AND_DISK)
     # join key = 64-bit hash of the shingle, not the string: halves the
     # shuffle bytes and makes comparisons fixed-width. Engine-internal
     # only — outputs carry counts, never the hashed key. (xxhash64
@@ -164,12 +174,6 @@ def jaccard_pairs(
     sh = sh_sets.select(
         "doc_id", F.explode("shingles").alias("__shingle_str")
     ).select("doc_id", F.xxhash64("__shingle_str").alias("shingle"))
-    if persist_intermediates:
-        # both sides of the self-join read this; uncached, each re-runs
-        # the tokenizer over the corpus
-        from pyspark import StorageLevel
-
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if max_df is not None:
         rare = (
             sh.groupBy("shingle")
