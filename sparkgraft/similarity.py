@@ -23,14 +23,22 @@ Three tiers:
                       the candidate shuffle moves ~n_probe/n_centroids
                       of the corpus.
 
-All vector math is built-in HOFs (zip_with / aggregate / transform)
-over doubles — JVM codegen, no Python in the hot path. Elements are
-cast to double BEFORE multiplication so an external oracle performs
-the identical IEEE operation sequence.
+Vector-math strategy, measured not assumed: the ORACLED exact queries
+(cosine_topk / cosine_pairs) use built-in HOFs (zip_with / aggregate)
+with elements cast to double BEFORE multiplication, so an external SQL
+oracle performs the identical IEEE operation sequence — bit-exact
+cross-engine. But Spark evaluates HOF lambdas on the interpreted
+expression path (no whole-stage codegen), which is the slow tier for
+dense linear algebra; the approximate indexes (rp_lsh / ivf), whose
+contract is recall rather than bit-exactness, therefore do their bulk
+math as Arrow-batched numpy (vectorized Pandas UDFs): one matmul per
+batch instead of dim interpreted closure calls per row.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -79,6 +87,29 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def np_cosine(round_to: int = 6):
+    """Arrow-batched cosine (vectorized Pandas UDF) for the approximate
+    indexes' scoring stages: one numpy pass per batch vs ``dim``
+    interpreted HOF-lambda closure calls per row (HOFs never enter
+    whole-stage codegen — measured seconds per 2k rows at dim=64).
+    Rounded to ``round_to`` so rankings tie-break identically to the
+    HOF form; not for the oracled exact queries, which need the HOF
+    operation order for bit-exact cross-engine parity."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        y = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        num = (x * y).sum(axis=1)
+        den = np.sqrt((x * x).sum(axis=1)) * np.sqrt((y * y).sum(axis=1))
+        return pd.Series(np.round(num / den, round_to))
+
+    return cos
 
 
 def cosine_topk(
@@ -227,41 +258,46 @@ def rp_lsh_topk(
     The join is keyed on ``(table, bucket)`` — at 100 TB this is one
     hash-shuffle of the corpus vs the quadratic blowup of brute force;
     recall tunes with planes/tables (fewer planes -> bigger buckets ->
-    higher recall, more compute)."""
-    from pyspark.sql import Window
+    higher recall, more compute).
 
-    def table_bucket(vec: Column, table: int) -> Column:
-        # independent plane set per table via seed offset
-        bucket = F.lit(0).cast("bigint")
-        dv = _d(vec)
-        for p in range(num_planes):
-            plane = F.array(
-                *[F.lit(v) for v in _hyperplane(table * 1000 + p, dim)]
-            )
-            proj = F.aggregate(
-                F.zip_with(dv, plane, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bucket = bucket + F.when(
-                proj > 0, F.lit(2**p).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
-        return bucket
+    All ``num_tables * num_planes`` projections are ONE Arrow-batched
+    numpy matmul (vectorized Pandas UDF): the per-plane HOF-expression
+    form built a ~(tables*planes*dim)-literal Catalyst tree whose
+    driver-side construction + analysis alone cost seconds per run and
+    grew with dim — dense linear algebra is the case where the
+    vectorized-UDF path beats built-in expressions."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    # (tables*planes, dim), rows grouped by table; same deterministic
+    # md5-derived planes as the expression form (seed = table*1000+p)
+    plane_mat = np.array(
+        [
+            _hyperplane(t * 1000 + p, dim)
+            for t in range(num_tables)
+            for p in range(num_planes)
+        ]
+    )
+    bit_weights = 2 ** np.arange(num_planes, dtype=np.int64)
+    n_tables = num_tables
+    n_planes = num_planes
+
+    @pandas_udf("array<bigint>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        zero = np.zeros(dim)
+        x = np.stack(
+            [np.asarray(v, dtype=np.float64) if v is not None else zero
+             for v in vecs]
+        )
+        proj = x @ plane_mat.T  # (n, tables*planes)
+        bits = (proj > 0).reshape(len(x), n_tables, n_planes)
+        return pd.Series(list(bits @ bit_weights))  # (n, tables)
 
     def bucketed_ids(df: DataFrame, id_alias: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    table_bucket(F.col(vec_col), t).alias("bucket"),
-                )
-                for t in range(num_tables)
-            ]
-        )
         return df.select(
-            F.col(id_col).alias(id_alias), F.explode(buckets).alias("b")
-        ).select(id_alias, F.col("b.table").alias("table"),
-                 F.col("b.bucket").alias("bucket"))
+            F.col(id_col).alias(id_alias),
+            F.posexplode(_buckets(F.col(vec_col))).alias("table", "bucket"),
+        )
 
     from .relational import spread
 
@@ -293,7 +329,7 @@ def rp_lsh_topk(
         .select(
             "query_id",
             F.col("cand_id").alias(id_col),
-            F.round(cosine(F.col("__cvec"), F.col("__qvec")), round_to).alias(
+            np_cosine(round_to)(F.col("__cvec"), F.col("__qvec")).alias(
                 "cos_sim"
             ),
         )
