@@ -131,7 +131,7 @@ def order_gaps_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counts_with_global_total",
     """
     SELECT event_type, n_events,
-           SUM(n_events) OVER () AS total_records
+           CAST(SUM(n_events) OVER () AS BIGINT) AS total_records
     FROM (SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type)
     """,
 )
@@ -156,8 +156,10 @@ def counts_with_global_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), sessions AS (
         SELECT user_id, ts, event_id,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
         FROM ordered
     )
     SELECT user_id, session_id,

@@ -72,6 +72,17 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if len(sdf) != len(odf):
         problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
     s, o = canon(sdf), canon(odf)
+    # dtype strictness: the driver hashes the exact materialized values, so
+    # int64 10000 vs float64 10000.0 is a hash mismatch even though == says
+    # equal (this exact bug shipped in round 1: DuckDB windowed SUM(BIGINT)
+    # returns HUGEINT, which pandas materializes as float64)
+    for c in s.columns:
+        sk, ok = s[c].dtype.kind, o[c].dtype.kind
+        if sk != ok and {sk, ok} <= {"i", "u", "f", "b"}:
+            problems.append(
+                f"dtype mismatch col {c}: spark={s[c].dtype} oracle={o[c].dtype}"
+                " (driver hashes exact representation — CAST the oracle)"
+            )
     n = min(len(s), len(o))
     bad = 0
     for c in s.columns:
@@ -94,9 +105,10 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                 bad += 1
     if bad:
         problems.append(f"total mismatched cells: {bad}")
-    # exact-representation check for floats (the driver hashes exactly)
+    # exact-representation check for floats (the driver hashes exactly);
+    # fires when EITHER side is float so an int-vs-float pair is not skipped
     for c in s.columns:
-        if str(s[c].dtype).startswith("float") and n:
+        if (s[c].dtype.kind == "f" or o[c].dtype.kind == "f") and n:
             if not (s[c].iloc[:n].fillna(0.0).values == o[c].iloc[:n].fillna(0.0).values).all():
                 problems.append(f"WARN: float col {c} differs bit-exactly (tolerance hid it)")
     return problems
