@@ -51,6 +51,8 @@ __all__ = [
     "rp_lsh_bucket",
     "rp_lsh_topk",
     "ivf_train",
+    "ivf_assign_udf",
+    "ivf_probe_udf",
     "ivf_topk",
 ]
 
@@ -347,41 +349,66 @@ def rp_lsh_topk(
 # ---------------------------------------------------------------------------
 
 
-def _centroid_scores(
-    dv: Column, nv: Column, centroids: list[tuple[int, list[float]]]
-) -> Column:
-    """Array of (cos_sim, centroid_id) structs for a vector against the
-    (driver-held, literal) centroid table — folded into the plan as
-    constants, so scoring is pure codegen with zero joins.
-
-    ``dv``/``nv`` must be the PRE-STAGED double array and its norm
-    (separate select): referenced once per centroid, an inline
-    ``transform``/norm would be re-expanded K times by CollapseProject.
-    """
-    scored = []
-    for cid, cvec in centroids:
-        carr = F.array(*[F.lit(v) for v in cvec])
-        cnorm = sum(v * v for v in cvec) ** 0.5
-        cos = F.aggregate(
-            F.zip_with(dv, carr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ) / (nv * F.lit(cnorm))
-        scored.append(F.struct(cos.alias("cos"), F.lit(cid).alias("cid")))
-    return F.array(*scored)
+def _centroid_matrix(centroids: list[tuple[int, list[float]]]) -> np.ndarray:
+    """(K, dim) matrix ordered by centroid id — the closure constant the
+    scoring UDFs broadcast (pickled once per executor, not per row)."""
+    ordered = sorted(centroids)
+    assert [cid for cid, _ in ordered] == list(range(len(ordered)))
+    return np.asarray([vec for _, vec in ordered], dtype=np.float64)
 
 
-def _staged(
-    df: DataFrame, id_col: str, vec_col: str, id_alias: str
-) -> DataFrame:
-    """(id, double-array, norm) staged once per vector for IVF scoring."""
-    return df.select(
-        F.col(id_col).alias(id_alias), _d(F.col(vec_col)).alias("__dv")
-    ).select(id_alias, "__dv", l2_norm_predoubled(F.col("__dv")).alias("__n"))
+def _stack(vecs: pd.Series, dim: int) -> np.ndarray:
+    zero = np.zeros(dim)
+    return np.stack(
+        [np.asarray(v, dtype=np.float64) if v is not None else zero for v in vecs]
+    )
 
 
-def l2_norm_predoubled(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+def ivf_assign_udf(centroids: list[tuple[int, list[float]]], dim: int):
+    """Arrow-batched nearest-centroid assignment: one ``(batch, dim) @
+    (dim, K)`` matmul per batch instead of K interpreted HOF folds per
+    row (the HOF form measured ~23s at sf0.01 — HOF lambdas never enter
+    whole-stage codegen). Cosine argmax == dot-product argmax against
+    the fixed centroid norms, so rows are not normalized; ties take the
+    lowest centroid id (numpy argmax)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = _centroid_matrix(centroids)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cn = (cmat / np.where(cnorm == 0.0, 1.0, cnorm)[:, None]).T  # (dim, K)
+
+    @pandas_udf("bigint")
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        scores = _stack(vecs, dim) @ cn
+        return pd.Series(np.argmax(scores, axis=1).astype(np.int64))
+
+    return assign
+
+
+def ivf_probe_udf(
+    centroids: list[tuple[int, list[float]]], dim: int, n_probe: int
+):
+    """Arrow-batched probe selection: the ``n_probe`` nearest centroid
+    ids per query, ordered by descending cosine (ties: lowest id —
+    stable argsort)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = _centroid_matrix(centroids)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cn = (cmat / np.where(cnorm == 0.0, 1.0, cnorm)[:, None]).T
+    n_take = min(n_probe, cmat.shape[0])
+
+    @pandas_udf("array<bigint>")
+    def probe(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        scores = _stack(vecs, dim) @ cn
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :n_take]
+        return pd.Series(list(order.astype(np.int64)))
+
+    return probe
 
 
 def ivf_train(
@@ -405,20 +432,23 @@ def ivf_train(
     the first ``n_centroids`` sample rows; empty clusters keep their
     previous centroid — fully deterministic, no RNG.
     """
-    import numpy as np
-
     rows = (
         corpus.select(F.col(id_col).alias("__id"), _d(F.col(vec_col)).alias("__dv"))
         .orderBy("__id")
         .limit(sample_size)
         .collect()
     )
+    if not rows:
+        raise ValueError("ivf_train: empty corpus")
     x = np.asarray([r["__dv"] for r in rows], dtype=np.float64)
-    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    n_centroids = min(n_centroids, len(x))
+    xnorm = np.linalg.norm(x, axis=1, keepdims=True)
+    xn = x / np.where(xnorm == 0.0, 1.0, xnorm)  # zero vectors stay zero
 
     cents = x[:n_centroids].copy()
     for _ in range(iters):
-        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        cnorm = np.linalg.norm(cents, axis=1, keepdims=True)
+        cn = cents / np.where(cnorm == 0.0, 1.0, cnorm)
         assign = np.argmax(xn @ cn.T, axis=1)
         for cid in range(n_centroids):
             members = x[assign == cid]
@@ -444,9 +474,9 @@ def ivf_topk(
     query's ``n_probe`` nearest centroids, exact-cosine rank only the
     vectors in the probed lists.
 
-    The scale shape: corpus scoring against centroid literals is
-    map-side codegen; the candidate join is keyed on ``cid`` — the
-    shuffle moves ~n_probe/n_centroids of the corpus per query batch
+    The scale shape: corpus assignment is one Arrow-batched matmul per
+    batch (map-side, no join); the candidate join is keyed on ``cid`` —
+    the shuffle moves ~n_probe/n_centroids of the corpus per query batch
     instead of all of it, and nothing is quadratic. Recall tunes with
     ``n_probe`` (= n_centroids recovers exact brute force over a
     partitioned corpus). Complements ``rp_lsh_topk``: IVF adapts to the
@@ -461,31 +491,23 @@ def ivf_topk(
         n_centroids=n_centroids, iters=iters,
     )
 
-    inverted = _staged(spread(corpus), id_col, vec_col, "cand_id").select(
-        "cand_id",
-        F.col("__dv").alias("__cdv"),
-        F.col("__n").alias("__cn"),
-        F.array_max(
-            _centroid_scores(F.col("__dv"), F.col("__n"), centroids)
-        )["cid"].alias("cid"),
+    # coalesce(-1) makes the join key provably non-nullable: otherwise the
+    # inner join infers isnotnull(cid), which gets pushed below spread()'s
+    # exchange and forces a SECOND full evaluation of the assign UDF (one
+    # pre-shuffle for the filter, one post-shuffle for the projection).
+    inverted = spread(corpus).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.coalesce(
+            ivf_assign_udf(centroids, dim)(F.col(vec_col)), F.lit(-1)
+        ).alias("cid"),
     )
-    probes = (
-        _staged(queries, id_col, vec_col, "query_id")
-        .select(
-            "query_id",
-            F.col("__dv").alias("__qdv"),
-            F.col("__n").alias("__qn"),
-            F.slice(
-                F.reverse(
-                    F.array_sort(
-                        _centroid_scores(F.col("__dv"), F.col("__n"), centroids)
-                    )
-                ),
-                1,
-                n_probe,
-            )["cid"].alias("__cids"),
-        )
-        .select("query_id", "__qdv", "__qn", F.explode("__cids").alias("cid"))
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(
+            ivf_probe_udf(centroids, dim, n_probe)(F.col(vec_col))
+        ).alias("cid"),
     )
     scored = (
         inverted.join(F.broadcast(probes), "cid")
@@ -493,11 +515,9 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("cand_id").alias(id_col),
-            F.round(
-                dot_predoubled(F.col("__cdv"), F.col("__qdv"))
-                / (F.col("__cn") * F.col("__qn")),
-                round_to,
-            ).alias("cos_sim"),
+            np_cosine(round_to)(F.col("__cvec"), F.col("__qvec")).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))

@@ -94,14 +94,26 @@ def test_ivf_train_partitions_corpus(spark, emb):
     cents = S.ivf_train(emb, dim=64, n_centroids=8, iters=2)
     assert len(cents) == 8
     assert all(len(v) == 64 for _, v in cents)
-    assigned = S._staged(emb, "vec_id", "embedding", "id").select(
-        F.array_max(
-            S._centroid_scores(F.col("__dv"), F.col("__n"), cents)
-        )["cid"].alias("cid")
+    assigned = emb.select(
+        S.ivf_assign_udf(cents, 64)(F.col("embedding")).alias("cid")
     )
     cids = {r.cid for r in assigned.distinct().collect()}
     assert cids <= set(range(8))
     assert assigned.count() == emb.count()
+
+
+def test_ivf_train_clamps_and_guards(spark):
+    """n_centroids > corpus size clamps; zero-norm vectors don't NaN."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 2.0])],
+        "vec_id int, embedding array<float>",
+    )
+    cents = S.ivf_train(df, dim=2, n_centroids=8, iters=2)
+    assert len(cents) == 3
+    assert all(all(v == v for v in vec) for _, vec in cents)  # no NaN
+    out = S.ivf_topk(df, df.where(F.col("vec_id") == 1), dim=2, k=2,
+                     n_centroids=8, n_probe=8)
+    assert out.count() <= 2
 
 
 def test_cosine_pairs_threshold(spark):
