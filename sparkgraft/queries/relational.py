@@ -304,12 +304,37 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users")  # approx: engine-specific sketch, rows-only check
+@register(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the scale path when exact
-    distinct's per-group hash sets would spill (SURVEY §2.4). Sketch
-    values are engine-specific, so no cross-engine oracle."""
+    distinct's per-group hash sets would spill (SURVEY §2.4). The raw
+    sketch value is engine-specific, so the driver-checked columns are
+    the exact count plus ``approx_ok`` = |approx-exact|/exact <= 5%
+    (rsd=0.02): the oracle's literal TRUE makes the sketch's accuracy
+    bound itself the cross-engine assertion. The raw estimate stays a
+    pytest assertion (tests/test_relational.py)."""
     ev = read_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(0.05)
+            ).alias("approx_ok"),
+        )
     )
