@@ -72,9 +72,13 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine >= 0.4 (embedding-based near-dup
     detection; this corpus maxes out ~0.51 so 0.4 exercises real pairs).
-    Exact/quadratic — the LSH path below is the corpus-scale variant."""
+    Exact result set (the oracle is the full cross join) via the
+    BLOCKED plan: numpy-matmul chunk-pair candidate generation with a
+    completeness margin, bit-exact HOF re-scoring of survivors — no
+    CartesianProduct in the physical plan (asserted in
+    tests/test_similarity.py)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return S.cosine_pairs(emb, threshold=0.4)
+    return S.cosine_pairs_blocked(emb, threshold=0.4)
 
 
 @register("ann_lsh_topk")  # engine-specific bucketing: rows-only check

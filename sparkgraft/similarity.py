@@ -48,6 +48,7 @@ __all__ = [
     "cosine",
     "cosine_topk",
     "cosine_pairs",
+    "cosine_pairs_blocked",
     "rp_lsh_bucket",
     "rp_lsh_topk",
     "ivf_train",
@@ -196,6 +197,141 @@ def cosine_pairs(
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot_predoubled(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                round_to,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    round_to: int = 6,
+    block_rows: int = 1024,
+    margin: float = 1e-6,
+) -> DataFrame:
+    """All pairs with cosine >= threshold — same result set as
+    :func:`cosine_pairs`, scale-shaped.
+
+    Exact all-pairs is O(n^2) in FLOPs no matter what; the question at
+    100 TB is *where* those FLOPs run and what the shuffle moves. The
+    naive form (``cosine_pairs``) is a Catalyst cross join: n^2 ROWS
+    through the interpreted HOF path. This form blocks the corpus into
+    ``ceil(n / block_rows)`` hash-assigned chunks, equi-joins the
+    B*(B+1)/2 chunk PAIRS (a tiny driver-built pair table — no
+    CartesianProduct in the plan), and scores each chunk pair with one
+    numpy matmul inside ``mapInPandas``. Shuffle volume is ~B copies of
+    the corpus (vs n copies for the row cross join); per-task memory is
+    bounded by ``block_rows^2``.
+
+    Completeness is guaranteed, not probabilistic (unlike an LSH
+    proposer): the matmul stage keeps every pair with numpy-cosine >=
+    ``threshold - margin`` — numpy and the HOF fold agree on the true
+    cosine to ~1e-12, so ``margin=1e-6`` strictly over-generates. The
+    survivors (a near-dup set, tiny by definition) are then re-scored
+    with the identical staged HOF arithmetic as ``cosine_pairs`` /
+    the SQL oracle (left-to-right double fold, round(round_to)), so the
+    emitted ``cos_sim`` values are bit-exact cross-engine and the final
+    ``>= threshold`` filter applies to the rounded value.
+    """
+    from collections.abc import Iterator
+
+    from .relational import spread
+
+    n = df.count()
+    num_blocks = max(1, -(-n // block_rows))  # ceil
+    base = df.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v")
+    ).withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col("__id")), F.lit(num_blocks)).cast("int")
+    )
+    packed = base.groupBy("__blk").agg(
+        F.collect_list(F.col("__id")).alias("__ids"),
+        F.collect_list(F.col("__v")).alias("__vecs"),
+    )
+    # collect_list order within ONE aggregate over the same rows is
+    # consistent across the two lists (single physical aggregation);
+    # pair them positionally in the UDF.
+    spark = df.sparkSession
+    pair_rows = [
+        (i, j) for i in range(num_blocks) for j in range(i, num_blocks)
+    ]
+    pairs = spark.createDataFrame(pair_rows, "__ba int, __bb int")
+    a = packed.select(
+        F.col("__blk").alias("__ba"),
+        F.col("__ids").alias("__ids_a"),
+        F.col("__vecs").alias("__vecs_a"),
+    )
+    b = packed.select(
+        F.col("__blk").alias("__bb"),
+        F.col("__ids").alias("__ids_b"),
+        F.col("__vecs").alias("__vecs_b"),
+    )
+    joined = spread(
+        F.broadcast(pairs).join(a, "__ba").join(b, "__bb"),
+        min(len(pair_rows), df.sparkSession.sparkContext.defaultParallelism),
+    )
+    lo = threshold - margin
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_a: list[int] = []
+            out_b: list[int] = []
+            for ba, bb, ids_a, vecs_a, ids_b, vecs_b in zip(
+                pdf["__ba"], pdf["__bb"], pdf["__ids_a"], pdf["__vecs_a"],
+                pdf["__ids_b"], pdf["__vecs_b"],
+            ):
+                if len(ids_a) == 0 or len(ids_b) == 0:
+                    continue
+                ia = np.asarray(ids_a, dtype=np.int64)
+                ib = np.asarray(ids_b, dtype=np.int64)
+                xa = np.stack([np.asarray(v, dtype=np.float64) for v in vecs_a])
+                xb = np.stack([np.asarray(v, dtype=np.float64) for v in vecs_b])
+                na = np.linalg.norm(xa, axis=1, keepdims=True)
+                nb = np.linalg.norm(xb, axis=1, keepdims=True)
+                sims = (xa / np.where(na == 0.0, 1.0, na)) @ (
+                    xb / np.where(nb == 0.0, 1.0, nb)
+                ).T
+                keep = sims >= lo
+                if ba == bb:
+                    keep &= ia[:, None] < ib[None, :]
+                ra, rb = np.nonzero(keep)
+                if len(ra):
+                    pa, pb = ia[ra], ib[rb]
+                    out_a.extend(np.minimum(pa, pb))
+                    out_b.extend(np.maximum(pa, pb))
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b}).astype("int64")
+
+    cands = joined.mapInPandas(gen, "id_a long, id_b long")
+
+    # bit-exact verification on the (small) candidate set: identical
+    # staged arithmetic to cosine_pairs, so an external SQL oracle over
+    # the full cross join produces byte-identical survivors.
+    withn = spread(df.select(F.col(id_col), F.col(vec_col))).select(
+        F.col(id_col).cast("long").alias("__vid"),
+        _d(F.col(vec_col)).alias("__dv"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    va = withn.select(
+        F.col("__vid").alias("id_a"), F.col("__dv").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = withn.select(
+        F.col("__vid").alias("id_b"), F.col("__dv").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

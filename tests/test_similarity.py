@@ -123,3 +123,33 @@ def test_cosine_pairs_threshold(spark):
     )
     pairs = {(r.id_a, r.id_b) for r in S.cosine_pairs(df, threshold=0.95).collect()}
     assert pairs == {(1, 2)}
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.4, 0.45])
+def test_cosine_pairs_blocked_equals_exact(spark, emb, threshold):
+    """The blocked plan is EXACT, not approximate: identical result set
+    (ids and rounded cos_sim) to the quadratic cross-join form at every
+    threshold, including multi-block configurations."""
+    exact = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in S.cosine_pairs(emb, threshold=threshold).collect()
+    )
+    blocked = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in S.cosine_pairs_blocked(
+            emb, threshold=threshold, block_rows=128
+        ).collect()
+    )
+    assert blocked == exact
+    assert len(exact) > 0  # the threshold exercises real pairs
+
+
+def test_cosine_pairs_blocked_no_cartesian(spark, emb):
+    """Scale guard: the physical plan must contain no CartesianProduct
+    or BroadcastNestedLoopJoin — candidates come from equi-joined chunk
+    pairs, never a row-level cross join."""
+    plan = S.cosine_pairs_blocked(
+        emb, threshold=0.4, block_rows=128
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
