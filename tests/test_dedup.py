@@ -90,3 +90,21 @@ def test_simhash_similarity(spark):
     ham_near = bin(out[1] ^ out[2]).count("1")
     ham_far = bin(out[1] ^ out[4]).count("1")
     assert ham_near < ham_far  # near-dup closer in hamming space
+
+
+def test_simhash_vectorized_equals_hof(spark, sf_dir):
+    """The Arrow-batched numpy simhash is bit-identical to the HOF fold
+    on the full documents table (integer math — exact, not approximate),
+    including NULL for empty token arrays."""
+    from sparkgraft.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", D.token_hashes32("text").alias("h"))
+    both = hashed.select(
+        "doc_id",
+        D.simhash_from_hashes(F.col("h")).alias("vec"),
+        D.simhash_from_hashes_hof(F.col("h")).alias("hof"),
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        assert r.vec == r.hof, f"doc {r.doc_id}: {r.vec} != {r.hof}"
