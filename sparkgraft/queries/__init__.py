@@ -28,6 +28,7 @@ from . import pipeline  # noqa: E402,F401  (full versioned-conformance pipeline)
 from . import text  # noqa: E402,F401  (text analysis extension)
 from . import dedup  # noqa: E402,F401  (dedup extension)
 from . import similarity  # noqa: E402,F401  (embedding similarity extension)
+from . import multimodal_queries  # noqa: E402,F401  (binary payload extension)
 from . import streaming_queries  # noqa: E402,F401  (streaming engine w/ batch oracle)
 
 from .core import conformance_flagship  # noqa: E402,F401  (entry() flagship)
