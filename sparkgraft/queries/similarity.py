@@ -117,7 +117,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS v
         FROM embeddings, range(1, 65) t(i)
     ), means AS (
-        SELECT label, pos, sum(v) / count(*) AS m
+        -- exact decimal accumulation -> order-independent sum on BOTH
+        -- engines (a raw double sum depends on partition completion
+        -- order on the Spark side), then one double division
+        SELECT label, pos,
+               CAST(sum(CAST(v AS DECIMAL(38,28))) AS DOUBLE) / count(*) AS m
         FROM exploded GROUP BY label, pos
     ), centroids AS (
         SELECT label, list(m ORDER BY pos) AS centroid
@@ -138,8 +142,16 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = emb.select(
         "label", F.posexplode(F.col("embedding")).alias("pos", "v")
     )
+    # decimal accumulation: the double sum's value would depend on
+    # partition completion order (run-to-run nondeterministic), and
+    # round(cos, 6) can't absorb a flip at a rounding boundary; the
+    # exact decimal sum is order-independent and matches DuckDB's
     means = exploded.groupBy("label", "pos").agg(
-        (F.sum(F.col("v").cast("double")) / F.count(F.lit(1))).alias("m")
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(38,28)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
     )
     centroids = means.groupBy("label").agg(
         F.array_sort(

@@ -199,8 +199,16 @@ def salted_join(
     broadcast-ineligible join).
 
     ``rand``-based salt never leaves the plan, so results are exactly
-    the plain join's.
+    the plain join's — for LEFT-PRESERVING joins only: the right side
+    is replicated once per bucket, so 'right'/'full'/'right_semi'
+    variants would surface each unmatched right row ``salt_buckets``
+    times (guarded below).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got how={how!r}: "
+            "unmatched right rows are replicated salt_buckets times"
+        )
     salted_left = left.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )
