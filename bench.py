@@ -47,6 +47,7 @@ HEADLINE = [
     "knn_cosine_bruteforce",
     "embedding_near_dup_pairs",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "label_centroid_similarity",
 ]
 
