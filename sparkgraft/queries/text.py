@@ -255,6 +255,103 @@ def winnowing_shared_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "doc_repetition_metrics",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    grams AS (
+        SELECT doc_id, 1 AS n, unnest(tok) AS g FROM base
+        UNION ALL
+        SELECT doc_id, 2 AS n,
+               unnest(list_transform(range(1, len(tok)),
+                                     i -> tok[i] || ' ' || tok[i + 1])) AS g
+        FROM base WHERE len(tok) >= 2
+    ), cnt AS (
+        SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3
+    ), agg AS (
+        SELECT doc_id,
+               CAST(coalesce(sum(c) FILTER (WHERE n = 1), 0) AS BIGINT)
+                   AS n_tokens,
+               CAST(coalesce(sum(c) FILTER (WHERE n = 1 AND c > 1), 0) AS BIGINT)
+                   AS dup_tok,
+               CAST(coalesce(sum(c) FILTER (WHERE n = 2), 0) AS BIGINT)
+                   AS n_bigrams,
+               CAST(coalesce(max(c) FILTER (WHERE n = 2), 0) AS BIGINT)
+                   AS top_bigram_count,
+               CAST(coalesce(sum(c) FILTER (WHERE n = 2 AND c > 1), 0) AS BIGINT)
+                   AS dup_big
+        FROM cnt GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           round(a.dup_tok / nullif(a.n_tokens, 0), 6) AS dup_token_frac,
+           coalesce(a.n_bigrams, 0) AS n_bigrams,
+           coalesce(a.top_bigram_count, 0) AS top_bigram_count,
+           round(a.top_bigram_count / nullif(a.n_bigrams, 0), 6)
+               AS top_bigram_frac,
+           round(a.dup_big / nullif(a.n_bigrams, 0), 6) AS dup_bigram_frac
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-doc
+    duplicate-token fraction, most-frequent-bigram fraction, and
+    duplicate-bigram fraction — the signals that catch boilerplate and
+    template spam that whole-doc dedup misses.
+
+    Shape: ONE explode of tagged (unigram UNION bigram) grams ->
+    map-side-combinable count on (doc_id, n, gram) -> per-doc
+    conditional aggregates -> left join back so empty docs keep zero
+    counts (fractions NULL, mirrored exactly in the oracle). Both
+    shuffles are keyed on doc_id(+gram): linear, skew-free, no
+    quadratic stage anywhere — this runs at corpus scale."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    staged = docs.select("doc_id", T.tokens("text").alias("__tok"))
+    tag = lambda n: lambda g: F.struct(  # noqa: E731
+        F.lit(n).cast("int").alias("n"), g.alias("g")
+    )
+    grams = staged.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(F.col("__tok"), tag(1)),
+                F.transform(T.word_bigrams(F.col("__tok")), tag(2)),
+            )
+        ).alias("gr"),
+    )
+    cnt = (
+        grams.select("doc_id", F.col("gr.n").alias("n"), F.col("gr.g").alias("g"))
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n, c = F.col("n"), F.col("c")
+    z = F.lit(0).cast("bigint")
+    agg = cnt.groupBy("doc_id").agg(
+        F.coalesce(F.sum(F.when(n == 1, c)), z).alias("n_tokens"),
+        F.coalesce(F.sum(F.when((n == 1) & (c > 1), c)), z).alias("__dup_tok"),
+        F.coalesce(F.sum(F.when(n == 2, c)), z).alias("n_bigrams"),
+        F.coalesce(F.max(F.when(n == 2, c)), z).alias("top_bigram_count"),
+        F.coalesce(F.sum(F.when((n == 2) & (c > 1), c)), z).alias("__dup_big"),
+    )
+    nz = lambda d: F.when(d > 0, d)  # noqa: E731
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), z).alias("n_tokens"),
+            F.round(F.col("__dup_tok") / nz(F.col("n_tokens")), 6)
+            .alias("dup_token_frac"),
+            F.coalesce(F.col("n_bigrams"), z).alias("n_bigrams"),
+            F.coalesce(F.col("top_bigram_count"), z).alias("top_bigram_count"),
+            F.round(F.col("top_bigram_count") / nz(F.col("n_bigrams")), 6)
+            .alias("top_bigram_frac"),
+            F.round(F.col("__dup_big") / nz(F.col("n_bigrams")), 6)
+            .alias("dup_bigram_frac"),
+        )
+    )
+
+
+@register(
     "token_counts_by_source",
     f"""
     WITH base AS (SELECT source, lang, {_TOK} AS tok FROM documents)

@@ -25,6 +25,7 @@ __all__ = [
     "quality_metrics",
     "lang_scores",
     "lang_id",
+    "word_bigrams",
     "STOPWORDS",
 ]
 
@@ -70,6 +71,21 @@ def regex_tokens(text: Column | str) -> Column:
     tokenizer refines. Counting THESE is the cheap proxy for model
     token budgets that whitespace counting underestimates."""
     return F.regexp_extract_all(F.lower(_col(text)), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def word_bigrams(tok: Column) -> Column:
+    """Space-joined word bigrams of a token array; ``[]`` for arrays
+    shorter than 2. The CASE guard keeps ``slice`` lengths non-negative
+    (conditional branches evaluate lazily, so the slice never sees a
+    negative length)."""
+    n = F.size(tok) - 1
+    return F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(tok, 1, n),
+            F.slice(tok, 2, n),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
 
 
 def fingerprint(text: Column | str) -> Column:

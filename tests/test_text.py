@@ -103,3 +103,36 @@ def test_winnow_fingerprints_case_whitespace_insensitive(spark):
         r.doc_id: set(r.fps) for r in T.winnow_fingerprints(df).collect()
     }
     assert out[1] == out[2]
+
+
+def test_word_bigrams(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["solo"]), (3, [])],
+        "doc_id int, tok array<string>",
+    )
+    out = {r.doc_id: r.bg for r in df.select("doc_id", T.word_bigrams(F.col("tok")).alias("bg")).collect()}
+    assert out[1] == ["a b", "b c"]
+    assert out[2] == []
+    assert out[3] == []
+
+
+def test_doc_repetition_metrics(spark, tmp_path):
+    # "x y x y x" -> tokens {x:3, y:2} all duplicated; bigrams
+    # [x y, y x, x y, y x] -> top count 2, all duplicated
+    rows = [(1, "x y x y x", "en", "s", 9), (2, "a b c", "en", "s", 5), (3, "", "en", "s", 0)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    path = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(path + "/documents.parquet")
+    from sparkgraft.queries.text import doc_repetition_metrics
+
+    out = {r.doc_id: r for r in doc_repetition_metrics(spark, path).collect()}
+    r1 = out[1]
+    assert (r1.n_tokens, r1.n_bigrams, r1.top_bigram_count) == (5, 4, 2)
+    assert r1.dup_token_frac == 1.0 and r1.dup_bigram_frac == 1.0
+    assert r1.top_bigram_frac == 0.5
+    r2 = out[2]
+    assert (r2.n_tokens, r2.n_bigrams) == (3, 2)
+    assert r2.dup_token_frac == 0.0 and r2.top_bigram_frac == 0.5
+    r3 = out[3]
+    assert (r3.n_tokens, r3.n_bigrams) == (0, 0)
+    assert r3.dup_token_frac is None and r3.top_bigram_frac is None
