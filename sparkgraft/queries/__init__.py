@@ -26,6 +26,7 @@ from . import functions  # noqa: E402,F401  (string/date/array/higher-order)
 from . import extra  # noqa: E402,F401  (grouped conformance, percentiles, HOFs)
 from . import pipeline  # noqa: E402,F401  (full versioned-conformance pipeline)
 from . import text  # noqa: E402,F401  (text analysis extension)
+from . import sampling  # noqa: E402,F401  (deterministic sampling/splits)
 from . import dedup  # noqa: E402,F401  (dedup extension)
 from . import similarity  # noqa: E402,F401  (embedding similarity extension)
 from . import multimodal_queries  # noqa: E402,F401  (binary payload extension)

@@ -1,0 +1,91 @@
+"""Deterministic corpus sampling / splitting (training-data pipeline
+surface).
+
+``sample(fraction)`` / ``rand()`` are non-reproducible: the drawn set
+changes with partitioning, task retries, and cluster size — useless for
+an auditable 100 TB curation run. The scale-correct idiom is
+hash-bucket sampling: a document is kept iff a stable content-free hash
+of its key falls under a threshold. Same sample on 1 executor or 1000,
+on Spark or DuckDB — which is exactly what lets the oracle verify the
+drawn set value-by-value rather than just its size.
+
+md5 is the hash (engine-identical hex, the repo-wide convention); the
+first 4 hex chars give 65,536 uniform buckets, compared
+lexicographically as strings so both engines share the comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .registry import register
+
+# per-source sampling thresholds (hex-bucket upper bounds out of 0x10000):
+# src0 keeps 1/2, src1 1/4, src2 1/8, everything else 1/16.
+_RATES = [("src0", "8000"), ("src1", "4000"), ("src2", "2000")]
+_DEFAULT_THR = "1000"
+
+_BUCKET = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+
+
+@register(
+    "stratified_sample_docs",
+    f"""
+    WITH rates(source, thr) AS (
+        VALUES ('src0', '8000'), ('src1', '4000'), ('src2', '2000')
+    )
+    SELECT d.doc_id, d.source, {_BUCKET} AS bucket,
+           coalesce(r.thr, '{_DEFAULT_THR}') AS thr
+    FROM documents d LEFT JOIN rates r USING (source)
+    WHERE {_BUCKET} < coalesce(r.thr, '{_DEFAULT_THR}')
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: per-source keep-rates from a
+    broadcast dim table (a 3-row rate spec, the pattern a real curation
+    config uses), hash-bucket membership as the draw. The filter is a
+    pure row-local predicate: it pushes to the scan side of the join,
+    no shuffle at all at any scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(_RATES, "source string, thr string")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thr = F.coalesce(F.col("__thr"), F.lit(_DEFAULT_THR))
+    return (
+        docs.join(F.broadcast(rates.withColumnRenamed("thr", "__thr")),
+                  "source", "left")
+        .withColumn("bucket", bucket)
+        .withColumn("thr", thr)
+        .where(F.col("bucket") < F.col("thr"))
+        .select("doc_id", "source", "bucket", "thr")
+    )
+
+
+@register(
+    "doc_train_split",
+    f"""
+    SELECT doc_id, source, {_BUCKET} AS bucket,
+           CASE WHEN {_BUCKET} < 'cccc' THEN 'train'
+                WHEN {_BUCKET} < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~80/10/10) by hash
+    bucket: stable under re-runs, joins, and repartitioning, so every
+    downstream stage agrees on the split without materializing it.
+    One narrow projection — no shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    staged = docs.select("doc_id", "source", bucket.alias("bucket"))
+    return staged.select(
+        "doc_id",
+        "source",
+        "bucket",
+        F.when(F.col("bucket") < "cccc", "train")
+        .when(F.col("bucket") < "e666", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
