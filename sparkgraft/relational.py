@@ -204,7 +204,7 @@ def salted_join(
     variants would surface each unmatched right row ``salt_buckets``
     times (guarded below).
     """
-    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"):
         raise ValueError(
             f"salted_join supports left-preserving joins only, got how={how!r}: "
             "unmatched right rows are replicated salt_buckets times"

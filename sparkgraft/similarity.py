@@ -110,7 +110,10 @@ def np_cosine(round_to: int = 6):
         y = np.stack([np.asarray(v, dtype=np.float64) for v in b])
         num = (x * y).sum(axis=1)
         den = np.sqrt((x * x).sum(axis=1)) * np.sqrt((y * y).sum(axis=1))
-        return pd.Series(np.round(num / den, round_to))
+        # zero-norm guard: an unguarded 0/0 yields NaN, and Spark sorts
+        # NaN above every real double, so zero vectors would rank FIRST
+        # in top-k results; cos=0.0 ranks them below any positive match.
+        return pd.Series(np.round(num / np.where(den == 0.0, 1.0, den), round_to))
 
     return cos
 
@@ -218,6 +221,8 @@ def cosine_pairs_blocked(
     round_to: int = 6,
     block_rows: int = 1024,
     margin: float = 1e-6,
+    approx_rows: int | None = None,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold — same result set as
     :func:`cosine_pairs`, scale-shaped.
@@ -226,12 +231,25 @@ def cosine_pairs_blocked(
     100 TB is *where* those FLOPs run and what the shuffle moves. The
     naive form (``cosine_pairs``) is a Catalyst cross join: n^2 ROWS
     through the interpreted HOF path. This form blocks the corpus into
-    ``ceil(n / block_rows)`` hash-assigned chunks, equi-joins the
-    B*(B+1)/2 chunk PAIRS (a tiny driver-built pair table — no
-    CartesianProduct in the plan), and scores each chunk pair with one
-    numpy matmul inside ``mapInPandas``. Shuffle volume is ~B copies of
-    the corpus (vs n copies for the row cross join); per-task memory is
-    bounded by ``block_rows^2``.
+    ``B`` hash-assigned chunks, equi-joins the B*(B+1)/2 chunk PAIRS
+    (a tiny distributed range-product — no CartesianProduct over data
+    in the plan), and scores each chunk pair with one numpy matmul
+    inside ``mapInPandas``. Shuffle volume is ~B copies of the corpus
+    (vs n copies for the row cross join); per-task memory is bounded by
+    the block size squared.
+
+    Block-count selection never runs a Spark job: ``num_blocks`` wins
+    if given; else ``ceil(approx_rows / block_rows)`` (pass the table's
+    approximate row count at real scale — exactness of B only affects
+    task sizing, never the result set); else a local-mode heuristic
+    ``ceil(sqrt(2 * defaultParallelism))`` that puts roughly one chunk
+    pair per core. At 100 TB callers MUST size B from approx_rows so a
+    block (~block_rows vectors) stays within task memory.
+
+    NULL embeddings are dropped before blocking (matching
+    ``cosine_pairs``, where a NULL side yields NULL cosine which fails
+    the threshold), and each block packs ``(id, vec)`` STRUCTS — a
+    single collect_list — so ids can never desynchronize from vectors.
 
     Completeness is guaranteed, not probabilistic (unlike an LSH
     proposer): the matmul stage keeps every pair with numpy-cosine >=
@@ -243,42 +261,51 @@ def cosine_pairs_blocked(
     emitted ``cos_sim`` values are bit-exact cross-engine and the final
     ``>= threshold`` filter applies to the rounded value.
     """
+    import math
     from collections.abc import Iterator
 
     from .relational import spread
 
-    n = df.count()
-    num_blocks = max(1, -(-n // block_rows))  # ceil
-    base = df.select(
+    spark = df.sparkSession
+    if num_blocks is None:
+        if approx_rows is not None:
+            num_blocks = max(1, -(-approx_rows // block_rows))  # ceil
+        else:
+            num_blocks = max(
+                1, math.isqrt(2 * spark.sparkContext.defaultParallelism - 1) + 1
+            )
+    base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v")
     ).withColumn(
         "__blk", F.pmod(F.xxhash64(F.col("__id")), F.lit(num_blocks)).cast("int")
     )
     packed = base.groupBy("__blk").agg(
-        F.collect_list(F.col("__id")).alias("__ids"),
-        F.collect_list(F.col("__v")).alias("__vecs"),
+        F.collect_list(F.struct(F.col("__id"), F.col("__v"))).alias("__rows")
     )
-    # collect_list order within ONE aggregate over the same rows is
-    # consistent across the two lists (single physical aggregation);
-    # pair them positionally in the UDF.
-    spark = df.sparkSession
-    pair_rows = [
-        (i, j) for i in range(num_blocks) for j in range(i, num_blocks)
-    ]
-    pairs = spark.createDataFrame(pair_rows, "__ba int, __bb int")
+    # chunk-pair table built distributed (one range, no join): the pair
+    # count is quadratic in B and must not materialize on the driver.
+    # range(B^2) decodes to (i, j) by div/mod and keeps i <= j — pure
+    # projection, so the plan stays free of cartesian/NLJ nodes. B^2
+    # longs is negligible for any B worth shuffling (callers bound B by
+    # raising block_rows with n).
+    pairs = (
+        spark.range(num_blocks * num_blocks)
+        .select(
+            (F.col("id") / num_blocks).cast("int").alias("__ba"),
+            F.pmod(F.col("id"), F.lit(num_blocks)).cast("int").alias("__bb"),
+        )
+        .where(F.col("__ba") <= F.col("__bb"))
+    )
     a = packed.select(
-        F.col("__blk").alias("__ba"),
-        F.col("__ids").alias("__ids_a"),
-        F.col("__vecs").alias("__vecs_a"),
+        F.col("__blk").alias("__ba"), F.col("__rows").alias("__rows_a")
     )
     b = packed.select(
-        F.col("__blk").alias("__bb"),
-        F.col("__ids").alias("__ids_b"),
-        F.col("__vecs").alias("__vecs_b"),
+        F.col("__blk").alias("__bb"), F.col("__rows").alias("__rows_b")
     )
+    n_pairs = num_blocks * (num_blocks + 1) // 2
     joined = spread(
         F.broadcast(pairs).join(a, "__ba").join(b, "__bb"),
-        min(len(pair_rows), df.sparkSession.sparkContext.defaultParallelism),
+        min(n_pairs, spark.sparkContext.defaultParallelism),
     )
     lo = threshold - margin
 
@@ -286,16 +313,19 @@ def cosine_pairs_blocked(
         for pdf in batches:
             out_a: list[int] = []
             out_b: list[int] = []
-            for ba, bb, ids_a, vecs_a, ids_b, vecs_b in zip(
-                pdf["__ba"], pdf["__bb"], pdf["__ids_a"], pdf["__vecs_a"],
-                pdf["__ids_b"], pdf["__vecs_b"],
+            for ba, bb, rows_a, rows_b in zip(
+                pdf["__ba"], pdf["__bb"], pdf["__rows_a"], pdf["__rows_b"]
             ):
-                if len(ids_a) == 0 or len(ids_b) == 0:
+                if len(rows_a) == 0 or len(rows_b) == 0:
                     continue
-                ia = np.asarray(ids_a, dtype=np.int64)
-                ib = np.asarray(ids_b, dtype=np.int64)
-                xa = np.stack([np.asarray(v, dtype=np.float64) for v in vecs_a])
-                xb = np.stack([np.asarray(v, dtype=np.float64) for v in vecs_b])
+                ia = np.asarray([r["__id"] for r in rows_a], dtype=np.int64)
+                ib = np.asarray([r["__id"] for r in rows_b], dtype=np.int64)
+                xa = np.stack(
+                    [np.asarray(r["__v"], dtype=np.float64) for r in rows_a]
+                )
+                xb = np.stack(
+                    [np.asarray(r["__v"], dtype=np.float64) for r in rows_b]
+                )
                 na = np.linalg.norm(xa, axis=1, keepdims=True)
                 nb = np.linalg.norm(xb, axis=1, keepdims=True)
                 sims = (xa / np.where(na == 0.0, 1.0, na)) @ (

@@ -144,6 +144,60 @@ def test_cosine_pairs_blocked_equals_exact(spark, emb, threshold):
     assert len(exact) > 0  # the threshold exercises real pairs
 
 
+def test_cosine_pairs_blocked_null_embedding(spark):
+    """A NULL embedding must neither desynchronize ids from vectors
+    within a block nor drop true pairs: NULL rows are filtered before
+    packing (cosine_pairs semantics: NULL side -> NULL cosine -> fails
+    the threshold), and (id, vec) travel as one struct."""
+    rows = [(i, [1.0, float(i % 7) / 100.0]) for i in range(40)]
+    rows[13] = (13, None)
+    rows[29] = (29, None)
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    exact = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in S.cosine_pairs(df, threshold=0.999).collect()
+    )
+    blocked = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in S.cosine_pairs_blocked(
+            df, threshold=0.999, num_blocks=5
+        ).collect()
+    )
+    assert blocked == exact
+    assert len(exact) > 0
+    assert not any(13 in (a, b) or 29 in (a, b) for a, b, _ in exact)
+
+
+def test_np_cosine_zero_norm_ranks_last(spark):
+    """np_cosine's zero-norm guard: a zero vector scores 0.0 (not NaN,
+    which Spark sorts ABOVE every real double) so it can never outrank
+    a genuinely similar candidate in the approximate indexes."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, [0.0, 0.0]), (3, [1.0, 0.2]), (4, [0.9, 0.1])],
+        "vec_id int, embedding array<float>",
+    )
+    scored = df.crossJoin(
+        df.where(F.col("vec_id") == 1).select(F.col("embedding").alias("q"))
+    ).select(
+        "vec_id",
+        S.np_cosine()(F.col("embedding"), F.col("q")).alias("cos_sim"),
+    )
+    rows = {r.vec_id: r.cos_sim for r in scored.collect()}
+    assert rows[2] == 0.0
+    assert all(rows[2] < rows[v] for v in (1, 3, 4))
+
+
+def test_cosine_pairs_blocked_no_count_job(spark, emb):
+    """Building the blocked plan must trigger no Spark job (the old form
+    ran df.count() to size blocks)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    S.cosine_pairs_blocked(emb, threshold=0.4)
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after
+
+
 def test_cosine_pairs_blocked_no_cartesian(spark, emb):
     """Scale guard: the physical plan must contain no CartesianProduct
     or BroadcastNestedLoopJoin — candidates come from equi-joined chunk
