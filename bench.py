@@ -21,16 +21,14 @@ HEADLINE = [
     # flagship + reference-shaped core
     "conformance_flagship",
     "conformance_pipeline_versioned",
+    "conformance_three_payload",
     "pricing_summary",
     "revenue_per_segment",
     "orders_per_customer_left",
     "user_funnel_set_ops",
-    "lineitem_rollup",
-    "events_pivot_by_type",
-    "top_orders_global",
+    "lineitem_grouping_sets",
     # windows / sessionization / as-of
     "rank_family",
-    "running_spend",
     "user_sessions",
     "last_order_asof_event",
     # JSON introspection
@@ -73,14 +71,23 @@ def main() -> int:
             read_table(spark, sf_dir, t).count()
         except Exception:
             pass
+    # throwaway warm run of the suite opener: codegen/broadcast/AQE
+    # machinery for the conformance shape compiles here, so the first
+    # measured query stops absorbing residual JVM warmup (it measured
+    # 1.8-7.9s across rounds as the opener with no code change)
+    queries["conformance_flagship"](spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
 
-    # two passes, keep the min: single-JVM local mode has multi-second
+    # three passes, keep the min: single-JVM local mode has multi-second
     # run-to-run jitter (JIT compilation of generated code, GC, AQE
-    # timing); min-of-2 reports the plan's achievable time rather than
-    # the noise. The cache is cleared between passes so persisted
-    # intermediates don't carry over — only code/page-cache warmth does.
+    # timing); min-of-2 published a 6x-off artifact in round 3
+    # (conformance_pipeline_versioned 20.4s vs 3.26s on re-run), so the
+    # min is taken over three. The cache is cleared between passes so
+    # persisted intermediates don't carry over — only code/page-cache
+    # warmth does.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         spark.catalog.clearCache()
         for name in HEADLINE:
             fn = queries[name]

@@ -4,6 +4,20 @@ Every operator from SURVEY.md §2 (plus the LLM-pipeline extensions) is
 registered here as ``(spark, sf_dir) -> DataFrame`` paired with DuckDB
 oracle SQL. Submodules register on import; this package just aggregates.
 
+Coverage policy (the driver verifies at most 50 queries per round, in
+registration order after an oracled-first sort):
+- the ACTIVE registry holds <= 50 queries (<= 48 oracled + the rows-only
+  ANN pair), so EVERY registered query earns a driver correctness row
+  EVERY round — no query sits past the gate's cap;
+- a NEW or REWRITTEN query registers ahead of stable modules (the import
+  order below) until it has re-earned a green row; the least-verified
+  code must be the first thing the driver checks;
+- when adding a query would exceed the budget, a two-round-stable core
+  query is retired first (``register(..., retired=True)``): retired
+  queries keep their oracle SQL and stay locally verified by
+  tests/test_retired_oracles.py and ``tools/oracle_check.py --retired``,
+  they just stop consuming driver slots.
+
 Alignment rules (the driver hashes values order-insensitively after
 sorting columns by name):
 - alias every computed column identically on both sides;
@@ -14,22 +28,37 @@ sorting columns by name):
 
 from __future__ import annotations
 
-from .registry import ORACLES, QUERIES, dec, register  # noqa: F401
+from .registry import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    RETIRED_ORACLES,
+    RETIRED_QUERIES,
+    dec,
+    register,
+)
 
-# Import order = SURVEY §2 order; each module registers its queries.
-from . import core  # noqa: E402,F401  (flagship + first slice)
+# Import order = verification priority (newest / least-stable first),
+# per the coverage policy above. Each module registers its queries.
+from . import similarity  # noqa: E402,F401  (rewritten r2+r3: near-dup, ANN)
+from . import multimodal_queries  # noqa: E402,F401  (binary payload extension)
+from . import streaming_queries  # noqa: E402,F401  (streaming engine w/ batch oracle)
+from . import dedup  # noqa: E402,F401  (dedup extension; simhash rewritten r2)
+from . import core  # noqa: E402,F401  (flagship + NEW three-payload conformance)
+from . import pipeline  # noqa: E402,F401  (full versioned-conformance pipeline)
 from . import relational  # noqa: E402,F401  (filters, joins, set ops, sorts)
 from . import multijoin  # noqa: E402,F401  (TPC-H Q3/Q5/Q10 multi-table chains)
 from . import windows  # noqa: E402,F401  (window functions, sessionization)
 from . import json_queries  # noqa: E402,F401  (JSON introspection)
 from . import functions  # noqa: E402,F401  (string/date/array/higher-order)
-from . import extra  # noqa: E402,F401  (grouped conformance, percentiles, HOFs)
-from . import pipeline  # noqa: E402,F401  (full versioned-conformance pipeline)
+from . import extra  # noqa: E402,F401  (percentiles, HOFs, map-typed JSON)
 from . import text  # noqa: E402,F401  (text analysis extension)
 from . import sampling  # noqa: E402,F401  (deterministic sampling/splits)
-from . import dedup  # noqa: E402,F401  (dedup extension)
-from . import similarity  # noqa: E402,F401  (embedding similarity extension)
-from . import multimodal_queries  # noqa: E402,F401  (binary payload extension)
-from . import streaming_queries  # noqa: E402,F401  (streaming engine w/ batch oracle)
 
 from .core import conformance_flagship  # noqa: E402,F401  (entry() flagship)
+
+# The budget is enforced, not aspirational: adding query #51 fails every
+# test session immediately instead of silently losing driver coverage.
+assert len(QUERIES) <= 50, (
+    f"active registry has {len(QUERIES)} queries; the driver gate caps at 50 "
+    "— retire a stable query (retired=True) before adding a new one"
+)

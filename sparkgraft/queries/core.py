@@ -84,6 +84,115 @@ def conformance_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Three-payload conformance: the reference's exact payload shape
+# (context / traits / properties, event_verify.py:51-61). The events
+# table carries one JSON column, so context and traits are derived
+# in-plan by identical string construction on both engines; the point
+# is to drive verify_events' payload_cols loop (conformance.py:108-127)
+# three-wide: key presence is an OR across three parsed maps, value
+# completeness a coalesce across them in payload order.
+# ---------------------------------------------------------------------------
+
+_THREE_PAYLOAD_PROPS = ("k", "session_id", "trace_id")
+
+_THREE_PAYLOAD_ORACLE = """
+WITH spec(event_name, prop_name) AS (
+    SELECT t.event_name, p.prop_name
+    FROM (VALUES ('click'),('error'),('purchase'),('signup'),('view')) t(event_name)
+    CROSS JOIN (VALUES ('k'),('session_id'),('trace_id')) p(prop_name)
+), catalog AS (
+    SELECT event_type AS event_name,
+           CASE WHEN event_id % 3 = 0 THEN '{"app":"x"}'
+                ELSE '{"session_id":"s' || CAST(user_id AS VARCHAR) || '"}'
+           END AS context,
+           CASE WHEN event_id % 5 = 0 THEN '{"k":""}'
+                WHEN event_id % 5 = 1
+                     THEN '{"trace_id":"t' || CAST(event_id % 7 AS VARCHAR) || '"}'
+                ELSE '{}'
+           END AS traits,
+           props AS properties
+    FROM events
+), joined AS (
+    SELECT s.event_name, s.prop_name,
+           list_contains(json_keys(c.context), s.prop_name)
+             OR list_contains(json_keys(c.traits), s.prop_name)
+             OR list_contains(json_keys(c.properties), s.prop_name) AS key_present,
+           coalesce(
+               nullif(json_extract_string(c.context, '$.' || s.prop_name), ''),
+               nullif(json_extract_string(c.traits, '$.' || s.prop_name), ''),
+               nullif(json_extract_string(c.properties, '$.' || s.prop_name), ''))
+             AS v
+    FROM catalog c JOIN spec s ON c.event_name = s.event_name
+), agg AS (
+    SELECT event_name, prop_name,
+           count(*) AS total_records,
+           count(CASE WHEN key_present THEN 1 END) AS keys_not_null_count,
+           count(v) AS value_not_null_count
+    FROM joined GROUP BY 1, 2
+)
+SELECT s.event_name, s.prop_name,
+       coalesce(a.total_records, 0) AS total_records,
+       coalesce(a.keys_not_null_count, 0) AS keys_not_null_count,
+       coalesce(a.total_records, 0) - coalesce(a.keys_not_null_count, 0)
+           AS key_null_count,
+       CASE WHEN coalesce(a.total_records, 0) > 0
+            THEN round((a.total_records - a.keys_not_null_count) * 100.0
+                       / a.total_records, 4)
+            ELSE 0.0 END AS key_null_count_percentage,
+       coalesce(a.value_not_null_count, 0) AS value_not_null_count,
+       coalesce(a.total_records, 0) - coalesce(a.value_not_null_count, 0)
+           AS value_null_count,
+       CASE WHEN coalesce(a.total_records, 0) > 0
+            THEN round((a.total_records - a.value_not_null_count) * 100.0
+                       / a.total_records, 4)
+            ELSE 0.0 END AS value_null_count_percentage
+FROM spec s LEFT JOIN agg a USING (event_name, prop_name)
+"""
+
+
+@register("conformance_three_payload", _THREE_PAYLOAD_ORACLE)
+def conformance_three_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """verify_events over (context, traits, properties) — the reference's
+    three-payload shape. Each payload column is parsed once to a map;
+    the derived payloads are built so every branch matters: context
+    carries session_id on 2/3 of rows, traits carries an empty-string k
+    (key present, value absent -> nullif drops it and the coalesce falls
+    through to properties) or a trace_id, properties is the real props
+    column. Spec pairs never observed (trace_id on 4/5 of events) keep
+    their zero rows."""
+    ev = read_table(spark, sf_dir, "events")
+    catalog = ev.select(
+        F.col("event_type").alias("event_name"),
+        F.when(F.col("event_id") % 3 == 0, F.lit('{"app":"x"}'))
+        .otherwise(
+            F.concat(
+                F.lit('{"session_id":"s'),
+                F.col("user_id").cast("string"),
+                F.lit('"}'),
+            )
+        )
+        .alias("context"),
+        F.when(F.col("event_id") % 5 == 0, F.lit('{"k":""}'))
+        .when(
+            F.col("event_id") % 5 == 1,
+            F.concat(
+                F.lit('{"trace_id":"t'),
+                (F.col("event_id") % 7).cast("string"),
+                F.lit('"}'),
+            ),
+        )
+        .otherwise(F.lit("{}"))
+        .alias("traits"),
+        F.col("props").alias("properties"),
+    )
+    rows = [(t, p) for t in EVENT_TYPES for p in _THREE_PAYLOAD_PROPS]
+    spec = spark.createDataFrame(rows, "event_name string, prop_name string")
+    return C.verify_events(
+        catalog, spec, payload_cols=["context", "traits", "properties"]
+    )
+
+
+# ---------------------------------------------------------------------------
 # A1: grouped counts (reference event_verify.py:44)
 # ---------------------------------------------------------------------------
 

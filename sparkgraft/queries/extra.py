@@ -32,6 +32,7 @@ from .registry import register
            count(v) AS value_not_null_count
     FROM joined GROUP BY 1, 2, 3
     """,
+    retired=True,
 )
 def conformance_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conformance metrics PER DAY — the reference runs one driver

@@ -30,6 +30,7 @@ from .registry import dec, register
            lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
     FROM part
     """,
+    retired=True,
 )
 def string_ops_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part")
@@ -61,6 +62,7 @@ def string_ops_part(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS days_to_2002
     FROM orders
     """,
+    retired=True,
 )
 def date_ops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar functions. Weekday is normalized to Monday=0 on both
@@ -97,6 +99,7 @@ def date_ops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY 1, 2
     """,
+    retired=True,
 )
 def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed rollup — the partition-pruning-friendly shape for a

@@ -8,17 +8,28 @@ from pyspark.sql import functions as F
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Retired tier: queries dropped from the driver-facing surface to keep
+# the gate's coverage budget (see queries/__init__.py policy) but kept
+# fully oracle-paired — tests/test_retired_oracles.py and
+# `tools/oracle_check.py --retired` still verify them locally every run.
+RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+RETIRED_ORACLES: dict[str, str] = {}
 
-def register(name: str, oracle: str | None = None):
+
+def register(name: str, oracle: str | None = None, retired: bool = False):
     """Register a named query; ``oracle=None`` means non-SQL-expressible
-    (the driver records a weaker rows-only check — keep these rare)."""
+    (the driver records a weaker rows-only check — keep these rare).
+    ``retired=True`` keeps the query + oracle locally verifiable but
+    out of the driver gate (coverage-budget policy)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        if name in QUERIES:
+        if name in QUERIES or name in RETIRED_QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = fn
+        queries = RETIRED_QUERIES if retired else QUERIES
+        oracles = RETIRED_ORACLES if retired else ORACLES
+        queries[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            oracles[name] = oracle
         return fn
 
     return deco

@@ -199,6 +199,7 @@ def user_funnel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 25
     """,
+    retired=True,
 )
 def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: Spark executes sort+limit as TakeOrderedAndProject —
@@ -226,6 +227,7 @@ def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
+    retired=True,
 )
 def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
@@ -242,11 +244,41 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
+    retired=True,
 )
 def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_items")
+    )
+
+
+@register(
+    "lineitem_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                            (l_linestatus), ())
+    """,
+)
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form that subsumes the
+    retired lineitem_rollup / lineitem_cube queries (this set list IS
+    the cube of the two columns and a superset of the rollup). One
+    pass, one shuffle: Spark expands the sets map-side (Expand node),
+    so at 100 TB the cost is the scan plus one combinable aggregation,
+    not one job per grouping."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
     )
 
 
@@ -268,6 +300,7 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
            count(CASE WHEN event_type = 'view' THEN 1 END) AS view
     FROM events GROUP BY user_id
     """,
+    retired=True,
 )
 def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with EXPLICIT value list: without it Spark runs an extra
@@ -295,6 +328,7 @@ def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events
     FROM events GROUP BY event_type
     """,
+    retired=True,
 )
 def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")

@@ -31,10 +31,13 @@ from .registry import register
     """,
 )
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 6-hour event counts computed BY THE STREAMING ENGINE
-    (microbatch execution over the file source) — hash-matched against
-    batch SQL by the oracle."""
-    stream = ST.stream_table(spark, sf_dir, "events")
+    """Tumbling 6-hour event counts computed BY THE STREAMING ENGINE —
+    hash-matched against batch SQL by the oracle. ``split_files=4`` +
+    ``maxFilesPerTrigger=1`` re-stages the table as 4 parquet files so
+    the bounded stream runs >= 4 micro-batches: the oracle then verifies
+    CROSS-BATCH window state (partial aggregates carried and merged
+    across triggers), not a degenerate single-batch run."""
+    stream = ST.stream_table(spark, sf_dir, "events", split_files=4)
     return ST.run_stream_to_memory(
         ST.windowed_event_counts(stream, window="6 hours"),
         "q_stream_windowed_counts",

@@ -361,6 +361,7 @@ def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(len(tok)) AS BIGINT) AS max_tokens
     FROM base GROUP BY source, lang
     """,
+    retired=True,
 )
 def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token accounting per (source, lang) — the budgeting query

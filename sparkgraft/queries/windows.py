@@ -73,6 +73,7 @@ def rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS moving_avg_3
     FROM orders
     """,
+    retired=True,
 )
 def running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame specs: cumulative sum + 3-row moving average. Decimal-exact
@@ -109,6 +110,7 @@ def running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
     """,
+    retired=True,
 )
 def order_gaps_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")

@@ -6,7 +6,11 @@ column names, and cell values (rows sorted by all columns; floats with a
 tiny tolerance for diagnostics — the real driver hashes exactly, so any
 tolerance-saved mismatch is still reported as WARN).
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--retired] [sf_dir] [query ...]
+
+``--retired`` also checks the retired tier (queries dropped from the
+driver gate under the coverage budget — queries/__init__.py policy —
+but still oracle-paired).
 """
 
 from __future__ import annotations
@@ -115,8 +119,10 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF_DIR
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--retired"]
+    include_retired = "--retired" in sys.argv[1:]
+    sf_dir = argv[0] if argv else DEFAULT_SF_DIR
+    only = set(argv[1:])
 
     import __spark_entry__ as E
     from sparkgraft.session import get_spark
@@ -124,7 +130,12 @@ def main() -> int:
     spark = get_spark("oracle-check")
     con = duckdb_con(sf_dir)
 
-    queries, oracles = E.queries(), E.oracle_sql()
+    queries, oracles = dict(E.queries()), E.oracle_sql()
+    if include_retired:
+        from sparkgraft import queries as Q
+
+        queries.update(Q.RETIRED_QUERIES)
+        oracles.update(Q.RETIRED_ORACLES)
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
