@@ -1,0 +1,92 @@
+"""Plan-shape regression gate over the whole bench headline suite.
+
+Correctness tests prove the answers are right at test scale; these
+prove the PLANS stay 100 TB-shaped. For every query in bench.HEADLINE
+the physical plan must have:
+
+- no CartesianProduct and no BroadcastNestedLoopJoin (quadratic row
+  pairing) — except the documented exact tier (knn_cosine_bruteforce
+  broadcasts a tiny bounded query set against the corpus: a linear
+  scan, which Spark renders as BroadcastNestedLoopJoin);
+- no BatchEvalPython (row-at-a-time Python UDFs); Python is allowed
+  only Arrow-batched (ArrowEvalPython / MapInPandas / groups-variants);
+- at most the pinned number of Exchange (shuffle) operators — adding a
+  shuffle to one of these plans is a perf regression the fixed-sf bench
+  may hide in noise, so the count is asserted structurally;
+- a broadcast join wherever one is pinned (dimension / spec / candidate
+  sides that must never become a shuffle join).
+
+The pins are the measured shapes of the plans as shipped; loosening one
+requires editing this table, i.e. an explicit, reviewable decision.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import bench
+from sparkgraft import queries as Q
+
+# name -> (max Exchange count, min BroadcastHashJoin count)
+PLAN_PINS: dict[str, tuple[int, int]] = {
+    "conformance_flagship": (3, 2),
+    "conformance_pipeline_versioned": (9, 4),
+    "conformance_three_payload": (3, 2),
+    "pricing_summary": (1, 0),
+    "revenue_per_segment": (2, 1),
+    "orders_per_customer_left": (2, 1),
+    "user_funnel_set_ops": (6, 1),
+    "lineitem_grouping_sets": (1, 0),
+    "rank_family": (1, 0),
+    "user_sessions": (1, 0),
+    "last_order_asof_event": (1, 0),
+    "json_extract_events": (0, 0),
+    "json_value_stats": (1, 0),
+    "melt_lineitem_measures": (0, 0),
+    "doc_quality_metrics": (1, 0),
+    "doc_lang_id": (1, 0),
+    "dedup_exact_keep_first": (1, 0),
+    "ngram_jaccard_near_dups": (8, 3),
+    "minhash_lsh_near_dups": (8, 3),
+    "simhash_by_doc": (1, 0),
+    "knn_cosine_bruteforce": (3, 0),
+    "embedding_near_dup_pairs": (9, 4),
+    "ann_lsh_topk": (6, 3),
+    "ann_ivf_topk": (3, 1),
+    "label_centroid_similarity": (3, 1),
+}
+
+# Exact tiers that legitimately broadcast a bounded side against every
+# corpus row (linear, not quadratic — the broadcast side is tiny by
+# construction). Everything else must not nested-loop at all.
+BNLJ_ALLOWED = {"knn_cosine_bruteforce"}
+
+
+def test_pins_cover_headline():
+    assert set(PLAN_PINS) == set(bench.HEADLINE)
+
+
+@pytest.mark.parametrize("name", bench.HEADLINE)
+def test_headline_plan_shape(spark, sf_dir, name):
+    plan = (
+        Q.QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, name
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+    max_exchanges, min_bhj = PLAN_PINS[name]
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= max_exchanges, (
+        f"{name}: {n_exchanges} Exchange ops (pinned max {max_exchanges}) "
+        "— a new shuffle entered this plan"
+    )
+    n_bhj = plan.count("BroadcastHashJoin")
+    assert n_bhj >= min_bhj, (
+        f"{name}: {n_bhj} BroadcastHashJoin (pinned min {min_bhj}) "
+        "— a broadcast join degraded to a shuffle join"
+    )
