@@ -125,3 +125,62 @@ def test_verify_pipeline_end_to_end(spark):
     assert got[("web", "2.0", "signup", "org_id")] == (2, 0, 0)
     # k present on ios click but value empty-string -> scrubbed
     assert got[("ios", "5.5", "click", "k")] == (1, 1, 0)
+
+
+def test_latest_per_group_keeps_version_ties(spark):
+    """Reference semantics are rank()==1 (event_verify.py:38-39): ALL
+    rows tied on the max version survive selection — a row_number-based
+    implementation would arbitrarily drop one. latest_per_group's
+    groupBy.max + join-back keeps ties structurally."""
+    from sparkgraft.relational import latest_per_group
+
+    spec = spark.createDataFrame(
+        [
+            ("web", "2.0", "click"),
+            ("web", "2.0", "purchase"),  # tied on max version 2.0
+            ("web", "1.0", "legacy"),
+            ("ios", "5.5", "signup"),
+        ],
+        "channel string, version string, event_name string",
+    )
+    got = {
+        (r.channel, r.version, r.event_name)
+        for r in latest_per_group(spec, ["channel"], "version").collect()
+    }
+    assert got == {
+        ("web", "2.0", "click"),
+        ("web", "2.0", "purchase"),
+        ("ios", "5.5", "signup"),
+    }
+
+
+def test_verify_pipeline_version_tie_checks_all_tied_rows(spark):
+    """Two spec rows tie on the max version for one channel with
+    DIFFERENT events: the pipeline must verify props of both events,
+    stamped with the same spec version."""
+    spec = spark.createDataFrame(
+        [
+            ("web", "2.0", "signup", "k", None),
+            ("web", "2.0", "click", "s", None),  # tie on 2.0, second event
+            ("web", "1.0", "signup", "old", None),
+        ],
+        "channel string, version string, event_name string, p1 string, p2 string",
+    )
+    catalog = spark.createDataFrame(
+        [
+            ("web", "signup", '{"app": {"version": "2.0"}}', "{}", '{"k": "v"}'),
+            ("web", "click", '{"app": {"version": "2.0"}}', "{}", '{"s": "w"}'),
+        ],
+        "client_name string, event_name string, context string, traits string, properties string",
+    )
+    out = C.verify_pipeline(catalog, spec)
+    got = {
+        (r.channel, r.version, r.event_name, r.prop_name): (
+            r.total_records,
+            r.value_not_null_count,
+        )
+        for r in out.collect()
+    }
+    assert got[("web", "2.0", "signup", "k")] == (1, 1)
+    assert got[("web", "2.0", "click", "s")] == (1, 1)
+    assert ("web", "1.0", "signup", "old") not in got
