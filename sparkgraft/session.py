@@ -52,6 +52,19 @@ def get_spark(
         # local mode = driver-only: this is the whole memory budget.
         # 32 threads on an 8g heap GC-thrash on shuffle-heavy queries.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # whole-stage codegen emits one compiled class per query shape;
+        # a multi-query session (bench runs 25+) fills the default
+        # 240 MB JIT code cache, after which HotSpot stops compiling
+        # and generated code runs interpreted (~2x slower, and it looks
+        # like random per-query regressions). Also pin a conservative
+        # region-based GC pause target: with 48g x 32 threads the
+        # default throughput collector's full-GC pauses show up as
+        # multi-second noise spikes in per-query timings.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseG1GC "
+            "-XX:MaxGCPauseMillis=200",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -68,6 +68,10 @@ def test_pins_cover_headline():
 
 @pytest.mark.parametrize("name", bench.HEADLINE)
 def test_headline_plan_shape(spark, sf_dir, name):
+    # queries that persist() an intermediate stage print the cached
+    # subtree differently if an earlier test left an overlapping cache
+    # entry — clear so the pinned shape is session-order-independent
+    spark.catalog.clearCache()
     plan = (
         Q.QUERIES[name](spark, sf_dir)
         ._jdf.queryExecution()
