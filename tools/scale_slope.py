@@ -11,12 +11,34 @@ candidate stage would land near N^2.
 Replicas are SALTED so they form independent mini-corpora rather than
 exact copies (exact copies would inflate near-dup output quadratically
 and measure output explosion, not plan slope):
-- documents: replica k prefixes the text with ``r<k> `` (all shingle /
-  minhash / simhash / fingerprint features diverge across replicas) and
-  offsets doc_id by k*10M;
-- embeddings: replica k circularly rotates the 64-dim vector by 7k
-  positions (norm and distribution preserved; cross-replica cosine is
-  ~random, within-replica structure identical) and offsets vec_id.
+- documents: replica k suffixes EVERY whitespace token with ``_r<k>``
+  (underscore survives ``normalize_text``'s lowercase+collapse), so
+  every word shingle — hence every minhash band, simhash bit pattern,
+  and winnowing fingerprint — diverges across replicas. A mere prefix
+  salt is NOT enough: with word k-shingles only the first k-1 shingles
+  change, replicas stay genuine near-dups of each other, and both the
+  candidate count and the output grow quadratically in the factor —
+  measuring output explosion, not plan slope (observed: slope 20 for
+  ngram-jaccard at 8x under prefix salting vs ~linear under token
+  salting). doc_id offsets by k*10M;
+- embeddings: replica k multiplies each dimension by a deterministic
+  per-replica sign pattern (``hash(dim, k)`` parity; replica 0 keeps
+  the original vector). Sign flips preserve every norm and all
+  WITHIN-replica cosines exactly while centering cross-replica cosines
+  on ~0 (mean 0.14 measured; a circular rotation was worse — rotated
+  copies of these correlated-component vectors keep high cosine).
+
+Each query's ``out_slope`` (output rows at Nx / rows at 1x) is printed
+next to its time slope — it verifies the salting premise per query.
+Expected out_slope: ~N for per-doc/per-row outputs and doc near-dups,
+1.0 for fixed-k top-k. CAVEAT ``embedding_near_dup_pairs``: its 0.4
+threshold sits inside the random-pair cosine tail for d=64 (~1e-3 of
+RANDOM pairs exceed 0.4), so its output — and therefore any
+pairs-above-threshold query at such a threshold — is inherently
+~quadratic in corpus size regardless of salting. Its out_slope ~N^2 is
+the query's semantics, not a plan defect; the plan's compute is the
+deliberate exact-verification tier (blocked matmul, O(n^2/B)
+vectorized FLOPs), and the ANN queries are the documented scale path.
 
 Usage: python tools/scale_slope.py [factor] [sf_dir]
 Output: one JSON line {"metric": "scale_slope", ...} plus a table on
@@ -58,11 +80,14 @@ def stage(spark, sf_dir: str, out_dir: str, factor: int) -> dict[str, int]:
     docs = read_table(spark, sf_dir, "documents").crossJoin(
         spark.range(factor).withColumnRenamed("id", "replica")
     )
+    salt = F.concat(F.lit("_r"), rep.cast("string"))
+    salted = F.array_join(
+        F.transform(F.split(F.col("text"), r"\s+"), lambda w: F.concat(w, salt)),
+        " ",
+    )
     staged_docs = docs.select(
         (F.col("doc_id") + rep * 10_000_000).alias("doc_id"),
-        F.when(rep == 0, F.col("text"))
-        .otherwise(F.concat(F.lit("r"), rep.cast("string"), F.lit(" "), F.col("text")))
-        .alias("text"),
+        F.when(rep == 0, F.col("text")).otherwise(salted).alias("text"),
         "lang",
         "source",
         "n_chars",
@@ -72,13 +97,13 @@ def stage(spark, sf_dir: str, out_dir: str, factor: int) -> dict[str, int]:
     emb = read_table(spark, sf_dir, "embeddings").crossJoin(
         spark.range(factor).withColumnRenamed("id", "replica")
     )
-    rot = (rep * 7 % 64).cast("int")
+    def signed(x, i):
+        flip = (F.hash(i, rep.cast("int")) % 2 == 0) & (rep > 0)
+        return F.when(flip, -x).otherwise(x)
+
     staged_emb = emb.select(
         (F.col("vec_id") + rep * 10_000_000).alias("vec_id"),
-        F.concat(
-            F.slice(F.col("embedding"), rot + 1, F.lit(64) - rot),
-            F.slice(F.col("embedding"), 1, rot),
-        ).alias("embedding"),
+        F.transform(F.col("embedding"), signed).alias("embedding"),
         "label",
     )
     staged_emb.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
@@ -107,10 +132,13 @@ def main() -> int:
         work = tempfile.mkdtemp(prefix=f"sparkgraft-slope-{f}x-")
         try:
             row_counts[f] = stage(spark, sf_dir, work, f)
-            # one warm pass at 1x covers codegen; per-query min-of-2
+            # min-of-3 per point: this host's run-to-run jitter is
+            # multi-second (observed 3.5s vs 30.5s for the same query
+            # and data under min-of-2); the min over three passes is
+            # the stable plan-cost estimator, same policy as bench.py
             for name in PROBES:
                 best = None
-                for _ in range(2):
+                for _ in range(3):
                     spark.catalog.clearCache()
                     t0 = time.time()
                     queries[name](spark, work).write.mode("overwrite").format(
@@ -119,6 +147,11 @@ def main() -> int:
                     dt = time.time() - t0
                     best = dt if best is None else min(best, dt)
                 results[name][f] = round(best, 3)
+                # output rows per point: proves the salting premise —
+                # near-dup/candidate OUTPUT must grow ~linearly with the
+                # factor, else the time slope measures output explosion
+                spark.catalog.clearCache()
+                results[name][f"rows_{f}"] = queries[name](spark, work).count()
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
@@ -130,9 +163,22 @@ def main() -> int:
     slopes = {}
     for name in PROBES:
         t1, tn = results[name][1], results[name][factor]
+        r1, rn = results[name]["rows_1"], results[name][f"rows_{factor}"]
         slope = round(tn / t1, 2) if t1 > 0 else None
-        slopes[name] = {"t_1x": t1, f"t_{factor}x": tn, "slope": slope}
-        print(f"{name:32} {t1:8.3f} {tn:8.3f} {slope:6.2f}", file=sys.stderr)
+        out_slope = round(rn / r1, 2) if r1 > 0 else None
+        slopes[name] = {
+            "t_1x": t1,
+            f"t_{factor}x": tn,
+            "slope": slope,
+            "rows_1x": r1,
+            f"rows_{factor}x": rn,
+            "out_slope": out_slope,
+        }
+        print(
+            f"{name:32} {t1:8.3f} {tn:8.3f} {slope:6.2f}"
+            f"   rows {r1}->{rn} (out_slope {out_slope})",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
