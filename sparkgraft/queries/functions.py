@@ -148,7 +148,11 @@ def melt_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_array_ops",
-    """
+    # retired round 4 (coverage budget): HOF-on-array evidence stays
+    # active via embedding_predicates_hof and the oracled similarity
+    # queries, whose cosine math is the same transform/aggregate fold
+    retired=True,
+    oracle="""
     SELECT vec_id, label,
            len(embedding) AS dim,
            round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,

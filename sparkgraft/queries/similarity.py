@@ -81,6 +81,23 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_pairs_blocked(emb, threshold=0.4)
 
 
+@register("embedding_near_dup_lsh")  # engine-specific bucketing: rows-only check
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for embedding near-dup: banded RP-LSH proposes
+    candidate pairs (one id-only hash shuffle, hub-bucket cap), exact
+    cosine disposes. Deterministic (md5-derived planes) but
+    approximate by design — this corpus maxes out ~0.51 cosine, so the
+    0.45 threshold runs it in partial-recall territory (coarse 4-plane
+    x 8-table banding, ~0.8 analytic recall at 0.45); the planted
+    near-dup regime it targets (>= 0.95 cosine, >= 0.99 recall) is
+    asserted in tests/test_similarity.py. Rows-only check: bucketing
+    is the point, so no engine-independent SQL twin exists."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.cosine_pairs_lsh(
+        emb, dim=64, threshold=0.45, num_planes=4, num_tables=8
+    )
+
+
 @register("ann_lsh_topk")  # engine-specific bucketing: rows-only check
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via sign-random-projection LSH (6 planes x

@@ -50,7 +50,9 @@ __all__ = [
     "cosine_pairs",
     "cosine_pairs_blocked",
     "rp_lsh_bucket",
+    "rp_bucket_udf",
     "rp_lsh_topk",
+    "cosine_pairs_lsh",
     "ivf_train",
     "ivf_assign_udf",
     "ivf_probe_udf",
@@ -408,6 +410,143 @@ def rp_lsh_bucket(
     return bucket
 
 
+def rp_bucket_udf(dim: int, num_planes: int, num_tables: int):
+    """Arrow-batched bucket assigner: ``array<bigint>`` of one RP-LSH
+    bucket id per table. All ``num_tables * num_planes`` projections are
+    ONE numpy matmul per batch (the per-plane HOF-expression form built
+    a ~(tables*planes*dim)-literal Catalyst tree whose driver-side
+    construction alone cost seconds — dense linear algebra is the case
+    where the vectorized-UDF path beats built-in expressions).
+    Hyperplanes are md5-derived constants (seed = table*1000 + plane):
+    reproducible anywhere, no RNG state shipped."""
+    from pyspark.sql.functions import pandas_udf
+
+    plane_mat = np.array(
+        [
+            _hyperplane(t * 1000 + p, dim)
+            for t in range(num_tables)
+            for p in range(num_planes)
+        ]
+    )
+    bit_weights = 2 ** np.arange(num_planes, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        zero = np.zeros(dim)
+        x = np.stack(
+            [np.asarray(v, dtype=np.float64) if v is not None else zero
+             for v in vecs]
+        )
+        proj = x @ plane_mat.T  # (n, tables*planes)
+        bits = (proj > 0).reshape(len(x), num_tables, num_planes)
+        return pd.Series(list(bits @ bit_weights))  # (n, tables)
+
+    return _buckets
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    max_bucket: int = 4096,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate near-dup PAIRS via banded RP-LSH: candidates = pairs
+    sharing a bucket in ANY table; exact cosine (identical staged
+    arithmetic to :func:`cosine_pairs`) disposes. The linear-shuffle
+    scale path next to the exact O(n^2)-FLOP tiers (``cosine_pairs`` /
+    ``cosine_pairs_blocked``) — same proposer/verifier split as
+    dedup.minhash_near_dups, applied to the embedding column.
+
+    Scale shape: one Arrow matmul assigns all buckets; the id->bucket
+    table (ids only, ~num_tables rows per vector — vectors are NOT
+    shuffled into buckets) self-joins on ``(table, bucket)``, which is
+    also the key of the bucket-size window, so the cap and the join
+    share one Exchange (ReusedExchange for the join's two identical
+    sides). Vectors re-attach only for surviving candidate pairs.
+
+    ``max_bucket`` drops degenerate hub buckets (near-parallel vector
+    masses land in one bucket; a B-row bucket emits B^2/2 candidate
+    pairs): pairs confined to dropped buckets are lost, which lowers
+    recall only for pairs ALL of whose num_tables collisions are hubs —
+    at the high thresholds this operator targets, true near-dup pairs
+    collide in most tables. Recall tunes with planes/tables exactly as
+    :func:`rp_lsh_topk` (P[pair at cosine c shares >= 1 bucket] =
+    1 - (1 - p^planes)^tables, p = 1 - acos(c)/pi); asserted against
+    the exact tier on planted near-dups in tests/test_similarity.py.
+
+    Precision is exact by construction: survivors are re-scored with
+    the same fold/round as ``cosine_pairs``, so the result is always a
+    SUBSET of the exact result at the same threshold. NULL embeddings
+    are dropped up front (a NULL side can never reach the threshold).
+    """
+    from pyspark.sql import Window
+
+    from .relational import spread
+
+    vecs = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    buckets = rp_bucket_udf(dim, num_planes, num_tables)
+    ids = spread(vecs).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+    )
+    bucket_w = Window.partitionBy("table", "bucket")
+    ids = (
+        ids.withColumn("__bsz", F.count(F.lit(1)).over(bucket_w))
+        .where(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
+    cand = (
+        ids.select("table", "bucket", F.col("__id").alias("id_a"))
+        .join(
+            ids.select("table", "bucket", F.col("__id").alias("id_b")),
+            ["table", "bucket"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    withn = vecs.select(
+        F.col(id_col),
+        _d(F.col(vec_col)).alias("__dv"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    return (
+        cand.join(
+            withn.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__dv").alias("__va"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            withn.select(
+                F.col(id_col).alias("id_b"),
+                F.col("__dv").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot_predoubled(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                round_to,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def rp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -429,37 +568,10 @@ def rp_lsh_topk(
     higher recall, more compute).
 
     All ``num_tables * num_planes`` projections are ONE Arrow-batched
-    numpy matmul (vectorized Pandas UDF): the per-plane HOF-expression
-    form built a ~(tables*planes*dim)-literal Catalyst tree whose
-    driver-side construction + analysis alone cost seconds per run and
-    grew with dim — dense linear algebra is the case where the
-    vectorized-UDF path beats built-in expressions."""
+    numpy matmul per batch — see :func:`rp_bucket_udf`."""
     from pyspark.sql import Window
-    from pyspark.sql.functions import pandas_udf
 
-    # (tables*planes, dim), rows grouped by table; same deterministic
-    # md5-derived planes as the expression form (seed = table*1000+p)
-    plane_mat = np.array(
-        [
-            _hyperplane(t * 1000 + p, dim)
-            for t in range(num_tables)
-            for p in range(num_planes)
-        ]
-    )
-    bit_weights = 2 ** np.arange(num_planes, dtype=np.int64)
-    n_tables = num_tables
-    n_planes = num_planes
-
-    @pandas_udf("array<bigint>")
-    def _buckets(vecs: pd.Series) -> pd.Series:
-        zero = np.zeros(dim)
-        x = np.stack(
-            [np.asarray(v, dtype=np.float64) if v is not None else zero
-             for v in vecs]
-        )
-        proj = x @ plane_mat.T  # (n, tables*planes)
-        bits = (proj > 0).reshape(len(x), n_tables, n_planes)
-        return pd.Series(list(bits @ bit_weights))  # (n, tables)
+    _buckets = rp_bucket_udf(dim, num_planes, num_tables)
 
     def bucketed_ids(df: DataFrame, id_alias: str) -> DataFrame:
         return df.select(

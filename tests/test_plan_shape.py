@@ -51,6 +51,7 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "simhash_by_doc": (1, 0),
     "knn_cosine_bruteforce": (3, 0),
     "embedding_near_dup_pairs": (9, 4),
+    "embedding_near_dup_lsh": (8, 3),
     "ann_lsh_topk": (6, 3),
     "ann_ivf_topk": (3, 1),
     "label_centroid_similarity": (3, 1),

@@ -207,3 +207,71 @@ def test_cosine_pairs_blocked_no_cartesian(spark, emb):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Seeded corpus with PLANTED near-dups: 40 random 64-dim bases,
+    every even-indexed base gets a copy perturbed to cosine ~0.9998
+    (the regime cosine_pairs_lsh targets), plus one NULL row."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i % 2 == 0:
+            nd = v + rng.normal(scale=0.02, size=64)
+            rows.append((1000 + i, [float(x) for x in nd]))
+    rows.append((9999, None))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+
+
+def test_cosine_pairs_lsh_subset_and_recall(spark, planted):
+    """LSH pairs = subset of exact pairs with IDENTICAL scores
+    (precision 1 by construction: survivors re-score through the same
+    staged fold + round), and recall >= 0.9 on planted near-dups."""
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.cosine_pairs(planted, threshold=0.95).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.cosine_pairs_lsh(planted, dim=64, threshold=0.95).collect()
+    }
+    assert len(exact) == 20  # every planted pair, nothing random
+    assert set(approx) <= set(exact)
+    assert all(approx[k] == exact[k] for k in approx)
+    recall = len(approx) / len(exact)
+    assert recall >= 0.9, f"LSH pair recall too low: {recall}"
+
+
+def test_cosine_pairs_lsh_hub_bucket_cap(spark):
+    """max_bucket drops degenerate hub buckets: 20 identical vectors
+    collapse into one bucket per table; uncapped finds all 190 pairs,
+    cap 5 drops the hub entirely."""
+    df = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(20)],
+        "vec_id bigint, embedding array<float>",
+    )
+    kw = dict(dim=8, threshold=0.9, num_planes=2, num_tables=2)
+    assert S.cosine_pairs_lsh(df, **kw).count() == 190
+    assert S.cosine_pairs_lsh(df, max_bucket=5, **kw).count() == 0
+
+
+def test_cosine_pairs_lsh_plan_shape(spark, emb):
+    """Scale guards: no CartesianProduct / BroadcastNestedLoopJoin (the
+    candidate join is an equi-join on (table, bucket)) and no
+    row-at-a-time Python UDF (bucket assignment is ArrowEvalPython)."""
+    plan = (
+        S.cosine_pairs_lsh(emb, dim=64, threshold=0.45)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -65,6 +65,7 @@ PROBES = [
     # embeddings-based
     "knn_cosine_bruteforce",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_lsh",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "label_centroid_similarity",
