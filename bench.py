@@ -39,6 +39,7 @@ HEADLINE = [
     "doc_quality_metrics",
     "doc_lang_id",
     "dedup_exact_keep_first",
+    "decontaminate_docs",
     "ngram_jaccard_near_dups",
     "minhash_lsh_near_dups",
     "simhash_by_doc",

@@ -179,3 +179,42 @@ def simhash_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select(
         "doc_id", D.simhash_from_hashes(F.col("__h")).alias("simhash")
     )
+
+
+# word 4-grams for the REGISTERED query: real pipelines use 8-13-gram
+# collision (the library default is k=8), but this synthetic corpus has
+# no verbatim 8-gram leakage across its doc_id%97 split — k=4 is the
+# longest n-gram that produces non-trivial contamination evidence here
+_SHINGLES4 = (
+    "CASE WHEN len(tok) = 0 THEN []::VARCHAR[] ELSE list_distinct("
+    "list_transform(range(1, greatest(len(tok) - 3, 1) + 1), "
+    "i -> array_to_string(tok[i:i+3], ' '))) END"
+)
+
+
+@register(
+    "decontaminate_docs",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES4}) AS shingle FROM tok),
+    ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id,
+           CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs,
+           CAST(count(DISTINCT tr.shingle) AS BIGINT) AS n_shared_ngrams
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY tr.doc_id
+    """,
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over ``documents``: train docs (doc_id
+    % 97 != 0) sharing any word 4-gram with the held-out eval slice
+    (doc_id % 97 == 0). The eval (shingle, eval_id) table broadcasts —
+    at 100 TB the train side streams through one tokenize pass + one
+    broadcast join + one map-side-combinable aggregation, never
+    shuffling text."""
+    docs = read_table(spark, sf_dir, "documents")
+    part = F.col("doc_id") % 97 == 0
+    return D.decontaminate(
+        docs.where(~part), docs.where(part), "text", "doc_id", k=4
+    )

@@ -106,7 +106,11 @@ def embedding_predicates_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "props_as_map",
-    """
+    # retired round 4 (coverage budget): map-function evidence stays
+    # verified in the retired tier; active JSON evidence lives in
+    # json_extract_events / json_keys_per_type / json_value_stats
+    retired=True,
+    oracle="""
     SELECT event_id,
            len(json_keys(props)) AS n_keys,
            array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,

@@ -309,15 +309,18 @@ def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = lambda n: lambda g: F.struct(  # noqa: E731
         F.lit(n).cast("int").alias("n"), g.alias("g")
     )
+    # explode_outer + null filter, not explode: the inferred size()>0
+    # filter would re-inline the tokenizer below the spread exchange
+    # and run it in the single-task scan stage (see dedup._doc_shingles)
     grams = staged.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.concat(
                 F.transform(F.col("__tok"), tag(1)),
                 F.transform(T.word_bigrams(F.col("__tok")), tag(2)),
             )
         ).alias("gr"),
-    )
+    ).where(F.col("gr").isNotNull())
     cnt = (
         grams.select("doc_id", F.col("gr.n").alias("n"), F.col("gr.g").alias("g"))
         .groupBy("doc_id", "n", "g")

@@ -3,6 +3,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sparkgraft import dedup as D
+from sparkgraft.io import read_table
 
 
 def corpus(spark):
@@ -108,3 +109,43 @@ def test_simhash_vectorized_equals_hof(spark, sf_dir):
     assert len(both) > 0
     for r in both:
         assert r.vec == r.hof, f"doc {r.doc_id}: {r.vec} != {r.hof}"
+
+
+def test_decontaminate_planted(spark):
+    """Planted contamination: train doc 1 copies an 8-gram from eval
+    doc 100; train doc 2 shares nothing. Short eval docs (< k tokens)
+    decontaminate via the full-text shingle."""
+    leak = "the quick brown fox jumps over the lazy"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro text {leak} outro text padding words"),
+            (2, "completely different content with no overlap at all here"),
+            (3, "tiny leak"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"benchmark question {leak} benchmark answer"),
+         (101, "tiny leak")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in D.decontaminate(train, ev, k=8).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].n_eval_docs == 1 and out[1].n_shared_ngrams == 1
+    # doc 3 ("tiny leak" < 8 tokens) matches eval doc 101's full text
+    assert out[3].n_eval_docs == 1 and out[3].n_shared_ngrams == 1
+
+
+def test_decontaminate_plan_broadcasts_eval(spark, sf_dir):
+    """The contamination join must broadcast the eval side (train is
+    the 100 TB side and must not shuffle before the final agg)."""
+    docs = read_table(spark, sf_dir, "documents")
+    part = F.col("doc_id") % 97 == 0
+    plan = (
+        D.decontaminate(docs.where(~part), docs.where(part), k=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -46,6 +46,7 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "doc_quality_metrics": (1, 0),
     "doc_lang_id": (1, 0),
     "dedup_exact_keep_first": (1, 0),
+    "decontaminate_docs": (5, 1),
     "ngram_jaccard_near_dups": (8, 3),
     "minhash_lsh_near_dups": (8, 3),
     "simhash_by_doc": (1, 0),
