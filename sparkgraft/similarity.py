@@ -454,6 +454,7 @@ def cosine_pairs_lsh(
     num_tables: int = 8,
     max_bucket: int = 4096,
     round_to: int = 6,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """Approximate near-dup PAIRS via banded RP-LSH: candidates = pairs
     sharing a bucket in ANY table; exact cosine (identical staged
@@ -464,10 +465,16 @@ def cosine_pairs_lsh(
 
     Scale shape: one Arrow matmul assigns all buckets; the id->bucket
     table (ids only, ~num_tables rows per vector — vectors are NOT
-    shuffled into buckets) self-joins on ``(table, bucket)``, which is
-    also the key of the bucket-size window, so the cap and the join
-    share one Exchange (ReusedExchange for the join's two identical
-    sides). Vectors re-attach only for surviving candidate pairs.
+    shuffled into buckets) self-joins on ``(table, bucket)``. Vectors
+    re-attach only for surviving candidate pairs.
+
+    ``persist_intermediates`` caches the capped id->bucket table (3
+    longs per row): it feeds both self-join sides, and Spark does NOT
+    plan a ReusedExchange across them here (the window filter sits
+    between the exchange and the join), so uncached the scan + Arrow
+    matmul + window run twice (measured ~2x on the proposer stage).
+    Disable if ~num_tables * |corpus| id rows exceed cluster
+    memory+disk cache — the same discipline as jaccard_pairs.
 
     ``max_bucket`` drops degenerate hub buckets (near-parallel vector
     masses land in one bucket; a B-row bucket emits B^2/2 candidate
@@ -502,6 +509,10 @@ def cosine_pairs_lsh(
         .where(F.col("__bsz") <= max_bucket)
         .drop("__bsz")
     )
+    if persist_intermediates:
+        from pyspark import StorageLevel
+
+        ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         ids.select("table", "bucket", F.col("__id").alias("id_a"))
         .join(
