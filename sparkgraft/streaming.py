@@ -195,6 +195,30 @@ def windowed_sessions(
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup: emit the FIRST event per key, dropping
+    re-deliveries that arrive within the watermark horizon — the
+    streaming counterpart of ``dedup.dedup_exact`` and the standard
+    answer to at-least-once sources (Kafka redelivery, retried
+    producers).
+
+    Uses ``dropDuplicatesWithinWatermark``, NOT plain
+    ``dropDuplicates``: the plain form keeps every key's state forever
+    (unbounded growth on an unbounded stream); the watermarked form
+    evicts a key's state once the watermark passes its event time, so
+    cluster state is O(keys per watermark window) — bounded by
+    throughput, not stream lifetime. Duplicates separated by more than
+    the watermark are NOT caught (that's the documented contract; size
+    the watermark to the source's redelivery horizon)."""
+    s = _with_event_time(stream, ts_col).withWatermark("__event_time", watermark)
+    return s.dropDuplicatesWithinWatermark(list(key_cols)).drop("__event_time")
+
+
 def stateful_running_stats(
     stream: DataFrame,
     key_col: str = "user_id",
