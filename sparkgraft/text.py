@@ -26,7 +26,10 @@ __all__ = [
     "lang_scores",
     "lang_id",
     "word_bigrams",
+    "redact_pii",
+    "pii_counts",
     "STOPWORDS",
+    "PII_PATTERNS",
 ]
 
 # BPE-ish pretokenizer classes: letter runs, digit runs, non-space
@@ -222,3 +225,42 @@ def lang_id(text: Column | str) -> Column:
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, score).otherwise(best_score)
     return best_lang
+
+
+# PII patterns for the pre-training scrub pass. Deliberately
+# high-precision shapes (emails, international/US phone numbers, IPv4,
+# 13-19-digit card runs, SSN-style triples) restricted to constructs
+# Java regex handles without backtracking blowup — each is a single
+# linear scan per document. Recall-first PII systems layer NER models
+# on top; this is the cheap always-on tier that runs over 100 TB.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(?<![0-9])(?:\+?[0-9]{1,3}[-. ])?(?:\([0-9]{3}\)[-. ]?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}(?![0-9])",
+    "ipv4": r"(?<![0-9.])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9.])",
+    "card": r"(?<![0-9])[0-9]{13,19}(?![0-9])",
+    "ssn": r"(?<![0-9])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![0-9])",
+}
+
+
+def redact_pii(
+    text: Column | str, kinds: tuple[str, ...] | None = None
+) -> Column:
+    """Replace each PII match with ``<KIND>`` (e.g. ``<EMAIL>``) —
+    chained ``regexp_replace``, one linear pass per pattern, pure JVM
+    codegen. Order matters: SSN/phone run before the bare digit-run
+    card pattern so their hyphenated forms aren't half-eaten."""
+    out = _col(text)
+    for kind in kinds or ("email", "ssn", "phone", "ipv4", "card"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind match counts (``regexp_count``) — the audit side:
+    docs with counts all zero are clean; aggregate for corpus-level
+    PII incidence reports."""
+    c = _col(text)
+    return {
+        f"n_{kind}": F.regexp_count(c, F.lit(pat)).cast("bigint")
+        for kind, pat in PII_PATTERNS.items()
+    }

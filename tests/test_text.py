@@ -136,3 +136,30 @@ def test_doc_repetition_metrics(spark, tmp_path):
     r3 = out[3]
     assert (r3.n_tokens, r3.n_bigrams) == (0, 0)
     assert r3.dup_token_frac is None and r3.top_bigram_frac is None
+
+
+def test_redact_pii_and_counts(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk or call 555-867-5309"),
+        (2, "server at 192.168.1.77, card 4111111111111111, ssn 123-45-6789"),
+        (3, "clean text with number 42 and year 2024, v1.2.3 stays"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            T.redact_pii("text").alias("red"),
+            *[v.alias(k) for k, v in T.pii_counts("text").items()],
+        ).collect()
+    }
+    assert "<EMAIL>" in out[1].red and "<PHONE>" in out[1].red
+    assert "jane" not in out[1].red and "5309" not in out[1].red
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert "<IPV4>" in out[2].red and "<CARD>" in out[2].red and "<SSN>" in out[2].red
+    assert out[2].n_ipv4 == 1 and out[2].n_card == 1 and out[2].n_ssn == 1
+    # no false positives on ordinary numbers / versions, NULL passes through
+    assert out[3].red == rows[2][1]
+    assert all(getattr(out[3], f"n_{k}") == 0 for k in T.PII_PATTERNS)
+    assert out[4].red is None
