@@ -486,6 +486,18 @@ def cosine_pairs_lsh(
     1 - (1 - p^planes)^tables, p = 1 - acos(c)/pi); asserted against
     the exact tier on planted near-dups in tests/test_similarity.py.
 
+    SIZE num_planes TO THE CORPUS: each table has 2^num_planes buckets,
+    so expected candidate volume is ~n^2 / 2^num_planes per table —
+    num_planes must grow ~log2(n) to keep bucket occupancy (and
+    per-table candidates) linear. The scale-slope probe measures
+    exactly this: a fixed 4-plane config degrades quadratically at 8x
+    corpus (slope 12). At HIGH thresholds (the near-dup regime,
+    c >= 0.95 so p >= 0.95) raising planes is cheap — p^16 ~ 0.44, 8
+    tables still give ~99% recall — which is why LSH near-dup scales
+    for true near-dups but cannot be made linear for low thresholds
+    (p^planes collapses, forcing exponentially many tables; see the
+    BENCH_NOTES caveat on thresholds inside the random-pair tail).
+
     Precision is exact by construction: survivors are re-scored with
     the same fold/round as ``cosine_pairs``, so the result is always a
     SUBSET of the exact result at the same threshold. NULL embeddings

@@ -62,6 +62,7 @@ PROBES = [
     "ngram_jaccard_near_dups",
     "minhash_lsh_near_dups",
     "simhash_by_doc",
+    "decontaminate_docs",
     # embeddings-based
     "knn_cosine_bruteforce",
     "embedding_near_dup_pairs",
