@@ -2,10 +2,13 @@
 vector columns at corpus scale.
 
 A 64-dim float32 embedding is 256 bytes; symmetric per-vector int8
-quantization stores it as 64 tinyints + one float scale (~68 bytes) —
-a ~4x cut in parquet footprint, scan bytes, shuffle bytes, and cache
+quantization stores it as 64 tinyints + one double scale (~72 bytes) —
+a ~3.6x cut in parquet footprint, scan bytes, shuffle bytes, and cache
 pressure for every candidate-generation stage that only needs
-approximate geometry. The key property making this safe for similarity
+approximate geometry. (The scale is a DOUBLE deliberately: absmax/127
+of a subnormal float32 component underflows a float32 scale to 0,
+breaking the round-trip error bound — found by the hypothesis
+invariant test.) The key property making this safe for similarity
 work: COSINE IS SCALE-INVARIANT, so the per-vector scale cancels and
 quantized cosine equals the cosine of the raw int arrays — error comes
 only from rounding (~1/254 per component), not from the scale.
@@ -37,7 +40,7 @@ __all__ = [
 
 def quantize_int8(vec: Column | str) -> Column:
     """Symmetric per-vector int8 quantization:
-    ``struct(scale float, q array<tinyint>)`` with
+    ``struct(scale double, q array<tinyint>)`` with
     ``scale = max(|v|) / 127`` and ``q_i = round(v_i / scale)``.
 
     NULL in -> NULL out; the all-zero vector gets scale 0 and an
@@ -58,7 +61,7 @@ def quantize_int8(vec: Column | str) -> Column:
     )
     return F.when(
         v.isNotNull(),
-        F.struct(scale.cast("float").alias("scale"), q.alias("q")),
+        F.struct(scale.alias("scale"), q.alias("q")),
     )
 
 

@@ -49,3 +49,93 @@ def test_conformance_invariants_hold(spark, rows):
         # a key may exist with an empty/null value, never the reverse
         assert r.keys_not_null_count >= r.value_not_null_count
         assert r.total_records >= 0
+
+
+# ---- quantization invariants (quantize.py) --------------------------------
+
+vec = st.lists(
+    st.floats(
+        min_value=-100.0,
+        max_value=100.0,
+        allow_nan=False,
+        allow_infinity=False,
+        width=32,
+    ),
+    min_size=2,
+    max_size=16,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=st.lists(vec, min_size=1, max_size=8))
+def test_quantize_invariants_hold(spark, vecs):
+    """For arbitrary float32 vectors: q components stay in [-127, 127],
+    round-trip error <= scale/2 per component, and quantized cosine
+    against the first vector stays within [-1, 1] (+ float slack)."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft import quantize as Qz
+
+    dim = len(vecs[0])
+    vecs = [v[:dim] + [0.0] * (dim - len(v)) for v in vecs]  # rectangular
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<float>",
+    )
+    probe = F.array(*[F.lit(float(x)) for x in vecs[0]]).cast("array<float>")
+    rows = df.select(
+        Qz.quantize_int8("embedding").alias("q"),
+        F.array_max(
+            F.zip_with(
+                "embedding",
+                Qz.dequantize_int8(Qz.quantize_int8("embedding")),
+                lambda a, b: F.abs(a.cast("double") - b.cast("double")),
+            )
+        ).alias("max_err"),
+        Qz.quantized_cosine(
+            Qz.quantize_int8("embedding"), Qz.quantize_int8(probe)
+        ).alias("qcos"),
+    ).collect()
+    for r in rows:
+        assert all(-127 <= x <= 127 for x in r.q.q)
+        assert r.max_err is None or r.max_err <= r.q.scale * 0.5001
+        assert r.qcos is None or -1.0000001 <= r.qcos <= 1.0000001
+
+
+# ---- PII redaction invariants (text.py) -----------------------------------
+
+pii_text = st.text(
+    alphabet=st.sampled_from(list("abc@. 0123456789-()+\n")), max_size=60
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(pii_text, min_size=1, max_size=10))
+def test_redact_pii_idempotent_and_clean(spark, texts):
+    """Redaction is idempotent (a second pass changes nothing) and the
+    output never still matches any PII pattern — for adversarial
+    digit/at-sign/dash soup, not just well-formed fixtures."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft import text as T
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    out = df.select(
+        T.redact_pii("text").alias("once"),
+        T.redact_pii(T.redact_pii("text")).alias("twice"),
+        *[v.alias(k) for k, v in T.pii_counts(T.redact_pii("text")).items()],
+    ).collect()
+    for r in out:
+        assert r.once == r.twice
+        for kind in T.PII_PATTERNS:
+            assert getattr(r, f"n_{kind}") in (0, None), (kind, r.once)
