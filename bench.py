@@ -38,6 +38,7 @@ HEADLINE = [
     # LLM-pipeline extensions
     "doc_quality_metrics",
     "doc_lang_id",
+    "corpus_curation_pipeline",
     "dedup_exact_keep_first",
     "decontaminate_docs",
     "ngram_jaccard_near_dups",

@@ -110,7 +110,11 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_fingerprints",
-    """
+    # retired round 4 (coverage budget): the md5 fingerprint is actively
+    # exercised inside dedup_exact_keep_first and the curation pipeline;
+    # winnowing covers the substring-fingerprint surface
+    retired=True,
+    oracle="""
     SELECT doc_id,
            md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
            count(*) OVER (
@@ -375,4 +379,98 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tok).alias("total_tokens"),
         F.max(n_tok).alias("max_tokens"),
+    )
+
+
+@register(
+    "corpus_curation_pipeline",
+    f"""
+    WITH base AS (
+        SELECT doc_id, source, text, {_TOK} AS tok FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source, text,
+               len(tok) AS n_tokens,
+               round(len(list_filter(tok, t -> list_contains({_EN}, t)))
+                     / nullif(len(tok), 0), 6) AS stopword_ratio,
+               len(list_filter(tok, t -> list_contains({_DE}, t))) AS s_de,
+               len(list_filter(tok, t -> list_contains({_EN}, t))) AS s_en,
+               len(list_filter(tok, t -> list_contains({_ES}, t))) AS s_es,
+               len(list_filter(tok, t -> list_contains({_FR}, t))) AS s_fr,
+               coalesce(length(text), 0)
+                 - coalesce(length(regexp_replace(text, '[一-鿿]', '', 'g')), 0)
+                 AS s_zh
+        FROM base
+    ),
+    classified AS (
+        SELECT *,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                    ELSE 'zh' END AS lang_pred
+        FROM scored
+    ),
+    filtered AS (
+        SELECT * FROM classified
+        WHERE n_tokens >= 20
+          AND coalesce(stopword_ratio, 0) >= 0.01
+          AND lang_pred = 'en'
+    ),
+    deduped AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            ORDER BY doc_id ASC) AS rn
+        FROM filtered
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           stopword_ratio, lang_pred
+    FROM deduped
+    WHERE rn = 1
+      AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data curation flow as ONE Catalyst plan:
+    quality gate (n_tokens >= 20, stopword_ratio >= 0.01 — the Gopher
+    'not natural language' cut) -> language filter (stopword/CJK argmax
+    = 'en') -> exact dedup keep-first (md5 fingerprint) -> deterministic
+    hash-bucket train split. Every stage is the already-verified
+    library operator (text.quality_metrics, text.lang_id,
+    dedup.dedup_exact, sampling's md5 bucket), composed; the oracle
+    recomputes the whole chain in SQL, so this row verifies the
+    COMPOSITION — filters commute with projections, the dedup window
+    sees post-filter rows, the split hashes surviving ids only.
+
+    Scale shape: one scan, one shuffle for the dedup window, zero
+    joins. The quality/lang filters sit BEHIND a pushdown_fence:
+    pushed to the scan they re-evaluate the full tokenizer trees in
+    the (single-file, single-task) scan stage — measured 4x slower;
+    at petabyte scale with splittable inputs one drops the fence and
+    lets the scan filter early. This is the plan a 100 TB corpus
+    cleanup actually runs."""
+    from ..relational import pushdown_fence
+
+    docs = pushdown_fence(spread(read_table(spark, sf_dir, "documents")))
+    from .. import dedup as D
+
+    m = T.quality_metrics("text")
+    staged = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        m["n_tokens"].alias("n_tokens"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        T.lang_id("text").alias("lang_pred"),
+    )
+    filtered = staged.where(
+        (F.col("n_tokens") >= 20)
+        & (F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) >= 0.01)
+        & (F.col("lang_pred") == "en")
+    )
+    deduped = D.dedup_exact(filtered, "text", "doc_id")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return deduped.where(bucket < "cccc").select(
+        "doc_id", "source", "n_tokens", "stopword_ratio", "lang_pred"
     )

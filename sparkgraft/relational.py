@@ -39,6 +39,7 @@ __all__ = [
     "present_in",
     "as_of_join",
     "sessionize",
+    "pushdown_fence",
 ]
 
 
@@ -55,6 +56,32 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(partitions)
+
+
+def pushdown_fence(df: DataFrame) -> DataFrame:
+    """Stop predicate pushdown below this point — a semantics-free
+    NONDETERMINISTIC filter (``rand() >= -1``, always true): Catalyst
+    must not reorder deterministic predicates across a nondeterministic
+    one, so downstream filters stay ABOVE it (and above any exchange
+    below it).
+
+    Use directly after :func:`spread` when downstream filters are on
+    HEAVY DERIVED columns (tokenize/regex pipelines): pushed-down, such
+    a filter re-evaluates its whole expression tree in the scan stage —
+    which for a small single-file input is ONE task, serializing the
+    exact work spread() exists to parallelize (measured 4.1s -> ~1s on
+    corpus_curation_pipeline at sf0.1). The cost is real and must be
+    weighed: the fence blocks ALL pushdown, including scan-level
+    row-group skipping — on a petabyte splittable scan you usually WANT
+    cheap predicates at the scan, so fence only compute-heavy filter
+    pipelines, or filter on raw columns before spread instead.
+
+    The predicate is ``rand(seed) != -1``, not ``rand() >= -1``: the
+    optimizer PROVES rand's [0, 1) range satisfies ``>= -1`` and
+    deletes the fence entirely (verified against this Spark); the
+    inequality form survives. Fixed seed keeps plans stable for the
+    plan-shape regression tests."""
+    return df.where(F.rand(42) != F.lit(-1.0))
 
 
 def epoch_us(col: Column | str) -> Column:

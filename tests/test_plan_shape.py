@@ -45,6 +45,7 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "melt_lineitem_measures": (0, 0),
     "doc_quality_metrics": (1, 0),
     "doc_lang_id": (1, 0),
+    "corpus_curation_pipeline": (2, 0),
     "dedup_exact_keep_first": (1, 0),
     "decontaminate_docs": (5, 1),
     "ngram_jaccard_near_dups": (8, 3),
