@@ -38,6 +38,7 @@ HEADLINE = [
     # LLM-pipeline extensions
     "doc_quality_metrics",
     "doc_lang_id",
+    "tfidf_top_terms",
     "corpus_curation_pipeline",
     "dedup_exact_keep_first",
     "decontaminate_docs",

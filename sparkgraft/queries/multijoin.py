@@ -94,7 +94,11 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "local_supplier_volume",
-    f"""
+    # retired round 4 (coverage budget): multi-join chain evidence stays
+    # active via shipping_priority_top10 (Q3) and
+    # returned_items_top_customers (Q10)
+    retired=True,
+    oracle=f"""
     SELECT n_name, CAST({_REV_SQL} AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey

@@ -474,3 +474,36 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.where(bucket < "cccc").select(
         "doc_id", "source", "n_tokens", "stopword_ratio", "lang_pred"
     )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    terms AS (SELECT doc_id, unnest(tok) AS term FROM tok),
+    tc AS (SELECT doc_id, term, count(*) AS tf_raw FROM terms GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf_raw) AS doc_len FROM tc GROUP BY 1),
+    dfq AS (SELECT term, count(*) AS docfreq FROM tc GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tc.doc_id, tc.term,
+               round((CAST(tf_raw AS DOUBLE) / CAST(doc_len AS DOUBLE))
+                     * (ln((CAST(n_docs AS DOUBLE) + 1)
+                           / (CAST(docfreq AS DOUBLE) + 1)) + 1), 6) AS tfidf
+        FROM tc JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, rank, term, tfidf FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per document by smoothed tf-idf — the corpus-level
+    text-analysis op (idf needs global document frequencies): one
+    tokenize pass, compact (doc, term) count table feeding lengths and
+    docfreqs, broadcast one-row N, deterministic rounded ranking. The
+    oracle recomputes the identical double math including ln()."""
+    docs = read_table(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs, "text", "doc_id", k=5)

@@ -26,6 +26,7 @@ __all__ = [
     "lang_scores",
     "lang_id",
     "word_bigrams",
+    "tfidf_top_terms",
     "redact_pii",
     "pii_counts",
     "STOPWORDS",
@@ -264,3 +265,81 @@ def pii_counts(text: Column | str) -> dict[str, Column]:
         f"n_{kind}": F.regexp_count(c, F.lit(pat)).cast("bigint")
         for kind, pat in PII_PATTERNS.items()
     }
+
+
+def tfidf_top_terms(
+    df: "DataFrame",  # noqa: F821 - forward ref, avoids module-level import
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    persist_intermediates: bool = True,
+) -> "DataFrame":  # noqa: F821
+    """Top-``k`` terms per document by tf-idf (SURVEY §7.1's tf-idf
+    text analysis): ``tf = count(term in doc) / len(doc)``, smoothed
+    ``idf = ln((N + 1) / (df + 1)) + 1`` (the scikit-learn smoothing —
+    never negative, never divides by zero), ranked per doc on the
+    ROUNDED score with the term as tiebreak so the result set is
+    deterministic and engine-independent.
+
+    Scale shape: tokenize once (explode_outer — see _doc_shingles'
+    pushdown note in dedup.py), one (doc, term) count aggregation
+    (map-side combinable), per-doc lengths and per-term document
+    frequencies derived FROM that compact count table (no second pass
+    over text), N via a broadcast one-row aggregate (in-plan scalar,
+    A5 discipline — no driver action), one window for top-k. Shuffles
+    are keyed on (doc, term) / doc / term: linear, skew follows term
+    frequency and AQE re-splits hot terms.
+
+    ``persist_intermediates`` caches the compact (doc, term, count)
+    table: it feeds THREE consumers (scored rows, per-doc lengths,
+    per-term docfreqs); uncached each branch re-runs tokenize +
+    explode + count over the corpus. Same discipline and memory note
+    as jaccard_pairs — disable if the distinct (doc, term) table
+    exceeds cluster memory+disk cache.
+
+    Returns ``(doc_id, rank, term, tfidf)``.
+    """
+    from pyspark.sql import Window
+
+    from .relational import spread
+
+    toks = spread(df.select(F.col(id_col).alias("doc_id"), text_col)).select(
+        "doc_id", tokens(text_col).alias("__tok")
+    )
+    terms = toks.select(
+        "doc_id", F.explode_outer("__tok").alias("term")
+    ).where(F.col("term").isNotNull())
+    tc = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("__tf_raw"))
+    if persist_intermediates:
+        from pyspark import StorageLevel
+
+        tc = tc.persist(StorageLevel.MEMORY_AND_DISK)
+    doc_len = tc.groupBy("doc_id").agg(F.sum("__tf_raw").alias("__doc_len"))
+    dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tc.join(doc_len, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("__tf_raw").cast("double") / F.col("__doc_len").cast("double"))
+                * (
+                    F.log(
+                        (F.col("__n_docs").cast("double") + 1.0)
+                        / (F.col("__df").cast("double") + 1.0)
+                    )
+                    + 1.0
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tfidf")
+    )

@@ -46,6 +46,7 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "doc_quality_metrics": (1, 0),
     "doc_lang_id": (1, 0),
     "corpus_curation_pipeline": (2, 0),
+    "tfidf_top_terms": (13, 2),
     "dedup_exact_keep_first": (1, 0),
     "decontaminate_docs": (5, 1),
     "ngram_jaccard_near_dups": (8, 3),
@@ -61,8 +62,10 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
 
 # Exact tiers that legitimately broadcast a bounded side against every
 # corpus row (linear, not quadratic — the broadcast side is tiny by
-# construction). Everything else must not nested-loop at all.
-BNLJ_ALLOWED = {"knn_cosine_bruteforce"}
+# construction): knn broadcasts its bounded query set;
+# tfidf cross-joins a broadcast ONE-ROW aggregate (the in-plan N
+# scalar, A5 discipline). Everything else must not nested-loop at all.
+BNLJ_ALLOWED = {"knn_cosine_bruteforce", "tfidf_top_terms"}
 
 
 def test_pins_cover_headline():
