@@ -15,11 +15,20 @@ only from rounding (~1/254 per component), not from the scale.
 
 Tiering discipline (same proposer/verifier split as the dedup ops):
 quantized vectors PROPOSE (pre-score / bucket / shortlist), full-
-precision vectors DISPOSE (exact re-rank of the shortlist). At 100 TB
-the full-precision column is scanned only for shortlist ids.
+precision vectors DISPOSE (exact re-rank of the shortlist). The
+byte-savings claim applies to a MATERIALIZED quantized column (store
+it next to — or instead of — the float column; the prescore scan then
+reads only the int8 bytes). ``cosine_topk_quantized`` quantizes on the
+fly from the float column, which demonstrates the tier's math and
+recall but not its scan savings.
 
 Everything here is JVM-side higher-order functions (transform /
-zip_with / aggregate) — no UDFs, full whole-stage codegen.
+zip_with / aggregate) — no Python anywhere. HOF lambdas run on the
+interpreted expression path, not whole-stage codegen, so per-vector
+work is kept O(dim): scalar subexpressions that lambdas reference
+(the scale, the norms) are LET-BOUND via a single-element transform
+(the lambda variable is evaluated once) instead of re-inlined per
+element.
 
 Reference parity note: the reference has no vector surface at all;
 this extends the similarity extension (similarity.py, BASELINE.json).
@@ -45,7 +54,12 @@ def quantize_int8(vec: Column | str) -> Column:
 
     NULL in -> NULL out; the all-zero vector gets scale 0 and an
     all-zero q (dequantizes to itself). |v_i / scale| <= 127 by
-    construction, so no clamp is needed."""
+    construction, so no clamp is needed.
+
+    The scale is let-bound (single-element transform) so the absmax
+    fold runs ONCE per vector; referencing the fold directly inside
+    the per-element lambda would re-evaluate it per element —
+    O(dim^2) per vector on the interpreted HOF path."""
     v = F.col(vec) if isinstance(vec, str) else vec
     absmax = F.aggregate(
         v,
@@ -53,16 +67,18 @@ def quantize_int8(vec: Column | str) -> Column:
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
     )
     scale = absmax / F.lit(127.0)
-    q = F.transform(
-        v,
-        lambda x: F.when(scale > 0, F.round(x.cast("double") / scale))
-        .otherwise(F.lit(0.0))
-        .cast("tinyint"),
-    )
-    return F.when(
-        v.isNotNull(),
-        F.struct(scale.alias("scale"), q.alias("q")),
-    )
+
+    def build(s):
+        q = F.transform(
+            v,
+            lambda x: F.when(s > 0, F.round(x.cast("double") / s))
+            .otherwise(F.lit(0.0))
+            .cast("tinyint"),
+        )
+        return F.struct(s.alias("scale"), q.alias("q"))
+
+    let_bound = F.transform(F.array(scale), build)[0]
+    return F.when(v.isNotNull(), let_bound)
 
 
 def dequantize_int8(qv: Column | str) -> Column:
@@ -80,7 +96,10 @@ def dequantize_int8(qv: Column | str) -> Column:
 def quantized_cosine(qa: Column | str, qb: Column | str) -> Column:
     """Cosine from the int8 arrays alone — the scales cancel. Integer
     dot/norms accumulate in BIGINT (64*127*127 << 2^63, no overflow
-    for any realistic dim); zero-norm sides yield NULL."""
+    for any realistic dim); zero-norm sides yield NULL (Spark's
+    non-ANSI division returns NULL on a zero divisor, so each norm
+    fold is evaluated exactly once — no guard branch re-evaluating
+    them)."""
     a = (F.col(qa) if isinstance(qa, str) else qa).getField("q")
     b = (F.col(qb) if isinstance(qb, str) else qb).getField("q")
 
@@ -93,9 +112,7 @@ def quantized_cosine(qa: Column | str, qb: Column | str) -> Column:
 
     na = F.sqrt(idot(a, a).cast("double"))
     nb = F.sqrt(idot(b, b).cast("double"))
-    return F.when(
-        (na > 0) & (nb > 0), idot(a, b).cast("double") / (na * nb)
-    )
+    return F.try_divide(idot(a, b).cast("double"), na * nb)
 
 
 def cosine_topk_quantized(

@@ -91,7 +91,13 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """``try_divide``, not ``/``: Spark 4 runs ANSI mode by default, so
+    a zero-norm vector would ABORT the whole query with DIVIDE_BY_ZERO
+    rather than yield NULL/NaN. try_divide returns NULL — exactly what
+    DuckDB's division by zero returns, keeping the oracles aligned if
+    a zero vector ever appears; NULL cosines sort last under desc and
+    fail every threshold."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def np_cosine(round_to: int = 6):
@@ -206,8 +212,11 @@ def cosine_pairs(
             "id_a",
             "id_b",
             F.round(
-                dot_predoubled(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb")),
+                # try_divide: ANSI-safe + DuckDB-parity on zero norms
+                F.try_divide(
+                    dot_predoubled(F.col("__va"), F.col("__vb")),
+                    F.col("__na") * F.col("__nb"),
+                ),
                 round_to,
             ).alias("cos_sim"),
         )
@@ -368,8 +377,11 @@ def cosine_pairs_blocked(
             "id_a",
             "id_b",
             F.round(
-                dot_predoubled(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb")),
+                # try_divide: ANSI-safe + DuckDB-parity on zero norms
+                F.try_divide(
+                    dot_predoubled(F.col("__va"), F.col("__vb")),
+                    F.col("__na") * F.col("__nb"),
+                ),
                 round_to,
             ).alias("cos_sim"),
         )
@@ -561,8 +573,11 @@ def cosine_pairs_lsh(
             "id_a",
             "id_b",
             F.round(
-                dot_predoubled(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb")),
+                # try_divide: ANSI-safe + DuckDB-parity on zero norms
+                F.try_divide(
+                    dot_predoubled(F.col("__va"), F.col("__vb")),
+                    F.col("__na") * F.col("__nb"),
+                ),
                 round_to,
             ).alias("cos_sim"),
         )

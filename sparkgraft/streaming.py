@@ -53,6 +53,7 @@ def stream_table(
     ``max_files_per_trigger=1``) — required to exercise cross-batch
     state (stateful ops, foreachBatch idempotence) rather than a
     degenerate one-batch run."""
+    import hashlib
     import os
     import tempfile
 
@@ -64,18 +65,31 @@ def stream_table(
     src = os.path.join(sf_dir, f"{name}.parquet")
     raw_schema = spark.read.parquet(src).schema
     # the file stream source wants a DIRECTORY; testdata ships single
-    # files — stage a symlink dir (no data copied, testdata untouched)
-    stage = tempfile.mkdtemp(prefix=f"sparkgraft-stream-{name}-")
-    if split_files is not None:
-        spark.read.parquet(src).repartition(split_files).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        # drop non-data files so maxFilesPerTrigger counts real batches
-        for f in os.listdir(stage):
-            if not f.endswith(".parquet"):
-                os.remove(os.path.join(stage, f))
-    else:
-        os.symlink(src, os.path.join(stage, f"{name}.parquet"))
+    # files. Stage dirs are KEYED by (source, split) and reused, not
+    # mkdtemp'd per call: the gate query runs stream_table on every
+    # driver round / oracle check / test session, and a fresh staged
+    # copy of the table per call leaks unboundedly on long-lived hosts.
+    key = hashlib.md5(f"{os.path.abspath(src)}|{split_files}".encode()).hexdigest()[:12]
+    stage = os.path.join(
+        tempfile.gettempdir(), f"sparkgraft-stream-{name}-{key}"
+    )
+    done_marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done_marker):
+        os.makedirs(stage, exist_ok=True)
+        if split_files is not None:
+            spark.read.parquet(src).repartition(split_files).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            # drop non-data files so maxFilesPerTrigger counts real batches
+            for f in os.listdir(stage):
+                if not f.endswith(".parquet"):
+                    os.remove(os.path.join(stage, f))
+        else:
+            link = os.path.join(stage, f"{name}.parquet")
+            if not os.path.exists(link):
+                os.symlink(src, link)
+        with open(done_marker, "w") as fh:
+            fh.write(src)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -249,9 +249,14 @@ def redact_pii(
     """Replace each PII match with ``<KIND>`` (e.g. ``<EMAIL>``) —
     chained ``regexp_replace``, one linear pass per pattern, pure JVM
     codegen. Order matters: SSN/phone run before the bare digit-run
-    card pattern so their hyphenated forms aren't half-eaten."""
+    card pattern so their hyphenated forms aren't half-eaten.
+    ``kinds=None`` means all patterns; an explicit empty collection
+    means redact nothing (dynamic kind lists must not silently widen
+    to everything)."""
     out = _col(text)
-    for kind in kinds or ("email", "ssn", "phone", "ipv4", "card"):
+    if kinds is None:
+        kinds = ("email", "ssn", "phone", "ipv4", "card")
+    for kind in kinds:
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return out
 

@@ -275,3 +275,23 @@ def test_cosine_pairs_lsh_plan_shape(spark, emb):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_zero_norm_vector_never_aborts_or_ranks(spark):
+    """Spark 4 runs ANSI mode: an unguarded norm division ABORTS the
+    query with DIVIDE_BY_ZERO on a zero vector. All cosine tiers must
+    instead yield NULL (DuckDB's division-by-zero result), which sorts
+    last and fails every threshold."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5])],
+        "vec_id int, embedding array<float>",
+    )
+    top = S.cosine_topk(df, df.where("vec_id = 0"), k=3).collect()
+    assert [(r.rank, r.vec_id) for r in top] == [(1, 2), (2, 1)]
+    assert top[-1].cos_sim is None  # zero vector last, NULL score
+    pairs = S.cosine_pairs(df, threshold=0.5).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 2)]
+    lsh = S.cosine_pairs_lsh(
+        df, dim=2, threshold=0.5, num_planes=2, num_tables=2
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in lsh] == [(0, 2)]
