@@ -179,7 +179,11 @@ def embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.size("embedding").cast("bigint").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
+        # try_element_at: ANSI element_at throws on an empty array;
+        # DuckDB's embedding[1] yields NULL — try_ keeps parity
+        F.round(F.try_element_at("embedding", F.lit(1)).cast("double"), 6).alias(
+            "first_elem"
+        ),
         F.round(F.array_max("embedding").cast("double"), 6).alias("max_elem"),
         F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("bigint").alias(
