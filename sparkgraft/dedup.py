@@ -49,6 +49,7 @@ __all__ = [
     "simhash_from_hashes_hof",
     "simhash32",
     "decontaminate",
+    "near_dup_clusters",
 ]
 
 
@@ -570,3 +571,101 @@ def decontaminate(
             F.countDistinct("shingle").alias("n_shared_ngrams"),
         )
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup PAIR graph — the step that
+    turns pairwise similarity into dedup decisions: near-dup relations
+    are not transitive (A~B, B~C does not imply A~C scores above the
+    threshold), yet a dedup pipeline must keep ONE survivor per
+    connected group, so the pair output of jaccard_pairs /
+    minhash_near_dups / cosine_pairs_lsh feeds this to get
+    ``(doc_id, cluster_id)`` with ``cluster_id = min(doc_id)`` over
+    each component (the canonical survivor id).
+
+    Algorithm: min-label propagation to fixpoint — each iteration every
+    node takes the min of its label and its neighbors' labels (one
+    equi-join edges-to-labels + one min-aggregation per iteration,
+    both keyed on node id: linear, skew-free). Converges in
+    graph-DIAMETER iterations; near-dup components are tight cliques
+    (diameter 1-2), so 2-3 iterations in practice — ``max_iter`` is a
+    pathological-chain guard that raises rather than returning a
+    half-merged clustering.
+
+    This is the engine's one deliberately ITERATIVE operator: the
+    convergence check is a driver-side action per iteration (documented
+    exception to the no-driver-actions rule — fixpoint loops need a
+    termination test). Each iteration's labels persist and the
+    previous generation unpersists, so lineage stays shallow and no
+    iteration recomputes the last; for graphs with diameter beyond
+    ~20, insert localCheckpoint every few iterations.
+
+    Singleton documents (no near-dup pair) are not in the graph and so
+    not in the output — callers left-anti join to add them as their own
+    clusters if needed.
+    """
+    from pyspark import StorageLevel
+
+    a, b = F.col(id_a), F.col(id_b)
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        for _ in range(max_iter):
+            # neighbor labels: every node hears the label of each peer
+            msgs = (
+                edges.join(
+                    labels.select(
+                        F.col("node").alias("src"),
+                        F.col("label").alias("__nbr_label"),
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("__nbr_label").alias("__min_nbr"))
+            )
+            new_labels = (
+                labels.join(msgs, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("__min_nbr", F.col("label"))
+                    ).alias("label"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select(
+                    F.col("node").alias("doc_id"),
+                    F.col("label").alias("cluster_id"),
+                )
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iter} iterations "
+            "(graph diameter exceeds the guard) — raise max_iter and add "
+            "localCheckpoint for deep-chain graphs"
+        )
+    finally:
+        edges.unpersist()

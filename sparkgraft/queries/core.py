@@ -199,7 +199,12 @@ def conformance_three_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_per_type",
-    """
+    # retired round 4 (coverage budget): grouped counting (A1/A2) is
+    # active in json_value_stats, json_keys_per_type, every conformance
+    # query, and lineitem_grouping_sets; countDistinct stays active in
+    # user_funnel_set_ops
+    retired=True,
+    oracle="""
     SELECT event_type, count(*) AS n_events,
            count(DISTINCT user_id) AS n_users
     FROM events GROUP BY event_type

@@ -218,3 +218,36 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.decontaminate(
         docs.where(~part), docs.where(part), "text", "doc_id", k=4
     )
+
+
+@register(
+    "near_dup_doc_clusters",
+    f"""
+    WITH RECURSIVE {_SH_CTE},
+    np AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.2),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM np
+        UNION
+        SELECT doc_b, doc_a FROM np
+    ),
+    reach(n, m) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+    )
+    SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY n
+    """,
+)
+def near_dup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution — pairwise similarity is not
+    transitive, so the pair output (3-gram Jaccard >= 0.2 here) runs
+    through connected components (iterative min-label propagation,
+    dedup.near_dup_clusters) to yield one canonical survivor id per
+    component. The oracle computes the identical transitive closure
+    with a recursive CTE, so the driver verifies the engine's ONE
+    iterative operator end-to-end against declarative SQL — the
+    fixpoint loop, not just one round of propagation."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2)
+    return D.near_dup_clusters(pairs.select("doc_a", "doc_b"))

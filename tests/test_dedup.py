@@ -149,3 +149,29 @@ def test_decontaminate_plan_broadcasts_eval(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_near_dup_clusters_components(spark):
+    """Transitive closure over pairs: a 3-chain, a 2-clique, and a
+    4-chain resolve to min-id clusters; singletons are absent."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a bigint, doc_b bigint",
+    )
+    out = {r.doc_id: r.cluster_id for r in D.near_dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_near_dup_clusters_max_iter_guard(spark):
+    """A diameter-4 chain cannot converge in one iteration: the guard
+    must raise, never return a half-merged clustering."""
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a bigint, doc_b bigint"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.near_dup_clusters(pairs, max_iter=1)
+    # and converges given room
+    out = {r.doc_id: r.cluster_id for r in D.near_dup_clusters(pairs, max_iter=10).collect()}
+    assert set(out.values()) == {1}
