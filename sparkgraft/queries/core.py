@@ -76,10 +76,16 @@ FROM spec s LEFT JOIN agg a USING (event_name, prop_name)
 
 @register("conformance_flagship", _CONFORMANCE_ORACLE)
 def conformance_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spec-vs-observed conformance metrics, one lazy plan (flagship)."""
-    catalog = read_table(spark, sf_dir, "events").withColumnRenamed(
-        "event_type", "event_name"
-    )
+    """Spec-vs-observed conformance metrics, one lazy plan (flagship).
+
+    spread + pushdown_fence on the source: the conformance join/filter
+    predicates are JSON-derived, and pushed to the single-file scan
+    they parse JSON on one task (measured 1.2s -> 0.85s at sf0.1)."""
+    from ..relational import pushdown_fence, spread
+
+    catalog = pushdown_fence(
+        spread(read_table(spark, sf_dir, "events"))
+    ).withColumnRenamed("event_type", "event_name")
     return C.verify_events(catalog, _event_spec(spark), payload_cols=["props"])
 
 
@@ -160,7 +166,9 @@ def conformance_three_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     through to properties) or a trace_id, properties is the real props
     column. Spec pairs never observed (trace_id on 4/5 of events) keep
     their zero rows."""
-    ev = read_table(spark, sf_dir, "events")
+    from ..relational import pushdown_fence, spread
+
+    ev = pushdown_fence(spread(read_table(spark, sf_dir, "events")))
     catalog = ev.select(
         F.col("event_type").alias("event_name"),
         F.when(F.col("event_id") % 3 == 0, F.lit('{"app":"x"}'))

@@ -113,7 +113,11 @@ def conformance_pipeline_versioned(spark: SparkSession, sf_dir: str) -> DataFram
     (channel, version) as group columns. One lazy plan; stale-version
     rows (25% of events by construction) are excluded exactly as the
     reference's filter at event_verify.py:43."""
-    ev = read_table(spark, sf_dir, "events")
+    from ..relational import pushdown_fence, spread
+
+    # JSON-derived join keys/filters otherwise push to the single-file
+    # scan and parse on one task (see relational.pushdown_fence)
+    ev = pushdown_fence(spread(read_table(spark, sf_dir, "events")))
     active = F.when(F.col("user_id") % 2 == 0, "2.0").otherwise("5.5")
     stale = F.when(F.col("user_id") % 2 == 0, "1.0").otherwise("5.0")
     catalog = ev.select(

@@ -29,9 +29,9 @@ from sparkgraft import queries as Q
 
 # name -> (max Exchange count, min BroadcastHashJoin count)
 PLAN_PINS: dict[str, tuple[int, int]] = {
-    "conformance_flagship": (3, 2),
-    "conformance_pipeline_versioned": (9, 4),
-    "conformance_three_payload": (3, 2),
+    "conformance_flagship": (4, 2),  # +1: spread before the fence
+    "conformance_pipeline_versioned": (10, 4),  # +1: spread before the fence
+    "conformance_three_payload": (4, 2),  # +1: spread before the fence
     "pricing_summary": (1, 0),
     "revenue_per_segment": (2, 1),
     "orders_per_customer_left": (2, 1),
