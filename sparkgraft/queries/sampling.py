@@ -32,6 +32,10 @@ _BUCKET = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
 
 @register(
     "stratified_sample_docs",
+    # Retired r4 to free a driver slot for semantic_dedup_embeddings:
+    # the sampling component keeps a driver row via doc_train_split;
+    # this query stays locally verified (tests/test_retired_oracles.py,
+    # tools/oracle_check.py --retired).
     f"""
     WITH rates(source, thr) AS (
         VALUES ('src0', '8000'), ('src1', '4000'), ('src2', '2000')
@@ -41,6 +45,7 @@ _BUCKET = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
     FROM documents d LEFT JOIN rates r USING (source)
     WHERE {_BUCKET} < coalesce(r.thr, '{_DEFAULT_THR}')
     """,
+    retired=True,
 )
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified deterministic sample: per-source keep-rates from a

@@ -98,6 +98,24 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("semantic_dedup_embeddings")  # k-means index: rows-only check
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540) over the embedding
+    corpus: spherical-k-means clusters, per-cluster pairwise cosine in
+    one applyInPandas matmul, keep the LEAST-central member of each
+    duplicate group. One row per input vector with its cluster id,
+    centroid cosine, duplicate-group id and keep verdict; downstream
+    filters ``WHERE keep``. The eps=0.4 threshold exercises real
+    duplicate groups on this corpus (cosines max out ~0.51). Rows-only
+    check — the trained quantizer is engine-specific; planted-dup
+    recall, the keep rule, determinism, and the single-shuffle plan
+    shape are asserted in tests/test_semdedup.py."""
+    from ..semdedup import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, dim=64, eps=0.4, n_clusters=16, iters=3)
+
+
 @register("ann_lsh_topk")  # engine-specific bucketing: rows-only check
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via sign-random-projection LSH (6 planes x

@@ -55,6 +55,7 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "knn_cosine_bruteforce": (3, 0),
     "embedding_near_dup_pairs": (9, 4),
     "embedding_near_dup_lsh": (8, 3),
+    "semantic_dedup_embeddings": (1, 0),  # the ONLY shuffle: groupBy cid
     "ann_lsh_topk": (6, 3),
     "ann_ivf_topk": (3, 1),
     "label_centroid_similarity": (3, 1),
