@@ -288,19 +288,25 @@ def tfidf_top_terms(
 
     Scale shape: tokenize once (explode_outer — see _doc_shingles'
     pushdown note in dedup.py), one (doc, term) count aggregation
-    (map-side combinable), per-doc lengths and per-term document
-    frequencies derived FROM that compact count table (no second pass
-    over text), N via a broadcast one-row aggregate (in-plan scalar,
-    A5 discipline — no driver action), one window for top-k. Shuffles
-    are keyed on (doc, term) / doc / term: linear, skew follows term
-    frequency and AQE re-splits hot terms.
+    (map-side combinable), per-term document frequencies derived FROM
+    that compact count table (no second pass over text) and partially
+    combined BEFORE their term-keyed shuffle — the shuffle moves
+    per-partition (term, count) rows, strictly less than any
+    window-over-term would — then broadcast back; per-doc lengths as a
+    whole-partition sum window RIDING the rank window's doc_id exchange
+    (same partition key, one shuffle serves both) instead of a separate
+    aggregate + join; N via a broadcast one-row aggregate (in-plan
+    scalar, A5 discipline — no driver action). Total: three linear
+    shuffles (fan-out, (doc, term) count, doc_id window) plus the tiny
+    combined dfreq exchange; term-frequency skew lands only in the
+    pre-combined dfreq aggregation, never in a window.
 
     ``persist_intermediates`` caches the compact (doc, term, count)
-    table: it feeds THREE consumers (scored rows, per-doc lengths,
-    per-term docfreqs); uncached each branch re-runs tokenize +
-    explode + count over the corpus. Same discipline and memory note
-    as jaccard_pairs — disable if the distinct (doc, term) table
-    exceeds cluster memory+disk cache.
+    table: it feeds TWO consumers (the scored rows and the per-term
+    docfreqs); uncached, each branch re-runs tokenize + explode +
+    count over the corpus. Same discipline and memory note as
+    jaccard_pairs — disable if the distinct (doc, term) table exceeds
+    cluster memory+disk cache.
 
     Returns ``(doc_id, rank, term, tfidf)``.
     """
@@ -319,13 +325,15 @@ def tfidf_top_terms(
         from pyspark import StorageLevel
 
         tc = tc.persist(StorageLevel.MEMORY_AND_DISK)
-    doc_len = tc.groupBy("doc_id").agg(F.sum("__tf_raw").alias("__doc_len"))
     dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = df.select(F.count(F.lit(1)).alias("__n_docs"))
+    wd = Window.partitionBy("doc_id")
     scored = (
-        tc.join(doc_len, "doc_id")
-        .join(dfreq, "term")
+        # dfreq's broadcast is left to AQE: tiny vocabularies broadcast,
+        # a 100 TB open vocabulary falls back to sort-merge + skew split
+        tc.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
+        .withColumn("__doc_len", F.sum("__tf_raw").over(wd))
         .select(
             "doc_id",
             "term",

@@ -46,7 +46,7 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "doc_quality_metrics": (1, 0),
     "doc_lang_id": (1, 0),
     "corpus_curation_pipeline": (2, 0),
-    "tfidf_top_terms": (13, 2),
+    "tfidf_top_terms": (9, 1),  # doc_len rides the rank window's exchange
     "dedup_exact_keep_first": (1, 0),
     "decontaminate_docs": (5, 1),
     "ngram_jaccard_near_dups": (8, 3),
