@@ -67,6 +67,7 @@ PROBES = [
     "knn_cosine_bruteforce",
     "embedding_near_dup_pairs",
     "embedding_near_dup_lsh",
+    "semantic_dedup_embeddings",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "label_centroid_similarity",
