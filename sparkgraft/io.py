@@ -174,3 +174,60 @@ def write_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Single-file CSV sink for small final results (reference S7,
     event_verify.py:230-231). Only safe when the result fits one task."""
     df.coalesce(1).write.mode(mode).option("header", True).csv(path)
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: tuple[str, ...]
+) -> None:
+    """Idempotent partition-level overwrite — the backfill/late-data
+    primitive a daily 100 TB pipeline runs: recompute one day (or any
+    subset of partitions) and replace ONLY the partitions present in
+    ``df``, leaving every other partition of the table untouched. Plain
+    ``mode("overwrite")`` would truncate the whole table root; STATIC
+    partitionOverwriteMode would too. Re-running the same compute is a
+    no-op state-wise (same partitions, same content) — exactly the
+    retry/replay semantics an orchestrator needs.
+
+    The mode is set on the WRITER (per-write option), not the session,
+    so concurrent writers with different semantics don't race on a
+    session conf.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    src_root: str,
+    dest_root: str,
+    partition_by: tuple[str, ...],
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Small-file compaction: rewrite a partitioned table so each
+    partition holds few, large files instead of the thousands of
+    small ones that incremental appends accumulate (every downstream
+    scan pays per-file open/footer costs; at 100 TB small files are
+    routinely the dominant scan overhead).
+
+    One shuffle keyed on the partition columns co-locates each
+    partition's rows into one task (AQE's optimizeSkewsInRebalance
+    re-splits partitions too big for one task), and
+    ``maxRecordsPerFile`` caps file size on the way out.
+
+    Writes to ``dest_root`` — never in place: a failed in-place
+    compaction loses data, so production compaction always writes new
+    files and atomically swaps the table pointer (or directory) after
+    validation. The caller owns the swap.
+    """
+    df = spark.read.parquet(src_root)
+    (
+        df.repartition(*[F.col(c) for c in partition_by])
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(dest_root)
+    )

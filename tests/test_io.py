@@ -114,3 +114,61 @@ def test_register_views_sql_surface(spark, sf_dir):
     IO.register_views(spark, sf_dir, "events", "orders")
     n = spark.sql("SELECT count(*) AS n FROM events").collect()[0].n
     assert n > 0
+
+
+def test_overwrite_partitions_replaces_only_present(spark, tmp_path):
+    """Dynamic partition overwrite: recomputing day 2 must leave days
+    1 and 3 byte-identical, replace day 2, and be idempotent on
+    re-run (the backfill/replay contract)."""
+    root = str(tmp_path / "daily")
+    full = spark.createDataFrame(
+        [(1, "d1", 10), (2, "d2", 20), (3, "d3", 30)],
+        "id int, day string, v int",
+    )
+    IO.overwrite_partitions(full, root, ("day",))
+
+    day2_fixed = spark.createDataFrame(
+        [(2, "d2", 99)], "id int, day string, v int"
+    )
+    IO.overwrite_partitions(day2_fixed, root, ("day",))
+    got = {
+        (r.id, r.day, r.v) for r in spark.read.parquet(root).collect()
+    }
+    assert got == {(1, "d1", 10), (2, "d2", 99), (3, "d3", 30)}
+
+    # replay: same write again -> same state
+    IO.overwrite_partitions(day2_fixed, root, ("day",))
+    got2 = {
+        (r.id, r.day, r.v) for r in spark.read.parquet(root).collect()
+    }
+    assert got2 == got
+
+
+def test_compact_partitions_collapses_small_files(spark, tmp_path):
+    """Compaction: a partition fragmented across many small files is
+    rewritten as few files with identical content, in a NEW root."""
+    import glob
+
+    src = str(tmp_path / "frag")
+    dest = str(tmp_path / "compact")
+    df = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("day"),
+    )
+    # fragment: 16 shuffle partitions -> ~16 files per day directory
+    df.repartition(16).write.partitionBy("day").parquet(src)
+    frag_files = glob.glob(f"{src}/day=*/*.parquet")
+    assert len(frag_files) > 8, "fixture failed to fragment"
+
+    IO.compact_partitions(spark, src, dest, ("day",))
+    compact_files = glob.glob(f"{dest}/day=*/*.parquet")
+    per_day: dict[str, int] = {}
+    for f in compact_files:
+        day = f.split("day=")[1].split("/")[0]
+        per_day[day] = per_day.get(day, 0) + 1
+    assert set(per_day) == {"0", "1"}
+    assert all(n <= 2 for n in per_day.values()), per_day
+
+    a = {(r.id, r.day) for r in spark.read.parquet(src).collect()}
+    b = {(r.id, r.day) for r in spark.read.parquet(dest).collect()}
+    assert a == b and len(a) == 2000
