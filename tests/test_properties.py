@@ -139,3 +139,86 @@ def test_redact_pii_idempotent_and_clean(spark, texts):
         assert r.once == r.twice
         for kind in T.PII_PATTERNS:
             assert getattr(r, f"n_{kind}") in (0, None), (kind, r.once)
+
+
+# ---- semantic-dedup invariants (semdedup.py) ------------------------------
+
+_sd_vec = st.lists(
+    st.floats(
+        min_value=-10.0,
+        max_value=10.0,
+        allow_nan=False,
+        allow_infinity=False,
+        width=32,
+    ),
+    min_size=4,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=st.lists(_sd_vec, min_size=1, max_size=16))
+def test_semdedup_matches_numpy_oracle(spark, vecs):
+    """For arbitrary small corpora, single-cluster semantic_dedup must
+    match a from-scratch numpy reimplementation of the algorithm
+    (same float32 ingest, float64 math, rounding and tie rules) on
+    every output column."""
+    import numpy as np
+
+    from sparkgraft.semdedup import semantic_dedup
+
+    eps, round_to = 0.9, 6
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = (
+        semantic_dedup(
+            df, dim=4, eps=eps, n_clusters=1, sample_size=64, round_to=round_to
+        )
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    # oracle: identical operation sequence, independent code
+    x = np.asarray(vecs, dtype=np.float32).astype(np.float64)
+    cent = x.copy()[:1]
+    for _ in range(3):  # K=1 Lloyd: centroid converges to the mean
+        cent[0] = x.mean(axis=0)
+    cnorm = np.linalg.norm(cent, axis=1)
+    cn = (cent / np.where(cnorm == 0.0, 1.0, cnorm)[:, None]).T
+    xnorm = np.linalg.norm(x, axis=1, keepdims=True)
+    xn = x / np.where(xnorm == 0.0, 1.0, xnorm)
+    centroid_sim = np.round(xn @ cn, round_to)[:, 0]
+    s = np.round(xn @ xn.T, round_to)
+    n = len(x)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if s[i, j] >= eps:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    roots = [find(i) for i in range(n)]
+    exp_group = [min(j for j in range(n) if roots[j] == roots[i]) for i in range(n)]
+    exp_keep = [False] * n
+    for r in set(roots):
+        members = [i for i in range(n) if roots[i] == r]
+        members.sort(key=lambda i: (centroid_sim[i], i))
+        exp_keep[members[0]] = True
+
+    assert out["group_id"].tolist() == exp_group
+    assert out["keep"].tolist() == exp_keep
+    assert out["centroid_sim"].tolist() == centroid_sim.tolist()
