@@ -31,6 +31,7 @@ HEADLINE = [
     "rank_family",
     "user_sessions",
     "last_order_asof_event",
+    "open_lineitems_per_day",
     # JSON introspection
     "json_extract_events",
     "json_value_stats",

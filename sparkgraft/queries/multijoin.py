@@ -223,3 +223,66 @@ def returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "open_lineitems_per_day",
+    """
+    WITH days AS (
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o_orderdate < TIMESTAMP '1998-02-01'
+    ),
+    iv AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS s, CAST(l.l_shipdate AS DATE) AS e
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, count(*) AS n_open
+    FROM days d JOIN iv ON d.day >= iv.s AND d.day < iv.e
+    GROUP BY 1
+    """,
+)
+def open_lineitems_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via ``relational.range_join``: for every distinct
+    order date, how many lineitems were OPEN (ordered, not yet
+    shipped) — points = the distinct order days of one reporting
+    month (the dashboard shape: a bounded point set against the full
+    interval table), intervals = each lineitem's [order day, ship day).
+    This corpus's synthetic ship dates are uniform over the whole date
+    range (~850-day average span, not TPC-H lead times), so an
+    all-days variant is inherently ~|days| x ~10k open rows of output;
+    the month restriction bounds output while every interval still
+    flows through the bucket join. The oracle states the naive
+    non-equi join, which Spark would plan as a nested loop; the
+    executed plan is range_join's bucket decomposition — an equi-join
+    on 64-day time buckets (~1-3 replicas per interval at TPC-H lead
+    times) plus the exact predicate, nothing quadratic (asserted in
+    tests/test_plan_shape.py)."""
+    from ..relational import range_join
+
+    epoch = "1970-01-01"
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    points = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-02-01").cast("timestamp_ntz"))
+        )
+        .select(F.to_date("o_orderdate").alias("day"))
+        .distinct()
+        .withColumn("__t", F.datediff(F.col("day"), F.lit(epoch)))
+    )
+    iv = (
+        lineitem.select("l_orderkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.datediff(F.to_date("o_orderdate"), F.lit(epoch)).alias("__s"),
+            F.datediff(F.to_date("l_shipdate"), F.lit(epoch)).alias("__e"),
+        )
+    )
+    return (
+        range_join(points, iv, "__t", "__s", "__e", bucket_width=64)
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_open"))
+    )

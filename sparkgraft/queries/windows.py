@@ -131,11 +131,16 @@ def order_gaps_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "counts_with_global_total",
+    # Retired r4 to free a driver slot for open_lineitems_per_day: the
+    # A5 in-plan-denominator discipline keeps active driver evidence
+    # via conformance_flagship's join fan-out denominators; this query
+    # stays locally verified (tests/test_retired_oracles.py).
     """
     SELECT event_type, n_events,
            CAST(SUM(n_events) OVER () AS BIGINT) AS total_records
     FROM (SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type)
     """,
+    retired=True,
 )
 def counts_with_global_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-plan denominator (SURVEY §4.2.2): the reference recomputes

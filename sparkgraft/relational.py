@@ -38,6 +38,7 @@ __all__ = [
     "missing_in",
     "present_in",
     "as_of_join",
+    "range_join",
     "sessionize",
     "pushdown_fence",
 ]
@@ -309,6 +310,69 @@ def as_of_join(
         F.col("__side") == 1
     )
     return out.drop("__side")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int | float,
+    on: Sequence[str] = (),
+) -> DataFrame:
+    """Interval join: pair each point row with every interval row (of
+    the same ``on`` keys, if given) where ``start <= t < end`` —
+    half-open, the convention that makes adjacent intervals partition
+    time with no double-count.
+
+    Spark plans the naive non-equi formulation as a nested-loop join —
+    O(|points| x |intervals|) per key, unusable at scale. The scale
+    shape here is bucket decomposition: every interval EXPLODES into
+    the coarse time buckets it overlaps, each point lands in exactly
+    one bucket, and the pairing becomes an equi-join on
+    ``(on..., bucket)`` followed by the exact predicate. A (point,
+    interval) pair can only meet in the point's own bucket, so no
+    dedup is needed. Cost: one hash join keyed on time buckets
+    (uniformly distributed — no skew key) plus ~(interval_length /
+    bucket_width + 2) replica rows per interval; pick ``bucket_width``
+    near the TYPICAL interval length so most intervals replicate into
+    1-2 buckets while each bucket stays selective.
+
+    Columns are numeric (epoch days / seconds / micros — keep values
+    under 2^53 so the bucket division is exact in double). Rows with
+    NULL point/bounds and degenerate intervals (``end <= start``)
+    drop, matching the inner-join predicate semantics. Point and
+    interval column names must not collide (beyond ``on``): the join
+    returns both sides' columns.
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    overlap = (set(points.columns) & set(intervals.columns)) - set(on)
+    if overlap:
+        raise ValueError(
+            f"point/interval column names collide: {sorted(overlap)}"
+        )
+    t, s, e = F.col(point_col), F.col(start_col), F.col(end_col)
+    w = F.lit(bucket_width)
+    pb = points.withColumn(
+        "__rj_bucket", F.floor(t / w).cast("bigint")
+    )
+    # the e > s guard also keeps F.sequence ascending (a descending
+    # stop would otherwise generate a NEGATIVE-step bucket sequence)
+    ib = intervals.where(s.isNotNull() & e.isNotNull() & (e > s)).withColumn(
+        "__rj_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(s / w).cast("bigint"), F.floor(e / w).cast("bigint")
+            )
+        ),
+    )
+    return (
+        pb.join(ib, [*on, "__rj_bucket"])
+        .where((t >= s) & (t < e))
+        .drop("__rj_bucket")
+    )
 
 
 def sessionize(

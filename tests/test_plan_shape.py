@@ -40,6 +40,7 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "rank_family": (1, 0),
     "user_sessions": (1, 0),
     "last_order_asof_event": (1, 0),
+    "open_lineitems_per_day": (4, 2),  # bucket equi-join, no nested loop
     "json_extract_events": (0, 0),
     "json_value_stats": (1, 0),
     "melt_lineitem_measures": (0, 0),

@@ -81,3 +81,102 @@ def test_union_all_by_name(spark):
     b = spark.createDataFrame([("y", 2)], "v string, id int")
     out = R.union_all([a, b]).orderBy("id").collect()
     assert [(r.id, r.v) for r in out] == [(1, "x"), (2, "y")]
+
+
+# ---- range_join (bucket-decomposed interval join) -------------------------
+
+
+def _naive_range_join(spark, points, intervals, on=()):
+    from pyspark.sql import functions as F
+
+    cond = (F.col("t") >= F.col("s")) & (F.col("t") < F.col("e"))
+    for k in on:
+        cond = cond & (points[k] == intervals[k])
+    joined = points.alias("p").join(
+        intervals.alias("i"), cond, "inner"
+    )
+    cols = ["p.pid", "i.iid"]
+    return {tuple(r) for r in joined.select(*cols).collect()}
+
+
+def test_range_join_matches_naive_at_any_bucket_width(spark):
+    """The bucket decomposition is an implementation detail: for every
+    bucket width the result set must equal the naive non-equi join."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparkgraft.relational import range_join
+
+    rng = random.Random(11)
+    points = spark.createDataFrame(
+        [(i, rng.randint(0, 200), rng.choice("ab")) for i in range(60)],
+        "pid int, t int, k string",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (j, rng.randint(0, 200), rng.randint(0, 60), rng.choice("ab"))
+            for j in range(40)
+        ],
+        "iid int, s int, dur int, k string",
+    ).select("iid", "s", (F.col("s") + F.col("dur")).alias("e"), "k")
+
+    expect = _naive_range_join(
+        spark,
+        points.select("pid", "t", "k"),
+        intervals.select("iid", "s", "e", "k"),
+        on=("k",),
+    )
+    for width in (1, 7, 64, 1000):
+        got = {
+            tuple(r)
+            for r in range_join(
+                points, intervals, "t", "s", "e", width, on=("k",)
+            )
+            .select("pid", "iid")
+            .collect()
+        }
+        assert got == expect, f"width={width}"
+
+
+def test_range_join_half_open_boundaries(spark):
+    from sparkgraft.relational import range_join
+
+    points = spark.createDataFrame(
+        [(0, 10), (1, 19), (2, 20), (3, 9)], "pid int, t int"
+    )
+    intervals = spark.createDataFrame([(0, 10, 20)], "iid int, s int, e int")
+    got = sorted(
+        r.pid
+        for r in range_join(points, intervals, "t", "s", "e", 8).collect()
+    )
+    assert got == [0, 1]  # t == start matches, t == end does not
+
+
+def test_range_join_drops_null_and_degenerate(spark):
+    from sparkgraft.relational import range_join
+
+    points = spark.createDataFrame([(0, 5), (1, None)], "pid int, t int")
+    intervals = spark.createDataFrame(
+        [(0, 0, 10), (1, None, 10), (2, 0, None), (3, 7, 7), (4, 9, 2)],
+        "iid int, s int, e int",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(points, intervals, "t", "s", "e", 4).collect()
+    }
+    assert got == {(0, 0)}
+
+
+def test_range_join_validates_inputs(spark):
+    import pytest as _pytest
+
+    from sparkgraft.relational import range_join
+
+    points = spark.createDataFrame([(0, 5)], "pid int, t int")
+    intervals = spark.createDataFrame([(0, 0, 10)], "iid int, s int, e int")
+    with _pytest.raises(ValueError, match="bucket_width"):
+        range_join(points, intervals, "t", "s", "e", 0)
+    clash = intervals.withColumnRenamed("iid", "pid")
+    with _pytest.raises(ValueError, match="collide"):
+        range_join(points, clash, "t", "s", "e", 4)
