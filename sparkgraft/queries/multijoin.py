@@ -286,3 +286,123 @@ def open_lineitems_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(F.count(F.lit(1)).alias("n_open"))
     )
+
+
+# --- Retired-tier breadth: more TPC-H join/agg shapes. These never
+# consume driver slots; tests/test_retired_oracles.py verifies each
+# against its DuckDB oracle on every pytest run.
+
+
+@register(
+    "large_order_customers",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2, 3, 4
+    HAVING sum(CAST(l.l_quantity AS DECIMAL(18,2))) > 140
+    """,
+    retired=True,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-HAVING over a 3-table chain — which
+    customers placed orders totaling > 140 units. The quantity sum runs
+    in exact decimal (order-independent), and the HAVING filter sits on
+    the aggregate so AQE sees the real post-agg cardinality."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(F.sum(dec("l_quantity")).alias("__qty"))
+        .where(F.col("__qty") > 140)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "orderdate",
+            F.col("__qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "orders_shipped_before_ordered",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate < o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+    retired=True,
+)
+def orders_shipped_before_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape, repurposed as a data-quality probe: orders with
+    at least one lineitem shipped BEFORE the order date (a timeline
+    anomaly this synthetic corpus actually contains), counted per
+    priority. EXISTS compiles to a LEFT SEMI join with a compound
+    condition — the probe side never duplicates order rows however
+    many lineitems match."""
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            lineitem,
+            (orders.o_orderkey == lineitem.l_orderkey)
+            & (lineitem.l_shipdate < orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "discount_revenue_band",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue_delta,
+           count(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_quantity < 24
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+    retired=True,
+)
+def discount_revenue_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: a single-row scalar aggregate behind selective
+    range predicates — the pure scan-efficiency query (every predicate
+    pushes to the parquet scan; at scale this is a row-group pruning
+    exercise, no shuffle beyond the final 1-row combine)."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(
+            (F.col("l_quantity") < 24)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
