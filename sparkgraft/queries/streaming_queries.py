@@ -67,12 +67,15 @@ def stream_windowed_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship conformance metrics AS A STREAM (12-hour tumbling
     windows, broadcast spec join inside the microbatch engine) — the
     reference's daily batch job recast as a continuous query whose
-    output the oracle verifies against batch SQL."""
+    output the oracle verifies against batch SQL. ``split_files=4``
+    drives >= 4 micro-batches so the verified state is genuinely
+    merged across triggers (same discipline as
+    ``stream_windowed_counts``)."""
     from .core import _event_spec
 
-    stream = ST.stream_table(spark, sf_dir, "events").withColumnRenamed(
-        "event_type", "event_name"
-    )
+    stream = ST.stream_table(
+        spark, sf_dir, "events", split_files=4
+    ).withColumnRenamed("event_type", "event_name")
     return ST.run_stream_to_memory(
         ST.windowed_conformance(stream, _event_spec(spark), window="12 hours"),
         "q_stream_windowed_conformance",
