@@ -28,6 +28,8 @@ __all__ = [
     "attach_media_metadata",
     "fake_decode_stats",
     "extract_features",
+    "fake_resize",
+    "resize_media",
     "sample_frames",
 ]
 
@@ -109,6 +111,66 @@ def extract_features(
             )
 
     return media.select("media_id", "payload").mapInPandas(featurize, out_schema)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real image resize: stride-sample the
+    byte stream down to exactly ``width * height`` bytes (repeating the
+    source cyclically if it is shorter). A real deployment swaps in
+    PIL/cv2 ``decode -> resize -> re-encode``; like ``fake_decode_stats``
+    it must stay a pure bytes -> bytes function so the mapInPandas
+    stage is untouched. Raises on None like a real codec would."""
+    if payload is None:
+        raise NotImplementedError("no payload: real resize would fail here")
+    n_out = width * height
+    if len(payload) == 0:
+        return b"\x00" * n_out
+    step = max(len(payload) // n_out, 1)
+    sampled = payload[::step]
+    reps = -(-n_out // len(sampled))  # ceil
+    return (sampled * reps)[:n_out]
+
+
+def resize_media(
+    media: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    resize_fn: Callable[[bytes, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """Resize via Arrow-batched ``mapInPandas`` — the normalization
+    stage of an image pipeline (every payload to a fixed target
+    resolution before featurization/training).
+
+    Contract: (media_id, payload) in; ``media_id, width, height,
+    payload`` out — the payload REPLACED by its resized form, exactly
+    ``width * height`` bytes under the fake codec, with decode errors
+    dead-lettered as NULL payloads rather than failing the job. Same
+    batch-shape economics as ``extract_features``: Python cost is
+    per-batch, partitioning carries through, and the stage composes
+    with any downstream plan (e.g. ``extract_features`` over the
+    resized output)."""
+    import pandas as pd
+
+    out_schema = "media_id long, width int, height int, payload binary"
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    out = resize_fn(
+                        bytes(payload) if payload is not None else None,
+                        width,
+                        height,
+                    )
+                    rows.append((media_id, width, height, out))
+                except (NotImplementedError, ValueError):
+                    rows.append((media_id, width, height, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "payload"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(do_resize, out_schema)
 
 
 def sample_frames(

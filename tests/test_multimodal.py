@@ -38,3 +38,30 @@ def test_sample_frames_declarative(media):
     assert len(rows) == 4
     assert all(len(f) == 8 for _, f in rows)
     assert rows[0][1] == b"\x00\x01\x02\x03\x00\x01\x02\x03"
+
+
+def test_resize_media_fixed_output_size(media):
+    out = {r.media_id: r for r in M.resize_media(media, 4, 4).collect()}
+    # every decodable payload lands at exactly width*height bytes
+    assert len(bytes(out[1].payload)) == 16
+    assert len(bytes(out[2].payload)) == 16
+    assert (out[1].width, out[1].height) == (4, 4)
+    # NULL payload dead-letters to NULL, row survives
+    assert out[3].payload is None
+    # deterministic: same input -> same resized bytes
+    again = {r.media_id: r for r in M.resize_media(media, 4, 4).collect()}
+    assert bytes(again[1].payload) == bytes(out[1].payload)
+
+
+def test_resize_then_extract_composes(media):
+    resized = M.resize_media(media, 4, 2)
+    out = {r.media_id: r for r in M.extract_features(resized).collect()}
+    assert out[1].feat_n_bytes == 8  # features of the RESIZED payload
+    assert out[3].feat_n_bytes is None
+
+
+def test_resize_media_shorter_payload_cycles(spark):
+    df = spark.createDataFrame([(1, bytearray(b"\xab"))], "id int, raw binary")
+    m = M.attach_media_metadata(df, "raw", "image", "fake", "id")
+    (row,) = M.resize_media(m, 3, 3).collect()
+    assert bytes(row.payload) == b"\xab" * 9
