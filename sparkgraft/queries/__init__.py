@@ -44,10 +44,10 @@ from . import similarity  # noqa: E402,F401  (rewritten r2+r3: near-dup, ANN)
 from . import multimodal_queries  # noqa: E402,F401  (binary payload extension)
 from . import streaming_queries  # noqa: E402,F401  (streaming engine w/ batch oracle)
 from . import dedup  # noqa: E402,F401  (dedup extension; simhash rewritten r2)
+from . import multijoin  # noqa: E402,F401  (TPC-H chains + NEW r4 range-join query)
 from . import core  # noqa: E402,F401  (flagship + NEW three-payload conformance)
 from . import pipeline  # noqa: E402,F401  (full versioned-conformance pipeline)
 from . import relational  # noqa: E402,F401  (filters, joins, set ops, sorts)
-from . import multijoin  # noqa: E402,F401  (TPC-H Q3/Q5/Q10 multi-table chains)
 from . import windows  # noqa: E402,F401  (window functions, sessionization)
 from . import json_queries  # noqa: E402,F401  (JSON introspection)
 from . import functions  # noqa: E402,F401  (string/date/array/higher-order)
