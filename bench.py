@@ -35,8 +35,10 @@ HEADLINE = [
     # JSON introspection
     "json_extract_events",
     "json_value_stats",
-    "melt_lineitem_measures",
     # LLM-pipeline extensions
+    "pack_training_sequences",
+    "domain_mixture_epochs",
+    "quality_percentile_filter",
     "doc_quality_metrics",
     "doc_lang_id",
     "tfidf_top_terms",

@@ -1,0 +1,158 @@
+"""Training-batch assembly operators for LLM data pipelines.
+
+The stage between "clean corpus" and "training job" needs three
+operators that are easy to get wrong at 100 TB:
+
+- :func:`pack_contiguous` — assign documents to fixed token-budget
+  training sequences (GPT-style concat-then-chunk packing). A naive
+  global cumulative sum is a single-partition window (one task sees the
+  whole corpus); the scale-correct form shards the corpus into
+  deterministic hash buckets and packs each bucket independently —
+  embarrassingly parallel, and the assignment is a pure function of
+  (doc_id, token counts), independent of cluster size.
+- :func:`epoch_replicate` — materialize a domain-mixture plan: each
+  source is repeated ``full_epochs`` times, plus one extra epoch for a
+  deterministic hash-drawn fraction of its documents (how fractional
+  mixture weights like 2.5x are realized without ``rand()``).
+- :func:`percentile_keep` — per-group adaptive quality threshold (keep
+  the top fraction of each group by score). A ``percent_rank`` window
+  would sort entire groups — with a handful of sources that is a few
+  corpus-sized sort partitions. Instead: histogram the scores per group
+  (map-side combinable aggregate), rank the TINY histogram with a
+  window, broadcast the surviving scores back, filter row-locally.
+
+Everything is a pure DataFrame expression; determinism comes from md5
+hex buckets (engine-identical hex, the repo-wide convention), so a
+DuckDB oracle can recompute every assignment value-by-value.
+
+Reference scope: the reference script has no batching surface
+(event_verify.py ends at an aggregated CSV sink); these are extension
+operators per the build brief's training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["hex_bucket", "pack_contiguous", "epoch_replicate", "percentile_keep"]
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def hex_bucket(key: Column | str, width: int) -> Column:
+    """Deterministic shard id: first ``width`` hex chars of md5(key) —
+    16**width uniform buckets, identical on every engine, stable under
+    repartitioning and task retries (unlike ``rand()`` / zipWithIndex)."""
+    return F.substring(F.md5(_col(key).cast("string")), 1, width)
+
+
+def pack_contiguous(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing within each bucket.
+
+    Documents are laid end-to-end in ``order_col`` order inside their
+    bucket; the token stream is carved into ``budget``-sized sequences.
+    A document starts at global token offset ``cumsum - n_tokens`` and
+    may span a sequence boundary (standard GPT-style packing — the
+    trainer masks across the seam or accepts the split).
+
+    Adds ``seq_id`` (which sequence the document STARTS in, per bucket)
+    and ``seq_offset`` (token offset within that sequence). One shuffle
+    on the uniform hash bucket; each bucket packs independently, so the
+    plan is a sort within ~16**width bounded partitions, never a global
+    sort. The assignment depends only on (bucket, order, token counts)
+    — re-running on a different cluster yields byte-identical packing.
+    """
+    tok = _col(token_col)
+    w = (
+        Window.partitionBy(bucket_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(tok).over(w) - tok).cast("bigint")
+    return df.withColumns(
+        {
+            "seq_id": F.floor(start / F.lit(float(budget))).cast("bigint"),
+            "seq_offset": (start % F.lit(budget)).cast("bigint"),
+        }
+    )
+
+
+def epoch_replicate(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    plan: DataFrame,
+    default_full: int = 1,
+    default_extra_thr: str = "0000",
+) -> DataFrame:
+    """Realize a domain-mixture plan by replicating rows per source.
+
+    ``plan`` is a tiny config frame ``(source, full_epochs int,
+    extra_thr string)``: every row of that source appears
+    ``full_epochs`` times, plus once more iff its 4-hex md5 bucket is
+    below ``extra_thr`` (so ``extra_thr='8000'`` realizes a +0.5-epoch
+    fractional weight on a deterministic half of the documents, the
+    no-``rand()`` way to hit a 2.5x mixture multiplier).
+
+    Plan is broadcast; the replication is a row-local
+    ``explode(sequence(...))`` — no shuffle at any scale, output size
+    is exactly the mixture-weighted corpus.
+    """
+    bucket = hex_bucket(key_col, 4)
+    n = (
+        F.coalesce(F.col("full_epochs"), F.lit(default_full))
+        + F.when(bucket < F.coalesce(F.col("extra_thr"), F.lit(default_extra_thr)), 1)
+        .otherwise(0)
+    ).cast("bigint")
+    return (
+        df.join(F.broadcast(plan), source_col, "left")
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1).cast("bigint"), n)))
+        .drop("full_epochs", "extra_thr")
+    )
+
+
+def percentile_keep(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    min_frac_below: float,
+    frac_col: str = "pct_below",
+) -> DataFrame:
+    """Keep rows whose score sits in the top of their group: a row
+    survives iff the fraction of its group scoring STRICTLY below it is
+    ``>= min_frac_below`` (0.7 keeps ~the top 30%, tie-inclusive).
+
+    Scale shape — the reason this is not a ``percent_rank`` window:
+    partitioning a window by a low-cardinality group puts entire groups
+    through single sort tasks. Here the full-size data is only touched
+    by (1) a ``groupBy(group, score).count()`` — map-side combinable,
+    output is |distinct scores| rows — and (3) a broadcast-join +
+    row-local filter. The actual ranking (2) is a window over the tiny
+    histogram. NULL scores must be coalesced by the caller (a NULL
+    group key in an equi-join would silently drop rows).
+    """
+    hist = df.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    cum = (
+        Window.partitionBy(group_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    whole = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    frac = (F.sum("__cnt").over(cum) - F.col("__cnt")) / F.sum("__cnt").over(whole)
+    kept = (
+        hist.select(group_col, score_col, F.round(frac, 6).alias(frac_col))
+        .where(F.col(frac_col) >= min_frac_below)
+    )
+    return df.join(F.broadcast(kept), [group_col, score_col])

@@ -60,6 +60,9 @@ def conformance_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "price_percentiles_by_status",
+    # Retired r4 (two-round-stable) to free a driver slot for the new
+    # packing surface. Still locally verified (test_retired_oracles,
+    # oracle_check --retired).
     """
     SELECT o_orderstatus,
            count(*) AS n_orders,
@@ -68,6 +71,7 @@ def conformance_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(o_totalprice, 0.99), 4) AS p99
     FROM orders GROUP BY o_orderstatus
     """,
+    retired=True,
 )
 def price_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT percentiles (linear interpolation — same definition as SQL

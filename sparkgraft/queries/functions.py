@@ -116,6 +116,9 @@ def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "melt_lineitem_measures",
+    # Retired r4 (two-round-stable) to free a driver slot for the new
+    # packing surface; the F14 melt op stays locally verified
+    # (test_retired_oracles, oracle_check --retired).
     """
     SELECT l_orderkey, l_linenumber, prop_name, value FROM (
         SELECT l_orderkey, l_linenumber, 'l_quantity' AS prop_name,
@@ -131,6 +134,7 @@ def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR) FROM lineitem
     )
     """,
+    retired=True,
 )
 def melt_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native unpivot (reference F14: driver-built ``stack(...)`` string,

@@ -18,10 +18,15 @@ from .registry import register
 
 @register(
     "json_keys_per_type",
+    # Retired r4 (two-round-stable) to free a driver slot for the new
+    # packing surface; JSON introspection keeps driver rows via
+    # json_extract_events / json_value_stats. Still locally verified by
+    # tests/test_retired_oracles.py and tools/oracle_check.py --retired.
     """
     SELECT DISTINCT event_type, unnest(json_keys(props)) AS key
     FROM events
     """,
+    retired=True,
 )
 def json_keys_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct observed top-level keys per event type — the reference's

@@ -1,0 +1,168 @@
+"""Training-batch assembly queries (NEW in round 4 — register first
+per the coverage policy until they earn green driver rows).
+
+Three operators between "clean corpus" and "training job": token-budget
+sequence packing, domain-mixture epoch replication, and per-source
+adaptive quality thresholds. Library logic in sparkgraft/packing.py;
+here each is bound to the ``documents`` table with a DuckDB oracle that
+recomputes every assignment (md5 hex buckets are engine-identical).
+
+The reference script has no batching surface (event_verify.py ends at
+an aggregated sink); these are extension operators per the brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import packing as P
+from .. import text as T
+from ..io import read_table
+from ..relational import spread
+from .duckfrag import TOK as _TOK
+from .registry import register
+
+# Sequence token budget: small enough that sf0.01 exercises many
+# boundary crossings, shaped like a real 2k/4k/8k context budget.
+_BUDGET = 2048
+
+# Domain-mixture plan: src1 at 2.5 epochs (2 full + hash-half extra),
+# src2 at 1.25, src0 pinned to exactly 1, all other sources default 1.
+# Thresholds are 4-hex md5 bucket upper bounds (out of 0x10000).
+_MIX_PLAN = [("src0", 1, "0000"), ("src1", 2, "8000"), ("src2", 1, "4000")]
+
+
+@register(
+    "pack_training_sequences",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+               len({_TOK}) AS n_tokens
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, bucket, n_tokens,
+               -- sum(BIGINT) is HUGEINT in DuckDB; pin back to BIGINT so
+               -- every derived column matches Spark's long exactly
+               CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens AS BIGINT) AS tok_start
+        FROM base
+    )
+    SELECT doc_id, bucket, n_tokens,
+           CAST(floor(tok_start / {_BUDGET}.0) AS BIGINT) AS seq_id,
+           CAST(tok_start % {_BUDGET} AS BIGINT) AS seq_offset
+    FROM cum
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing of documents into 2048-token training
+    sequences. Docs are sharded into 256 deterministic md5 buckets and
+    laid end-to-end by doc_id within each; ``seq_id``/``seq_offset``
+    locate where each document starts in the carved token stream.
+
+    Plan: tokenize+count map-side in the scan tasks, BEFORE the bucket
+    exchange — only three narrow columns ever ride a shuffle, never the
+    text (which is why this query deliberately skips the ``spread``
+    fan-out other text queries use: a round-robin of the full text
+    would cost more at 100 TB than token counting saves, and scan
+    splits already parallelize the tokenize there). Then one windowed
+    cumsum per bounded bucket — never a global sort. Assignment is a
+    pure function of (doc_id, token counts): byte-identical on any
+    cluster.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        P.hex_bucket("doc_id", 2).alias("bucket"),
+        F.size(T.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    return P.pack_contiguous(
+        staged, "n_tokens", "doc_id", _BUDGET, bucket_col="bucket"
+    ).select("doc_id", "bucket", "n_tokens", "seq_id", "seq_offset")
+
+
+@register(
+    "domain_mixture_epochs",
+    """
+    WITH cfg(source, full_epochs, extra_thr) AS (
+        VALUES ('src0', 1, '0000'), ('src1', 2, '8000'), ('src2', 1, '4000')
+    ), base AS (
+        SELECT d.doc_id, d.source,
+               coalesce(c.full_epochs, 1)
+               + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                           < coalesce(c.extra_thr, '0000') THEN 1 ELSE 0 END
+                 AS n_epochs
+        FROM documents d LEFT JOIN cfg c USING (source)
+    )
+    SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM (
+        SELECT b.doc_id, b.source, unnest(range(1, b.n_epochs + 1)) AS epoch
+        FROM base b
+    )
+    """,
+)
+def domain_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized domain-mixture plan: (doc_id, source, epoch) rows
+    realizing per-source epoch multipliers (src1 at 2.5x via 2 full
+    epochs + a deterministic hash-drawn half, src2 at 1.25x, default
+    1x). Broadcast 3-row plan + row-local ``explode(sequence)`` — no
+    shuffle at any scale; fractional epochs are drawn by md5 bucket so
+    the realized mixture is reproducible, never ``rand()``-sampled."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    plan = spark.createDataFrame(
+        _MIX_PLAN, "source string, full_epochs int, extra_thr string"
+    )
+    return P.epoch_replicate(docs, "doc_id", "source", plan).select(
+        "doc_id", "source", "epoch"
+    )
+
+
+@register(
+    "quality_percentile_filter",
+    f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               coalesce(round(
+                   len(list_filter({_TOK}, t -> list_contains(
+                       ['the','a','and','of','to','in','is','it','you','that'], t)))
+                   / nullif(len({_TOK}), 0), 6), 0.0) AS sw_ratio
+        FROM documents
+    ), hist AS (
+        SELECT source, sw_ratio, count(*) AS cnt
+        FROM base GROUP BY source, sw_ratio
+    ), marks AS (
+        SELECT source, sw_ratio,
+               round((sum(cnt) OVER (PARTITION BY source ORDER BY sw_ratio
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - cnt)
+                     / (sum(cnt) OVER (PARTITION BY source)), 6) AS pct_below
+        FROM hist
+    )
+    SELECT b.doc_id, b.source, b.sw_ratio, m.pct_below
+    FROM base b JOIN marks m USING (source, sw_ratio)
+    WHERE m.pct_below >= 0.7
+    """,
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-source quality gate: keep documents whose stopword
+    ratio is in the top ~30% of their source (fraction-strictly-below
+    >= 0.7, tie-inclusive). Absolute thresholds misfire when sources
+    have different score distributions; the percentile form adapts.
+
+    Scale shape (the point of the operator): NO percent_rank window
+    over corpus-sized source partitions. The full table only sees a
+    map-side-combinable histogram aggregate and a broadcast-join +
+    row-local filter; the ranking window runs over the tiny
+    (source, score) histogram. NULL scores (empty docs) are coalesced
+    to 0.0 so the join key is never NULL."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    m = T.quality_metrics("text")
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.coalesce(m["stopword_ratio"], F.lit(0.0)).alias("sw_ratio"),
+    )
+    return P.percentile_keep(staged, "source", "sw_ratio", 0.7).select(
+        "doc_id", "source", "sw_ratio", "pct_below"
+    )

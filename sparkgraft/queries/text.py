@@ -15,16 +15,11 @@ from ..io import read_table
 from ..relational import spread
 from .registry import register
 
-# DuckDB fragment: whitespace tokens of normalized text (mirrors
-# text.tokens — note the 'g' flag: DuckDB regexp_replace is
-# first-match-only by default, Spark's is global)
-_TOK = (
-    "CASE WHEN text IS NULL OR trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = '' "
-    "THEN []::VARCHAR[] "
-    "ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') END"
-)
-
-_EN = "['the','a','and','of','to','in','is','it','you','that']"
+# Shared DuckDB fragments (single source of truth in duckfrag so the
+# packing module can reuse them without importing this module, which
+# would perturb registration order).
+from .duckfrag import EN_STOP as _EN  # noqa: E402
+from .duckfrag import TOK as _TOK  # noqa: E402
 _ES = "['el','la','de','que','y','en','un','una','es','los']"
 _FR = "['le','la','et','les','des','un','une','du','est','que']"
 _DE = "['der','die','das','und','ist','ein','eine','zu','den','von']"

@@ -1,0 +1,140 @@
+"""Training-batch assembly: packing, mixture epochs, percentile gate.
+
+The packing assignment must be a pure function of (bucket, order,
+token counts) — independent of partitioning — and the percentile gate
+must agree with the straightforward percent_rank definition it
+replaces for scale reasons.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkgraft import packing as P
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+
+
+def test_pack_contiguous_carves_the_token_stream(spark):
+    """One bucket, budget 10: docs of sizes 4,4,5,9,10 laid end-to-end
+    start at offsets 0,4,8,13,22 -> (seq 0,0), (0,4), (0,8), (1,3),
+    (2,2). Docs span boundaries (concat-then-chunk), they are never
+    re-ordered or padded."""
+    df = _docs(
+        spark, [(1, 4), (2, 4), (3, 5), (4, 9), (5, 10)]
+    ).withColumn("bucket", F.lit("00"))
+    out = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"])
+        for r in P.pack_contiguous(df, "n_tokens", "doc_id", 10).collect()
+    }
+    assert out == {1: (0, 0), 2: (0, 4), 3: (0, 8), 4: (1, 3), 5: (2, 2)}
+
+
+def test_pack_contiguous_partitioning_invariant(spark):
+    """The assignment is a pure function of the data: any input
+    partitioning yields byte-identical packing."""
+    rows = [(i, (i * 37) % 23 + 1) for i in range(200)]
+    df = _docs(spark, rows).withColumn("bucket", P.hex_bucket("doc_id", 1))
+    a = P.pack_contiguous(df, "n_tokens", "doc_id", 64)
+    b = P.pack_contiguous(
+        df.repartition(7, "n_tokens"), "n_tokens", "doc_id", 64
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_contiguous_offset_arithmetic(spark):
+    """seq_id * budget + seq_offset == tokens before the doc, per
+    bucket — the invariant that lets a trainer reconstruct the stream."""
+    rows = [(i, (i * 13) % 40 + 1) for i in range(300)]
+    df = _docs(spark, rows).withColumn("bucket", P.hex_bucket("doc_id", 1))
+    packed = P.pack_contiguous(df, "n_tokens", "doc_id", 128)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    checked = packed.withColumn(
+        "__start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    bad = checked.where(
+        F.col("seq_id") * 128 + F.col("seq_offset") != F.col("__start")
+    )
+    assert bad.count() == 0
+
+
+def test_epoch_replicate_counts_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, "src%d" % (i % 4)) for i in range(400)], "doc_id bigint, source string"
+    )
+    plan = spark.createDataFrame(
+        [("src0", 1, "0000"), ("src1", 2, "8000"), ("src2", 1, "ffff")],
+        "source string, full_epochs int, extra_thr string",
+    )
+    out = P.epoch_replicate(docs, "doc_id", "source", plan)
+    per_doc = out.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n"), F.max("epoch").alias("mx")
+    )
+    rows = per_doc.collect()
+    # epochs are contiguous 1..n
+    assert all(r["n"] == r["mx"] for r in rows)
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # src0 pinned to exactly 1 epoch; src2 thr 'ffff' is ~always +1 -> ~2x;
+    # src3 absent from the plan -> default 1; src1 = 2 full + ~half extra
+    assert by_src["src0"] == 100
+    assert by_src["src3"] == 100
+    assert 180 <= by_src["src2"] <= 200
+    assert 220 <= by_src["src1"] <= 280
+    # deterministic: re-running draws the identical fractional set
+    again = P.epoch_replicate(docs, "doc_id", "source", plan)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_percentile_keep_matches_percent_rank_definition(spark):
+    """The histogram formulation must agree with the naive window:
+    frac-strictly-below == (rank-1)/n over (group, score) with ties
+    sharing a rank. Checked on data with deliberate ties."""
+    rows = [(i, "g%d" % (i % 3), float((i * 7) % 10) / 10.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, score double")
+    kept = set(
+        r["id"] for r in P.percentile_keep(df, "grp", "score", 0.7).collect()
+    )
+    # naive reference: rank()-1 counts rows STRICTLY below (ties share
+    # a rank), so frac-below = (rank-1)/n — the definition under test
+    wr = Window.partitionBy("grp")
+    naive = df.withColumn(
+        "frac",
+        F.round(
+            (F.rank().over(wr.orderBy("score")) - 1)
+            / F.count(F.lit(1)).over(wr),
+            6,
+        ),
+    )
+    expect = set(r["id"] for r in naive.where(F.col("frac") >= 0.7).collect())
+    assert kept == expect and len(kept) > 0
+
+
+def test_percentile_keep_is_tie_inclusive(spark):
+    """All rows sharing the threshold-crossing score survive together —
+    the gate never splits a tie nondeterministically."""
+    rows = [(i, "g", 1.0 if i >= 70 else 0.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, score double")
+    kept = P.percentile_keep(df, "grp", "score", 0.7).collect()
+    assert len(kept) == 30 and all(r["score"] == 1.0 for r in kept)
+
+
+@pytest.mark.parametrize("budget", [1, 7, 2048])
+def test_pack_contiguous_budget_edges(spark, budget):
+    """Every offset is in [0, budget); docs larger than the budget are
+    allowed (they span sequences) and never break the arithmetic."""
+    rows = [(i, (i % 5) * budget // 2 + 1) for i in range(50)]
+    df = _docs(spark, rows).withColumn("bucket", F.lit("00"))
+    packed = P.pack_contiguous(df, "n_tokens", "doc_id", budget).collect()
+    assert all(0 <= r["seq_offset"] < budget for r in packed)
+    assert len(packed) == 50

@@ -43,7 +43,18 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "open_lineitems_per_day": (4, 2),  # bucket equi-join, no nested loop
     "json_extract_events": (0, 0),
     "json_value_stats": (1, 0),
-    "melt_lineitem_measures": (0, 0),
+    # packing: ONE exchange total — the bucket hash partition for the
+    # per-bucket cumsum window; token counts computed map-side, the
+    # text never shuffles (no spread, see the query docstring)
+    "pack_training_sequences": (1, 0),
+    # mixture epochs: broadcast plan + row-local explode — the only
+    # Exchange is the BroadcastExchange of the 3-row plan
+    "domain_mixture_epochs": (1, 1),
+    # percentile gate: 2x spread (both derivations of the score), the
+    # histogram agg exchange, the tiny-histogram window exchange, and
+    # the BroadcastExchange joining kept scores back — never a
+    # corpus-wide sort partition
+    "quality_percentile_filter": (5, 1),
     "doc_quality_metrics": (1, 0),
     "doc_lang_id": (1, 0),
     "corpus_curation_pipeline": (2, 0),
