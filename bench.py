@@ -36,6 +36,9 @@ HEADLINE = [
     "json_extract_events",
     "json_value_stats",
     # LLM-pipeline extensions
+    "corpus_vocab_topk",
+    "corpus_dup_ngram_stats",
+    "doc_embedding_profile",
     "pack_training_sequences",
     "domain_mixture_epochs",
     "quality_percentile_filter",

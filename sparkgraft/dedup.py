@@ -146,6 +146,60 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFram
     )
 
 
+def duplicated_shingle_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    persist_shingles: bool = True,
+) -> DataFrame:
+    """Per-document corpus-duplication profile: of each document's
+    DISTINCT word ``k``-shingles, how many occur in at least one OTHER
+    document — the RefinedWeb/Gopher-style "duplicated n-gram
+    fraction" filter signal, computed corpus-wide (unlike
+    ``repetition_metrics``, which is within-document).
+
+    Scale shape: one tokenize+shingle pass feeding TWO consumers (the
+    global shingle document-frequency aggregate and the join-back), so
+    the exploded (doc, shingle) table persists; shingles are distinct
+    per doc, so ``count(*)`` per shingle IS its document frequency and
+    the aggregate is map-side combinable. The join back is keyed on
+    the shingle hash — row-preserving (each row meets exactly one
+    frequency row), so a stop-shingle's popularity costs join fan-in,
+    never fan-OUT; the final per-doc aggregate combines map-side.
+    Nothing broadcasts: at 100 TB the frequency table is
+    vocabulary-sized, and AQE may still elect a broadcast at small SF.
+
+    Returns ``(doc_id, n_shingles, n_dup_shingles, dup_frac)`` —
+    documents with no shingles (empty text) are absent, as in the
+    shingle-based pair operators.
+    """
+    sh = _doc_shingles(df, text_col, id_col, k)
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_shingles"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("n_dup_shingles").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,

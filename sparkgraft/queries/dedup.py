@@ -16,16 +16,8 @@ from ..io import read_table
 from .registry import register
 
 # DuckDB fragments mirroring text.tokens / dedup.word_shingles (k=3)
-_TOK = (
-    "CASE WHEN text IS NULL OR trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = '' "
-    "THEN []::VARCHAR[] "
-    "ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') END"
-)
-_SHINGLES = (
-    "CASE WHEN len(tok) = 0 THEN []::VARCHAR[] ELSE list_distinct("
-    "list_transform(range(1, greatest(len(tok) - 2, 1) + 1), "
-    "i -> array_to_string(tok[i:i+2], ' '))) END"
-)
+from .duckfrag import SHINGLES_K3 as _SHINGLES  # noqa: E402
+from .duckfrag import TOK as _TOK  # noqa: E402
 _SH_CTE = f"""
     tok AS (SELECT doc_id, {_TOK} AS tok FROM documents),
     sh AS (

@@ -16,3 +16,12 @@ TOK = (
 
 # English stopword list literal (mirrors text.STOPWORDS['en']).
 EN_STOP = "['the','a','and','of','to','in','is','it','you','that']"
+
+# Distinct word 3-shingles over a `tok` VARCHAR[] column (mirrors
+# dedup.word_shingles k=3 — docs shorter than 3 tokens yield their full
+# token join as one shingle, empty docs yield []).
+SHINGLES_K3 = (
+    "CASE WHEN len(tok) = 0 THEN []::VARCHAR[] ELSE list_distinct("
+    "list_transform(range(1, greatest(len(tok) - 2, 1) + 1), "
+    "i -> array_to_string(tok[i:i+2], ' '))) END"
+)

@@ -89,7 +89,12 @@ def price_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_predicates_hof",
-    """
+    # retired round 4 (coverage budget, made room for the corpus tier):
+    # exists/forall HOF evidence stays verified here in the retired
+    # tier; active HOF evidence lives in doc_embedding_profile's
+    # filter/size and the similarity internals
+    retired=True,
+    oracle="""
     SELECT vec_id,
            len(list_filter(embedding, x -> x < 0)) > 0 AS has_negative,
            len(list_filter(embedding, x -> abs(x) >= 1)) = 0 AS all_unit_range,

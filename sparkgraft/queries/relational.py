@@ -340,7 +340,12 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    """
+    # retired round 4 (coverage budget, made room for the corpus tier):
+    # the sketch-accuracy assertion stays verified here and in
+    # tests/test_relational.py; exact distinct-count evidence stays
+    # active in user_funnel_set_ops
+    retired=True,
+    oracle="""
     SELECT event_type,
            COUNT(DISTINCT user_id) AS exact_users,
            TRUE AS approx_ok

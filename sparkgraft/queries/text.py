@@ -132,7 +132,12 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_counts_bpe",
-    r"""
+    # retired round 4 (coverage budget, made room for the corpus tier):
+    # BPE-ish token counting stays verified here in the retired tier
+    # and actively inside pack_training_sequences' token budgets and
+    # corpus_curation_pipeline
+    retired=True,
+    oracle=r"""
     SELECT doc_id,
            CASE WHEN text IS NULL THEN 0
                 ELSE len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))

@@ -356,3 +356,33 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tfidf")
     )
+
+
+def vocabulary(
+    df: "DataFrame",  # noqa: F821
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":  # noqa: F821
+    """Corpus vocabulary: ``(word, term_freq, doc_freq)`` — the
+    tokenizer-training / frequency-filter primitive (a BPE trainer,
+    stopword inference, or a min-doc-freq vocabulary cut all start
+    from exactly this table).
+
+    Scale shape: one tokenize pass, then Spark's standard two-phase
+    distinct aggregation — the partial aggregate keys on
+    ``(word, doc)``, so a stop word appearing in every document skews
+    no single reducer (the doc id spreads it); the second phase merges
+    per-word rows that are already maximally compact. Both phases are
+    map-side combinable; nothing is collected.
+
+    Returns the FULL vocabulary — callers apply their own frequency
+    cut (top-k via a deterministic TakeOrdered, min-df via a filter).
+    """
+    words = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(tokens(text_col)).alias("word"),
+    )
+    return words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("term_freq"),
+        F.count_distinct("__doc").cast("bigint").alias("doc_freq"),
+    )

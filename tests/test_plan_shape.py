@@ -43,6 +43,16 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "open_lineitems_per_day": (4, 2),  # bucket equi-join, no nested loop
     "json_extract_events": (0, 0),
     "json_value_stats": (1, 0),
+    # vocab: the two phases of the count-distinct aggregation (partial
+    # keyed on (word, doc), final on word); top-k is a TakeOrdered
+    "corpus_vocab_topk": (2, 0),
+    # dup-ngram stats: spread, the shingle doc-frequency aggregate, the
+    # join-back (sh side), and the per-doc aggregate; the frequency
+    # side's broadcast is AQE's small-SF election, not pinned
+    "corpus_dup_ngram_stats": (6, 0),
+    # cross-modal join + low-cardinality aggregate; broadcast is AQE's
+    # small-SF election (bucketed sinks co-locate it at scale)
+    "doc_embedding_profile": (3, 0),
     # packing: ONE exchange total — the bucket hash partition for the
     # per-bucket cumsum window; token counts computed map-side, the
     # text never shuffles (no spread, see the query docstring)
