@@ -30,6 +30,8 @@ __all__ = [
     "windowed_conformance",
     "windowed_sessions",
     "stateful_running_stats",
+    "enrich_stream",
+    "stream_interval_join",
     "run_stream_to_memory",
     "run_stream_foreach_batch",
     "foreach_batch_parquet_sink",
@@ -231,6 +233,68 @@ def stream_dedup(
     the watermark to the source's redelivery horizon)."""
     s = _with_event_time(stream, ts_col).withWatermark("__event_time", watermark)
     return s.dropDuplicatesWithinWatermark(list(key_cols)).drop("__event_time")
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the most common streaming shape
+    (attach dimension attributes to each event as it arrives). The
+    static side is re-evaluated per micro-batch, so a dimension backed
+    by a table/file source picks up updates between batches without
+    restarting the query; it is broadcast, so the stream side never
+    shuffles and no join state accumulates (stateless, unlike
+    stream-stream joins). ``how`` must keep the stream side intact
+    (``inner``/``left``/``left_semi``/``left_anti`` — Spark rejects
+    the right-preserving forms for stream-static)."""
+    return stream.join(F.broadcast(dim), list(on), how)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 day",
+    upper: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER join within an event-time interval: each
+    left event matches right events with the same ``key`` whose event
+    time falls in ``[left_time, left_time + upper]`` — the
+    click-to-purchase / request-to-response correlation shape.
+
+    Both sides carry watermarks and the join condition bounds the two
+    event times relative to each other, which is exactly what lets
+    Spark EVICT buffered rows: a side's state is dropped once the
+    other side's watermark passes the last instant it could still
+    match, so state is O(throughput x (watermark + upper)), not
+    O(stream lifetime). Without the time-range conjunct the same join
+    would buffer both streams forever.
+
+    Right-side columns come back prefixed ``r_`` (a stream-stream join
+    cannot disambiguate same-named columns after the fact the way a
+    batch self-join can — the rename happens before the join). Inner
+    only: matches emit as soon as both rows have arrived, so a bounded
+    test run needs no watermark advance past the data; the outer
+    variants hold results until the watermark closes the book on a row
+    and want a live clock to test against."""
+    lhs = left.withColumn("__lt", F.col(left_ts).cast("timestamp")).withWatermark(
+        "__lt", watermark
+    )
+    rhs = right.select([F.col(c).alias(f"r_{c}") for c in right.columns])
+    rhs = rhs.withColumn(
+        "__rt", F.col(f"r_{right_ts}").cast("timestamp")
+    ).withWatermark("__rt", watermark)
+    cond = (
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col("__rt") >= F.col("__lt"))
+        & (F.col("__rt") <= F.expr(f"__lt + INTERVAL {upper}"))
+    )
+    return lhs.join(rhs, cond, "inner").drop("__lt", "__rt")
 
 
 def stateful_running_stats(

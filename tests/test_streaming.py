@@ -137,3 +137,77 @@ def test_stream_dedup_across_batches(spark, sf_dir, tmp_path):
     n_distinct = staged.dropDuplicates(["event_id"]).count()
     assert out.count() == n_distinct
     assert out.select("event_id").distinct().count() == n_distinct
+
+
+def test_enrich_stream_matches_batch_join(spark, sf_dir):
+    """Stream-static enrichment over 4 micro-batches equals the batch
+    broadcast join; the dimension attaches to every stream row."""
+    dim = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 5).cast("bigint"))
+    )
+    stream = ST.stream_table(spark, sf_dir, "events", split_files=4)
+    out = ST.run_stream_to_memory(
+        ST.enrich_stream(stream, dim, on=("user_id",)).select(
+            "event_id", "user_id", "segment"
+        ),
+        "q_enrich",
+        output_mode="append",
+    )
+    batch = read_table(spark, sf_dir, "events")
+    expected = batch.join(dim, "user_id").select("event_id", "user_id", "segment")
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in expected.collect()
+    }
+    assert out.where(F.col("segment").isNull()).count() == 0
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join with BOTH sides split across 4
+    micro-batches: matching rows arrive in different batches, so the
+    result equals the batch interval join only if cross-batch buffering
+    works. Inner join => every match emits regardless of watermark."""
+    types = [
+        r.event_type
+        for r in read_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .orderBy("event_type")
+        .limit(2)
+        .collect()
+    ]
+    lt, rt = types[0], types[1]
+    left = ST.stream_table(spark, sf_dir, "events", split_files=4).where(
+        F.col("event_type") == lt
+    )
+    right = ST.stream_table(spark, sf_dir, "events", split_files=4).where(
+        F.col("event_type") == rt
+    )
+    out = ST.run_stream_to_memory(
+        ST.stream_interval_join(
+            left, right, key="user_id", watermark="365 days", upper="6 hours"
+        ).select("event_id", "r_event_id"),
+        "q_ss_join",
+        output_mode="append",
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    lb = ev.where(F.col("event_type") == lt)
+    rb = ev.where(F.col("event_type") == rt).select(
+        *[F.col(c).alias(f"r_{c}") for c in ev.columns]
+    )
+    expected = lb.join(
+        rb,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts").cast("timestamp") >= F.col("ts").cast("timestamp"))
+        & (
+            F.col("r_ts").cast("timestamp")
+            <= F.expr("ts + INTERVAL 6 hours").cast("timestamp")
+        ),
+    ).select("event_id", "r_event_id")
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want
+    assert len(got) > 0
