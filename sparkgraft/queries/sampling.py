@@ -94,3 +94,55 @@ def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "weighted_sample_docs",
+    """
+    SELECT doc_id, source, n_chars,
+           CAST(CAST('0x' || substr(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                     AS INTEGER) AS BIGINT) AS bucket,
+           round(least(1.0, CAST(n_chars AS DOUBLE) / 500.0), 6) AS weight
+    FROM documents
+    WHERE CAST('0x' || substr(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 4)
+               AS INTEGER)
+          < least(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 65536.0
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row WEIGHTED deterministic sample: each document is kept
+    with probability proportional to its own quality weight (here a
+    length ramp capped at 1.0 — longer docs up-weighted, the common
+    curation heuristic), not a per-stratum rate. The draw is the
+    seeded hash bucket as a uniform u01: keep iff
+    ``bucket/65536 < weight``, so the drawn set is identical on any
+    partitioning, cluster size, or engine — both sides compute the
+    same integer-vs-double comparison (values < 2^53, exact). The
+    ``'w:'`` salt makes this draw independent of doc_train_split's
+    buckets: a doc's split assignment says nothing about its sampling
+    fate. Pure row-local predicate: pushes to the scan, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("w:"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    weight = F.least(F.lit(1.0), F.col("n_chars").cast("double") / 500.0)
+    staged = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        bucket.alias("bucket"),
+        weight.alias("__w"),
+    )
+    return staged.where(
+        F.col("bucket").cast("double") < F.col("__w") * 65536.0
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "bucket",
+        F.round(F.col("__w"), 6).alias("weight"),
+    )
