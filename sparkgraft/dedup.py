@@ -146,6 +146,47 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFram
     )
 
 
+def dedup_incremental(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Incremental exact dedup: drop arriving documents whose content
+    fingerprint is already in the historical store, then dedup the
+    batch against itself — how a pipeline that refreshes its corpus
+    (new crawl snapshot, daily feed) avoids re-running dedup over all
+    of history. The store is just the ``(fingerprint)`` table each run
+    appends (io.overwrite_partitions makes the append idempotent).
+
+    Scale shape: an anti join keyed on the md5 fingerprint — uniform
+    key, no skew; Spark picks broadcast when the store's distinct-key
+    projection fits, shuffle-hash otherwise — followed by the standard
+    within-batch keep-first. The history side streams ONLY its
+    fingerprint column (column pruning: never the stored text).
+
+    Returns the surviving new rows, with ``fingerprint_col`` attached
+    so the caller can append exactly these fingerprints to the store.
+    """
+    from pyspark.sql.window import Window
+
+    from .text import fingerprint as _fp
+
+    staged = new_docs.withColumn(fingerprint_col, _fp(text_col))
+    store = seen_fingerprints.select(F.col(fingerprint_col)).distinct()
+    fresh = staged.join(store, [fingerprint_col], "left_anti")
+    # deterministic keep-first within the batch, same rule as
+    # dedup_exact: lowest first-column value wins on self-duplicates
+    w_first = Window.partitionBy(fingerprint_col).orderBy(
+        F.col(new_docs.columns[0])
+    )
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w_first))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def duplicated_shingle_stats(
     df: DataFrame,
     text_col: str = "text",

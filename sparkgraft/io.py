@@ -130,6 +130,32 @@ def read_csv(
     return spark.read.csv(path, header=header, schema=schema)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    bad_record_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines read — the interchange format most raw LLM training
+    corpora arrive in (one document object per line). The schema is
+    mandatory, same discipline as read_csv: inference costs a full
+    extra pass over 100 TB AND is nondeterministic under sampling.
+    PERMISSIVE mode routes malformed lines into ``bad_record_col``
+    instead of failing the job — on a web-scale corpus some lines ARE
+    broken, and a dead-letter column the pipeline can count/quarantine
+    beats a 6-hour job dying at 99%. Callers that want hard failure
+    pass their schema without the corrupt-record column."""
+    from pyspark.sql.types import StringType, StructField
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if bad_record_col and bad_record_col not in schema.fieldNames():
+        schema = StructType(
+            list(schema.fields) + [StructField(bad_record_col, StringType())]
+        )
+    return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -36,7 +36,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["hex_bucket", "pack_contiguous", "epoch_replicate", "percentile_keep"]
+__all__ = [
+    "hex_bucket",
+    "pack_contiguous",
+    "epoch_replicate",
+    "percentile_keep",
+    "deterministic_shuffle",
+]
 
 
 def _col(c: Column | str) -> Column:
@@ -156,3 +162,36 @@ def percentile_keep(
         .where(F.col(frac_col) >= min_frac_below)
     )
     return df.join(F.broadcast(kept), [group_col, score_col])
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str,
+    num_partitions: int | None = None,
+    order_col: str = "shuffle_key",
+) -> DataFrame:
+    """Global pseudo-random reorder of the corpus — the "shuffle the
+    training data" step before sharding to data loaders. ``rand()`` is
+    useless here (changes under retries/partitioning); the order key is
+    ``md5(seed || id)``, so epoch N's order is reproducible forever
+    from the seed alone, and a different seed gives an independent
+    order (one corpus, many epoch orders, zero data movement until
+    read time).
+
+    Scale shape: ``repartitionByRange`` + ``sortWithinPartitions`` on
+    the hash key — a distributed range sort (sampled range boundaries,
+    every partition sorts locally; md5 keys are uniform so the ranges
+    balance). The TOTAL order across partition files follows the
+    partition index, which is what a sequential shard reader consumes.
+    Never a single-task global sort, never a driver collect.
+
+    The hash key column stays in the output (``order_col``) so sinks
+    can ``sortBy`` it in bucketed writes and audits can re-check the
+    order; drop it after writing if unwanted.
+    """
+    keyed = df.withColumn(
+        order_col, F.md5(F.concat(F.lit(seed + ":"), _col(id_col).cast("string")))
+    )
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return keyed.repartitionByRange(n, order_col).sortWithinPartitions(order_col)

@@ -175,3 +175,31 @@ def test_near_dup_clusters_max_iter_guard(spark):
     # and converges given room
     out = {r.doc_id: r.cluster_id for r in D.near_dup_clusters(pairs, max_iter=10).collect()}
     assert set(out.values()) == {1}
+
+
+def test_dedup_incremental_against_store(spark):
+    from sparkgraft.dedup import dedup_incremental
+    from sparkgraft.text import fingerprint
+
+    history = spark.createDataFrame(
+        [(100, "seen before"), (101, "also seen")],
+        "doc_id long, text string",
+    ).select(fingerprint("text").alias("fingerprint"))
+    new = spark.createDataFrame(
+        [
+            (1, "seen before"),       # dropped: in the store
+            (2, "brand new"),         # kept
+            (3, "brand new"),         # dropped: batch self-dup, 2 wins
+            (4, "Also   SEEN"),       # dropped: store hit modulo case/ws
+            (5, "another fresh one"), # kept
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_incremental(new, history, "text", "fingerprint")
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {2, 5}
+    # survivors carry their fingerprint for the store append
+    assert all(len(r.fingerprint) == 32 for r in out.collect())
+    # appending survivors and re-running the same batch drops everything
+    grown = history.unionByName(out.select("fingerprint"))
+    assert dedup_incremental(new, grown, "text", "fingerprint").count() == 0

@@ -172,3 +172,22 @@ def test_compact_partitions_collapses_small_files(spark, tmp_path):
     a = {(r.id, r.day) for r in spark.read.parquet(src).collect()}
     b = {(r.id, r.day) for r in spark.read.parquet(dest).collect()}
     assert a == b and len(a) == 2000
+
+
+def test_read_jsonl_explicit_schema_and_dead_letter(spark, tmp_path):
+    from sparkgraft.io import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "second doc"}\n'
+        "this line is not json at all\n"
+        '{"doc_id": 3, "text": null}\n'
+    )
+    out = read_jsonl(spark, str(p), "doc_id bigint, text string").collect()
+    good = {r.doc_id: r.text for r in out if r._corrupt_record is None}
+    bad = [r for r in out if r._corrupt_record is not None]
+    assert good == {1: "hello world", 2: "second doc", 3: None}
+    assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+    # malformed lines carry NULL data columns (quarantine, not abort)
+    assert bad[0].doc_id is None

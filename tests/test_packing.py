@@ -138,3 +138,28 @@ def test_pack_contiguous_budget_edges(spark, budget):
     packed = P.pack_contiguous(df, "n_tokens", "doc_id", budget).collect()
     assert all(0 <= r["seq_offset"] < budget for r in packed)
     assert len(packed) == 50
+
+
+def test_deterministic_shuffle_reproducible_and_seed_sensitive(spark, sf_dir):
+    from sparkgraft.io import read_table
+    from sparkgraft.packing import deterministic_shuffle
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    a = [r.doc_id for r in deterministic_shuffle(docs, "doc_id", "epoch1", 4).collect()]
+    b = [r.doc_id for r in deterministic_shuffle(docs, "doc_id", "epoch1", 4).collect()]
+    c = [r.doc_id for r in deterministic_shuffle(docs, "doc_id", "epoch2", 4).collect()]
+    assert a == b                      # same seed -> identical order
+    assert sorted(a) == sorted(c)      # same rows...
+    assert a != c                      # ...different epoch order
+    assert a != sorted(a)              # and it actually shuffled
+
+
+def test_deterministic_shuffle_is_totally_ordered(spark, sf_dir):
+    from sparkgraft.io import read_table
+    from sparkgraft.packing import deterministic_shuffle
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    out = deterministic_shuffle(docs, "doc_id", "s", 4)
+    keys = [r.shuffle_key for r in out.collect()]
+    # range partitioning + local sort => collect order is the total order
+    assert keys == sorted(keys)
