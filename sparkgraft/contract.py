@@ -1,0 +1,123 @@
+"""Declarative data-contract validation: assert column-level
+expectations over a table in ONE scan and report violations per rule —
+the gate a pipeline runs before promoting a snapshot to training
+(schema drift, null regressions, out-of-range values, enum rot).
+
+Rules are plain dicts, so a contract can live in config:
+
+    rules = [
+        {"column": "doc_id", "check": "not_null"},
+        {"column": "doc_id", "check": "unique"},
+        {"column": "n_chars", "check": "min", "value": 0},
+        {"column": "lang", "check": "allowed", "values": ["en", "de"]},
+        {"column": "text", "check": "matches", "pattern": r"^\\S|^$"},
+    ]
+
+Scale shape: every per-row check compiles to one conditional-sum
+aggregate expression, so the whole rule set is a SINGLE pass over the
+table with map-side partial aggregation — adding a rule adds a column,
+not a scan. ``unique`` checks are the exception (they need per-key
+counts): each runs as a two-phase aggregate on its column and the tiny
+per-rule results union together. Nothing is collected; the report is a
+|rules|-row DataFrame the caller can sink, alert on, or join into a
+run manifest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["validate_contract"]
+
+
+def _violation(rule: Mapping) -> Column:
+    """Boolean column: TRUE when the row VIOLATES the rule. NULL
+    handling is explicit per check: range/regex/enum checks pass NULLs
+    (compose with not_null to forbid them), mirroring SQL constraint
+    semantics where NULL comparisons are not violations."""
+    c = F.col(rule["column"])
+    check = rule["check"]
+    if check == "not_null":
+        return c.isNull()
+    if check == "min":
+        return c.isNotNull() & (c < F.lit(rule["value"]))
+    if check == "max":
+        return c.isNotNull() & (c > F.lit(rule["value"]))
+    if check == "allowed":
+        return c.isNotNull() & ~c.isin(list(rule["values"]))
+    if check == "matches":
+        return c.isNotNull() & ~c.rlike(rule["pattern"])
+    raise ValueError(f"unknown contract check: {check!r}")
+
+
+def _rule_id(rule: Mapping) -> str:
+    return f"{rule['column']}:{rule['check']}"
+
+
+def validate_contract(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
+    """Evaluate ``rules`` against ``df``; returns one row per rule:
+    ``(rule_id, column, check, n_violations, passed)``.
+
+    All non-``unique`` rules share one aggregation pass; each
+    ``unique`` rule adds one two-phase count-per-key aggregate whose
+    violation count is the number of rows carrying a duplicated value
+    (NULLs ignored — add not_null to forbid them). The per-rule result
+    frames are unioned: |rules| rows total, safe to collect or sink.
+    """
+    spark = df.sparkSession
+    scalar = [r for r in rules if r["check"] != "unique"]
+    uniques = [r for r in rules if r["check"] == "unique"]
+
+    reports: list[DataFrame] = []
+    if scalar:
+        aggs = [
+            F.sum(_violation(r).cast("bigint")).alias(_rule_id(r)) for r in scalar
+        ]
+        wide = df.agg(*aggs)
+        # one wide row -> |scalar| rows, via the stack() unpivot idiom
+        pairs = ", ".join(f"'{_rule_id(r)}', `{_rule_id(r)}`" for r in scalar)
+        long = wide.selectExpr(
+            f"stack({len(scalar)}, {pairs}) as (rule_id, n_violations)"
+        )
+        meta = spark.createDataFrame(
+            [(_rule_id(r), r["column"], r["check"]) for r in scalar],
+            "rule_id string, column string, check string",
+        )
+        reports.append(long.join(F.broadcast(meta), "rule_id"))
+
+    for r in uniques:
+        c = F.col(r["column"])
+        dup_rows = (
+            df.where(c.isNotNull())
+            .groupBy(r["column"])
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .agg(
+                F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias(
+                    "n_violations"
+                )
+            )
+            .select(
+                F.lit(_rule_id(r)).alias("rule_id"),
+                F.lit(r["column"]).alias("column"),
+                F.lit("unique").alias("check"),
+                "n_violations",
+            )
+        )
+        reports.append(dup_rows.select("rule_id", "n_violations", "column", "check"))
+
+    out = reports[0]
+    for extra in reports[1:]:
+        out = out.unionByName(extra)
+    return out.select(
+        "rule_id",
+        "column",
+        "check",
+        F.coalesce(F.col("n_violations"), F.lit(0)).cast("bigint").alias(
+            "n_violations"
+        ),
+        (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("passed"),
+    )

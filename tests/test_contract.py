@@ -1,0 +1,80 @@
+"""Data-contract validation (sparkgraft/contract.py): every check kind
+against a fixture with planted violations, NULL semantics, and the
+single-pass plan shape (adding scalar rules must not add scans).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkgraft.contract import validate_contract
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    return spark.createDataFrame(
+        [
+            (1, "en", 10, "alpha"),
+            (2, "en", -5, "beta"),      # min violation
+            (2, "xx", 20, "gamma"),     # duplicate id + enum violation
+            (3, None, 700, "delta"),    # null lang (allowed passes NULLs)
+            (4, "de", 30, "not ok"),    # regex violation (space)
+        ],
+        "id long, lang string, n int, name string",
+    )
+
+
+RULES = [
+    {"column": "id", "check": "not_null"},
+    {"column": "id", "check": "unique"},
+    {"column": "lang", "check": "not_null"},
+    {"column": "lang", "check": "allowed", "values": ["en", "de"]},
+    {"column": "n", "check": "min", "value": 0},
+    {"column": "n", "check": "max", "value": 500},
+    {"column": "name", "check": "matches", "pattern": r"^\S+$"},
+]
+
+
+def test_contract_counts_and_verdicts(spark, table):
+    rows = {r.rule_id: r for r in validate_contract(table, RULES).collect()}
+    assert len(rows) == len(RULES)
+    assert rows["id:not_null"].n_violations == 0 and rows["id:not_null"].passed
+    assert rows["id:unique"].n_violations == 2  # both rows of the dup value
+    assert rows["lang:not_null"].n_violations == 1
+    # NULL lang is NOT an enum violation; 'xx' is
+    assert rows["lang:allowed"].n_violations == 1
+    assert rows["n:min"].n_violations == 1
+    assert rows["n:max"].n_violations == 1
+    assert rows["name:matches"].n_violations == 1
+    assert not rows["n:max"].passed
+
+
+def test_contract_all_green_on_clean_table(spark):
+    clean = spark.createDataFrame([(1, "en"), (2, "de")], "id long, lang string")
+    out = validate_contract(
+        clean,
+        [
+            {"column": "id", "check": "unique"},
+            {"column": "id", "check": "not_null"},
+            {"column": "lang", "check": "allowed", "values": ["en", "de"]},
+        ],
+    )
+    assert all(r.passed and r.n_violations == 0 for r in out.collect())
+
+
+def test_contract_unknown_check_raises(spark, table):
+    with pytest.raises(ValueError, match="unknown contract check"):
+        validate_contract(table, [{"column": "id", "check": "positive"}]).collect()
+
+
+def test_scalar_rules_share_one_scan(spark, table):
+    # 6 scalar rules -> ONE aggregate over the table: the plan reads the
+    # source exactly once (unique rules are the documented exception)
+    scalar_only = [r for r in RULES if r["check"] != "unique"]
+    plan = (
+        validate_contract(table, scalar_only)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("LocalTableScan") <= 2  # data scan + broadcast meta
