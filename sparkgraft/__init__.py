@@ -13,10 +13,17 @@ Modules:
   relational   generic relational operators (windows, melt, joins, set ops)
   conformance  flagship spec-vs-observed event verification (one lazy plan)
   text         text analysis: lang-id, quality, tokens, fingerprints
-  dedup        exact + near-duplicate detection (minhash/simhash/jaccard)
-  similarity   embedding cosine top-k (brute force + LSH-bucketed)
+  dedup        exact/incremental + near-duplicate detection
+               (minhash/simhash/jaccard), decontamination, clustering
+  similarity   embedding cosine top-k, near-dup pairs, ANN (LSH / IVF)
+  semdedup     semantic dedup (cluster + per-cluster matmul)
+  quantize     int8 embedding tier (quantized-then-exact top-k)
+  contract     declarative data-contract validation (one-scan rules)
+  sampling     deterministic stratified/weighted draws, splits (queries/)
+  packing      batch assembly: packing, mixture epochs, epoch shuffle
   multimodal   binary-column plumbing for image/audio payloads (stubbed decode)
-  streaming    Structured Streaming variants of the conformance aggregations
+  streaming    Structured Streaming variants of the conformance
+               aggregations + stream-static / stream-stream joins
 """
 
 __version__ = "0.1.0"

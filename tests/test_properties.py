@@ -222,3 +222,87 @@ def test_semdedup_matches_numpy_oracle(spark, vecs):
     assert out["group_id"].tolist() == exp_group
     assert out["keep"].tolist() == exp_keep
     assert out["centroid_sim"].tolist() == centroid_sim.tolist()
+
+
+# ---- corpus statistics invariants (text.vocabulary / dedup stats) ---------
+
+doc_text = st.text(alphabet="ab c", max_size=30)  # tiny alphabet -> collisions
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(doc_text, min_size=0, max_size=12))
+def test_vocabulary_matches_python_counter(spark, texts):
+    from collections import Counter
+
+    from sparkgraft.text import vocabulary
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)) or [(0, None)], "doc_id long, text string"
+    )
+    got = {
+        r.word: (r.term_freq, r.doc_freq)
+        for r in vocabulary(docs, "text", "doc_id").collect()
+    }
+    tf: Counter = Counter()
+    dfq: Counter = Counter()
+    for t in texts:
+        toks = (t or "").lower().split()
+        tf.update(toks)
+        dfq.update(set(toks))
+    want = {w: (tf[w], dfq[w]) for w in tf}
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(doc_text, min_size=0, max_size=10))
+def test_dup_shingle_stats_matches_bruteforce(spark, texts):
+    from sparkgraft.dedup import duplicated_shingle_stats
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)) or [(0, None)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_dup_shingles)
+        for r in duplicated_shingle_stats(docs, "text", "doc_id", k=3).collect()
+    }
+
+    def shingles(t):
+        toks = (t or "").lower().split()
+        if not toks:
+            return set()
+        if len(toks) <= 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    want = {}
+    for i, sh in sets.items():
+        if not sh:
+            continue  # shingle-less docs are absent by contract
+        dup = sum(
+            1 for s in sh if any(s in other for j, other in sets.items() if j != i)
+        )
+        want[i] = (len(sh), dup)
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=30, unique=True))
+def test_deterministic_shuffle_is_permutation(spark, ids):
+    from sparkgraft.packing import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = [r.doc_id for r in deterministic_shuffle(df, "doc_id", "seed", 3).collect()]
+    assert sorted(out) == sorted(ids)  # a permutation: nothing lost or dup'd

@@ -63,6 +63,8 @@ PROBES = [
     "minhash_lsh_near_dups",
     "simhash_by_doc",
     "decontaminate_docs",
+    "corpus_vocab_topk",
+    "corpus_dup_ngram_stats",
     # embeddings-based
     "knn_cosine_bruteforce",
     "embedding_near_dup_pairs",
