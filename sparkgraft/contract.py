@@ -30,7 +30,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["validate_contract"]
+__all__ = ["validate_contract", "profile_table"]
 
 
 def _violation(rule: Mapping) -> Column:
@@ -120,4 +120,57 @@ def validate_contract(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
             "n_violations"
         ),
         (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("passed"),
+    )
+
+
+def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """One-pass column profile: ``(column, n_rows, n_null, null_frac,
+    n_distinct_approx, min_str, max_str)`` per profiled column — the
+    snapshot report that feeds contract thresholds (yesterday's
+    null_frac becomes tomorrow's rule) and catches drift between
+    snapshots.
+
+    Scale shape: every statistic for every column lives in ONE
+    aggregate over the table (map-side combinable; distinct counts are
+    HyperLogLog++ sketches, never exact per-column shuffles — exactness
+    is the contract tier's job, profiling wants bounded cost). min/max
+    are reported as strings so heterogeneous column types fit one
+    report schema; the unpivot to rows happens on the 1-row aggregate,
+    not the data.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    n_rows = F.count(F.lit(1))
+    aggs: list[Column] = [n_rows.alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        aggs.extend(
+            [
+                F.sum(col.isNull().cast("bigint")).alias(f"__null_{c}"),
+                F.approx_count_distinct(c).alias(f"__dist_{c}"),
+                F.min(col).cast("string").alias(f"__min_{c}"),
+                F.max(col).cast("string").alias(f"__max_{c}"),
+            ]
+        )
+    wide = df.agg(*aggs)
+    per_col = ", ".join(
+        f"'{c}', `__null_{c}`, `__dist_{c}`, `__min_{c}`, `__max_{c}`"
+        for c in cols
+    )
+    return wide.selectExpr(
+        "__n as n_rows",
+        f"stack({len(cols)}, {per_col}) as "
+        "(column, n_null, n_distinct_approx, min_str, max_str)",
+    ).select(
+        "column",
+        "n_rows",
+        # sum over an empty table is NULL, not 0 — coalesce both outputs
+        F.coalesce(F.col("n_null"), F.lit(0)).cast("bigint").alias("n_null"),
+        F.round(
+            F.coalesce(F.col("n_null"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_rows").cast("double"), F.lit(1.0)),
+            6,
+        ).alias("null_frac"),
+        F.col("n_distinct_approx").cast("bigint").alias("n_distinct_approx"),
+        "min_str",
+        "max_str",
     )

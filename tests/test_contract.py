@@ -78,3 +78,32 @@ def test_scalar_rules_share_one_scan(spark, table):
         .toString()
     )
     assert plan.count("LocalTableScan") <= 2  # data scan + broadcast meta
+
+
+def test_profile_table_one_pass(spark, table):
+    from sparkgraft.contract import profile_table
+
+    prof = {r.column: r for r in profile_table(table).collect()}
+    assert set(prof) == {"id", "lang", "n", "name"}
+    assert all(r.n_rows == 5 for r in prof.values())
+    assert prof["lang"].n_null == 1
+    assert prof["lang"].null_frac == pytest.approx(0.2)
+    assert prof["id"].n_null == 0
+    # HLL at tiny cardinality is exact
+    assert prof["id"].n_distinct_approx == 4
+    assert prof["n"].min_str == "-5" and prof["n"].max_str == "700"
+    # ONE aggregate over the data: a single source scan in the plan
+    plan = (
+        profile_table(table)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") == 1
+
+
+def test_profile_table_empty_input(spark):
+    from sparkgraft.contract import profile_table
+
+    empty = spark.createDataFrame([], "id long, v string")
+    rows = {r.column: r for r in profile_table(empty).collect()}
+    assert rows["id"].n_rows == 0 and rows["id"].n_null == 0
+    assert rows["id"].null_frac == 0.0  # guarded denominator
+    assert rows["v"].min_str is None
