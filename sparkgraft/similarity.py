@@ -51,6 +51,7 @@ __all__ = [
     "cosine_pairs_blocked",
     "rp_lsh_bucket",
     "rp_bucket_udf",
+    "auto_num_planes",
     "rp_lsh_topk",
     "cosine_pairs_lsh",
     "ivf_train",
@@ -399,6 +400,32 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
         h = hashlib.md5(f"{plane}|{d}".encode()).hexdigest()[:8]
         out.append(int(h, 16) / float(2**31) - 1.0)
     return out
+
+
+def auto_num_planes(
+    approx_rows: int,
+    target_bucket: int = 64,
+    lo: int = 4,
+    hi: int = 24,
+) -> int:
+    """The SIZE-num_planes-TO-THE-CORPUS rule as code (see
+    cosine_pairs_lsh: per-table candidate volume is ~n^2 / 2^planes,
+    so planes must grow ~log2(n) for linear candidates): planes such
+    that 2^planes >= approx_rows / target_bucket, i.e. expected bucket
+    occupancy ~target_bucket rows — per-table candidates then
+    ~n * target_bucket, linear in the corpus. ``approx_rows`` is a
+    caller hint (catalog stats, a prior count, the manifest), never a
+    driver job, matching cosine_pairs_blocked's approx_rows contract.
+    Clamped to [lo, hi]: below 2^lo buckets banding stops
+    discriminating; above ``hi`` planes per-plane collision p^planes
+    underflows for anything but near-identical vectors (raise
+    num_tables instead at that point)."""
+    import math
+
+    if approx_rows <= 0:
+        return lo
+    need = math.ceil(math.log2(max(approx_rows / max(target_bucket, 1), 1.0)))
+    return max(lo, min(hi, need))
 
 
 def rp_lsh_bucket(

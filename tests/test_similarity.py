@@ -295,3 +295,22 @@ def test_zero_norm_vector_never_aborts_or_ranks(spark):
         df, dim=2, threshold=0.5, num_planes=2, num_tables=2
     ).collect()
     assert [(r.id_a, r.id_b) for r in lsh] == [(0, 2)]
+
+
+def test_auto_num_planes_scale_rule():
+    from sparkgraft.similarity import auto_num_planes
+
+    # occupancy contract: 2^planes buckets hold ~target per bucket
+    for n in (10_000, 1_000_000, 100_000_000):
+        p = auto_num_planes(n, target_bucket=64)
+        assert 2**p >= n / 64
+        assert 2 ** (p - 1) < n / 64 or p == 4
+    # monotone in corpus size, clamped at both ends
+    sizes = [0, 100, 10_000, 10**6, 10**9, 10**15]
+    planes = [auto_num_planes(n) for n in sizes]
+    assert planes == sorted(planes)
+    assert planes[0] == 4      # tiny corpora keep the floor
+    assert planes[-1] == 24    # cap: beyond this raise num_tables
+    # the registered sf0.01 demo (500 vectors) stays at the floor,
+    # consistent with its pinned 4-plane recall configuration
+    assert auto_num_planes(500) == 4
