@@ -136,3 +136,71 @@ def doc_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "label", "n_docs", "sum_chars", "avg_chars", "sum_pos_dims"
         )
     )
+
+
+@register(
+    "documents_contract_report",
+    # Retired-tier BREADTH query (never consumes a driver slot): the
+    # contract validator's one-scan rule aggregation verified
+    # Spark-vs-DuckDB on every pytest run via the retired-tier gate.
+    retired=True,
+    oracle="""
+    WITH v AS (
+        SELECT
+            CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS id_null,
+            CAST(sum(CASE WHEN lang IS NOT NULL
+                          AND lang NOT IN ('en','de','es','fr')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS lang_bad,
+            CAST(sum(CASE WHEN n_chars IS NOT NULL AND n_chars < 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS chars_low,
+            CAST(sum(CASE WHEN source IS NOT NULL
+                          AND NOT regexp_matches(source, '^src[0-9]+$')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS src_bad
+        FROM documents
+    ),
+    u AS (
+        SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS id_dup FROM (
+            SELECT count(*) AS n FROM documents
+            WHERE doc_id IS NOT NULL GROUP BY doc_id HAVING count(*) > 1
+        )
+    )
+    SELECT * FROM (
+        SELECT 'doc_id:not_null' AS rule_id, 'doc_id' AS col_name,
+               'not_null' AS check_kind, id_null AS n_violations,
+               id_null = 0 AS passed FROM v
+        UNION ALL
+        SELECT 'doc_id:unique', 'doc_id', 'unique', id_dup, id_dup = 0 FROM u
+        UNION ALL
+        SELECT 'lang:allowed', 'lang', 'allowed', lang_bad, lang_bad = 0 FROM v
+        UNION ALL
+        SELECT 'n_chars:min', 'n_chars', 'min', chars_low, chars_low = 0 FROM v
+        UNION ALL
+        SELECT 'source:matches', 'source', 'matches', src_bad, src_bad = 0 FROM v
+    )
+    """,
+)
+def documents_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contract.validate_contract over the documents table with a
+    realistic promotion contract (ids present+unique, a lang
+    allowlist that flags the zh slice, positive lengths, source-name
+    shape). The oracle restates every rule as plain SQL conditional
+    sums / HAVING counts, so the one-scan rule compilation — including
+    its NULL-pass semantics — is cross-engine verified. Output columns
+    renamed (col_name/check_kind) to dodge SQL reserved words in the
+    oracle."""
+    from ..contract import validate_contract
+
+    docs = read_table(spark, sf_dir, "documents")
+    rules = [
+        {"column": "doc_id", "check": "not_null"},
+        {"column": "doc_id", "check": "unique"},
+        {"column": "lang", "check": "allowed", "values": ["en", "de", "es", "fr"]},
+        {"column": "n_chars", "check": "min", "value": 1},
+        {"column": "source", "check": "matches", "pattern": "^src[0-9]+$"},
+    ]
+    return (
+        validate_contract(docs, rules)
+        .withColumnRenamed("column", "col_name")
+        .withColumnRenamed("check", "check_kind")
+    )
