@@ -144,7 +144,13 @@ def read_jsonl(
     instead of failing the job — on a web-scale corpus some lines ARE
     broken, and a dead-letter column the pipeline can count/quarantine
     beats a 6-hour job dying at 99%. Callers that want hard failure
-    pass their schema without the corrupt-record column."""
+    pass their schema without the corrupt-record column.
+
+    Spark caveat: a query whose referenced columns are ONLY the
+    corrupt-record column is disallowed on a raw JSON scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — include a
+    data column (or cache the frame) when counting/quarantining the
+    dead letters."""
     from pyspark.sql.types import StringType, StructField
 
     if isinstance(schema, str):
@@ -154,6 +160,25 @@ def read_jsonl(
             list(schema.fields) + [StructField(bad_record_col, StringType())]
         )
     return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """JSON-lines sink — the interchange export (hand a corpus slice to
+    a tokenizer trainer or another team's loader). One object per line,
+    written in parallel (a directory of part files, like every
+    distributed sink; consumers that need one file compact with
+    ``compact_partitions`` or read the directory). NULL-valued fields
+    are omitted per line, the JSONL convention ``read_jsonl`` round-trips
+    as NULL columns."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
 
 
 def write_parquet(

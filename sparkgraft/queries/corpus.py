@@ -204,3 +204,72 @@ def documents_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("column", "col_name")
         .withColumnRenamed("check", "check_kind")
     )
+
+
+@register(
+    "documents_profile_report",
+    # Retired-tier BREADTH query: profile_table verified vs DuckDB on
+    # every pytest run. The HLL distinct sketch is engine-specific, so
+    # (approx_distinct_users precedent) the compared column is the
+    # sketch's ACCURACY BOUND — |approx - exact| / exact <= 5% — which
+    # the oracle states as literal TRUE; all other statistics compare
+    # exactly.
+    retired=True,
+    oracle="""
+    SELECT col_name, n_rows, n_null,
+           round(CAST(n_null AS DOUBLE) / greatest(n_rows, 1), 6) AS null_frac,
+           min_str, max_str, TRUE AS distinct_ok
+    FROM (
+        SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+               CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null,
+               CAST(min(doc_id) AS VARCHAR) AS min_str,
+               CAST(max(doc_id) AS VARCHAR) AS max_str
+        FROM documents
+        UNION ALL
+        SELECT 'lang', count(*),
+               CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               min(lang), max(lang)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', count(*),
+               CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        FROM documents
+    )
+    """,
+)
+def documents_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contract.profile_table over documents (doc_id / lang / n_chars),
+    with the HLL distinct estimate reduced to its cross-engine-checkable
+    accuracy bound: ``distinct_ok`` = estimate within 5% of the exact
+    count (the raw sketch value is engine-specific; the bound is the
+    portable assertion, same pattern as approx_distinct_users)."""
+    from ..contract import profile_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "n_chars"]
+    prof = profile_table(docs, cols).withColumnRenamed("column", "col_name")
+    exact = (
+        docs.agg(
+            *[F.count_distinct(c).alias(f"__ex_{c}") for c in cols]
+        )
+        .selectExpr(
+            f"stack({len(cols)}, "
+            + ", ".join(f"'{c}', `__ex_{c}`" for c in cols)
+            + ") as (col_name, __exact)"
+        )
+    )
+    return prof.join(F.broadcast(exact), "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        "null_frac",
+        "min_str",
+        "max_str",
+        (
+            F.abs(F.col("n_distinct_approx") - F.col("__exact"))
+            / F.greatest(F.col("__exact").cast("double"), F.lit(1.0))
+            <= 0.05
+        ).alias("distinct_ok"),
+    )

@@ -191,3 +191,22 @@ def test_read_jsonl_explicit_schema_and_dead_letter(spark, tmp_path):
     assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
     # malformed lines carry NULL data columns (quarantine, not abort)
     assert bad[0].doc_id is None
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    from sparkgraft.io import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello", "en"), (2, None, "de"), (3, "third", None)],
+        "doc_id long, text string, lang string",
+    )
+    p = str(tmp_path / "out_jsonl")
+    write_jsonl(df, p)
+    back = read_jsonl(spark, p, "doc_id long, text string, lang string")
+    rows = back.collect()
+    # (corrupt-only projections are disallowed on raw JSON scans —
+    # see the read_jsonl docstring caveat — so inspect collected rows)
+    assert all(r._corrupt_record is None for r in rows)
+    got = {(r.doc_id, r.text, r.lang) for r in rows}
+    want = {(1, "hello", "en"), (2, None, "de"), (3, "third", None)}
+    assert got == want
