@@ -31,6 +31,7 @@ __all__ = [
     "fake_resize",
     "resize_media",
     "sample_frames",
+    "embed_media",
 ]
 
 # Canonical metadata struct carried next to every binary payload.
@@ -202,3 +203,47 @@ def sample_frames(
         )
         .where(F.length("frame") > 0)
     )
+
+
+def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Payload -> unit-norm ``array<float>`` embedding: the encoder
+    stage that bridges the multimodal tier into the similarity tier
+    (embed, then cosine_pairs / semantic_dedup / ANN exactly as for
+    text embeddings — byte-identical payloads embed identically, so
+    near-dup detection works on media with NO format-specific code
+    downstream).
+
+    The encoder here is a deterministic byte-histogram stub (``dim``
+    bins over byte % dim, L2-normalized) — a real CLIP-style model
+    swaps in behind the SAME Arrow contract: per-batch numpy in, one
+    (media_id, embedding) row per payload out, NULL payloads
+    dead-lettered as NULL embeddings (which every downstream similarity
+    operator already drops up front). Python cost is per-batch; the
+    output column is exactly the ``embeddings.embedding`` shape, so
+    plans compose untouched.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "media_id long, embedding array<float>"
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    ids.append(media_id)
+                    vecs.append(None)
+                    continue
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(
+                    b % dim if len(b) else np.array([], dtype=np.int64),
+                    minlength=dim,
+                ).astype(np.float64)
+                norm = float(np.linalg.norm(hist))
+                v = (hist / norm if norm > 0 else hist).astype(np.float32)
+                ids.append(media_id)
+                vecs.append(v.tolist())
+            yield pd.DataFrame({"media_id": ids, "embedding": vecs})
+
+    return media.select("media_id", "payload").mapInPandas(encode, out_schema)

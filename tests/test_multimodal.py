@@ -65,3 +65,36 @@ def test_resize_media_shorter_payload_cycles(spark):
     m = M.attach_media_metadata(df, "raw", "image", "fake", "id")
     (row,) = M.resize_media(m, 3, 3).collect()
     assert bytes(row.payload) == b"\xab" * 9
+
+
+def test_embed_media_unit_norm_and_dead_letter(media):
+    import math
+
+    out = {r.media_id: r for r in M.embed_media(media, dim=8).collect()}
+    v1 = out[1].embedding
+    assert len(v1) == 8
+    assert math.isclose(sum(x * x for x in v1), 1.0, rel_tol=1e-5)
+    assert out[3].embedding is None  # NULL payload dead-letters
+
+
+def test_media_near_dup_via_embedding_bridge(spark):
+    """The cross-tier composition: media payloads -> embed_media ->
+    the SAME cosine near-dup operator the text embeddings use. Planted
+    byte-identical payloads must surface as a near-dup pair; the
+    distinct payload must not."""
+    from sparkgraft import similarity as S
+
+    rows = [
+        (1, bytearray(b"\x01\x02\x03\x04" * 32)),
+        (2, bytearray(b"\x01\x02\x03\x04" * 32)),  # exact dup of 1
+        (3, bytearray(bytes(range(128)))),          # distinct
+        (4, None),                                  # dead letter
+    ]
+    media = M.attach_media_metadata(
+        spark.createDataFrame(rows, "id int, raw binary"),
+        "raw", modality="image", format="fake", id_col="id",
+    )
+    emb = M.embed_media(media, dim=16).withColumnRenamed("media_id", "vec_id")
+    pairs = S.cosine_pairs(emb, threshold=0.999).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(1, 2)}
