@@ -43,7 +43,29 @@ from pyspark.sql import functions as F
 
 from .similarity import _centroid_matrix, _stack, ivf_train
 
-__all__ = ["assign_with_sim_udf", "semantic_dedup"]
+__all__ = ["assign_with_sim_udf", "semantic_dedup", "auto_n_clusters"]
+
+
+def auto_n_clusters(
+    approx_rows: int,
+    target_cluster: int = 2000,
+    lo: int = 4,
+    hi: int = 1_000_000,
+) -> int:
+    """The module docstring's K rule as code: ``n_clusters ≈
+    corpus_size / target_cluster`` so each cluster's pairwise matmul
+    stays a few-ms BLAS call and total work stays ~linear (the paper's
+    own regime — K≈100k on LAION). ``approx_rows`` is a caller hint
+    (catalog stats, manifest), never a driver count, mirroring
+    similarity.auto_num_planes. Floor ``lo`` keeps tiny corpora from
+    degenerating into one all-pairs cluster; ``hi`` caps the broadcast
+    centroid table (hi * dim floats must still broadcast — beyond that,
+    shard the corpus and dedup per shard)."""
+    import math
+
+    if approx_rows <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(approx_rows / max(target_cluster, 1))))
 
 
 def assign_with_sim_udf(

@@ -185,3 +185,19 @@ def test_rejects_empty_corpus(spark):
     df = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
     with pytest.raises(ValueError, match="empty corpus"):
         semantic_dedup(df, dim=DIM).collect()
+
+
+def test_auto_n_clusters_scale_rule():
+    from sparkgraft.semdedup import auto_n_clusters
+
+    # the paper regime: ~target_cluster rows per cluster
+    assert auto_n_clusters(200_000_000, target_cluster=2000) == 100_000
+    assert auto_n_clusters(10_000, target_cluster=2000) == 5
+    # floors and caps
+    assert auto_n_clusters(0) == 4
+    assert auto_n_clusters(500) == 4          # tiny corpus -> floor
+    assert auto_n_clusters(10**13) == 1_000_000  # broadcast cap
+    # monotone in corpus size
+    sizes = [10**3, 10**5, 10**7, 10**9]
+    ks = [auto_n_clusters(n) for n in sizes]
+    assert ks == sorted(ks)
