@@ -406,3 +406,90 @@ def discount_revenue_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "promo_revenue_share",
+    # Retired-tier breadth (TPC-H Q14 shape): conditional-revenue ratio
+    # over a scan-pruned month of lineitem joined to part.
+    retired=True,
+    oracle=f"""
+    SELECT round(100.0 * CAST(
+               SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST({_REV_SQL} AS DOUBLE), 4) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: what share of one month's revenue came from
+    promo parts — a conditional aggregate RATIO in one pass (never two
+    scans; the CASE splits the revenue term inside the same
+    aggregation). The ship-month predicate prunes the lineitem scan;
+    part joins on its key (broadcast at small SF, shuffle-hash at
+    100 TB); decimal-exact sums make the ratio partitioning-stable."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp_ntz"))
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                .cast("double")
+                / _revenue().cast("double"),
+                4,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+@register(
+    "late_lines_by_priority",
+    # Retired-tier breadth (TPC-H Q12 shape, adapted: this corpus has
+    # no shipmode/commitdate, so "late" = shipped > 60 days after the
+    # order date): compound-CASE priority counts over the join.
+    retired=True,
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def late_lines_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: among lines shipped late (> 60 days after
+    their order date), how many carried urgent/high vs lower order
+    priorities, per line status — the join-then-compound-CASE counting
+    pattern. The lateness predicate references both sides, so it
+    applies post-join (not pushable); the aggregate is map-side
+    combinable on a 2-value group key."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("bigint")).cast("bigint").alias("high_priority_lines"),
+            F.sum((~high).cast("bigint")).cast("bigint").alias("low_priority_lines"),
+        )
+    )

@@ -211,3 +211,40 @@ def test_stream_interval_join_matches_batch(spark, sf_dir):
     want = {tuple(r) for r in expected.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_contract_gate_per_micro_batch(spark, sf_dir, tmp_path):
+    """Composition: validate_contract as a streaming promotion gate —
+    foreachBatch runs the one-scan rule aggregation on every
+    micro-batch and accumulates a per-batch report. Violation counts
+    summed across batches must equal the batch-mode report (each row
+    lands in exactly one micro-batch)."""
+    from sparkgraft.contract import validate_contract
+
+    rules = [
+        {"column": "event_id", "check": "not_null"},
+        {"column": "value", "check": "min", "value": 0},
+        {"column": "event_type", "check": "matches", "pattern": "^[a-z_]+$"},
+    ]
+    reports: list[dict] = []
+
+    def gate(batch_df, batch_id):
+        for r in validate_contract(batch_df, rules).collect():
+            reports.append(
+                {"batch": batch_id, "rule": r.rule_id, "n": r.n_violations}
+            )
+
+    stream = ST.stream_table(spark, sf_dir, "events", split_files=4)
+    n_batches = ST.run_stream_foreach_batch(
+        stream, gate, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert n_batches >= 4
+
+    batch_report = {
+        r.rule_id: r.n_violations
+        for r in validate_contract(read_table(spark, sf_dir, "events"), rules).collect()
+    }
+    summed: dict[str, int] = {}
+    for rep in reports:
+        summed[rep["rule"]] = summed.get(rep["rule"], 0) + rep["n"]
+    assert summed == batch_report
