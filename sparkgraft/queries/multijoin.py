@@ -493,3 +493,64 @@ def late_lines_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((~high).cast("bigint")).cast("bigint").alias("low_priority_lines"),
         )
     )
+
+
+@register(
+    "cross_nation_trade_flows",
+    # Retired-tier breadth (TPC-H Q7 shape): the same dimension table
+    # joined twice under different aliases (customer's nation vs
+    # supplier's nation), revenue per directed nation pair and year.
+    retired=True,
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           CAST({_REV_SQL} AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_nationkey <> sn.n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def cross_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flowing between DIFFERENT customer and
+    supplier nations, per directed pair and ship year — a 5-table
+    chain where the nation dimension broadcasts TWICE under distinct
+    aliases (one per role), the self-aliased-dimension pattern a
+    single-join registry otherwise never exercises. Fact tables join
+    on their keys; both nation copies broadcast at any scale (25
+    rows); the inequality filter applies after both attach."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = nation.select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("__cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("__sn_key"))
+        .where(F.col("__cn_key") != F.col("__sn_key"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            _revenue().cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
