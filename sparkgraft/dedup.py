@@ -331,6 +331,62 @@ def jaccard_pairs(
     return out.select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    persist_intermediates: bool = True,
+) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT ``|A∩B| / |A|`` per
+    direction, keeping pairs where either direction reaches
+    ``threshold`` — the metric that catches a document EMBEDDED in a
+    larger one (quote-expansion, boilerplate wrapping, page-in-page
+    scrapes), which symmetric Jaccard scores near zero when the sizes
+    differ a lot (A ⊂ B with |B| = 10|A| has jaccard 0.1 but
+    containment_a 1.0).
+
+    Same machinery and scale shape as :func:`jaccard_pairs` (one
+    persisted shingle-array stage, hashed inverted-index self-join,
+    ``max_df`` stop-shingle pruning); only the final score/filter
+    differs, and the filter compares the ROUNDED scores so an external
+    SQL engine reproduces the kept set exactly.
+
+    Returns ``(doc_a, doc_b, common, size_a, size_b, containment_a,
+    containment_b)`` with ``doc_a < doc_b``.
+    """
+    pairs = jaccard_pairs(
+        df,
+        text_col,
+        id_col,
+        k=k,
+        threshold=0.0,
+        max_df=max_df,
+        persist_intermediates=persist_intermediates,
+    )
+    cont_a = F.round(F.col("common") / F.col("size_a"), 6)
+    cont_b = F.round(F.col("common") / F.col("size_b"), 6)
+    return (
+        pairs.withColumn("containment_a", cont_a)
+        .withColumn("containment_b", cont_b)
+        .where(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= threshold
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            "size_a",
+            "size_b",
+            "containment_a",
+            "containment_b",
+        )
+    )
+
+
 def signature_from_shingles(shingles: Column, num_hashes: int = 16) -> Column:
     """MinHash signature from a shingle-array column: for seed i,
     ``min(md5(i || '|' || shingle))``, as an array of hex strings.

@@ -243,3 +243,30 @@ def near_dup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2)
     return D.near_dup_clusters(pairs.select("doc_a", "doc_b"))
+
+
+@register(
+    "ngram_containment_pairs",
+    # Retired-tier breadth: the asymmetric-containment variant of the
+    # inverted-index pair machinery, oracle-verified on every pytest
+    # run. The jac CTE already carries common/size_a/size_b.
+    retired=True,
+    oracle=f"""
+    WITH {_SH_CTE}
+    SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+           CAST(size_a AS BIGINT) AS size_a,
+           CAST(size_b AS BIGINT) AS size_b,
+           round(CAST(common AS DOUBLE) / size_a, 6) AS containment_a,
+           round(CAST(common AS DOUBLE) / size_b, 6) AS containment_b
+    FROM jac
+    WHERE greatest(round(CAST(common AS DOUBLE) / size_a, 6),
+                   round(CAST(common AS DOUBLE) / size_b, 6)) >= 0.5
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs over documents (dedup
+    .containment_pairs): catches a document embedded in a larger one,
+    which symmetric Jaccard under-scores. Same inverted-index plan as
+    ngram_jaccard_near_dups; only the score/filter differs."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, "text", "doc_id", k=3, threshold=0.5)

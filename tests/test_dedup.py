@@ -203,3 +203,23 @@ def test_dedup_incremental_against_store(spark):
     # appending survivors and re-running the same batch drops everything
     grown = history.unionByName(out.select("fingerprint"))
     assert dedup_incremental(new, grown, "text", "fingerprint").count() == 0
+
+
+def test_containment_catches_embedded_doc(spark):
+    from sparkgraft.dedup import containment_pairs, jaccard_pairs
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_a, r.doc_b): r for r in containment_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.9).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    # every shingle of the small doc appears in the big one
+    assert r.containment_a == 1.0 and r.common == r.size_a
+    # ...while symmetric jaccard misses the pair at the same bar
+    jac = jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.9).collect()
+    assert not any((p.doc_a, p.doc_b) == (1, 2) for p in jac)
