@@ -53,8 +53,19 @@ def _violation(rule: Mapping) -> Column:
     raise ValueError(f"unknown contract check: {check!r}")
 
 
-def _rule_id(rule: Mapping) -> str:
-    return f"{rule['column']}:{rule['check']}"
+def _rule_ids(rules: Sequence[Mapping]) -> list[str]:
+    """One id per rule, ``column:check`` with a ``#k`` suffix only when
+    the same (column, check) pair appears more than once (two min
+    thresholds, two regexes on one column) — duplicate ids would
+    collide as aggregate aliases and break the stack() unpivot."""
+    seen: dict[str, int] = {}
+    ids = []
+    for r in rules:
+        base = f"{r['column']}:{r['check']}"
+        n = seen.get(base, 0)
+        seen[base] = n + 1
+        ids.append(base if n == 0 else f"{base}#{n + 1}")
+    return ids
 
 
 def validate_contract(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
@@ -68,27 +79,35 @@ def validate_contract(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
     frames are unioned: |rules| rows total, safe to collect or sink.
     """
     spark = df.sparkSession
-    scalar = [r for r in rules if r["check"] != "unique"]
-    uniques = [r for r in rules if r["check"] == "unique"]
+    ids = _rule_ids(rules)
+    scalar = [(i, r) for i, r in zip(ids, rules) if r["check"] != "unique"]
+    uniques = [(i, r) for i, r in zip(ids, rules) if r["check"] == "unique"]
+
+    report_schema = (
+        "rule_id string, column string, check string, n_violations bigint"
+    )
+    if not rules:
+        empty = spark.createDataFrame([], report_schema)
+        return empty.withColumn("passed", F.lit(True))
 
     reports: list[DataFrame] = []
     if scalar:
         aggs = [
-            F.sum(_violation(r).cast("bigint")).alias(_rule_id(r)) for r in scalar
+            F.sum(_violation(r).cast("bigint")).alias(rid) for rid, r in scalar
         ]
         wide = df.agg(*aggs)
         # one wide row -> |scalar| rows, via the stack() unpivot idiom
-        pairs = ", ".join(f"'{_rule_id(r)}', `{_rule_id(r)}`" for r in scalar)
+        pairs = ", ".join(f"'{rid}', `{rid}`" for rid, _ in scalar)
         long = wide.selectExpr(
             f"stack({len(scalar)}, {pairs}) as (rule_id, n_violations)"
         )
         meta = spark.createDataFrame(
-            [(_rule_id(r), r["column"], r["check"]) for r in scalar],
+            [(rid, r["column"], r["check"]) for rid, r in scalar],
             "rule_id string, column string, check string",
         )
         reports.append(long.join(F.broadcast(meta), "rule_id"))
 
-    for r in uniques:
+    for rid, r in uniques:
         c = F.col(r["column"])
         dup_rows = (
             df.where(c.isNotNull())
@@ -101,7 +120,7 @@ def validate_contract(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
                 )
             )
             .select(
-                F.lit(_rule_id(r)).alias("rule_id"),
+                F.lit(rid).alias("rule_id"),
                 F.lit(r["column"]).alias("column"),
                 F.lit("unique").alias("check"),
                 "n_violations",

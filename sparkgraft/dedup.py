@@ -150,6 +150,7 @@ def dedup_incremental(
     new_docs: DataFrame,
     seen_fingerprints: DataFrame,
     text_col: str = "text",
+    id_col: str = "doc_id",
     fingerprint_col: str = "fingerprint",
 ) -> DataFrame:
     """Incremental exact dedup: drop arriving documents whose content
@@ -176,10 +177,10 @@ def dedup_incremental(
     store = seen_fingerprints.select(F.col(fingerprint_col)).distinct()
     fresh = staged.join(store, [fingerprint_col], "left_anti")
     # deterministic keep-first within the batch, same rule as
-    # dedup_exact: lowest first-column value wins on self-duplicates
-    w_first = Window.partitionBy(fingerprint_col).orderBy(
-        F.col(new_docs.columns[0])
-    )
+    # dedup_exact: lowest id wins on self-duplicates (an explicit
+    # unique id column — ordering by an arbitrary column would make
+    # the survivor partitioning-dependent on ties)
+    w_first = Window.partitionBy(fingerprint_col).orderBy(F.col(id_col))
     return (
         fresh.withColumn("__rn", F.row_number().over(w_first))
         .where(F.col("__rn") == 1)
@@ -215,7 +216,12 @@ def duplicated_shingle_stats(
     documents with no shingles (empty text) are absent, as in the
     shingle-based pair operators.
     """
-    sh = _doc_shingles(df, text_col, id_col, k)
+    # shuffle the 8-byte xxhash64 of each shingle, not the string —
+    # same discipline (and collision math) as jaccard_pairs; only
+    # counts are emitted, so results are unchanged
+    sh = _doc_shingles(df, text_col, id_col, k).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
     if persist_shingles:
         from pyspark import StorageLevel
 

@@ -159,7 +159,13 @@ def read_jsonl(
         schema = StructType(
             list(schema.fields) + [StructField(bad_record_col, StringType())]
         )
-    return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+    reader = spark.read.schema(schema).option("mode", "PERMISSIVE")
+    if bad_record_col:
+        # without this, Spark only routes malformed lines into the
+        # session-conf default column name — a custom bad_record_col
+        # would silently read as an all-NULL data row
+        reader = reader.option("columnNameOfCorruptRecord", bad_record_col)
+    return reader.json(path)
 
 
 def write_jsonl(

@@ -231,17 +231,19 @@ def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             ids, vecs = [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                if payload is None:
+                # empty payloads dead-letter like None: a zero-norm
+                # vector is not unit-norm and would silently skew any
+                # downstream centroid/cosine math instead of being
+                # dropped by the NULL guards every similarity operator
+                # already has
+                if payload is None or len(payload) == 0:
                     ids.append(media_id)
                     vecs.append(None)
                     continue
                 b = np.frombuffer(bytes(payload), dtype=np.uint8)
-                hist = np.bincount(
-                    b % dim if len(b) else np.array([], dtype=np.int64),
-                    minlength=dim,
-                ).astype(np.float64)
+                hist = np.bincount(b % dim, minlength=dim).astype(np.float64)
                 norm = float(np.linalg.norm(hist))
-                v = (hist / norm if norm > 0 else hist).astype(np.float32)
+                v = (hist / norm).astype(np.float32)
                 ids.append(media_id)
                 vecs.append(v.tolist())
             yield pd.DataFrame({"media_id": ids, "embedding": vecs})

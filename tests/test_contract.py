@@ -107,3 +107,18 @@ def test_profile_table_empty_input(spark):
     assert rows["id"].n_rows == 0 and rows["id"].n_null == 0
     assert rows["id"].null_frac == 0.0  # guarded denominator
     assert rows["v"].min_str is None
+
+
+def test_contract_duplicate_column_check_pairs(spark, table):
+    rules = [
+        {"column": "n", "check": "min", "value": 0},
+        {"column": "n", "check": "min", "value": 25},  # tighter second bound
+    ]
+    rows = {r.rule_id: r.n_violations for r in validate_contract(table, rules).collect()}
+    assert rows == {"n:min": 1, "n:min#2": 3}  # -5 fails both; 10 and 20 fail #2
+
+
+def test_contract_empty_rules(spark, table):
+    out = validate_contract(table, [])
+    assert out.count() == 0
+    assert set(out.columns) == {"rule_id", "column", "check", "n_violations", "passed"}

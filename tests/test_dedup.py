@@ -195,14 +195,14 @@ def test_dedup_incremental_against_store(spark):
         ],
         "doc_id long, text string",
     )
-    out = dedup_incremental(new, history, "text", "fingerprint")
+    out = dedup_incremental(new, history, "text", id_col="doc_id", fingerprint_col="fingerprint")
     kept = {r.doc_id for r in out.collect()}
     assert kept == {2, 5}
     # survivors carry their fingerprint for the store append
     assert all(len(r.fingerprint) == 32 for r in out.collect())
     # appending survivors and re-running the same batch drops everything
     grown = history.unionByName(out.select("fingerprint"))
-    assert dedup_incremental(new, grown, "text", "fingerprint").count() == 0
+    assert dedup_incremental(new, grown, "text", id_col="doc_id", fingerprint_col="fingerprint").count() == 0
 
 
 def test_containment_catches_embedded_doc(spark):

@@ -210,3 +210,15 @@ def test_jsonl_round_trip(spark, tmp_path):
     got = {(r.doc_id, r.text, r.lang) for r in rows}
     want = {(1, "hello", "en"), (2, None, "de"), (3, "third", None)}
     assert got == want
+
+
+def test_read_jsonl_custom_dead_letter_column(spark, tmp_path):
+    from sparkgraft.io import read_jsonl
+
+    p = tmp_path / "docs2.jsonl"
+    p.write_text('{"doc_id": 1}\nbroken line\n')
+    rows = read_jsonl(
+        spark, str(p), "doc_id bigint", bad_record_col="dead"
+    ).collect()
+    bad = [r for r in rows if r.dead is not None]
+    assert len(bad) == 1 and "broken" in bad[0].dead

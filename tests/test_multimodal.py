@@ -98,3 +98,14 @@ def test_media_near_dup_via_embedding_bridge(spark):
     pairs = S.cosine_pairs(emb, threshold=0.999).collect()
     got = {(r.id_a, r.id_b) for r in pairs}
     assert got == {(1, 2)}
+
+
+def test_embed_media_empty_payload_dead_letters(spark):
+    rows = [(1, bytearray(b"")), (2, bytearray(b"\x01\x02"))]
+    media = M.attach_media_metadata(
+        spark.createDataFrame(rows, "id int, raw binary"),
+        "raw", modality="image", format="fake", id_col="id",
+    )
+    out = {r.media_id: r.embedding for r in M.embed_media(media, dim=4).collect()}
+    assert out[1] is None       # zero-length payload -> dead letter
+    assert out[2] is not None
