@@ -270,3 +270,48 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_jaccard_near_dups; only the score/filter differs."""
     docs = read_table(spark, sf_dir, "documents")
     return D.containment_pairs(docs, "text", "doc_id", k=3, threshold=0.5)
+
+
+@register(
+    "incremental_dedup_refresh",
+    # Retired-tier breadth: dedup.dedup_incremental verified vs DuckDB
+    # on every pytest run. History = the doc_id%7==0 slice's
+    # fingerprints; the "arriving batch" is everything else.
+    retired=True,
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents
+    ),
+    store AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 7 = 0),
+    fresh AS (
+        SELECT * FROM fp
+        WHERE doc_id % 7 <> 0
+          AND fingerprint NOT IN (SELECT fingerprint FROM store)
+    )
+    SELECT doc_id, source, fingerprint FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY fingerprint ORDER BY doc_id ASC) AS rn
+        FROM fresh
+    ) WHERE rn = 1
+    """,
+)
+def incremental_dedup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.dedup_incremental end-to-end: the corpus's doc_id%7==0
+    slice plays the historical fingerprint store, the rest arrives as
+    the new batch — survivors are batch docs whose content fingerprint
+    is neither in the store nor earlier in the batch (lowest doc_id
+    wins). The oracle restates the anti-join + keep-first window in
+    plain SQL, so the store lookup AND the within-batch tie-break are
+    both cross-engine verified."""
+    docs = read_table(spark, sf_dir, "documents")
+    part = F.col("doc_id") % 7 == 0
+    from ..text import fingerprint as _fp
+
+    store = docs.where(part).select(_fp("text").alias("fingerprint"))
+    new = docs.where(~part).select("doc_id", "source", "text")
+    return D.dedup_incremental(
+        new, store, "text", id_col="doc_id", fingerprint_col="fingerprint"
+    ).select("doc_id", "source", "fingerprint")

@@ -483,6 +483,11 @@ def late_lines_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
+    # NULL o_orderpriority lands in NEITHER count on BOTH engines:
+    # Spark's sum() skips the NULL produced by isin/~isin, and the
+    # oracle's two CASEs each fall to ELSE 0 when IN/NOT IN is NULL —
+    # identical totals (testdata has no NULL priorities; this keeps
+    # parity if that ever changes)
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
