@@ -187,6 +187,28 @@ def write_jsonl(
     writer.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC read — the columnar interchange format some warehouse
+    exports arrive in (Hive-era lakes). Self-describing like parquet,
+    so no schema argument; predicate pushdown and column pruning work
+    the same way through the ORC datasource."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink, mirroring write_parquet (partitioned directory
+    layout, same overwrite semantics)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

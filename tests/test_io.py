@@ -222,3 +222,20 @@ def test_read_jsonl_custom_dead_letter_column(spark, tmp_path):
     ).collect()
     bad = [r for r in rows if r.dead is not None]
     assert len(bad) == 1 and "broken" in bad[0].dead
+
+
+def test_orc_round_trip_with_partition_pruning(spark, tmp_path):
+    from sparkgraft.io import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+        "id long, part string, v long",
+    )
+    p = str(tmp_path / "orc")
+    write_orc(df, p, partition_by=("part",))
+    back = read_orc(spark, p)
+    assert {(r.id, r.v) for r in back.collect()} == {(1, 10), (2, 20), (3, 30)}
+    plan = (
+        back.where("part = 'a'")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(part" in plan  # pruned at the scan

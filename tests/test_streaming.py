@@ -248,3 +248,20 @@ def test_contract_gate_per_micro_batch(spark, sf_dir, tmp_path):
     for rep in reports:
         summed[rep["rule"]] = summed.get(rep["rule"], 0) + rep["n"]
     assert summed == batch_report
+
+
+def test_enrich_stream_left_keeps_unmatched(spark, sf_dir):
+    """Left enrichment must keep stream rows whose key misses the
+    dimension (NULL attributes), never drop events."""
+    dim = spark.createDataFrame([(-1, 99)], "user_id long, segment long")
+    stream = ST.stream_table(spark, sf_dir, "events")
+    out = ST.run_stream_to_memory(
+        ST.enrich_stream(stream, dim, on=("user_id",), how="left").select(
+            "event_id", "segment"
+        ),
+        "q_enrich_left",
+        output_mode="append",
+    )
+    n_events = read_table(spark, sf_dir, "events").count()
+    assert out.count() == n_events          # nothing dropped
+    assert out.where(F.col("segment").isNull()).count() == n_events
