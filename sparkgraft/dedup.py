@@ -150,6 +150,7 @@ def dedup_incremental(
     new_docs: DataFrame,
     seen_fingerprints: DataFrame,
     text_col: str = "text",
+    *,
     id_col: str = "doc_id",
     fingerprint_col: str = "fingerprint",
 ) -> DataFrame:

@@ -181,10 +181,7 @@ def write_jsonl(
     ``compact_partitions`` or read the directory). NULL-valued fields
     are omitted per line, the JSONL convention ``read_jsonl`` round-trips
     as NULL columns."""
-    writer = df.write.mode(mode)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.json(path)
+    _write(df, path, "json", partition_by, mode)
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
@@ -203,10 +200,22 @@ def write_orc(
 ) -> None:
     """ORC sink, mirroring write_parquet (partitioned directory
     layout, same overwrite semantics)."""
+    _write(df, path, "orc", partition_by, mode)
+
+
+def _write(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    partition_by: tuple[str, ...],
+    mode: str,
+) -> None:
+    # the one place writer-level behavior (mode, partitioning, future
+    # default options) lives — the format sinks only pick the codec
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.orc(path)
+    writer.format(fmt).save(path)
 
 
 def write_parquet(
@@ -215,10 +224,7 @@ def write_parquet(
     partition_by: tuple[str, ...] = (),
     mode: str = "overwrite",
 ) -> None:
-    writer = df.write.mode(mode)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    _write(df, path, "parquet", partition_by, mode)
 
 
 def write_bucketed(

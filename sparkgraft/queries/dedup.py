@@ -287,9 +287,15 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     store AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 7 = 0),
     fresh AS (
+        -- NOT EXISTS, not NOT IN: a NULL fingerprint in the store
+        -- would make NOT IN yield NULL for every row (dropping the
+        -- whole batch), while Spark's left_anti keeps rows whose key
+        -- matches nothing — NOT EXISTS has exactly those semantics
         SELECT * FROM fp
         WHERE doc_id % 7 <> 0
-          AND fingerprint NOT IN (SELECT fingerprint FROM store)
+          AND NOT EXISTS (
+              SELECT 1 FROM store s WHERE s.fingerprint = fp.fingerprint
+          )
     )
     SELECT doc_id, source, fingerprint FROM (
         SELECT *, row_number() OVER (
