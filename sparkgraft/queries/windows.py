@@ -224,3 +224,53 @@ def last_order_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["last_orderkey", "last_orderdate"],
         right_tiebreak="last_orderkey",
     ).select("event_id", "user_id", "ts", "last_orderkey", "last_orderdate")
+
+
+@register(
+    "distribution_window_family",
+    # Retired-tier breadth: the distribution/value window functions the
+    # active rank_family doesn't cover (cume_dist, percent_rank,
+    # first/last/nth value over explicit frames).
+    retired=True,
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(cume_dist() OVER w, 6) AS cdist,
+           round(percent_rank() OVER w, 6) AS prank,
+           CAST(first_value(o_orderkey) OVER ws AS BIGINT) AS cheapest_key,
+           CAST(last_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS BIGINT) AS priciest_key,
+           CAST(nth_value(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS BIGINT) AS second_cheapest_key
+    FROM orders
+    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC),
+           ws AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def distribution_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist / percent_rank (rounded to 6 on both engines — their
+    quotients are the only float surface) plus first/last/nth value
+    over an explicit full-partition frame; last_value needs the
+    UNBOUNDED FOLLOWING frame on BOTH engines or it degenerates to the
+    current row under the default frame. Strict (price, key) ordering
+    makes every value column deterministic."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_totalprice"))
+    strict = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    full = strict.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.first("o_orderkey").over(full).cast("bigint").alias("cheapest_key"),
+        F.last("o_orderkey").over(full).cast("bigint").alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(full).cast("bigint").alias(
+            "second_cheapest_key"
+        ),
+    )
