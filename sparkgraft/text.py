@@ -27,6 +27,8 @@ __all__ = [
     "lang_id",
     "word_bigrams",
     "tfidf_top_terms",
+    "vocabulary",
+    "heavy_hitter_words",
     "redact_pii",
     "pii_counts",
     "STOPWORDS",
@@ -385,4 +387,86 @@ def vocabulary(
     return words.groupBy("word").agg(
         F.count(F.lit(1)).cast("bigint").alias("term_freq"),
         F.count_distinct("__doc").cast("bigint").alias("doc_freq"),
+    )
+
+
+def heavy_hitter_words(
+    df: "DataFrame",  # noqa: F821
+    text_col: str = "text",
+    min_share: float = 0.001,
+    candidate_factor: int = 4,
+) -> "DataFrame":  # noqa: F821
+    """Words with corpus share >= ``min_share``, by the two-pass
+    heavy-hitters pattern — the scale regime where the full vocabulary
+    is too large to aggregate exactly (web-scale corpora with unbounded
+    token junk) but the heavy tail is what filters/stopword inference
+    actually need.
+
+    Pass 1 runs a Misra-Gries summary per PARTITION (Arrow-batched,
+    capacity ``candidate_factor / min_share`` counters): any word with
+    global share >= min_share must exceed the local threshold in at
+    least one partition (pigeonhole), so the union of per-partition
+    candidates is a SUPERSET of the true heavy hitters — no false
+    negatives, bounded memory, and only candidate WORDS are shuffled,
+    never per-occurrence rows. Pass 2 re-counts ONLY the candidates
+    exactly (broadcast the candidate set into a row-local array filter,
+    then the standard map-side-combinable count) and applies the
+    threshold on true counts, discarding pass-1 false positives.
+
+    Exactness: output equals the full-aggregation answer for every
+    word at/above the threshold (asserted against text.vocabulary in
+    tests); the approximation only ever bounds pass-1 memory.
+
+    Returns ``(word, term_freq, share)``, share rounded to 6.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    capacity = max(int(candidate_factor / min_share), 16)
+
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["__norm"]:
+                if not text:
+                    continue
+                for w in text.split(" "):
+                    if w in counters:
+                        counters[w] += 1
+                    elif len(counters) < capacity:
+                        counters[w] = 1
+                    else:  # decrement-all step, dict-sweep form
+                        dead = []
+                        for key in counters:
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counters[key]
+        yield pd.DataFrame({"word": list(counters.keys())})
+
+    normed = df.select(normalize_text(text_col).alias("__norm"))
+    candidates = (
+        normed.mapInPandas(mg_partition, "word string").distinct()
+    )
+    # pass 2: exact counts of candidates only — candidate set broadcasts
+    # (bounded by partitions x capacity), occurrences never shuffle as
+    # raw rows, the count aggregate combines map-side
+    tok = df.select(F.explode(tokens(text_col)).alias("word"))
+    total = tok.select(F.count(F.lit(1)).alias("__n"))
+    counted = (
+        tok.join(F.broadcast(candidates), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("term_freq"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .where(F.col("term_freq") >= F.col("__n") * F.lit(min_share))
+        .select(
+            "word",
+            "term_freq",
+            F.round(F.col("term_freq") / F.col("__n"), 6).alias("share"),
+        )
     )

@@ -105,3 +105,39 @@ def test_vocab_topk_deterministic_boundary(spark, sf_dir):
     assert a == b
     freqs = [r[1] for r in a]
     assert freqs == sorted(freqs, reverse=True)
+
+
+def test_heavy_hitters_equal_full_aggregation(spark, sf_dir):
+    """The two-pass heavy-hitters answer must EQUAL the full-vocabulary
+    aggregation filtered at the same threshold — the MG pass may only
+    bound memory, never lose a true heavy hitter."""
+    from sparkgraft.io import read_table
+    from sparkgraft.text import heavy_hitter_words, vocabulary
+
+    docs = read_table(spark, sf_dir, "documents")
+    share = 0.01
+    got = {
+        (r.word, r.term_freq)
+        for r in heavy_hitter_words(docs, "text", min_share=share).collect()
+    }
+    vocab = vocabulary(docs, "text", "doc_id").collect()
+    n = sum(r.term_freq for r in vocab)
+    want = {
+        (r.word, r.term_freq) for r in vocab if r.term_freq >= n * share
+    }
+    assert got == want and got
+
+
+def test_heavy_hitters_tiny_capacity_still_exact(spark):
+    """Even a pathologically small MG capacity (heavy eviction churn)
+    must keep every true heavy hitter via the pigeonhole guarantee +
+    exact second pass."""
+    from sparkgraft.text import heavy_hitter_words
+
+    rows = [(i, "common " * 5 + f"rare{i}") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.word: r for r in heavy_hitter_words(
+        docs, "text", min_share=0.2, candidate_factor=1).collect()}
+    assert "common" in out
+    assert out["common"].term_freq == 1000
+    assert all(not w.startswith("rare") for w in out)
