@@ -273,3 +273,49 @@ def documents_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("distinct_ok"),
     )
+
+
+@register(
+    "bigram_pmi_topk",
+    # Retired-tier breadth: collocation extraction (PMI over adjacent
+    # word pairs) oracle-verified on every pytest run, ln() math
+    # reproduced on both engines like tfidf_top_terms.
+    f"""
+    WITH tok AS (SELECT {_TOK} AS tok FROM documents),
+    uni AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cw
+        FROM (SELECT unnest(tok) AS word FROM tok) GROUP BY word
+    ),
+    n1 AS (SELECT sum(cw) AS n1 FROM uni),
+    bi AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS pair_count
+        FROM (
+            SELECT unnest(CASE WHEN len(tok) < 2 THEN []::VARCHAR[]
+                ELSE list_transform(range(1, len(tok)),
+                                    i -> tok[i] || ' ' || tok[i+1]) END) AS bigram
+            FROM tok
+        ) GROUP BY bigram
+    ),
+    n2 AS (SELECT sum(pair_count) AS n2 FROM bi)
+    SELECT bigram, pair_count,
+           round(ln((CAST(pair_count AS DOUBLE) / n2)
+                    / ((CAST(u1.cw AS DOUBLE) / n1)
+                       * (CAST(u2.cw AS DOUBLE) / n1))), 6) AS pmi
+    FROM bi
+    JOIN uni u1 ON string_split(bigram, ' ')[1] = u1.word
+    JOIN uni u2 ON string_split(bigram, ' ')[2] = u2.word
+    CROSS JOIN n1 CROSS JOIN n2
+    WHERE pair_count >= 5
+    ORDER BY pmi DESC, bigram ASC
+    LIMIT 200
+    """,
+    retired=True,
+)
+def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 collocations by PMI (text.collocations) — the
+    phrase-mining / tokenizer-merge-candidate primitive. Both engines
+    compute the identical ln() on identically rounded count ratios;
+    the (pmi, bigram) sort key is unique so the LIMIT boundary is
+    deterministic."""
+    docs = read_table(spark, sf_dir, "documents")
+    return T.collocations(docs, "text", min_count=5, k=200)

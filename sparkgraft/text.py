@@ -29,6 +29,7 @@ __all__ = [
     "tfidf_top_terms",
     "vocabulary",
     "heavy_hitter_words",
+    "collocations",
     "redact_pii",
     "pii_counts",
     "STOPWORDS",
@@ -470,3 +471,69 @@ def heavy_hitter_words(
             F.round(F.col("term_freq") / F.col("__n"), 6).alias("share"),
         )
     )
+
+
+def collocations(
+    df: "DataFrame",  # noqa: F821
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 200,
+) -> "DataFrame":  # noqa: F821
+    """Top-``k`` collocations (adjacent word pairs) by pointwise mutual
+    information: ``pmi = ln( p(ab) / (p(a) p(b)) )`` with bigram and
+    unigram probabilities from corpus counts — the phrase-mining /
+    tokenizer-merge-candidate primitive ("new york" scores high, "of
+    the" scores low despite its raw frequency).
+
+    Scale shape: one tokenize pass feeds both the exploded unigram
+    count and the exploded bigram count (both map-side combinable);
+    the two corpus totals ride along as broadcast one-row aggregates
+    (in-plan scalars, no driver action); the per-bigram join fetches
+    its two unigram counts by word key. ``min_count`` prunes the
+    bigram tail BEFORE the joins — rare-pair noise is the bulk of the
+    bigram vocabulary and PMI is meaningless there anyway. Top-k is a
+    deterministic TakeOrdered on the unique (rounded pmi, bigram) key.
+
+    Returns ``(bigram, pair_count, pmi)``, pmi rounded to 6.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    toks = df.select(tokens(text_col).alias("__tok"))
+    uni = (
+        toks.select(F.explode("__tok").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cw"))
+    )
+    n_uni = uni.agg(F.sum("__cw").alias("__n1"))
+    bi = (
+        toks.select(F.explode(word_bigrams(F.col("__tok"))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+    )
+    n_bi = bi.agg(F.sum("pair_count").alias("__n2"))
+    left = F.split(F.col("bigram"), " ").getItem(0)
+    right = F.split(F.col("bigram"), " ").getItem(1)
+    scored = (
+        bi.where(F.col("pair_count") >= min_count)
+        .withColumn("__w1", left)
+        .withColumn("__w2", right)
+        .join(uni.select(F.col("word").alias("__w1"), F.col("__cw").alias("__c1")), "__w1")
+        .join(uni.select(F.col("word").alias("__w2"), F.col("__cw").alias("__c2")), "__w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "bigram",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count").cast("double") / F.col("__n2").cast("double"))
+                    / (
+                        (F.col("__c1").cast("double") / F.col("__n1").cast("double"))
+                        * (F.col("__c2").cast("double") / F.col("__n1").cast("double"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(k)
