@@ -306,3 +306,60 @@ def test_deterministic_shuffle_is_permutation(spark, ids):
     df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
     out = [r.doc_id for r in deterministic_shuffle(df, "doc_id", "seed", 3).collect()]
     assert sorted(out) == sorted(ids)  # a permutation: nothing lost or dup'd
+
+
+# ---- as-of join vs naive oracle (relational.as_of_join) -------------------
+
+asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20)),  # (key, time)
+    min_size=1,
+    max_size=15,
+)
+asof_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 99)),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lrows=asof_left, rrows=asof_right)
+def test_as_of_join_matches_naive(spark, lrows, rrows):
+    """The union-merge as-of join must equal the naive 'latest right
+    row with r.t <= l.t per key' definition on arbitrary generated
+    tables — including ties on time (tie-break id wins), duplicate
+    left rows, and keys with no right rows at all."""
+    from sparkgraft.relational import as_of_join
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)], "lid long, k long, lt long"
+    )
+    right = spark.createDataFrame(
+        [(i, k, t, v) for i, (k, t, v) in enumerate(rrows)],
+        "rid long, k long, rt long, v long",
+    )
+    got = {
+        r.lid: (r.v, r.rid)
+        for r in as_of_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            value_cols=["v", "rid"], right_tiebreak="rid",
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lrows):
+        cands = [
+            (rt, rid, v)
+            for rid, (rk, rt, v) in enumerate(rrows)
+            if rk == k and rt <= t
+        ]
+        if cands:
+            # latest time wins; ties broken by the HIGHEST tiebreak id
+            # (last() over the union-merge ordering), matching the
+            # deterministic contract the oracle query relies on
+            rt, rid, v = max(cands, key=lambda c: (c[0], c[1]))
+            assert got[i] == (v, rid), (i, k, t, cands, got[i])
+        else:
+            assert got[i] == (None, None)
