@@ -363,3 +363,55 @@ def test_as_of_join_matches_naive(spark, lrows, rrows):
             assert got[i] == (v, rid), (i, k, t, cands, got[i])
         else:
             assert got[i] == (None, None)
+
+
+# ---- sessionize vs naive gap grouping (relational.sessionize) -------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500)),  # (user, seconds)
+        min_size=1,
+        max_size=25,
+    ),
+    gap=st.sampled_from([1, 10, 60]),
+)
+def test_sessionize_matches_naive(spark, rows, gap):
+    """Gap sessionization must equal the naive per-user walk: sort by
+    time (event id as the duplicate-timestamp tiebreak) and open a new
+    session whenever the gap is exceeded — for arbitrary generated
+    event sets and gaps, including duplicate timestamps."""
+    import datetime
+
+    from sparkgraft.relational import sessionize
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + datetime.timedelta(seconds=s))
+        for i, (u, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "eid long, user long, ts timestamp_ntz")
+    got = {
+        r.eid: (r.user, r.session_id)
+        for r in sessionize(
+            df, ["user"], "ts", gap_seconds=gap, order_extra=["eid"]
+        ).collect()
+    }
+    # naive walk
+    want = {}
+    for u in {r[1] for r in data}:
+        evs = sorted(
+            [(ts, eid) for eid, uu, ts in data if uu == u]
+        )
+        sid, prev = 0, None
+        for ts, eid in evs:
+            if prev is None or (ts - prev).total_seconds() > gap:
+                sid += 1
+            want[eid] = (u, sid)
+            prev = ts
+    assert got == want
