@@ -319,3 +319,31 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic."""
     docs = read_table(spark, sf_dir, "documents")
     return T.collocations(docs, "text", min_count=5, k=200)
+
+
+@register(
+    "heavy_hitter_words_report",
+    # Retired-tier breadth: the two-pass heavy-hitters path verified vs
+    # DuckDB. The Misra-Gries pass is not SQL-expressible, but its
+    # OUTPUT contract is ("equal to the full aggregation at the same
+    # threshold"), so the oracle simply states the full aggregation —
+    # the sketch's exactness claim IS the cross-engine assertion.
+    f"""
+    WITH tok AS (SELECT {_TOK} AS tok FROM documents),
+    words AS (SELECT unnest(tok) AS word FROM tok),
+    uni AS (SELECT word, CAST(count(*) AS BIGINT) AS term_freq
+            FROM words GROUP BY word),
+    n AS (SELECT sum(term_freq) AS n FROM uni)
+    SELECT word, term_freq,
+           round(CAST(term_freq AS DOUBLE) / n, 6) AS share
+    FROM uni CROSS JOIN n
+    WHERE term_freq >= n * 0.005
+    """,
+    retired=True,
+)
+def heavy_hitter_words_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.heavy_hitter_words at a 0.5% share threshold — the
+    bounded-memory path for vocabularies too large to aggregate,
+    verified against the unbounded full aggregation it must equal."""
+    docs = read_table(spark, sf_dir, "documents")
+    return T.heavy_hitter_words(docs, "text", min_share=0.005)
