@@ -34,7 +34,8 @@ HEADLINE = [
     "open_lineitems_per_day",
     # JSON introspection
     "json_extract_events",
-    "json_value_stats",
+    # contracts
+    "documents_contract_report",
     # LLM-pipeline extensions
     "corpus_vocab_topk",
     "corpus_dup_ngram_stats",
@@ -54,6 +55,7 @@ HEADLINE = [
     "knn_cosine_bruteforce",
     "embedding_near_dup_pairs",
     "embedding_near_dup_lsh",
+    "embedding_near_dup_lsh_planted",
     "semantic_dedup_embeddings",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -97,17 +99,21 @@ def main() -> int:
     # min is taken over three. The cache is cleared between passes so
     # persisted intermediates don't carry over — only code/page-cache
     # warmth does.
-    timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(3):
         spark.catalog.clearCache()
         for name in HEADLINE:
             fn = queries[name]
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = round(time.time() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            passes[name].append(round(time.time() - t0, 3))
 
+    # "queries" stays the min per query (the stable plan-cost estimate);
+    # "passes" publishes all three raw times so a driver-vs-local
+    # outlier (r4: LSH 7.96s driver vs 2.31s judge re-run) is
+    # attributable at a glance to contention (one bad pass) vs a plan
+    # change (all passes moved)
+    timings = {name: min(ps) for name, ps in passes.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -116,6 +122,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "passes": passes,
                 "sf": sf,
             }
         )

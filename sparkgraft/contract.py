@@ -158,6 +158,15 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFr
     not the data.
     """
     cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        # mirror validate_contract's empty-rules branch: stack(0, ) is
+        # malformed SQL, so an empty column list returns an empty report
+        # with the documented schema instead of an AnalysisException
+        return df.sparkSession.createDataFrame(
+            [],
+            "column string, n_rows bigint, n_null bigint, null_frac double, "
+            "n_distinct_approx bigint, min_str string, max_str string",
+        )
     n_rows = F.count(F.lit(1))
     aggs: list[Column] = [n_rows.alias("__n")]
     for c in cols:

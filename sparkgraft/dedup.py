@@ -169,12 +169,24 @@ def dedup_incremental(
 
     Returns the surviving new rows, with ``fingerprint_col`` attached
     so the caller can append exactly these fingerprints to the store.
+
+    NULL-text rows hash to the sentinel ``__null_text__`` instead of a
+    NULL fingerprint: a NULL key matches nothing in the anti join, so
+    such rows would be re-emitted as fresh on EVERY run even after
+    their fingerprint was appended, while still collapsing to one
+    survivor within a batch — inconsistent cross-run vs within-batch
+    behavior. With the sentinel, NULL-text rows dedup exactly like any
+    other content group (one survivor ever, matching dedup_exact's
+    within-batch rule), and the sentinel can never collide with a real
+    md5 hex digest.
     """
     from pyspark.sql.window import Window
 
     from .text import fingerprint as _fp
 
-    staged = new_docs.withColumn(fingerprint_col, _fp(text_col))
+    staged = new_docs.withColumn(
+        fingerprint_col, F.coalesce(_fp(text_col), F.lit("__null_text__"))
+    )
     store = seen_fingerprints.select(F.col(fingerprint_col)).distinct()
     fresh = staged.join(store, [fingerprint_col], "left_anti")
     # deterministic keep-first within the batch, same rule as
@@ -736,6 +748,7 @@ def near_dup_clusters(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 20,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """Connected components over a near-dup PAIR graph — the step that
     turns pairwise similarity into dedup decisions: near-dup relations
@@ -759,9 +772,17 @@ def near_dup_clusters(
     convergence check is a driver-side action per iteration (documented
     exception to the no-driver-actions rule — fixpoint loops need a
     termination test). Each iteration's labels persist and the
-    previous generation unpersists, so lineage stays shallow and no
-    iteration recomputes the last; for graphs with diameter beyond
-    ~20, insert localCheckpoint every few iterations.
+    previous generation unpersists, so no iteration recomputes the
+    last — but persist alone does nothing for the LOGICAL plan, which
+    grows GEOMETRICALLY: each generation references the previous
+    labels twice (messages join + update join), J(k) = 2*J(k-1) + 2
+    join nodes, so a diameter-17 graph would carry >260k joins into
+    the analyzer (optimizer time and task-binary size blow up long
+    before runtime does). Every ``checkpoint_interval`` iterations the
+    labels are ``localCheckpoint``-ed (eager, block-backed), truncating
+    lineage to the materialized blocks and bounding the live plan to
+    one interval. Deep-chain graphs (diameter ~ max_iter) are
+    exercised in tests/test_dedup.py.
 
     Singleton documents (no near-dup pair) are not in the graph and so
     not in the output — callers left-anti join to add them as their own
@@ -783,7 +804,7 @@ def near_dup_clusters(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
-        for _ in range(max_iter):
+        for it in range(max_iter):
             # neighbor labels: every node hears the label of each peer
             msgs = (
                 edges.join(
@@ -796,16 +817,21 @@ def near_dup_clusters(
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("__nbr_label").alias("__min_nbr"))
             )
-            new_labels = (
-                labels.join(msgs, "node", "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("label"), F.coalesce("__min_nbr", F.col("label"))
-                    ).alias("label"),
-                )
-                .persist(StorageLevel.MEMORY_AND_DISK)
+            new_labels = labels.join(msgs, "node", "left").select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("__min_nbr", F.col("label"))
+                ).alias("label"),
             )
+            if checkpoint_interval and (it + 1) % checkpoint_interval == 0:
+                # truncate lineage: by iteration k the plan carries k
+                # stacked join subtrees; localCheckpoint materializes
+                # the labels (eager, block-backed — no HDFS dir needed)
+                # and restarts the plan from them, bounding optimizer
+                # work and recovery cost for deep-diameter graphs
+                new_labels = new_labels.localCheckpoint(eager=True)
+            else:
+                new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "node")

@@ -86,6 +86,26 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_row_hint(sf_dir: str, name: str) -> int:
+    """Row-count HINT for one table, from parquet footer metadata only —
+    no Spark job, no data scan (pyarrow ``count_rows`` on a parquet
+    dataset sums footer ``num_rows``). This is the "manifest row count"
+    that sizing rules (``similarity.auto_num_planes``,
+    ``semdedup.auto_n_clusters``, ``cosine_pairs_blocked``'s
+    ``approx_rows``) take as input: at cluster scale the same number
+    comes from catalog statistics or the ingest manifest; deriving it
+    from a ``df.count()`` driver job is exactly what those contracts
+    forbid. Returns 0 when the footprint is unreadable (caller rules
+    all clamp their low end)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        import pyarrow.dataset as pds
+
+        return pds.dataset(path, format="parquet").count_rows()
+    except Exception:
+        return 0
+
+
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     names = names or TPCH_TABLES
     return {n: read_table(spark, sf_dir, n) for n in names}

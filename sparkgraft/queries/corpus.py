@@ -140,10 +140,10 @@ def doc_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "documents_contract_report",
-    # Retired-tier BREADTH query (never consumes a driver slot): the
-    # contract validator's one-scan rule aggregation verified
-    # Spark-vs-DuckDB on every pytest run via the retired-tier gate.
-    retired=True,
+    # PROMOTED to an active slot in r5 (VERDICT r4 task 8): single-scan
+    # contract evaluation is the operator real pipelines run most often
+    # after dedup, so it earns one round of direct driver evidence
+    # (slot freed by retiring weighted_sample_docs).
     oracle="""
     WITH v AS (
         SELECT

@@ -76,7 +76,13 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_value_stats",
-    """
+    # RETIRED r5 (two-round-stable; driver slot freed for the planted
+    # LSH oracle / contract promotion): A1/A2 keep active evidence via
+    # corpus_vocab_topk, A3 null-accounting via the conformance family,
+    # the JSON surface via json_extract_events; this stays
+    # oracle-verified by tests/test_retired_oracles.py.
+    retired=True,
+    oracle="""
     SELECT event_type,
            count(*) AS total_records,
            count(CASE WHEN list_contains(json_keys(props), 'k') THEN 1 END)

@@ -98,7 +98,12 @@ def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "weighted_sample_docs",
-    """
+    # RETIRED r5 (two-round-stable; driver slot freed for the planted
+    # LSH oracle / contract promotion): the sampling component keeps a
+    # driver row via doc_train_split; this stays oracle-verified by
+    # tests/test_retired_oracles.py.
+    retired=True,
+    oracle="""
     SELECT doc_id, source, n_chars,
            CAST(CAST('0x' || substr(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 4)
                      AS INTEGER) AS BIGINT) AS bucket,

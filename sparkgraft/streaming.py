@@ -26,6 +26,7 @@ from .json_ops import extract_key, key_presence
 
 __all__ = [
     "stream_table",
+    "stream_table_from_dir",
     "windowed_event_counts",
     "windowed_conformance",
     "windowed_sessions",
@@ -92,12 +93,27 @@ def stream_table(
                 os.symlink(src, link)
         with open(done_marker, "w") as fh:
             fh.write(src)
+    return _normalized_dir_stream(
+        spark, stage, raw_schema, batch.schema, max_files_per_trigger
+    )
+
+
+def _normalized_dir_stream(
+    spark: SparkSession,
+    directory: str,
+    raw_schema,
+    target_schema,
+    max_files_per_trigger: int = 1,
+):
+    """File-source stream over ``directory`` with the batch reader's
+    column normalization applied (nanos-as-long -> timestamp_ntz, plus
+    any residual casts) so streaming plans see the exact batch shape."""
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(stage)
+        .parquet(directory)
     )
-    for field, target in zip(raw_schema.fields, batch.schema.fields):
+    for field, target in zip(raw_schema.fields, target_schema.fields):
         if field.dataType != target.dataType:
             if field.dataType.typeName() == "long":  # nanos-as-long column
                 stream = stream.withColumn(
@@ -111,6 +127,31 @@ def stream_table(
                     field.name, F.col(field.name).cast(target.dataType)
                 )
     return stream
+
+
+def stream_table_from_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    directory: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Stream a testdata table from a CALLER-MANAGED directory — the
+    harness for arrival/recovery scenarios: the caller stages part
+    files into ``directory`` over time (e.g. two files, run to a stop,
+    add two more, restart from the same checkpoint), while schema and
+    normalization stay identical to :func:`stream_table`. The file
+    source's checkpoint records which files are committed, so a
+    restarted query picks up exactly the unseen files."""
+    import os
+
+    from .io import read_table
+
+    batch = read_table(spark, sf_dir, name)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
+    return _normalized_dir_stream(
+        spark, directory, raw_schema, batch.schema, max_files_per_trigger
+    )
 
 
 def _with_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
@@ -240,17 +281,25 @@ def enrich_stream(
     dim: DataFrame,
     on: Sequence[str],
     how: str = "left",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Stream-static enrichment join — the most common streaming shape
     (attach dimension attributes to each event as it arrives). The
     static side is re-evaluated per micro-batch, so a dimension backed
     by a table/file source picks up updates between batches without
-    restarting the query; it is broadcast, so the stream side never
-    shuffles and no join state accumulates (stateless, unlike
-    stream-stream joins). ``how`` must keep the stream side intact
-    (``inner``/``left``/``left_semi``/``left_anti`` — Spark rejects
-    the right-preserving forms for stream-static)."""
-    return stream.join(F.broadcast(dim), list(on), how)
+    restarting the query; by default it is broadcast, so the stream
+    side never shuffles and no join state accumulates (stateless,
+    unlike stream-stream joins). ``how`` must keep the stream side
+    intact (``inner``/``left``/``left_semi``/``left_anti`` — Spark
+    rejects the right-preserving forms for stream-static).
+
+    ``broadcast=False`` skips the hint for dimensions too large to
+    materialize on every executor: the per-batch join degrades to a
+    shuffled stream-static join (the stream side shuffles each batch —
+    slower, but bounded memory) instead of failing with a broadcast
+    OOM the caller could not opt out of."""
+    rhs = F.broadcast(dim) if broadcast else dim
+    return stream.join(rhs, list(on), how)
 
 
 def stream_interval_join(

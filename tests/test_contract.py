@@ -122,3 +122,20 @@ def test_contract_empty_rules(spark, table):
     out = validate_contract(table, [])
     assert out.count() == 0
     assert set(out.columns) == {"rule_id", "column", "check", "n_violations", "passed"}
+
+
+def test_profile_table_empty_columns_list(spark, table):
+    """ADVICE r4: columns=[] used to build malformed ``stack(0, )``
+    SQL; it now mirrors validate_contract's empty-rules branch — an
+    empty report with the documented schema. Same for a zero-column
+    DataFrame."""
+    from sparkgraft.contract import profile_table
+
+    out = profile_table(table, columns=[])
+    assert out.count() == 0
+    assert list(out.columns) == [
+        "column", "n_rows", "n_null", "null_frac",
+        "n_distinct_approx", "min_str", "max_str",
+    ]
+    zero_cols = table.drop(*table.columns)
+    assert profile_table(zero_cols).count() == 0

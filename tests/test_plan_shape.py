@@ -42,7 +42,10 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "last_order_asof_event": (1, 0),
     "open_lineitems_per_day": (4, 2),  # bucket equi-join, no nested loop
     "json_extract_events": (0, 0),
-    "json_value_stats": (1, 0),
+    # contract report: the wide one-scan rule aggregate (partial+final),
+    # the unique-check's doc_id groupBy, and the tiny per-rule union
+    # rows; the BHJ is the unique-check's join-back of a 1-row count
+    "documents_contract_report": (4, 1),
     # vocab: the two phases of the count-distinct aggregation (partial
     # keyed on (word, doc), final on word); top-k is a TakeOrdered
     "corpus_vocab_topk": (2, 0),
@@ -77,6 +80,9 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "knn_cosine_bruteforce": (3, 0),
     "embedding_near_dup_pairs": (9, 4),
     "embedding_near_dup_lsh": (8, 3),
+    # planted variant: same banded-LSH plan over the unioned planted
+    # view (union adds no exchange — both branches scan in place)
+    "embedding_near_dup_lsh_planted": (8, 3),
     "semantic_dedup_embeddings": (1, 0),  # the ONLY shuffle: groupBy cid
     "ann_lsh_topk": (6, 3),
     "ann_ivf_topk": (3, 1),

@@ -265,3 +265,171 @@ def test_enrich_stream_left_keeps_unmatched(spark, sf_dir):
     n_events = read_table(spark, sf_dir, "events").count()
     assert out.count() == n_events          # nothing dropped
     assert out.where(F.col("segment").isNull()).count() == n_events
+
+
+def test_checkpoint_recovery_windowed_conformance(spark, sf_dir, tmp_path):
+    """Checkpoint recovery (VERDICT r4 task 3) — the streaming failure
+    mode a production deployment hits weekly: a windowed-conformance
+    stream processes part of its input, STOPS, and a brand-new query
+    restarts from the same checkpoint to finish. Exactly-once is
+    asserted three ways: (a) the restarted query's batch ids continue
+    AFTER the first run's (it resumed the checkpoint, not restarted
+    from scratch), (b) the recovered final aggregates equal an
+    UNINTERRUPTED streaming run's (state restored: totals too low if
+    the restart lost state, too high if it re-read committed files),
+    (c) both equal the batch twin computed with the same expressions
+    over the full table (the engine-level oracle)."""
+    import os
+    import shutil
+
+    from sparkgraft.json_ops import extract_key, key_presence
+
+    # stage the events table as 4 part files the test releases in waves
+    staged = str(tmp_path / "staged")
+    src = os.path.join(sf_dir, "events.parquet")
+    spark.read.parquet(src).repartition(4).write.mode("overwrite").parquet(staged)
+    parts = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    assert len(parts) == 4
+
+    spec = spark.createDataFrame(
+        [("click", "k"), ("click", "nope"), ("signup", "k")],
+        "event_name string, prop_name string",
+    )
+
+    def conf_stream(input_dir: str):
+        # watermark far beyond the data span: the 4-way random split
+        # scatters every window's events across all files, so a short
+        # watermark would drop cross-file "late" rows at whatever point
+        # each run's batch boundaries happen to advance it — this test
+        # isolates STATE RECOVERY; eviction semantics are exercised by
+        # the dedicated watermark/session tests
+        s = ST.stream_table_from_dir(spark, sf_dir, "events", input_dir)
+        return ST.windowed_conformance(
+            s.withColumnRenamed("event_type", "event_name"),
+            spec,
+            window="12 hours",
+            watermark="3650 days",
+        )
+
+    def run_until_drained(input_dir: str, sink: str, ckpt: str) -> list[int]:
+        """One streaming query over whatever files are present; update-
+        mode aggregates upsert into batch_id-partitioned parquet (the
+        idempotent-sink recipe), so the final value per key is the row
+        with the highest batch_id."""
+        seen: list[int] = []
+
+        def upsert(batch_df, batch_id):
+            seen.append(batch_id)
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(sink)
+            )
+
+        q = (
+            conf_stream(input_dir)
+            .writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return seen
+
+    def final_state(sink: str):
+        from pyspark.sql.window import Window
+
+        df = spark.read.parquet(sink)
+        w = Window.partitionBy(
+            "window_start", "event_name", "prop_name"
+        ).orderBy(F.desc("batch_id"))
+        latest = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "batch_id")
+        )
+        return {tuple(r) for r in latest.collect()}
+
+    # --- interrupted run: 2 files, stop, 2 more files, restart ---
+    input_dir = str(tmp_path / "input")
+    os.makedirs(input_dir)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    for p in parts[:2]:
+        shutil.copy(os.path.join(staged, p), os.path.join(input_dir, p))
+    first = run_until_drained(input_dir, sink, ckpt)
+    assert len(first) >= 2
+    for p in parts[2:]:
+        shutil.copy(os.path.join(staged, p), os.path.join(input_dir, p))
+    second = run_until_drained(input_dir, sink, ckpt)
+    # (a) resumed, not restarted: batch ids strictly continue
+    assert second and min(second) > max(first)
+
+    # --- uninterrupted control run: all 4 files, one query ---
+    input2 = str(tmp_path / "input2")
+    os.makedirs(input2)
+    for p in parts:
+        shutil.copy(os.path.join(staged, p), os.path.join(input2, p))
+    sink2, ckpt2 = str(tmp_path / "sink2"), str(tmp_path / "ckpt2")
+    run_until_drained(input2, sink2, ckpt2)
+
+    # (b) recovered == uninterrupted
+    recovered, control = final_state(sink), final_state(sink2)
+    assert recovered == control and len(recovered) > 0
+
+    # (c) == the batch twin (same conformance expressions, batch plan)
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .withColumnRenamed("event_type", "event_name")
+        .withColumn("__t", F.col("ts").cast("timestamp"))
+    )
+    joined = ev.join(F.broadcast(spec), ["event_name"])
+    value = extract_key(F.col("props"), F.col("prop_name"))
+    present = key_presence([F.col("props")], F.col("prop_name"))
+    batch_twin = (
+        joined.groupBy(
+            F.window("__t", "12 hours").alias("win"), "event_name", "prop_name"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_records"),
+            F.count(F.when(present, F.lit(1))).alias("keys_not_null_count"),
+            F.count(value).alias("value_not_null_count"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            "event_name",
+            "prop_name",
+            "total_records",
+            "keys_not_null_count",
+            "value_not_null_count",
+        )
+    )
+    assert recovered == {tuple(r) for r in batch_twin.collect()}
+
+
+def test_enrich_stream_shuffled_fallback(spark, sf_dir):
+    """ADVICE r4: ``broadcast=False`` must produce the same enrichment
+    without the broadcast hint — the opt-out for dimensions too large
+    to materialize per executor (degrades to a shuffled stream-static
+    join instead of a driver/executor OOM)."""
+    dim = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 5).cast("bigint"))
+    )
+    stream = ST.stream_table(spark, sf_dir, "events")
+    out = ST.run_stream_to_memory(
+        ST.enrich_stream(stream, dim, on=("user_id",), broadcast=False).select(
+            "event_id", "segment"
+        ),
+        "q_enrich_shuffled",
+        output_mode="append",
+    )
+    batch = read_table(spark, sf_dir, "events")
+    expected = batch.join(dim, "user_id").select("event_id", "segment")
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in expected.collect()}

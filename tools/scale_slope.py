@@ -40,6 +40,15 @@ the query's semantics, not a plan defect; the plan's compute is the
 deliberate exact-verification tier (blocked matmul, O(n^2/B)
 vectorized FLOPs), and the ANN queries are the documented scale path.
 
+THREE-POINT FIT (r5): a two-point slope cannot separate fixed-cost
+amortization from genuine superlinearity (r4's watch set: slopes 3-4
+that could be either). The probe now measures 1x / factor//2 x /
+factor x and fits t = a * f^e by least squares on log t vs log f,
+reporting the overall ``exponent`` plus ``tail_exponent`` (between the
+two LARGEST points, where fixed overhead is most amortized — the
+asymptote estimate). Linear plans: tail_exponent ~<= 1.3; a quadratic
+candidate stage lands near 2.
+
 Usage: python tools/scale_slope.py [factor] [sf_dir]
 Output: one JSON line {"metric": "scale_slope", ...} plus a table on
 stderr; results are recorded in BENCH_NOTES.md.
@@ -69,6 +78,7 @@ PROBES = [
     "knn_cosine_bruteforce",
     "embedding_near_dup_pairs",
     "embedding_near_dup_lsh",
+    "embedding_near_dup_lsh_planted",
     "semantic_dedup_embeddings",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -133,7 +143,9 @@ def main() -> int:
     results: dict[str, dict] = {name: {} for name in PROBES}
     row_counts: dict[int, dict[str, int]] = {}
 
-    for f in (1, factor):
+    # three scale points: 1x, mid, Nx (mid = factor // 2, distinct)
+    points = sorted({1, max(2, factor // 2), factor})
+    for f in points:
         work = tempfile.mkdtemp(prefix=f"sparkgraft-slope-{f}x-")
         try:
             row_counts[f] = stage(spark, sf_dir, work, f)
@@ -160,27 +172,51 @@ def main() -> int:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    import math
+
+    def fit_exponent(fs: list[int], ts: list[float]) -> float | None:
+        """Least-squares exponent e of t = a * f^e over the points."""
+        pts = [(math.log(f), math.log(t)) for f, t in zip(fs, ts) if t > 0]
+        if len(pts) < 2:
+            return None
+        n = len(pts)
+        mx = sum(x for x, _ in pts) / n
+        my = sum(y for _, y in pts) / n
+        sxx = sum((x - mx) ** 2 for x, _ in pts)
+        if sxx == 0:
+            return None
+        return sum((x - mx) * (y - my) for x, y in pts) / sxx
+
+    hdr = " ".join(f"t({f}x)".rjust(8) for f in points)
     print(
-        f"{'query':32} {'t(1x)':>8} {'t(' + str(factor) + 'x)':>8} "
-        f"{'slope':>6}  (linear ~<= {factor})",
+        f"{'query':32} {hdr} {'slope':>6} {'exp':>5} {'tail':>5}"
+        f"  (linear slope ~<= {factor}, tail exp ~<= 1.3)",
         file=sys.stderr,
     )
     slopes = {}
     for name in PROBES:
-        t1, tn = results[name][1], results[name][factor]
+        ts = [results[name][f] for f in points]
+        t1, tn = ts[0], ts[-1]
         r1, rn = results[name]["rows_1"], results[name][f"rows_{factor}"]
         slope = round(tn / t1, 2) if t1 > 0 else None
         out_slope = round(rn / r1, 2) if r1 > 0 else None
+        exponent = fit_exponent(points, ts)
+        # tail exponent: between the two LARGEST points, where fixed
+        # overhead is most amortized — the asymptote estimate that
+        # adjudicates "slope 3-4" as amortization vs superlinearity
+        tail = fit_exponent(points[-2:], ts[-2:])
         slopes[name] = {
-            "t_1x": t1,
-            f"t_{factor}x": tn,
+            **{f"t_{f}x": results[name][f] for f in points},
             "slope": slope,
+            "exponent": round(exponent, 2) if exponent is not None else None,
+            "tail_exponent": round(tail, 2) if tail is not None else None,
             "rows_1x": r1,
             f"rows_{factor}x": rn,
             "out_slope": out_slope,
         }
+        tcols = " ".join(f"{t:8.3f}" for t in ts)
         print(
-            f"{name:32} {t1:8.3f} {tn:8.3f} {slope:6.2f}"
+            f"{name:32} {tcols} {slope:6.2f} {exponent:5.2f} {tail:5.2f}"
             f"   rows {r1}->{rn} (out_slope {out_slope})",
             file=sys.stderr,
         )
@@ -190,6 +226,7 @@ def main() -> int:
             {
                 "metric": "scale_slope",
                 "factor": factor,
+                "points": points,
                 "sf_dir": sf_dir,
                 "rows": row_counts,
                 "queries": slopes,
