@@ -30,7 +30,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["validate_contract", "profile_table"]
+__all__ = ["validate_contract", "profile_table", "profile_drift"]
 
 
 def _violation(rule: Mapping) -> Column:
@@ -201,4 +201,77 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFr
         F.col("n_distinct_approx").cast("bigint").alias("n_distinct_approx"),
         "min_str",
         "max_str",
+    )
+
+
+def profile_drift(
+    before: DataFrame,
+    after: DataFrame,
+    columns: Sequence[str] | None = None,
+    null_frac_tol: float = 0.05,
+    distinct_ratio_tol: float = 0.5,
+) -> DataFrame:
+    """Snapshot-over-snapshot drift report — the check a recurring
+    pipeline runs BETWEEN :func:`profile_table` calls: yesterday's
+    corpus vs today's, per profiled column. Returns one row per column:
+
+    ``(column, n_rows_before, n_rows_after, null_frac_before,
+    null_frac_after, null_frac_delta, distinct_before, distinct_after,
+    distinct_ratio, drifted)``
+
+    where ``drifted`` flags a null-fraction move beyond
+    ``null_frac_tol`` (absolute) or a distinct-count ratio outside
+    ``[distinct_ratio_tol, 1/distinct_ratio_tol]`` — the two cheap
+    signals that catch a broken extractor (nulls spike) or a key
+    collapse / explosion (cardinality jumps) before training sees it.
+
+    Scale shape: exactly two ``profile_table`` passes (one scan each,
+    map-side combinable) joined on the tiny per-column report — the
+    drift logic itself never touches the data. The distinct counts are
+    the profile's HyperLogLog estimates, so ``distinct_ratio`` is an
+    approximate signal by design (size ``distinct_ratio_tol`` well
+    outside the sketch's ~2% error); null fractions are exact.
+
+    ``columns`` defaults to the columns the two snapshots SHARE (drift
+    is only defined for common columns; added/dropped columns are a
+    schema-diff concern, visible via ``set(before.columns) ^
+    set(after.columns)`` without a data pass).
+    """
+    if columns is None:
+        columns = [c for c in before.columns if c in set(after.columns)]
+    b = profile_table(before, columns).select(
+        "column",
+        F.col("n_rows").alias("n_rows_before"),
+        F.col("null_frac").alias("null_frac_before"),
+        F.col("n_distinct_approx").alias("distinct_before"),
+    )
+    a = profile_table(after, columns).select(
+        "column",
+        F.col("n_rows").alias("n_rows_after"),
+        F.col("null_frac").alias("null_frac_after"),
+        F.col("n_distinct_approx").alias("distinct_after"),
+    )
+    ratio = F.round(
+        F.col("distinct_after").cast("double")
+        / F.greatest(F.col("distinct_before").cast("double"), F.lit(1.0)),
+        6,
+    )
+    delta = F.round(
+        F.col("null_frac_after") - F.col("null_frac_before"), 6
+    )
+    return b.join(a, "column").select(
+        "column",
+        "n_rows_before",
+        "n_rows_after",
+        "null_frac_before",
+        "null_frac_after",
+        delta.alias("null_frac_delta"),
+        "distinct_before",
+        "distinct_after",
+        ratio.alias("distinct_ratio"),
+        (
+            (F.abs(delta) > F.lit(null_frac_tol))
+            | (ratio < F.lit(distinct_ratio_tol))
+            | (ratio > F.lit(1.0 / distinct_ratio_tol))
+        ).alias("drifted"),
     )

@@ -347,3 +347,86 @@ def heavy_hitter_words_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified against the unbounded full aggregation it must equal."""
     docs = read_table(spark, sf_dir, "documents")
     return T.heavy_hitter_words(docs, "text", min_share=0.005)
+
+
+@register(
+    "documents_profile_drift",
+    # Retired-tier BREADTH query: snapshot-over-snapshot drift report
+    # oracle-verified on every pytest run. Exact statistics (row
+    # counts, null fractions, deltas) compare bit-for-bit; the
+    # HLL-derived distinct_ratio reduces to its accuracy bound
+    # (estimate ratio within 10% of the exact ratio), stated as
+    # literal TRUE by the oracle — the documents_profile_report
+    # precedent applied to the drift pair.
+    retired=True,
+    oracle="""
+    WITH b AS (
+        SELECT count(*) AS n_rows,
+               round(CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / greatest(count(*), 1), 6) AS nf_lang,
+               round(CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / greatest(count(*), 1), 6) AS nf_chars
+        FROM documents
+    ),
+    a AS (
+        SELECT count(*) AS n_rows,
+               round(CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / greatest(count(*), 1), 6) AS nf_lang,
+               round(CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / greatest(count(*), 1), 6) AS nf_chars
+        FROM documents WHERE n_chars >= 120
+    )
+    SELECT 'doc_id' AS column, b.n_rows AS n_rows_before,
+           a.n_rows AS n_rows_after,
+           0.0 AS null_frac_before, 0.0 AS null_frac_after,
+           0.0 AS null_frac_delta, TRUE AS distinct_ratio_ok
+    FROM b, a
+    UNION ALL
+    SELECT 'lang', b.n_rows, a.n_rows, b.nf_lang, a.nf_lang,
+           round(a.nf_lang - b.nf_lang, 6), TRUE
+    FROM b, a
+    UNION ALL
+    SELECT 'n_chars', b.n_rows, a.n_rows, b.nf_chars, a.nf_chars,
+           round(a.nf_chars - b.nf_chars, 6), TRUE
+    FROM b, a
+    """,
+)
+def documents_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contract.profile_drift between the full corpus and its
+    length-filtered next snapshot (n_chars >= 120 — the common quality
+    cut): exact drift statistics verified cross-engine, the HLL
+    distinct ratio reduced to its portable accuracy bound (within 10%
+    of the exact distinct ratio on both snapshots)."""
+    from ..contract import profile_drift
+
+    docs = read_table(spark, sf_dir, "documents")
+    after = docs.where(F.col("n_chars") >= 120)
+    cols = ["doc_id", "lang", "n_chars"]
+    drift = profile_drift(docs, after, cols)
+    exact = (
+        docs.agg(*[F.count_distinct(c).alias(f"__b_{c}") for c in cols])
+        .crossJoin(
+            after.agg(*[F.count_distinct(c).alias(f"__a_{c}") for c in cols])
+        )
+        .selectExpr(
+            f"stack({len(cols)}, "
+            + ", ".join(f"'{c}', `__b_{c}`, `__a_{c}`" for c in cols)
+            + ") as (column, __exb, __exa)"
+        )
+    )
+    exact_ratio = F.col("__exa").cast("double") / F.greatest(
+        F.col("__exb").cast("double"), F.lit(1.0)
+    )
+    return drift.join(F.broadcast(exact), "column").select(
+        "column",
+        "n_rows_before",
+        "n_rows_after",
+        "null_frac_before",
+        "null_frac_after",
+        "null_frac_delta",
+        (
+            F.abs(F.col("distinct_ratio") - exact_ratio)
+            / F.greatest(exact_ratio, F.lit(1e-9))
+            <= 0.1
+        ).alias("distinct_ratio_ok"),
+    )

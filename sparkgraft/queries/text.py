@@ -507,3 +507,50 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the identical double math including ln()."""
     docs = read_table(spark, sf_dir, "documents")
     return T.tfidf_top_terms(docs, "text", "doc_id", k=5)
+
+
+@register(
+    "doc_unigram_logprob",
+    # Retired-tier BREADTH query (registry at its 50-slot cap): the
+    # perplexity-proxy quality score oracle-verified on every pytest
+    # run. Model corpus = src0 documents; every doc scored against it,
+    # so OOV smoothing (ctf = 0) is exercised by the non-src0 slices.
+    retired=True,
+    oracle=f"""
+    WITH stok AS (SELECT doc_id, {{tok}} AS tok FROM documents),
+    terms AS (SELECT doc_id, unnest(tok) AS term FROM stok),
+    tc AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    mterms AS (
+        SELECT d.doc_id, unnest({{tok}}) AS term
+        FROM documents d WHERE d.source = 'src0'
+    ),
+    ctf AS (SELECT term, count(*) AS ctf FROM mterms GROUP BY 1),
+    tot AS (SELECT CAST(coalesce(sum(ctf), 0) AS DOUBLE) AS t,
+                   CAST(count(*) AS DOUBLE) AS v FROM ctf),
+    scored AS (
+        SELECT tc.doc_id,
+               sum(tf) AS n_tokens,
+               sum(CAST(tf AS DECIMAL(18,0))
+                   * CAST(round(-ln((CAST(coalesce(ctf, 0) AS DOUBLE) + 1)
+                                    / (t + v)), 6) AS DECIMAL(18,6))) AS s
+        FROM tc LEFT JOIN ctf USING (term) CROSS JOIN tot
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           round(CAST(sc.s AS DOUBLE) / CAST(sc.n_tokens AS DOUBLE), 6)
+               AS avg_neg_logprob
+    FROM documents d LEFT JOIN scored sc USING (doc_id)
+    """.replace("{tok}", _TOK),
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean negative unigram log-probability per document under a
+    reference unigram model (the src0 slice of the corpus) — the
+    perplexity-proxy quality filter (CCNet-style: improbable-word
+    documents score high). Rounded per-term -ln p accumulated in exact
+    decimal => engine-independent; the oracle recomputes the identical
+    math including ln() (tfidf precedent). Docs outside src0 exercise
+    the out-of-vocabulary smoothing path (ctf = 0)."""
+    docs = read_table(spark, sf_dir, "documents")
+    model = docs.where(F.col("source") == "src0")
+    return T.unigram_logprob(docs, "text", "doc_id", model_df=model)

@@ -361,6 +361,101 @@ def tfidf_top_terms(
     )
 
 
+def unigram_logprob(
+    df: "DataFrame",  # noqa: F821
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model_df: "DataFrame | None" = None,  # noqa: F821
+    persist_intermediates: bool = True,
+) -> "DataFrame":  # noqa: F821
+    """Per-document mean negative unigram log-probability — the
+    perplexity-PROXY quality score (the CCNet/Wikipedia-LM filtering
+    signal, reduced to its unigram term: documents whose words are
+    improbable under a reference corpus score high and get filtered or
+    down-weighted). ``model_df`` is the REFERENCE corpus the unigram
+    model is estimated from (token counts + add-one smoothing);
+    defaults to ``df`` itself (self-scoring — the in-corpus outlier
+    detector).
+
+    ``p(w) = (ctf(w) + 1) / (T + V)`` with ctf = model term frequency,
+    T = model token count, V = model vocabulary size; out-of-vocabulary
+    words get ctf = 0. Per doc: ``avg_neg_logprob =
+    sum(tf * -ln p) / n_tokens`` (empty docs -> NULL, n_tokens 0).
+
+    Determinism: each term's ``-ln p`` is rounded to 6 places and the
+    per-doc accumulation runs in exact DECIMAL arithmetic, so the score
+    is independent of partitioning / combine order and reproducible on
+    any engine (the DuckDB oracle recomputes it bit-for-bit; the ln()
+    parity precedent is tfidf_top_terms).
+
+    Scale shape: one tokenize pass per corpus into compact
+    ``(doc, term, tf)`` counts (map-side combinable); the model side
+    collapses to per-term totals partially combined BEFORE the
+    term-keyed shuffle; T and V ride ONE broadcast one-row aggregate
+    (in-plan scalars, A5 discipline); the score join is term-keyed
+    (AQE broadcasts small vocabularies, falls back to sort-merge with
+    skew split on open ones) and the final aggregate is doc-keyed.
+    Nothing is collected; no window over an unbounded partition.
+    """
+    from .relational import spread
+
+    def term_counts(src):
+        toks = spread(src.select(F.col(id_col).alias("doc_id"), text_col)).select(
+            "doc_id", tokens(text_col).alias("__tok")
+        )
+        terms = toks.select(
+            "doc_id", F.explode_outer("__tok").alias("term")
+        ).where(F.col("term").isNotNull())
+        return terms.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("__tf")
+        )
+
+    tc = term_counts(df)
+    if model_df is None:
+        if persist_intermediates:
+            from pyspark import StorageLevel
+
+            # tc feeds both the model totals and the scoring join
+            tc = tc.persist(StorageLevel.MEMORY_AND_DISK)
+        model_tc = tc
+    else:
+        model_tc = term_counts(model_df)
+    ctf = model_tc.groupBy("term").agg(F.sum("__tf").alias("__ctf"))
+    totals = ctf.agg(
+        F.sum("__ctf").alias("__t"), F.count(F.lit(1)).alias("__v")
+    )
+    neg_logp = F.round(
+        -F.log(
+            (F.coalesce(F.col("__ctf"), F.lit(0)).cast("double") + 1.0)
+            / (F.col("__t").cast("double") + F.col("__v").cast("double"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        tc.join(ctf, "term", "left")  # left: OOV terms keep ctf NULL -> 0
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("__tf").cast("decimal(18,0)") * neg_logp).alias("__s"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias(
+                "n_tokens"
+            ),
+            F.round(
+                F.col("__s").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
 def vocabulary(
     df: "DataFrame",  # noqa: F821
     text_col: str = "text",

@@ -139,3 +139,35 @@ def test_profile_table_empty_columns_list(spark, table):
     ]
     zero_cols = table.drop(*table.columns)
     assert profile_table(zero_cols).count() == 0
+
+
+def test_profile_drift_flags_null_spike_and_cardinality_collapse(spark):
+    """Drift between two snapshots: a null spike beyond tolerance and a
+    distinct-count collapse both flag; a stable column does not."""
+    from sparkgraft.contract import profile_drift
+
+    before = spark.createDataFrame(
+        [(i, f"u{i}", f"l{i % 10}") for i in range(100)],
+        "id long, user string, lang string",
+    )
+    after = spark.createDataFrame(
+        # nulls spike to 20% on user; lang collapses 10 values -> 1
+        [(i, None if i % 5 == 0 else f"u{i}", "xx") for i in range(100)],
+        "id long, user string, lang string",
+    )
+    out = {r.column: r for r in profile_drift(before, after).collect()}
+    assert set(out) == {"id", "user", "lang"}
+    assert not out["id"].drifted
+    assert out["user"].drifted and out["user"].null_frac_delta == 0.2
+    assert out["lang"].drifted and out["lang"].distinct_ratio < 0.5
+    assert out["id"].n_rows_before == out["id"].n_rows_after == 100
+
+
+def test_profile_drift_defaults_to_shared_columns(spark):
+    """columns=None profiles only the columns both snapshots share."""
+    from sparkgraft.contract import profile_drift
+
+    before = spark.createDataFrame([(1, "a")], "id long, old string")
+    after = spark.createDataFrame([(1, "b")], "id long, new string")
+    out = profile_drift(before, after).collect()
+    assert [r.column for r in out] == ["id"]

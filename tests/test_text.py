@@ -163,3 +163,54 @@ def test_redact_pii_and_counts(spark):
     assert out[3].red == rows[2][1]
     assert all(getattr(out[3], f"n_{k}") == 0 for k in T.PII_PATTERNS)
     assert out[4].red is None
+
+
+def test_unigram_logprob_scores(spark):
+    """Perplexity-proxy sanity: common-word docs score LOWER than
+    rare-word docs under a self-scored model; empty docs dead-letter
+    (n_tokens 0, NULL score); exact math spot-checked for a
+    single-token doc."""
+    import math
+
+    from sparkgraft.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),     # the dominant token
+            (2, "the the rare"),        # mostly common
+            (3, "zebra"),               # one rare token
+            (4, ""),                    # empty
+            (5, None),                  # null
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob(docs, "text", "doc_id").collect()}
+    assert out[4].n_tokens == 0 and out[4].avg_neg_logprob is None
+    assert out[5].n_tokens == 0 and out[5].avg_neg_logprob is None
+    # corpus: the x6, rare x1, zebra x1 -> T=8, V=3
+    # p(the) = 7/11, p(zebra) = 2/11 — common beats rare
+    assert out[1].avg_neg_logprob < out[2].avg_neg_logprob
+    assert out[2].avg_neg_logprob < out[3].avg_neg_logprob
+    assert out[3].avg_neg_logprob == round(round(-math.log(2 / 11), 6), 6)
+    assert out[1].avg_neg_logprob == round(-math.log(7 / 11), 6)
+
+
+def test_unigram_logprob_oov_against_reference_model(spark):
+    """Scoring against a SEPARATE reference corpus: out-of-vocabulary
+    words take the floor probability 1 / (T + V)."""
+    import math
+
+    from sparkgraft.text import unigram_logprob
+
+    model = spark.createDataFrame(
+        [(100, "alpha beta alpha")], "doc_id long, text string"
+    )  # T=3, V=2
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "gamma")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.avg_neg_logprob
+        for r in unigram_logprob(docs, "text", "doc_id", model_df=model).collect()
+    }
+    assert out[1] == round(-math.log(3 / 5), 6)   # (2+1)/(3+2)
+    assert out[2] == round(-math.log(1 / 5), 6)   # OOV: (0+1)/(3+2)
