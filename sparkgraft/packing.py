@@ -42,6 +42,7 @@ __all__ = [
     "epoch_replicate",
     "percentile_keep",
     "deterministic_shuffle",
+    "chunk_documents",
 ]
 
 
@@ -195,3 +196,57 @@ def deterministic_shuffle(
     )
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return keyed.repartitionByRange(n, order_col).sortWithinPartitions(order_col)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split long documents into fixed-token-window chunks — the stage
+    BEFORE :func:`pack_contiguous` when documents exceed the model
+    context (a 200k-token document cannot ride one training sequence):
+    each document explodes into windows of ``chunk_tokens`` whitespace
+    tokens starting every ``stride`` tokens (``stride < chunk_tokens``
+    gives sliding-window overlap, the long-context training recipe;
+    default ``stride = chunk_tokens`` is disjoint chunking).
+
+    Returns one row per chunk: ``(doc_id, chunk_idx, chunk_start,
+    n_chunk_tokens, chunk_text)``. The final chunk may be short; empty
+    or NULL documents yield NO chunks (callers needing every doc id
+    left-join back). Deterministic: the chunk set is a pure function of
+    the token array.
+
+    Scale shape: entirely ROW-LOCAL — tokenize, generate start offsets
+    with ``sequence``, explode, slice; no shuffle at any corpus size,
+    and the explode fan-out is bounded per row by
+    ``ceil(n_tokens / stride)``. Output order inside a partition
+    follows input order; partitioning carries through to downstream
+    packing's bucket shuffle.
+    """
+    from .text import tokens
+
+    if stride is None:
+        stride = chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    tok = tokens(_col(text_col))
+    n = F.size(tok)
+    starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n - 1, F.lit(stride))
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        tok.alias("__tok"),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    )
+    piece = F.slice(F.col("__tok"), F.col("chunk_start") + 1, chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -166,3 +166,39 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.percentile_keep(staged, "source", "sw_ratio", 0.7).select(
         "doc_id", "source", "sw_ratio", "pct_below"
     )
+
+
+@register(
+    "chunk_documents_sliding",
+    # Retired-tier BREADTH query (registry at its 50-slot cap): the
+    # long-document chunking stage oracle-verified on every pytest run.
+    # chunk=32 / stride=24 tokens so the test corpus exercises many
+    # multi-chunk docs, overlap, and short final chunks.
+    retired=True,
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    starts AS (
+        SELECT doc_id, tok, unnest(range(0, len(tok), 24)) AS chunk_start
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(chunk_start // 24 AS BIGINT) AS chunk_idx,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(len(tok[chunk_start + 1 : chunk_start + 32]) AS BIGINT)
+               AS n_chunk_tokens,
+           array_to_string(tok[chunk_start + 1 : chunk_start + 32], ' ')
+               AS chunk_text
+    FROM starts
+    """,
+)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """packing.chunk_documents with a sliding window (32-token chunks
+    every 24 tokens — 8-token overlap, the long-context training
+    recipe) over the documents table. Entirely row-local (tokenize +
+    sequence + explode + slice — zero shuffles at any corpus size);
+    the oracle recomputes every chunk boundary and text from the same
+    token arrays."""
+    docs = read_table(spark, sf_dir, "documents")
+    return P.chunk_documents(
+        docs, "text", "doc_id", chunk_tokens=32, stride=24
+    )

@@ -163,3 +163,38 @@ def test_deterministic_shuffle_is_totally_ordered(spark, sf_dir):
     keys = [r.shuffle_key for r in out.collect()]
     # range partitioning + local sort => collect order is the total order
     assert keys == sorted(keys)
+
+
+def test_chunk_documents_sliding_window(spark):
+    """Chunk boundaries, overlap, short final chunk, and empty-doc
+    behavior — plus the zero-shuffle plan (chunking must stay
+    row-local at any corpus size)."""
+    import pytest as _pytest
+
+    from sparkgraft.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6"),  # 7 tokens
+            (2, "a b"),                    # shorter than one chunk
+            (3, ""),                       # empty -> no chunks
+            (4, None),                     # null -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "text", "doc_id", chunk_tokens=4, stride=3)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # doc 1: starts 0, 3, 6 -> [t0..t3], [t3..t6] (overlap t3), [t6]
+    assert (1, 0) in rows and rows[(1, 0)].chunk_text == "t0 t1 t2 t3"
+    assert rows[(1, 1)].chunk_text == "t3 t4 t5 t6"
+    assert rows[(1, 1)].chunk_start == 3
+    assert rows[(1, 2)].chunk_text == "t6" and rows[(1, 2)].n_chunk_tokens == 1
+    assert rows[(2, 0)].chunk_text == "a b" and rows[(2, 0)].n_chunk_tokens == 2
+    assert {d for d, _ in rows} == {1, 2}  # empty/null docs absent
+
+    # row-local: no Exchange in the physical plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, stride=0)
