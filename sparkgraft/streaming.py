@@ -35,6 +35,7 @@ __all__ = [
     "stream_interval_join",
     "run_stream_to_memory",
     "run_stream_foreach_batch",
+    "run_stream_available_now",
     "foreach_batch_parquet_sink",
 ]
 
@@ -423,6 +424,44 @@ def run_stream_foreach_batch(
         q.processAllAvailable()
     finally:
         q.stop()
+    return len(seen)
+
+
+def run_stream_available_now(
+    stream_df: DataFrame,
+    batch_fn,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> int:
+    """Drive a stream with ``Trigger.AvailableNow`` — THE production
+    incremental-batch pattern: process everything that has arrived
+    since the checkpoint's last commit (in rate-limited micro-batches,
+    honoring ``maxFilesPerTrigger``), then STOP. A cron'd job calling
+    this gets streaming semantics (exactly-once file tracking, state
+    carry-over, late-data watermarks) with batch economics (no
+    always-on cluster) — the shape the reference's daily
+    path-templated cadence (event_verify.py:21) maps to when the
+    "daily job" must neither miss nor double-process files.
+
+    Unlike :func:`run_stream_foreach_batch` (processAllAvailable on a
+    live query), the query TERMINATES on its own once the backlog
+    drains; ``awaitTermination`` here is a join, not a stop. Returns
+    the number of micro-batches executed this invocation (0 when
+    nothing new arrived — also exercised in tests)."""
+    seen: list[int] = []
+
+    def _wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        batch_fn(batch_df, batch_id)
+
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .foreachBatch(_wrapped)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return len(seen)
 
 

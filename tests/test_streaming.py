@@ -433,3 +433,52 @@ def test_enrich_stream_shuffled_fallback(spark, sf_dir):
     batch = read_table(spark, sf_dir, "events")
     expected = batch.join(dim, "user_id").select("event_id", "segment")
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in expected.collect()}
+
+
+def test_available_now_incremental_batches(spark, sf_dir, tmp_path):
+    """Trigger.AvailableNow as the cron'd incremental-batch runner:
+    invocation 1 drains the current backlog and stops; invocation 2
+    with NO new files does zero work; invocation 3 processes exactly
+    the newly-arrived files. Every row lands exactly once across the
+    three invocations."""
+    import os
+    import shutil
+
+    staged = str(tmp_path / "staged")
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).repartition(
+        4
+    ).write.mode("overwrite").parquet(staged)
+    parts = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    input_dir = str(tmp_path / "input")
+    os.makedirs(input_dir)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sink)
+        )
+
+    def invoke():
+        stream = ST.stream_table_from_dir(spark, sf_dir, "events", input_dir)
+        return ST.run_stream_available_now(stream, write_batch, ckpt)
+
+    for p in parts[:2]:
+        shutil.copy(os.path.join(staged, p), os.path.join(input_dir, p))
+    assert invoke() >= 1          # drains the 2-file backlog, then stops
+    assert invoke() == 0          # nothing new -> no batches
+    for p in parts[2:]:
+        shutil.copy(os.path.join(staged, p), os.path.join(input_dir, p))
+    assert invoke() >= 1          # picks up exactly the new files
+
+    got = spark.read.parquet(sink)
+    batch = read_table(spark, sf_dir, "events")
+    assert got.count() == batch.count()
+    assert (
+        got.select(F.sum("event_id")).first()[0]
+        == batch.select(F.sum("event_id")).first()[0]
+    )
