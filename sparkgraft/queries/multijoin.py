@@ -559,3 +559,67 @@ def cross_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         )
     )
+
+
+@register(
+    "orders_segment_scd2",
+    # Retired-tier BREADTH query (registry at its 50-slot cap): the
+    # SCD2 temporal dimension join oracle-verified on every pytest run.
+    # The dimension history is synthesized deterministically from
+    # customer: version 1 carries c_mktsegment over
+    # [1992-01-01, 1995-07-01), version 2 carries c_mktsegment || '_v2'
+    # open-ended from 1995-07-01 — orders span both regimes, so the
+    # as-of boundary, the version flip, and the open interval are all
+    # exercised (plus NULL-out correctness for any pre-1992 fact).
+    retired=True,
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey AS custkey, c_mktsegment AS segment,
+               TIMESTAMP '1992-01-01' AS valid_from,
+               TIMESTAMP '1995-07-01' AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_mktsegment || '_v2',
+               TIMESTAMP '1995-07-01', NULL
+        FROM customer
+    )
+    SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
+           o.o_orderdate AS orderdate, d.segment
+    FROM orders o LEFT JOIN dim d
+      ON o.o_custkey = d.custkey
+     AND d.valid_from <= o.o_orderdate
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    """,
+)
+def orders_segment_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """relational.scd2_join: each order carries the market segment its
+    customer was in WHEN THE ORDER WAS PLACED, against a two-version
+    SCD2 history. The plan is the union-merge as-of (one custkey
+    shuffle + sort), never the oracle's interval-predicate join — at
+    100 TB the predicate join is a per-key partial cross product,
+    while the merge is O(n log n) regardless of how many versions a
+    hot customer accumulates."""
+    from ..relational import scd2_join
+
+    cust = read_table(spark, sf_dir, "customer")
+    v1 = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").cast("timestamp_ntz").alias("valid_from"),
+        F.lit("1995-07-01").cast("timestamp_ntz").alias("valid_to"),
+    )
+    v2 = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.concat(F.col("c_mktsegment"), F.lit("_v2")).alias("segment"),
+        F.lit("1995-07-01").cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("orderdate"),
+    )
+    return scd2_join(
+        orders, dim, on="custkey", fact_time="orderdate"
+    ).select("orderkey", "custkey", "orderdate", "segment")

@@ -38,6 +38,7 @@ __all__ = [
     "missing_in",
     "present_in",
     "as_of_join",
+    "scd2_join",
     "range_join",
     "sessionize",
     "pushdown_fence",
@@ -310,6 +311,74 @@ def as_of_join(
         F.col("__side") == 1
     )
     return out.drop("__side")
+
+
+def scd2_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    on: str,
+    fact_time: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    attr_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Temporal dimension join against an SCD2 history table: attach
+    the dimension attributes that were VALID AT each fact's event time
+    (``valid_from <= t < valid_to``, NULL valid_to = current/open
+    version) — the warehouse-standard "which segment was this customer
+    in when the order was placed" operator. Left-outer semantics:
+    facts before the first version or inside a history GAP keep NULLs.
+
+    Built on :func:`as_of_join`'s union-merge (one key shuffle + sort,
+    never the naive per-key cross product): the as-of match on
+    ``valid_from`` finds the latest version STARTED at-or-before the
+    fact, then attributes are nulled where the fact time has passed
+    that version's ``valid_to`` (an expired version must not leak
+    forward across a gap). For contiguous histories the null-out is a
+    no-op; it exists exactly for gapped ones. Equal-``valid_from``
+    duplicates resolve deterministically to the version with the
+    latest ``valid_to`` (open-ended wins).
+
+    ``attr_cols`` defaults to every dim column except the key and the
+    two validity bounds.
+    """
+    if attr_cols is None:
+        attr_cols = [
+            c
+            for c in dim_history.columns
+            if c not in {on, valid_from, valid_to}
+        ]
+    attr_cols = list(attr_cols)
+    # open-ended versions (NULL valid_to) carry a far-future SENTINEL,
+    # not NULL: the as-of merge propagates values with
+    # last(..., ignorenulls=True), so a NULL valid_to would be skipped
+    # and the PREVIOUS version's expiry would leak onto facts matched
+    # to the current version (observed: every open-version match
+    # wrongly nulled). The sentinel also serves as the equal-valid_from
+    # tiebreak — open-ended sorts highest and wins over a closed twin.
+    dim = dim_history.withColumn(
+        "__scd_to",
+        F.coalesce(
+            F.col(valid_to).cast("timestamp").cast("long"), F.lit(2**62)
+        ),
+    )
+    out = as_of_join(
+        facts,
+        dim,
+        on,
+        fact_time,
+        valid_from,
+        value_cols=[*attr_cols, "__scd_to"],
+        right_tiebreak="__scd_to",
+    )
+    expired = (
+        F.col(fact_time).cast("timestamp").cast("long") >= F.col("__scd_to")
+    )
+    for c in attr_cols:
+        out = out.withColumn(
+            c, F.when(expired, F.lit(None)).otherwise(F.col(c))
+        )
+    return out.drop("__scd_to")
 
 
 def range_join(

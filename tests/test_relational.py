@@ -180,3 +180,50 @@ def test_range_join_validates_inputs(spark):
     clash = intervals.withColumnRenamed("iid", "pid")
     with _pytest.raises(ValueError, match="collide"):
         range_join(points, clash, "t", "s", "e", 4)
+
+
+def test_scd2_join_versions_gaps_and_ties(spark):
+    """SCD2 temporal join: the valid-at version attaches per fact;
+    facts before history or inside a GAP get NULLs (an expired version
+    must not leak forward); open-ended versions match indefinitely and
+    beat a closed twin at an equal valid_from."""
+    from sparkgraft.relational import scd2_join
+
+    ts = "timestamp_ntz"
+    dim = spark.createDataFrame(
+        [
+            # key 1: v1 [10, 20), GAP [20, 30), v2 [30, NULL)
+            (1, "v1", "2020-01-10", "2020-01-20"),
+            (1, "v2", "2020-01-30", None),
+            # key 2: equal valid_from — open-ended must win
+            (2, "closed", "2020-01-01", "2020-01-05"),
+            (2, "open", "2020-01-01", None),
+        ],
+        "key long, attr string, valid_from string, valid_to string",
+    ).selectExpr(
+        "key", "attr",
+        f"CAST(valid_from AS {ts}) AS valid_from",
+        f"CAST(valid_to AS {ts}) AS valid_to",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2020-01-05"),  # before history -> NULL
+            (101, 1, "2020-01-10"),  # inclusive start -> v1
+            (102, 1, "2020-01-19"),  # inside v1
+            (103, 1, "2020-01-20"),  # exclusive end -> gap -> NULL
+            (104, 1, "2020-01-25"),  # gap -> NULL
+            (105, 1, "2020-01-30"),  # v2 starts
+            (106, 1, "2030-12-31"),  # open-ended still valid
+            (107, 2, "2020-01-02"),  # tie: open wins
+            (108, 3, "2020-01-02"),  # unknown key -> NULL
+        ],
+        "fact_id long, key long, t string",
+    ).selectExpr("fact_id", "key", f"CAST(t AS {ts}) AS t")
+    out = {
+        r.fact_id: r.attr
+        for r in scd2_join(facts, dim, on="key", fact_time="t").collect()
+    }
+    assert out == {
+        100: None, 101: "v1", 102: "v1", 103: None, 104: None,
+        105: "v2", 106: "v2", 107: "open", 108: None,
+    }
