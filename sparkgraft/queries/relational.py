@@ -383,3 +383,62 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_ok"),
         )
     )
+
+
+@register(
+    "orders_rollup_incremental",
+    # Retired-tier BREADTH query (registry at its 50-slot cap): the
+    # incremental-aggregate-maintenance invariant
+    # merge(partial(A), partial(B), partial(C)) == direct(A u B u C)
+    # hash-verified on every pytest run — the oracle IS the direct
+    # aggregation, so any merge defect (double count, lost key,
+    # order-dependent sum) breaks the comparison.
+    retired=True,
+    oracle="""
+    SELECT o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+               AS total_spend,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def orders_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental.partial_aggregate + merge_aggregates: the orders
+    table arrives as three deterministic hash-split batches (mimicking
+    three daily loads); each batch is partially aggregated alone and
+    the states are FOLDED — two merges, exercising associativity —
+    never re-scanning earlier batches. Decimal-exact sums make the
+    folded state bit-identical to the direct aggregation, which is
+    exactly what the oracle computes."""
+    from ..incremental import merge_aggregates, partial_aggregate
+    from ..packing import hex_bucket
+
+    orders = read_table(spark, sf_dir, "orders")
+    specs = {
+        "n_orders": ("count", None),
+        "total_spend": ("sum", "o_totalprice"),
+        "first_order": ("min", "o_orderdate"),
+        "last_order": ("max", "o_orderdate"),
+    }
+    # three "arrival days": a deterministic hash split of the keyspace
+    day = F.conv(hex_bucket(F.col("o_orderkey"), 1), 16, 10) % 3
+    batches = [
+        partial_aggregate(
+            orders.where(day == i), ["o_custkey"], specs
+        )
+        for i in range(3)
+    ]
+    state = merge_aggregates(
+        [merge_aggregates(batches[:2], ["o_custkey"], specs), batches[2]],
+        ["o_custkey"],
+        specs,
+    )
+    return state.select(
+        F.col("o_custkey").alias("custkey"),
+        "n_orders",
+        F.col("total_spend").cast("double").alias("total_spend"),
+        "first_order",
+        "last_order",
+    )

@@ -1,0 +1,71 @@
+"""Incremental aggregate maintenance (sparkgraft/incremental.py):
+merge(partial(A), partial(B)) must equal partial(A u B) for every
+offered statistic, under any batch split, merge ORDER, and disjoint /
+overlapping key sets; non-decomposable specs must be rejected."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkgraft.incremental import merge_aggregates, partial_aggregate
+
+SPECS = {
+    "n": ("count", None),
+    "s": ("sum", "v"),
+    "lo": ("min", "v"),
+    "hi": ("max", "v"),
+}
+
+
+def _rows(df):
+    return {
+        r.k: (r.n, float(r.s) if r.s is not None else None, r.lo, r.hi)
+        for r in df.collect()
+    }
+
+
+def test_merge_equals_direct_any_split(spark):
+    data = spark.createDataFrame(
+        [(i % 7, float(i) - 3.0) for i in range(100)]
+        + [(99, None)],  # NULL values: counted in n, ignored by s/lo/hi
+        "k long, v double",
+    )
+    direct = _rows(partial_aggregate(data, ["k"], SPECS))
+    for split in (F.col("v").isNull(), F.col("k") < 3, F.col("k") % 2 == 0):
+        a = partial_aggregate(data.where(split), ["k"], SPECS)
+        b = partial_aggregate(data.where(~split | split.isNull()), ["k"], SPECS)
+        assert _rows(merge_aggregates([a, b], ["k"], SPECS)) == direct
+        # merging is commutative
+        assert _rows(merge_aggregates([b, a], ["k"], SPECS)) == direct
+
+
+def test_merge_associative_and_union_keys(spark):
+    a = partial_aggregate(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"),
+        ["k"], SPECS,
+    )
+    b = partial_aggregate(
+        spark.createDataFrame([(2, 5.0), (3, 3.0)], "k long, v double"),
+        ["k"], SPECS,
+    )
+    c = partial_aggregate(
+        spark.createDataFrame([(3, -1.0)], "k long, v double"), ["k"], SPECS
+    )
+    left = merge_aggregates([merge_aggregates([a, b], ["k"], SPECS), c], ["k"], SPECS)
+    right = merge_aggregates([a, merge_aggregates([b, c], ["k"], SPECS)], ["k"], SPECS)
+    assert _rows(left) == _rows(right) == {
+        1: (1, 1.0, 1.0, 1.0),
+        2: (2, 7.0, 2.0, 5.0),
+        3: (2, 2.0, -1.0, 3.0),
+    }
+
+
+def test_non_decomposable_specs_rejected(spark):
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    with pytest.raises(ValueError, match="sketch"):
+        partial_aggregate(df, ["k"], {"d": ("count_distinct", "v")})
+    with pytest.raises(ValueError, match="needs a column"):
+        partial_aggregate(df, ["k"], {"s": ("sum", None)})
+    with pytest.raises(ValueError, match="at least one state"):
+        merge_aggregates([], ["k"], SPECS)
