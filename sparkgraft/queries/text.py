@@ -554,3 +554,59 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     model = docs.where(F.col("source") == "src0")
     return T.unigram_logprob(docs, "text", "doc_id", model_df=model)
+
+
+@register(
+    "doc_cdc_segments",
+    # Retired-tier BREADTH query (registry at its 50-slot cap):
+    # content-defined segmentation oracle-verified on every pytest run
+    # — every boundary decision, segment hash, and length recomputed
+    # from the same md5 list math in DuckDB.
+    retired=True,
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {{tok}} AS tok FROM documents
+                 WHERE {{tok}} != []::VARCHAR[]),
+    b AS (
+        SELECT doc_id, tok,
+               list_filter(range(0, len(tok)),
+                   i -> CAST('0x' || substr(md5(tok[i + 1]), 1, 4) AS INTEGER)
+                        % 8 = 0) AS bpos
+        FROM tok
+    ),
+    se AS (
+        SELECT doc_id, tok,
+               list_filter(
+                   list_zip(
+                       list_concat([0], list_transform(bpos, p -> p + 1)),
+                       list_concat(list_transform(bpos, p -> p + 1),
+                                   [len(tok)])),
+                   p -> p[2] > p[1]) AS segs
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS seg_idx,
+           md5(array_to_string(tok[segs[i + 1][1] + 1 : segs[i + 1][2]], ' '))
+               AS seg_hash,
+           CAST(segs[i + 1][2] - segs[i + 1][1] AS INT) AS n_seg_tokens
+    FROM se, unnest(range(0, len(segs))) AS t(i)
+    """.replace("{tok}", _TOK),
+)
+def doc_cdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.cdc_segments exploded to rows: each document's
+    content-defined segments (FastCDC at word level, ~8-token expected
+    length) with their md5 hashes — the shift-robust dedup key that
+    survives token insertions/deletions, where fixed-window chunk
+    hashes all change past the first edit. Entirely row-local HOFs in
+    codegen; zero shuffles at any corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(T.cdc_segments("text", avg_tokens=8)).alias("s")
+        )
+        .select(
+            "doc_id",
+            F.col("s.seg_idx").alias("seg_idx"),
+            F.col("s.seg_hash").alias("seg_hash"),
+            F.col("s.n_seg_tokens").alias("n_seg_tokens"),
+        )
+    )

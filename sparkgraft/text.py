@@ -361,6 +361,74 @@ def tfidf_top_terms(
     )
 
 
+def cdc_segments(
+    text: Column | str,
+    avg_tokens: int = 8,
+) -> Column:
+    """Content-defined segmentation of the token stream (the FastCDC /
+    rsync idea lifted to word level): a token ENDS a segment when
+    ``md5(token) % avg_tokens == 0``, so boundaries are a pure function
+    of LOCAL content — inserting or deleting a token early in a
+    document re-cuts only the segment containing the edit, while every
+    later segment (and therefore its hash) is unchanged. Fixed-window
+    chunking (``packing.chunk_documents``) has the opposite property:
+    one early edit shifts every subsequent chunk boundary and changes
+    every chunk hash — useless for dedup of edited near-copies. CDC
+    segment hashes are the standard shift-robust dedup key (dedupe
+    storage, rsync, LLM-corpus near-dup against revised crawls).
+
+    Returns an ``array<struct<seg_idx int, seg_hash string,
+    n_seg_tokens int>>`` — hashes only (md5 of the space-joined
+    segment), deliberately not the text, since downstream joins key on
+    the hash. Empty/NULL text -> empty array. Expected segment length
+    is ``avg_tokens`` (geometric); the final partial segment is kept.
+
+    Pure higher-order expressions (boundary flags -> boundary position
+    list -> zip_with over [start, end) pairs -> slice + hash): runs in
+    whole-stage codegen, zero shuffles, and every step is reproducible
+    in DuckDB list SQL for the oracle.
+    """
+    tok = tokens(text)
+    n = F.size(tok)
+    # positions (0-based) whose token closes a segment
+    bpos = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.conv(
+            F.substring(F.md5(F.element_at(tok, i + 1)), 1, 4), 16, 10
+        ).cast("long")
+        % avg_tokens
+        == 0,
+    )
+    starts = F.concat(
+        F.array(F.lit(0)), F.transform(bpos, lambda p: p + 1)
+    )
+    ends = F.concat(F.transform(bpos, lambda p: p + 1), F.array(n))
+    segs = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            s.alias("s"), (e - s).alias("len")
+        ),
+    )
+    segs = F.filter(segs, lambda st: st.getField("len") > 0)
+    out = F.transform(
+        segs,
+        lambda st, i: F.struct(
+            i.cast("int").alias("seg_idx"),
+            F.md5(
+                F.array_join(
+                    F.slice(tok, st.getField("s") + 1, st.getField("len")), " "
+                )
+            ).alias("seg_hash"),
+            st.getField("len").cast("int").alias("n_seg_tokens"),
+        ),
+    )
+    empty = F.array().cast(
+        "array<struct<seg_idx:int,seg_hash:string,n_seg_tokens:int>>"
+    )
+    return F.when(n <= 0, empty).otherwise(out)
+
+
 def unigram_logprob(
     df: "DataFrame",  # noqa: F821
     text_col: str = "text",

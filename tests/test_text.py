@@ -214,3 +214,46 @@ def test_unigram_logprob_oov_against_reference_model(spark):
     }
     assert out[1] == round(-math.log(3 / 5), 6)   # (2+1)/(3+2)
     assert out[2] == round(-math.log(1 / 5), 6)   # OOV: (0+1)/(3+2)
+
+
+def test_cdc_segments_shift_robust_vs_fixed_chunking(spark):
+    """The CDC property that justifies the operator: after inserting a
+    token near the FRONT of a document, most content-defined segment
+    hashes survive, while fixed-window chunk hashes all change from
+    the edit onward. Also: concatenation of segments reconstructs the
+    token stream (no loss, no overlap), empty docs yield no segments."""
+    from sparkgraft.packing import chunk_documents
+    from sparkgraft.text import cdc_segments
+
+    base = " ".join(f"w{i}" for i in range(200))
+    edited = "inserted " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    segs = {
+        r.doc_id: r.segs
+        for r in docs.select(
+            "doc_id", cdc_segments("text", avg_tokens=8).alias("segs")
+        ).collect()
+    }
+    assert segs[3] == [] and segs[4] == []
+    # lossless partition: lengths sum to the token count
+    assert sum(s.n_seg_tokens for s in segs[1]) == 200
+    assert sum(s.n_seg_tokens for s in segs[2]) == 201
+    h1 = {s.seg_hash for s in segs[1]}
+    h2 = {s.seg_hash for s in segs[2]}
+    shared = len(h1 & h2) / len(h1)
+    assert shared > 0.8, f"CDC should preserve most segments, got {shared:.2f}"
+
+    # fixed-window chunking under the same edit: nearly everything moves
+    chunks = chunk_documents(docs, "text", "doc_id", chunk_tokens=8, stride=8)
+    ch = (
+        chunks.groupBy("doc_id")
+        .agg(F.collect_set("chunk_text").alias("c"))
+        .collect()
+    )
+    cmap = {r.doc_id: set(r.c) for r in ch}
+    fixed_shared = len(cmap[1] & cmap[2]) / len(cmap[1])
+    assert fixed_shared < 0.2, f"fixed chunks should shift, got {fixed_shared:.2f}"
+    assert shared > fixed_shared
