@@ -278,3 +278,51 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             S.cosine(F.col("embedding"), F.col("centroid")), 6
         ).alias("cos_to_centroid"),
     )
+
+
+@register(
+    "knn_label_vote",
+    # Retired-tier BREADTH query (registry at its 50-slot cap): kNN
+    # classification oracle-verified on every pytest run — neighbor
+    # ranking, vote counts, and the smallest-label tiebreak all
+    # recomputed in SQL.
+    retired=True,
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 20),
+    scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               {_cos('e.embedding', 'q.qv')} AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 10
+    ),
+    votes AS (
+        SELECT query_id, label AS predicted_label,
+               CAST(count(*) AS BIGINT) AS votes,
+               max(cos_sim) AS top_cos
+        FROM topk GROUP BY query_id, label
+    )
+    SELECT query_id, predicted_label, votes, top_cos FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY votes DESC, predicted_label ASC) AS vr
+        FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity.knn_label_vote for 20 query vectors against the full
+    corpus: majority label among the exact top-10 cosine neighbors
+    (self excluded), smallest label winning ties — the weak-labeling /
+    embedding-audit operator, fully reproduced by the SQL oracle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return S.knn_label_vote(emb, queries, k=10)

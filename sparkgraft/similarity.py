@@ -47,6 +47,7 @@ __all__ = [
     "l2_norm",
     "cosine",
     "cosine_topk",
+    "knn_label_vote",
     "cosine_pairs",
     "cosine_pairs_blocked",
     "rp_lsh_bucket",
@@ -171,6 +172,62 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "cos_sim")
+    )
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """k-nearest-neighbor CLASSIFICATION over the embedding corpus:
+    each query vector takes the majority label of its exact top-k
+    cosine neighbors (self excluded) — the standard label-propagation /
+    weak-labeling / embedding-probe operator a training pipeline uses
+    to label unlabeled data or audit embedding quality (does the
+    neighborhood agree with the assigned label?).
+
+    Deterministic end to end: neighbors rank on the rounded cosine
+    with id tiebreak (``cosine_topk``), the vote breaks ties toward
+    the SMALLEST label. Returns ``(query_id, predicted_label, votes,
+    top_cos)`` — votes = neighbor count carrying the winning label,
+    top_cos = the best cosine among them (the confidence pair).
+
+    Scale shape: ``cosine_topk``'s broadcast linear scan proposes (use
+    an ANN top-k for huge query sets), then one tiny aggregation over
+    k rows per query and a top-1 window over the vote table — both
+    keyed on query_id, both negligible next to the scan.
+    """
+    from pyspark.sql import Window
+
+    topk = cosine_topk(corpus, queries, id_col, vec_col, k, round_to)
+    nbr_labels = corpus.select(
+        F.col(id_col), F.col(label_col).alias("__nbr_label")
+    )
+    votes = (
+        topk.join(nbr_labels, id_col)
+        .groupBy("query_id", "__nbr_label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("votes"),
+            F.max("cos_sim").alias("top_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("__nbr_label")
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.col("__nbr_label").alias("predicted_label"),
+            "votes",
+            "top_cos",
+        )
     )
 
 

@@ -314,3 +314,40 @@ def test_auto_num_planes_scale_rule():
     # the registered sf0.01 demo (500 vectors) stays at the floor,
     # consistent with its pinned 4-plane recall configuration
     assert auto_num_planes(500) == 4
+
+
+def test_knn_label_vote_majority_and_ties(spark):
+    """kNN classification: planted clusters where the neighborhood
+    label is unambiguous; a constructed tie resolves to the smallest
+    label deterministically."""
+    import math
+
+    from sparkgraft.similarity import knn_label_vote
+
+    def vec(angle):
+        # unit 2-D vectors embedded in 4 dims
+        return [math.cos(angle), math.sin(angle), 0.0, 0.0]
+
+    rows = []
+    # cluster A (label 1) fans BELOW angle 0, cluster B (label 2) fans
+    # ABOVE pi/2 — exactly mirror-symmetric about pi/4, so a pi/4 query
+    # sees pairwise-identical cosines from both clusters (a true tie)
+    for i in range(5):
+        rows.append((10 + i, vec(-0.02 * i), 1))
+        rows.append((20 + i, vec(math.pi / 2 + 0.02 * i), 2))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = corpus.where(F.col("vec_id").isin(10, 20))
+    out = {r.query_id: r for r in knn_label_vote(corpus, q, k=4).collect()}
+    assert out[10].predicted_label == 1 and out[10].votes == 4
+    assert out[20].predicted_label == 2 and out[20].votes == 4
+
+    # tie: k=4 neighbors of a mid-angle query split 2/2 -> label 1 wins
+    mid = spark.createDataFrame(
+        [(99, vec(math.pi / 4), 0)], "vec_id long, embedding array<float>, label int"
+    )
+    corpus2 = corpus.unionByName(mid)
+    tie = {r.query_id: r for r in knn_label_vote(
+        corpus2, mid, k=4).collect()}
+    assert tie[99].predicted_label == 1 and tie[99].votes == 2
