@@ -275,6 +275,71 @@ def write_bucketed(
     return table_name
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    seed: str,
+    num_shards: int,
+    order_col: str = "shuffle_key",
+) -> list[dict]:
+    """The corpus -> training-job handoff: deterministically shuffle
+    (``packing.deterministic_shuffle`` — seeded md5 order, reproducible
+    forever from the seed) and write exactly ``num_shards`` parquet
+    shard files, one per range partition, each internally sorted by the
+    shuffle key. A data-loader fleet then assigns shard files to
+    workers with no further coordination; a different ``seed`` yields
+    an independent epoch order over the same corpus with no data
+    rewrite needed until the next materialization.
+
+    Returns (and writes as ``_MANIFEST.json`` next to the shards) the
+    manifest a loader consumes: one entry per shard file with its row
+    count and byte size, read from parquet FOOTERS — no Spark job, no
+    data scan. Shard membership is a pure function of (data, seed,
+    num_shards): re-running the write reproduces identical shard
+    contents, which the tests assert."""
+    import json
+
+    from .packing import deterministic_shuffle
+
+    shuffled = deterministic_shuffle(
+        df, id_col, seed, num_partitions=num_shards, order_col=order_col
+    )
+    shuffled.write.mode("overwrite").parquet(path)
+    try:
+        import pyarrow.parquet as pq
+
+        entries = []
+        for name in sorted(os.listdir(path)):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(path, name)
+            meta = pq.ParquetFile(full).metadata
+            entries.append(
+                {
+                    "file": name,
+                    "n_rows": meta.num_rows,
+                    "n_bytes": os.path.getsize(full),
+                }
+            )
+    except ImportError:  # pragma: no cover
+        entries = [
+            {"file": n, "n_rows": None, "n_bytes": os.path.getsize(os.path.join(path, n))}
+            for n in sorted(os.listdir(path))
+            if n.endswith(".parquet")
+        ]
+    manifest = {
+        "seed": seed,
+        "num_shards": num_shards,
+        "order_col": order_col,
+        "total_rows": sum(e["n_rows"] or 0 for e in entries),
+        "shards": entries,
+    }
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return entries
+
+
 def write_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Single-file CSV sink for small final results (reference S7,
     event_verify.py:230-231). Only safe when the result fits one task."""

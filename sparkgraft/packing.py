@@ -41,6 +41,7 @@ __all__ = [
     "pack_contiguous",
     "epoch_replicate",
     "percentile_keep",
+    "ntile_by_histogram",
     "deterministic_shuffle",
     "chunk_documents",
 ]
@@ -163,6 +164,55 @@ def percentile_keep(
         .where(F.col(frac_col) >= min_frac_below)
     )
     return df.join(F.broadcast(kept), [group_col, score_col])
+
+
+def ntile_by_histogram(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    n: int,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Equi-depth n-tile assignment per group WITHOUT a global sort:
+    each row gets ``tile = floor(frac_strictly_below * n)`` (clamped to
+    ``n - 1``) — deciles/quartiles of a quality score, the binning step
+    behind curriculum schedules and tiered mixtures.
+
+    Differs from SQL ``NTILE`` deliberately: NTILE splits equal scores
+    across tiles by ROW ORDER, which is partitioning-dependent — two
+    runs of the same data can bin the same document differently. Here
+    equal scores always share a tile (the same fixed point the
+    percentile_keep gate uses), so the assignment is a pure function
+    of the score distribution and reproducible on any engine/cluster.
+    Tiles are equi-depth up to tie granularity: a value spanning a
+    boundary lands wholly in the lower tile.
+
+    Scale shape (same as :func:`percentile_keep`): the corpus is
+    touched only by a ``groupBy(group, score).count()`` histogram
+    (map-side combinable) and a broadcast-join back; the cumulative
+    ranking runs over the tiny distinct-score table. Never a
+    corpus-wide sort/NTILE window partition.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    hist = df.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    cum = (
+        Window.partitionBy(group_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    whole = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    frac = (F.sum("__cnt").over(cum) - F.col("__cnt")) / F.sum("__cnt").over(whole)
+    tiles = hist.select(
+        group_col,
+        score_col,
+        F.least(
+            F.floor(F.round(frac, 9) * n).cast("int"), F.lit(n - 1)
+        ).alias(tile_col),
+    )
+    return df.join(F.broadcast(tiles), [group_col, score_col])
 
 
 def deterministic_shuffle(

@@ -202,3 +202,40 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.chunk_documents(
         docs, "text", "doc_id", chunk_tokens=32, stride=24
     )
+
+
+@register(
+    "doc_length_deciles",
+    # Retired-tier BREADTH query (registry at its 50-slot cap):
+    # histogram-based equi-depth binning oracle-verified on every
+    # pytest run — every tile assignment recomputed in SQL from the
+    # same cumulative-histogram math.
+    retired=True,
+    oracle="""
+    WITH hist AS (
+        SELECT source, n_chars, count(*) AS cnt
+        FROM documents GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT source, n_chars,
+               least(CAST(floor(round(
+                   (sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                        ROWS UNBOUNDED PRECEDING) - cnt)
+                   / sum(cnt) OVER (PARTITION BY source), 9) * 10) AS INT),
+                   9) AS tile
+        FROM hist
+    )
+    SELECT d.doc_id, d.source, d.n_chars, t.tile
+    FROM documents d JOIN t USING (source, n_chars)
+    """,
+)
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """packing.ntile_by_histogram: per-source length DECILES of the
+    documents table — equal lengths always share a tile (deterministic,
+    unlike SQL NTILE's order-dependent tie splitting), and the corpus
+    is never sorted globally: a map-side histogram, a window over the
+    tiny distinct-score table, a broadcast join back."""
+    docs = read_table(spark, sf_dir, "documents")
+    return P.ntile_by_histogram(docs, "source", "n_chars", n=10).select(
+        "doc_id", "source", "n_chars", "tile"
+    )

@@ -239,3 +239,52 @@ def test_orc_round_trip_with_partition_pruning(spark, tmp_path):
         back.where("part = 'a'")._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(part" in plan  # pruned at the scan
+
+
+def test_write_training_shards_deterministic_manifest(spark, sf_dir, tmp_path):
+    """Shard writer: exactly num_shards files, a footer-derived manifest
+    whose row counts sum to the corpus, per-shard membership identical
+    across re-runs (pure function of data + seed), and a different seed
+    produces a different order."""
+    import json
+    import os
+
+    from sparkgraft.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    p1, p2, p3 = (str(tmp_path / d) for d in ("s1", "s2", "s3"))
+    m1 = IO.write_training_shards(docs, p1, "doc_id", seed="ep0", num_shards=4)
+    m2 = IO.write_training_shards(docs, p2, "doc_id", seed="ep0", num_shards=4)
+    IO.write_training_shards(docs, p3, "doc_id", seed="ep1", num_shards=4)
+
+    assert len(m1) == 4
+    assert sum(e["n_rows"] for e in m1) == docs.count()
+    with open(os.path.join(p1, "_MANIFEST.json")) as fh:
+        man = json.load(fh)
+    assert man["num_shards"] == 4 and man["total_rows"] == docs.count()
+
+    def shard_sets(path):
+        out = []
+        files = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        for f in files:
+            ids = {
+                r.doc_id
+                for r in spark.read.parquet(os.path.join(path, f)).collect()
+            }
+            out.append(ids)
+        return out
+
+    # same seed -> identical shard membership, shard by shard
+    assert shard_sets(p1) == shard_sets(p2)
+    # different seed -> a different epoch order (membership shifts)
+    assert shard_sets(p1) != shard_sets(p3)
+    # within-shard order follows the shuffle key (loader reads sequentially)
+    first = sorted(os.listdir(p1))
+    pf = next(f for f in first if f.endswith(".parquet"))
+    keys = [
+        r.shuffle_key
+        for r in spark.read.parquet(os.path.join(p1, pf)).collect()
+    ]
+    assert keys == sorted(keys)

@@ -198,3 +198,28 @@ def test_chunk_documents_sliding_window(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, stride=0)
+
+
+def test_ntile_by_histogram_deterministic_ties(spark):
+    """Equi-depth tiles: ties share a tile (partition-order
+    independent, unlike SQL NTILE), depths are balanced up to tie
+    granularity, and n=1 puts everything in tile 0."""
+    from sparkgraft.packing import ntile_by_histogram
+
+    rows = [("g", float(i // 2)) for i in range(20)]  # scores 0..9, x2 each
+    df = spark.createDataFrame(rows, "grp string, score double")
+    out = ntile_by_histogram(df, "grp", "score", n=10)
+    got = {(r.score, r.tile) for r in out.collect()}
+    # score s (2 rows) has 2s rows strictly below of 20 -> tile s
+    assert got == {(float(s), s) for s in range(10)}
+    # every tile holds exactly its tied pair
+    counts = out.groupBy("tile").count().collect()
+    assert all(r["count"] == 2 for r in counts)
+
+    assert (
+        ntile_by_histogram(df, "grp", "score", n=1)
+        .select(F.max("tile")).first()[0] == 0
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ntile_by_histogram(df, "grp", "score", n=0)
