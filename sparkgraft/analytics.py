@@ -1,0 +1,165 @@
+"""Behavioral event analytics: funnel conversion and cohort retention —
+the two reporting operators every event pipeline grows next to its
+conformance checks (the reference verifies event payloads;
+these measure what the verified events say about user behavior).
+
+Scale design notes:
+
+- :func:`funnel_steps` pre-filters the stream to the funnel's event
+  types (predicate pushdown to the scan — a 5-step funnel over a 100 TB
+  stream typically reads a few percent of it), then needs ONE shuffle:
+  events group by user and the ordered leftmost-match scan runs as a
+  higher-order ``aggregate`` over each user's sorted (ts, type) array.
+  Per-user state is the user's own funnel-relevant events — bounded by
+  per-user activity, the same envelope sessionization lives with.
+- :func:`cohort_retention` is two map-side-combinable aggregations
+  (user -> cohort period; user-period activity) and a tiny final
+  group-by; nothing is collected, no windows over unbounded partitions.
+
+Both are deterministic (min-based leftmost semantics, period
+truncation) and fully SQL-expressible, so the DuckDB oracles recompute
+them row for row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_steps", "cohort_retention"]
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """Ordered funnel conversion with LEFTMOST-match semantics (the
+    first-touch convention of the standard product-analytics tools):
+    per user, ``step_1_ts`` is the first step-1 event, ``step_2_ts``
+    the first step-2 event STRICTLY AFTER it, and so on — equivalent to
+    the chain-of-mins definition ``t_j = min ts where type = s_j and
+    ts > t_{j-1}``, which is exactly what the oracle computes.
+    Simultaneous events do not chain (strict >), and one event serves
+    one step.
+
+    Returns one row per user who reached step 1: ``(user,
+    step_1_ts .. step_K_ts, converted)`` where ``converted`` is true
+    iff the last step completed — and, when ``within`` is given (an
+    INTERVAL string like ``'7 days'``), within that duration of step 1.
+    Leftmost semantics are deliberate: a user whose FIRST attempt
+    stalls does not convert via a later faster attempt; restart-window
+    variants are a pre-filter away and out of scope.
+
+    Plan: scan filtered to ``steps`` types (pushed to the source), one
+    groupBy(user) building the sorted (ts, tiebreak) event array, one
+    higher-order fold computing all K step timestamps in a single pass
+    — no per-step self-joins, no window over the raw stream.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    k = len(steps)
+
+    ev = events.where(F.col(type_col).isin(steps)).select(
+        F.col(user_col).alias("__user"),
+        F.struct(
+            F.col(ts_col).alias("t"), F.col(type_col).alias("y")
+        ).alias("__e"),
+    )
+    per_user = ev.groupBy("__user").agg(
+        F.array_sort(F.collect_list("__e")).alias("__evs")
+    )
+
+    ts_type = per_user.schema["__evs"].dataType.elementType["t"].dataType.simpleString()
+    init = F.struct(
+        *[F.lit(None).cast(ts_type).alias(f"t{j}") for j in range(k)]
+    )
+
+    def advance(acc, e):
+        # leftmost match: t0 fills on the first steps[0] event; tj fills
+        # on the first steps[j] event strictly after the (already
+        # fixed) t_{j-1}. All comparisons read the OLD accumulator, so
+        # one event never serves two steps.
+        fields = []
+        for j, step in enumerate(steps):
+            tj = acc.getField(f"t{j}")
+            eligible = tj.isNull() & (e.getField("y") == F.lit(step))
+            if j > 0:
+                prev = acc.getField(f"t{j - 1}")
+                eligible = eligible & prev.isNotNull() & (
+                    e.getField("t") > prev
+                )
+            fields.append(
+                F.when(eligible, e.getField("t")).otherwise(tj).alias(f"t{j}")
+            )
+        return F.struct(*fields)
+
+    folded = per_user.select(
+        "__user", F.aggregate("__evs", init, advance).alias("__f")
+    )
+    last = F.col(f"__f.t{k - 1}")
+    converted = last.isNotNull()
+    if within is not None:
+        converted = converted & (
+            last <= F.col("__f.t0") + F.expr(f"INTERVAL {within}")
+        )
+    return folded.where(F.col("__f.t0").isNotNull()).select(
+        F.col("__user").alias(user_col),
+        *[
+            F.col(f"__f.t{j}").alias(f"step_{j + 1}_ts")
+            for j in range(k)
+        ],
+        converted.alias("converted"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the ``period``
+    (week/month/day truncation) of their FIRST event; for every later
+    period in which a cohort member is active, the cohort's row for
+    that offset counts them. Returns ``(cohort_start, period_offset,
+    n_active_users)`` — offset 0 is the cohort itself, so its count is
+    the cohort size and retention rates divide by it downstream.
+
+    Deterministic: truncation boundaries only, no sampling; offsets
+    count whole periods between truncated starts (days for 'day',
+    7-day steps for 'week', calendar months for 'month').
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be day, week, or month")
+    u, t = F.col(user_col), F.col(ts_col)
+    firsts = events.groupBy(u.alias("__user")).agg(
+        F.date_trunc(period, F.min(t)).alias("__cohort")
+    )
+    active = events.select(
+        u.alias("__user"), F.date_trunc(period, t).alias("__period")
+    ).distinct()
+    joined = active.join(firsts, "__user")
+    if period == "day":
+        offset = F.datediff(F.col("__period"), F.col("__cohort"))
+    elif period == "week":
+        offset = (
+            F.datediff(F.col("__period"), F.col("__cohort")) / 7
+        ).cast("int")
+    else:
+        offset = F.months_between(
+            F.col("__period"), F.col("__cohort")
+        ).cast("int")
+    return (
+        joined.groupBy(
+            F.col("__cohort").alias("cohort_start"),
+            offset.cast("bigint").alias("period_offset"),
+        )
+        .agg(F.count_distinct("__user").cast("bigint").alias("n_active_users"))
+    )

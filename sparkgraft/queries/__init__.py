@@ -56,6 +56,7 @@ from . import functions  # noqa: E402,F401  (string/date/array/higher-order)
 from . import extra  # noqa: E402,F401  (percentiles, HOFs, map-typed JSON)
 from . import text  # noqa: E402,F401  (text analysis extension)
 from . import sampling  # noqa: E402,F401  (deterministic sampling/splits)
+from . import behavior  # noqa: E402,F401  (NEW r5: funnel/cohort, retired tier)
 
 from .core import conformance_flagship  # noqa: E402,F401  (entry() flagship)
 

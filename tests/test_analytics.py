@@ -1,0 +1,98 @@
+"""Funnel / cohort analytics (sparkgraft/analytics.py): leftmost-match
+semantics, strict ordering, conversion windows, and cohort offsets on
+hand-built event histories where every answer is known."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkgraft.analytics import cohort_retention, funnel_steps
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(rows, "user_id long, ts string, event_type string")
+    return df.select(
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_type",
+    )
+
+
+def test_funnel_leftmost_match_and_window(spark):
+    ev = _events(spark, [
+        # user 1: clean conversion view -> click -> buy
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 11:00:00", "click"),
+        (1, "2024-01-02 09:00:00", "buy"),
+        # user 2: click BEFORE view never counts; no click after -> stalls
+        (2, "2024-01-01 09:00:00", "click"),
+        (2, "2024-01-01 10:00:00", "view"),
+        # user 3: leftmost semantics — first view starts the clock even
+        # though a later view would convert inside the window
+        (3, "2024-01-01 00:00:00", "view"),
+        (3, "2024-01-09 00:00:00", "view"),
+        (3, "2024-01-09 01:00:00", "click"),
+        (3, "2024-01-09 02:00:00", "buy"),
+        # user 4: never reaches step 1 -> absent from the report
+        (4, "2024-01-01 10:00:00", "buy"),
+    ])
+    out = {r.user_id: r for r in funnel_steps(
+        ev, ["view", "click", "buy"], within="7 days").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].converted
+    assert str(out[1].step_3_ts) == "2024-01-02 09:00:00"
+    assert not out[2].converted and out[2].step_2_ts is None
+    # user 3 completed all steps, but 8 days after the FIRST view
+    assert out[3].step_3_ts is not None and not out[3].converted
+    # without a window, user 3 converts
+    free = {r.user_id: r.converted for r in funnel_steps(
+        ev, ["view", "click", "buy"]).collect()}
+    assert free[3] is True
+
+
+def test_funnel_strict_order_and_one_event_one_step(spark):
+    ev = _events(spark, [
+        # simultaneous view+click: strict > means the click cannot chain
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:00:00", "click"),
+        (1, "2024-01-01 12:00:00", "click"),
+        # repeated step type: one event must not serve both steps
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 11:00:00", "view"),
+    ])
+    out = {r.user_id: r for r in funnel_steps(ev, ["view", "click"]).collect()}
+    assert str(out[1].step_2_ts) == "2024-01-01 12:00:00"
+    two = {r.user_id: r for r in funnel_steps(ev, ["view", "view"]).collect()}
+    assert str(two[2].step_1_ts) == "2024-01-01 10:00:00"
+    assert str(two[2].step_2_ts) == "2024-01-01 11:00:00"
+    assert two[1].step_2_ts is None  # only one view for user 1
+
+    with pytest.raises(ValueError):
+        funnel_steps(ev, [])
+
+
+def test_cohort_retention_offsets(spark):
+    ev = _events(spark, [
+        # cohort week of Jan 1 (Mon): users 1, 2
+        (1, "2024-01-02 10:00:00", "view"),
+        (2, "2024-01-03 10:00:00", "view"),
+        # user 1 returns in week +1 and +2; user 2 only in +2
+        (1, "2024-01-09 10:00:00", "view"),
+        (1, "2024-01-16 10:00:00", "view"),
+        (2, "2024-01-17 10:00:00", "view"),
+        # cohort week of Jan 8: user 3, never returns
+        (3, "2024-01-10 10:00:00", "view"),
+    ])
+    out = {
+        (str(r.cohort_start)[:10], r.period_offset): r.n_active_users
+        for r in cohort_retention(ev, period="week").collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 2,
+        ("2024-01-08", 0): 1,
+    }
+    with pytest.raises(ValueError):
+        cohort_retention(ev, period="hour")
