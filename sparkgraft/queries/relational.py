@@ -442,3 +442,179 @@ def orders_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_order",
         "last_order",
     )
+
+
+@register(
+    "customers_apply_cdc",
+    # Retired-tier BREADTH query: the CDC MERGE (latest change per key
+    # wins; I/U upsert, D delete) oracle-verified on every pytest run.
+    # Snapshot and change batch are both derived deterministically from
+    # customer, so inserts of new keys, updates of existing rows, and
+    # deletes are all exercised.
+    retired=True,
+    oracle="""
+    WITH snapshot AS (
+        SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
+        FROM customer WHERE c_custkey % 4 != 0
+    ),
+    changes AS (
+        SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+               'I' AS op FROM customer WHERE c_custkey % 4 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2), 'U'
+        FROM customer WHERE c_custkey % 4 = 1
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal, 'D'
+        FROM customer WHERE c_custkey % 4 = 2
+    )
+    SELECT custkey, name, round(acctbal, 2) AS acctbal FROM (
+        SELECT * FROM snapshot
+        WHERE custkey NOT IN (SELECT custkey FROM changes)
+        UNION ALL
+        SELECT custkey, name, acctbal FROM changes WHERE op != 'D'
+    )
+    """,
+)
+def customers_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """relational.apply_cdc: a derived change batch (every 4th customer
+    inserted, the next 4th updated with +100 balance, the next deleted)
+    merged into the customer snapshot — the nightly warehouse MERGE.
+    The oracle restates the same merge as NOT IN + UNION ALL."""
+    from ..relational import apply_cdc
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+    )
+    k = F.col("custkey")
+    snapshot = cust.where(k % 4 != 0)
+    changes = (
+        cust.where(k % 4 == 0)
+        .withColumn("op", F.lit("I"))
+        .unionByName(
+            cust.where(k % 4 == 1)
+            .withColumn("acctbal", F.round(F.col("acctbal") + 100.0, 2))
+            .withColumn("op", F.lit("U"))
+        )
+        .unionByName(cust.where(k % 4 == 2).withColumn("op", F.lit("D")))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    return apply_cdc(snapshot, changes, "custkey").select(
+        "custkey", "name", F.round(F.col("acctbal"), 2).alias("acctbal")
+    )
+
+
+@register(
+    "part_name_fuzzy_matches",
+    # Retired-tier BREADTH query: token-blocked fuzzy join verified on
+    # every pytest run — blocking premise AND Levenshtein verifier
+    # recomputed in SQL (entity-resolution record linkage).
+    retired=True,
+    oracle="""
+    WITH dirty AS (
+        SELECT p_partkey AS dirty_key,
+               substr(p_name, 1, length(p_name) - 2) AS dirty_name
+        FROM part WHERE p_partkey % 10 = 0 AND length(p_name) > 2
+    ),
+    lp AS (
+        SELECT DISTINCT p_name, unnest(string_split(trim(lower(p_name)), ' '))
+            AS tok
+        FROM part
+    ),
+    rp AS (
+        SELECT DISTINCT dirty_name, unnest(
+            string_split(trim(lower(dirty_name)), ' ')) AS tok
+        FROM dirty
+    ),
+    cand AS (
+        SELECT DISTINCT lp.p_name, rp.dirty_name
+        FROM lp JOIN rp USING (tok) WHERE length(tok) >= 3
+    )
+    SELECT p.p_partkey AS partkey, c.p_name AS name,
+           d.dirty_key, c.dirty_name,
+           CAST(levenshtein(c.p_name, c.dirty_name) AS INT) AS edit_dist
+    FROM cand c
+    JOIN part p ON p.p_name = c.p_name
+    JOIN dirty d ON d.dirty_name = c.dirty_name
+    WHERE levenshtein(c.p_name, c.dirty_name) <= 2
+    """,
+)
+def part_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """relational.fuzzy_join_token_blocked: every 10th part name with
+    its last two characters chopped (a deterministic 'dirty' feed)
+    fuzzy-joins back to the clean catalog at edit distance <= 2 —
+    record linkage with token blocking proposing and exact Levenshtein
+    disposing. The truncated twin always shares its leading tokens, so
+    the true matches sit inside the blocking premise by construction;
+    incidental near-matches between similar catalog names are part of
+    the (verified) output."""
+    from ..relational import fuzzy_join_token_blocked
+
+    part = read_table(spark, sf_dir, "part")
+    clean = part.select(F.col("p_partkey").alias("partkey"), F.col("p_name").alias("name"))
+    dirty = part.where(
+        (F.col("p_partkey") % 10 == 0) & (F.length("p_name") > 2)
+    ).select(
+        F.col("p_partkey").alias("dirty_key"),
+        F.expr("substr(p_name, 1, length(p_name) - 2)").alias("dirty_name"),
+    )
+    return fuzzy_join_token_blocked(
+        clean, dirty, "name", "dirty_name", max_dist=2
+    ).select("partkey", "name", "dirty_key", "dirty_name", "edit_dist")
+
+
+@register(
+    "customer_monthly_spend_resampled",
+    # Retired-tier BREADTH query: resample + forward-fill verified on
+    # every pytest run — grid generation, latest-in-period selection,
+    # and the fill all recomputed in SQL.
+    retired=True,
+    oracle="""
+    WITH obs AS (
+        SELECT * FROM (
+            SELECT o_custkey AS custkey,
+                   date_trunc('month', o_orderdate) AS p,
+                   o_totalprice AS v,
+                   row_number() OVER (
+                       PARTITION BY o_custkey, date_trunc('month', o_orderdate)
+                       ORDER BY o_orderdate DESC) AS rn
+            FROM orders WHERE o_custkey < 100
+        ) WHERE rn = 1
+    ),
+    spans AS (
+        SELECT custkey, min(p) AS lo, max(p) AS hi FROM obs GROUP BY 1
+    ),
+    grid AS (
+        SELECT custkey, unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS p
+        FROM spans
+    )
+    SELECT g.custkey, g.p AS period_ts,
+           last_value(o.v IGNORE NULLS) OVER (
+               PARTITION BY g.custkey ORDER BY g.p
+               ROWS UNBOUNDED PRECEDING) AS value,
+           o.v IS NOT NULL AS observed
+    FROM grid g LEFT JOIN obs o ON g.custkey = o.custkey AND g.p = o.p
+    """,
+)
+def customer_monthly_spend_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """relational.resample_fill: each customer's order history as a
+    COMPLETE monthly series (first to last active month), gaps
+    forward-filled with the last observed order price — the
+    regularization step before any windowed metric. Latest order in a
+    month wins; `observed` marks real vs filled rows."""
+    from ..relational import resample_fill
+
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    return resample_fill(
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_totalprice").alias("value"),
+        ),
+        "custkey",
+        "ts",
+        "value",
+        step="1 month",
+        period="month",
+    )

@@ -39,6 +39,9 @@ __all__ = [
     "present_in",
     "as_of_join",
     "scd2_join",
+    "apply_cdc",
+    "fuzzy_join_token_blocked",
+    "resample_fill",
     "range_join",
     "sessionize",
     "pushdown_fence",
@@ -469,4 +472,161 @@ def sessionize(
     return df.withColumn(
         "session_id",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a change-data-capture batch to a snapshot: the MERGE a
+    warehouse runs per load. ``changes`` carries full rows plus an
+    ``op_col`` ('I' insert / 'U' update / 'D' delete) and a
+    monotonically increasing ``seq_col``; per key, only the LATEST
+    change matters — an update after a delete re-creates the row, a
+    delete last removes it. ``(key, seq)`` must be unique (the CDC
+    source's log offset); ties would make the survivor undefined, so
+    the latest-change window orders on seq alone and callers with
+    composite versions pre-combine them into one sequence column.
+
+    Plan: one window over the (small) change batch keyed+sorted per
+    key, one left-anti join to drop touched keys from the snapshot,
+    one union with the surviving upserts. The 100 TB snapshot is never
+    shuffled beyond the anti join's key exchange; with both sides
+    bucketed by key it is exchange-free.
+    """
+    latest = top_k_per_group(changes, [key], [F.desc(seq_col)], k=1)
+    upserts = latest.where(F.col(op_col) != F.lit("D")).drop(op_col, seq_col)
+    untouched = snapshot.join(
+        latest.select(key).distinct(), [key], "left_anti"
+    )
+    return untouched.unionByName(upserts)
+
+
+def fuzzy_join_token_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 2,
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Approximate string join (entity resolution / record linkage):
+    pairs whose strings are within Levenshtein distance ``max_dist``,
+    proposed by TOKEN BLOCKING — candidates must share at least one
+    lowercased token of length >= ``min_token_len`` — and verified
+    with the exact edit distance. Output carries both sides' columns
+    plus ``edit_dist``.
+
+    Blocking is part of the operator's CONTRACT, not an internal
+    approximation to hide: recall is bounded by the premise that
+    matching records share one clean token (true for names/addresses
+    with per-token typos; false for single-token strings whose only
+    token carries the typo — those need q-gram/segment blocking, a
+    documented non-goal here). Precision is exact (every emitted pair
+    passed the verifier). The oracle recomputes blocking + distance,
+    so the contract itself is cross-engine verified.
+
+    Scale shape: one token-keyed equi-join over (id, token) postings
+    (the inverted-index pattern of jaccard_pairs), distinct candidate
+    pairs, then the O(len^2) distance only on candidates. Stop-word-
+    like hub tokens are the caller's pre-filter (same max_df argument
+    as dedup); at 100 TB the candidate volume, not the verify, is the
+    cost driver.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+
+    def postings(df, col, idc):
+        toks = F.filter(
+            F.split(F.trim(F.lower(F.col(col))), r"\s+"),
+            lambda t: F.length(t) >= min_token_len,
+        )
+        return df.select(
+            F.col(col).alias(idc), F.explode(toks).alias("__tok")
+        ).distinct()
+
+    lp = postings(left, left_col, "__l")
+    rp = postings(right, right_col, "__r")
+    cand = lp.join(rp, "__tok").select("__l", "__r").distinct()
+    verified = cand.where(
+        F.levenshtein(F.col("__l"), F.col("__r")) <= max_dist
+    ).select(
+        "__l",
+        "__r",
+        F.levenshtein(F.col("__l"), F.col("__r")).alias("edit_dist"),
+    )
+    return (
+        left.join(verified, left[left_col] == verified["__l"])
+        .join(right, verified["__r"] == right[right_col])
+        .drop("__l", "__r")
+    )
+
+
+def resample_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 day",
+    period: str = "day",
+) -> DataFrame:
+    """Regularize an irregular per-key time series: truncate
+    observations to ``period``, generate the COMPLETE period grid from
+    each key's first to last observation, and forward-fill gaps with
+    the last observed value — the resample/ffill step every metric
+    pipeline runs before windowed math (a gap would otherwise vanish
+    from averages instead of carrying the prior reading).
+
+    Within one period the LATEST observation wins (deterministic:
+    ordered by raw ts). Returns ``(key, period_ts, value, observed)``
+    with ``observed`` false on filled rows.
+
+    Scale shape: grid generation is a row-local ``sequence`` explode
+    per key (output bounded by the key's time span); the fill is one
+    window per key ordered by the grid — state bounded by series
+    length per key, the same envelope as sessionization. No global
+    sort, no driver action.
+    """
+    t = F.date_trunc(period, F.col(ts_col))
+    # latest observation per (key, period)
+    obs = (
+        df.select(
+            F.col(key_col).alias("__key"),
+            t.alias("__p"),
+            F.col(ts_col).alias("__ts"),
+            F.col(value_col).alias("__v"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__key", "__p").orderBy(F.desc("__ts"))
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__ts")
+    )
+    spans = obs.groupBy("__key").agg(
+        F.min("__p").alias("__lo"), F.max("__p").alias("__hi")
+    )
+    grid = spans.select(
+        "__key",
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("__p"),
+    )
+    joined = grid.join(obs, ["__key", "__p"], "left")
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.col("__key").alias(key_col),
+        F.col("__p").alias("period_ts"),
+        F.last("__v", ignorenulls=True).over(w).alias(value_col),
+        F.col("__v").isNotNull().alias("observed"),
     )

@@ -227,3 +227,79 @@ def test_scd2_join_versions_gaps_and_ties(spark):
         100: None, 101: "v1", 102: "v1", 103: None, 104: None,
         105: "v2", 106: "v2", 107: "open", 108: None,
     }
+
+
+def test_apply_cdc_latest_change_wins(spark):
+    """CDC merge: per key only the highest-seq change applies — update
+    after delete recreates, delete last removes, unseen keys insert,
+    untouched snapshot rows pass through."""
+    from sparkgraft.relational import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "DEAD", "D", 1), (1, "a2", "U", 2),   # delete then update -> survives as a2
+            (2, "b2", "U", 1), (2, "DEAD", "D", 2),   # update then delete -> gone
+            (4, "d", "I", 1),                          # new key insert
+        ],
+        "k long, v string, op string, seq long",
+    )
+    out = {r.k: r.v for r in apply_cdc(snap, changes, "k").collect()}
+    assert out == {1: "a2", 3: "c", 4: "d"}
+
+
+def test_fuzzy_join_token_blocked_contract(spark):
+    """Fuzzy join: per-token typos match within the distance bound;
+    precision is exact (no pair beyond max_dist); the documented recall
+    bound — a single-token string whose only token carries the typo —
+    is missed by design."""
+    from sparkgraft.relational import fuzzy_join_token_blocked
+
+    clean = spark.createDataFrame(
+        [(1, "acme widgets inc"), (2, "globex corp"), (3, "zzyzx")],
+        "id long, name string",
+    )
+    dirty = spark.createDataFrame(
+        [(10, "acme wdgets inc"),   # one-char typo inside a token
+         (11, "globex corpse"),     # 2 appended chars
+         (12, "zzyzz"),             # single-token typo: blocked token differs
+         (13, "totally different")],
+        "did long, dname string",
+    )
+    out = fuzzy_join_token_blocked(clean, dirty, "name", "dname", max_dist=2)
+    pairs = {(r.id, r.did, r.edit_dist) for r in out.collect()}
+    assert (1, 10, 1) in pairs
+    assert (2, 11, 2) in pairs
+    assert all(d <= 2 for _, _, d in pairs)          # exact precision
+    assert not any(did == 12 for _, did, _ in pairs)  # documented miss
+    assert not any(did == 13 for _, did, _ in pairs)
+
+
+def test_resample_fill_gaps_and_latest_in_period(spark):
+    """Resample: complete per-key grid, forward fill across gaps, the
+    latest observation wins inside one period, observed flags filled
+    rows."""
+    from sparkgraft.relational import resample_fill
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 10.0),
+            (1, "2024-01-01 18:00:00", 11.0),  # same day, later -> wins
+            (1, "2024-01-04 12:00:00", 40.0),  # 2-day gap before this
+            (2, "2024-02-01 00:00:00", 5.0),
+        ],
+        "k long, ts string, v double",
+    ).select("k", F.col("ts").cast("timestamp_ntz").alias("ts"), "v")
+    out = resample_fill(df, "k", "ts", "v", step="1 day", period="day")
+    rows = {
+        (r.k, str(r.period_ts)[:10]): (r.v, r.observed)
+        for r in out.collect()
+    }
+    assert rows[(1, "2024-01-01")] == (11.0, True)
+    assert rows[(1, "2024-01-02")] == (11.0, False)
+    assert rows[(1, "2024-01-03")] == (11.0, False)
+    assert rows[(1, "2024-01-04")] == (40.0, True)
+    assert rows[(2, "2024-02-01")] == (5.0, True)
+    assert len(rows) == 5
