@@ -415,3 +415,114 @@ def test_sessionize_matches_naive(spark, rows, gap):
             want[eid] = (u, sid)
             prev = ts
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-50, 50)),
+        min_size=0,
+        max_size=40,
+    ),
+    cut=st.integers(0, 39),
+)
+def test_incremental_merge_matches_direct(spark, rows, cut):
+    """merge(partial(A), partial(B)) == partial(A u B) for ARBITRARY
+    data and an arbitrary split point — the monoid law the incremental
+    rollup rests on, checked against a plain Python fold."""
+    from sparkgraft.incremental import merge_aggregates, partial_aggregate
+
+    specs = {"n": ("count", None), "s": ("sum", "v"),
+             "lo": ("min", "v"), "hi": ("max", "v")}
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        # placeholder row (idx -1) keeps createDataFrame happy on empty
+        # draws; the filter removes it before any aggregation
+        [(k, float(v), i) for i, (k, v) in enumerate(rows)] or [(0, 0.0, -1)],
+        "k long, v double, idx long",
+    ).where(F.col("idx") >= 0)
+    a = partial_aggregate(df.where(f"idx < {cut}"), ["k"], specs)
+    b = partial_aggregate(df.where(f"idx >= {cut}"), ["k"], specs)
+    merged = {
+        r.k: (r.n, float(r.s), r.lo, r.hi)
+        for r in merge_aggregates([a, b], ["k"], specs).collect()
+    }
+    expect = {}
+    for i, (k, v) in enumerate(rows):
+        n, s, lo, hi = expect.get(k, (0, 0.0, None, None))
+        expect[k] = (
+            n + 1,
+            s + v,
+            v if lo is None else min(lo, v),
+            v if hi is None else max(hi, v),
+        )
+    expect = {
+        k: (n, float(s), float(lo), float(hi))
+        for k, (n, s, lo, hi) in expect.items()
+    }
+    assert merged == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),                # user
+            st.integers(0, 30),               # ts offset (minutes)
+            st.sampled_from(["s1", "s2", "s3", "noise"]),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_funnel_matches_naive_chain_of_mins(spark, rows):
+    """funnel_steps' single-fold leftmost match equals the naive
+    per-user chain-of-mins walk for arbitrary event streams (including
+    duplicate timestamps, missing steps, and interleaved noise)."""
+    import datetime
+
+    from sparkgraft.analytics import funnel_steps
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (u, base + datetime.timedelta(minutes=m), t) for u, m, t in rows
+    ]
+    df = spark.createDataFrame(
+        data or [(99, base, "noise")],
+        "user_id long, ts timestamp_ntz, event_type string",
+    )
+    steps = ["s1", "s2", "s3"]
+    got = {
+        r.user_id: (r.step_1_ts, r.step_2_ts, r.step_3_ts, r.converted)
+        for r in funnel_steps(df, steps).collect()
+    }
+
+    expect = {}
+    for u in {u for u, _, _ in data}:
+        evs = sorted((ts, t) for uu, ts, t in data if uu == u)
+        prev = None
+        hits = []
+        for step in steps:
+            nxt = next(
+                (ts for ts, t in evs
+                 if t == step and (prev is None or ts > prev)),
+                None,
+            )
+            hits.append(nxt)
+            if nxt is None:
+                break
+            prev = nxt
+        while len(hits) < 3:
+            hits.append(None)
+        if hits[0] is not None:
+            expect[u] = (hits[0], hits[1], hits[2], hits[2] is not None)
+    assert got == expect
