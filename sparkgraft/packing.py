@@ -42,6 +42,7 @@ __all__ = [
     "epoch_replicate",
     "percentile_keep",
     "ntile_by_histogram",
+    "winsorize",
     "deterministic_shuffle",
     "chunk_documents",
 ]
@@ -299,4 +300,65 @@ def chunk_documents(
         F.col("chunk_start").cast("bigint").alias("chunk_start"),
         F.size(piece).cast("bigint").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_frac: float = 0.01,
+    hi_frac: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize a value per group: clamp below the ``lo_frac`` and
+    above the ``hi_frac`` quantile — the outlier-capping step before
+    any mean/std-based scoring (a single 10^9-token document would
+    otherwise own the corpus length statistics).
+
+    Quantile definition (deterministic, engine-independent): the
+    ``q``-quantile is the SMALLEST observed value whose inclusive
+    cumulative share ``cum_count / total >= q`` — no interpolation, so
+    the bounds are always actual data values and both engines agree
+    exactly. Adds ``out_col`` (default ``{value_col}_w``) with the
+    clamped value; rows keep their original column untouched.
+
+    Scale shape (the percentile_keep / ntile_by_histogram pattern): the
+    corpus is touched by one map-side histogram and one broadcast join
+    of the 2-row-per-group bounds table; the quantile scan itself runs
+    over the tiny distinct-value histogram. Never a corpus-wide sort.
+    """
+    if not (0.0 <= lo_frac <= hi_frac <= 1.0):
+        raise ValueError("need 0 <= lo_frac <= hi_frac <= 1")
+    out_col = out_col or f"{value_col}_w"
+    hist = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    cum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    whole = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.round(
+        F.sum("__cnt").over(cum) / F.sum("__cnt").over(whole), 9
+    )
+    shared = hist.select(group_col, value_col, share.alias("__share"))
+    bounds = shared.groupBy(group_col).agg(
+        F.min(
+            F.when(F.col("__share") >= lo_frac, F.col(value_col))
+        ).alias("__lo"),
+        F.min(
+            F.when(F.col("__share") >= hi_frac, F.col(value_col))
+        ).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            out_col,
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
     )

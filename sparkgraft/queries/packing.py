@@ -239,3 +239,45 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.ntile_by_histogram(docs, "source", "n_chars", n=10).select(
         "doc_id", "source", "n_chars", "tile"
     )
+
+
+@register(
+    "doc_length_winsorized",
+    # Retired-tier BREADTH query: histogram winsorization verified on
+    # every pytest run — both quantile bounds and every clamped value
+    # recomputed in SQL from the same inclusive-cumulative-share rule.
+    retired=True,
+    oracle="""
+    WITH hist AS (
+        SELECT source, n_chars, count(*) AS cnt
+        FROM documents GROUP BY 1, 2
+    ),
+    shares AS (
+        SELECT source, n_chars,
+               round(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                     ROWS UNBOUNDED PRECEDING)
+                     / sum(cnt) OVER (PARTITION BY source), 9) AS share
+        FROM hist
+    ),
+    bounds AS (
+        SELECT source,
+               min(CASE WHEN share >= 0.05 THEN n_chars END) AS lo,
+               min(CASE WHEN share >= 0.95 THEN n_chars END) AS hi
+        FROM shares GROUP BY 1
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           least(greatest(d.n_chars, b.lo), b.hi) AS n_chars_w
+    FROM documents d JOIN bounds b USING (source)
+    """,
+)
+def doc_length_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """packing.winsorize: document lengths clamped to each source's
+    [p5, p95] — the outlier cap before mean/std-based quality scoring.
+    Quantiles are the smallest value whose inclusive cumulative share
+    reaches the target (no interpolation: bounds are actual data
+    values, identical cross-engine); the corpus sees one map-side
+    histogram and a broadcast bounds join, never a global sort."""
+    docs = read_table(spark, sf_dir, "documents")
+    return P.winsorize(
+        docs, "source", "n_chars", lo_frac=0.05, hi_frac=0.95
+    ).select("doc_id", "source", "n_chars", "n_chars_w")

@@ -223,3 +223,33 @@ def test_ntile_by_histogram_deterministic_ties(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ntile_by_histogram(df, "grp", "score", n=0)
+
+
+def test_winsorize_clamps_to_group_quantiles(spark):
+    """Winsorize: values clamp to the group's [p-lo, p-hi] bounds
+    (inclusive-cumulative-share quantiles — actual data values, no
+    interpolation); interior values pass through; groups are
+    independent."""
+    import pytest as _pytest
+
+    from sparkgraft.packing import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", 5.0), ("b", 500.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {
+        (r.grp, r.v): r.v_w
+        for r in winsorize(df, "grp", "v", lo_frac=0.10, hi_frac=0.90).collect()
+    }
+    # group a: p10 = 10 (share 0.10), p90 = 90 (share 0.90)
+    assert out[("a", 1.0)] == 10.0
+    assert out[("a", 9.0)] == 10.0
+    assert out[("a", 50.0)] == 50.0
+    assert out[("a", 91.0)] == 90.0
+    assert out[("a", 100.0)] == 90.0
+    # group b: with 2 values, p10 bound = 5 (share 0.5 >= 0.1),
+    # p90 bound = 500 (share 1.0 >= 0.9) -> both survive unclamped
+    assert out[("b", 5.0)] == 5.0
+    assert out[("b", 500.0)] == 500.0
+
+    with _pytest.raises(ValueError):
+        winsorize(df, "grp", "v", lo_frac=0.9, hi_frac=0.1)
