@@ -326,3 +326,49 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
     return S.knn_label_vote(emb, queries, k=10)
+
+
+@register(
+    "embedding_standardized",
+    # Retired-tier BREADTH query: per-dimension whitening verified on
+    # every pytest run — decimal-exact means/second-moments, population
+    # std, zero-variance guard, all recomputed in SQL. Output exploded
+    # to (vec_id, pos, z) scalars for robust cross-engine comparison.
+    retired=True,
+    oracle="""
+    WITH exploded AS (
+        SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS pos,
+               CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS v
+        FROM embeddings, range(1, 65) t(i)
+    ),
+    stats AS (
+        SELECT pos,
+               CAST(sum(CAST(v AS DECIMAL(38,28))) AS DOUBLE) / count(*) AS m,
+               CAST(sum(CAST(v * v AS DECIMAL(38,28))) AS DOUBLE) / count(*)
+                   AS m2
+        FROM exploded GROUP BY pos
+    ),
+    sds AS (
+        SELECT pos, m, sqrt(greatest(m2 - m * m, 0)) AS sd FROM stats
+    )
+    SELECT e.vec_id, e.pos,
+           round(CASE WHEN s.sd > 0 THEN (e.v - s.m) / s.sd
+                      ELSE 0.0 END, 6) AS z
+    FROM exploded e JOIN sds s USING (pos)
+    WHERE e.vec_id < 200
+    """,
+)
+def embedding_standardized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity.standardize_embeddings over the corpus (exploded to
+    (vec_id, pos, z) rows, first 200 vectors): per-dimension
+    z-scoring with decimal-exact corpus moments — the whitening step
+    before cosine/k-means when raw dimensions carry different scales.
+    Stats come from ONE posexplode aggregation broadcast back; the
+    transform is a row-local zip."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    z = S.standardize_embeddings(emb, dim=64)
+    return (
+        z.where(F.col("vec_id") < 200)
+        .select("vec_id", F.posexplode("z_embedding").alias("pos", "z"))
+        .select("vec_id", F.col("pos").cast("bigint").alias("pos"), "z")
+    )

@@ -48,6 +48,7 @@ __all__ = [
     "cosine",
     "cosine_topk",
     "knn_label_vote",
+    "standardize_embeddings",
     "cosine_pairs",
     "cosine_pairs_blocked",
     "rp_lsh_bucket",
@@ -925,4 +926,74 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "cos_sim")
+    )
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-DIMENSION standardization of an embedding column:
+    ``z_i = (x_i - mean_i) / std_i`` with corpus-wide mean/std per
+    coordinate — the whitening step before cosine/k-means when raw
+    dimensions carry wildly different scales (a dominant dimension
+    otherwise owns every distance). Zero-variance dimensions map to 0
+    (no information, no division blowup).
+
+    Determinism: mean and E[x^2] accumulate in exact DECIMAL (the
+    label_centroid_similarity discipline — a raw double sum depends on
+    partition completion order), std = sqrt(E[x^2] - mean^2)
+    (population form), and each output coordinate rounds to
+    ``round_to``; the DuckDB oracle reproduces the identical math.
+
+    Scale shape: one posexplode pass into a (pos, value) aggregation —
+    map-side combinable, 'dim' output rows — broadcast back as an
+    ordered stats array; the transform itself is a row-local zip. Two
+    linear passes total, no corpus-wide window or sort.
+    """
+    stats = (
+        df.select(F.posexplode(_d(F.col(vec_col))).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,28)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m"),
+            (
+                F.sum((F.col("v") * F.col("v")).cast("decimal(38,28)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("m2"),
+        )
+        .select(
+            "pos",
+            "m",
+            F.sqrt(F.greatest(F.col("m2") - F.col("m") * F.col("m"), F.lit(0.0))).alias(
+                "sd"
+            ),
+        )
+    )
+    ordered = stats.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m", "sd"))).alias("sm")
+    ).select(
+        F.transform(F.col("sm"), lambda s: s.getField("m")).alias("__means"),
+        F.transform(F.col("sm"), lambda s: s.getField("sd")).alias("__sds"),
+    )
+    withstats = df.crossJoin(F.broadcast(ordered))
+    z = F.zip_with(
+        F.zip_with(
+            _d(F.col(vec_col)),
+            F.col("__means"),
+            lambda x, m: x - m,
+        ),
+        F.col("__sds"),
+        lambda c, s: F.round(
+            F.when(s > 0.0, c / s).otherwise(F.lit(0.0)), round_to
+        ),
+    )
+    return withstats.select(
+        F.col(id_col), z.alias("z_embedding")
     )

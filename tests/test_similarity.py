@@ -351,3 +351,28 @@ def test_knn_label_vote_majority_and_ties(spark):
     tie = {r.query_id: r for r in knn_label_vote(
         corpus2, mid, k=4).collect()}
     assert tie[99].predicted_label == 1 and tie[99].votes == 2
+
+
+def test_standardize_embeddings_moments_and_zero_variance(spark):
+    """Whitening: standardized dimensions have ~zero mean and unit
+    variance; a constant (zero-variance) dimension maps to 0 for every
+    vector rather than dividing by zero."""
+    import numpy as np
+
+    from sparkgraft.similarity import standardize_embeddings
+
+    rng = [(i, [float(i), 2.0 * i + 1.0, 7.0]) for i in range(50)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: list(r.z_embedding)
+        for r in standardize_embeddings(df, dim=3).collect()
+    }
+    z = np.array([out[i] for i in range(50)])
+    # dims 0 and 1: standardized to mean ~0, population std ~1
+    for d in (0, 1):
+        assert abs(z[:, d].mean()) < 1e-6
+        assert abs(z[:, d].std() - 1.0) < 1e-6
+    # dim 2 constant -> all zeros
+    assert np.all(z[:, 2] == 0.0)
+    # affinely-related dims standardize identically
+    assert np.allclose(z[:, 0], z[:, 1])
