@@ -482,3 +482,58 @@ def test_available_now_incremental_batches(spark, sf_dir, tmp_path):
         got.select(F.sum("event_id")).first()[0]
         == batch.select(F.sum("event_id")).first()[0]
     )
+
+
+def test_foreach_batch_incremental_rollup(spark, sf_dir, tmp_path):
+    """Cross-module composition: foreachBatch maintains a PERSISTENT
+    keyed rollup by folding each micro-batch's partial aggregates into
+    a parquet state table (incremental.merge_aggregates) — the
+    streaming materialized-view pattern. After the stream drains, the
+    state must equal the direct batch aggregation of the whole table."""
+    import os
+
+    from sparkgraft.incremental import merge_aggregates, partial_aggregate
+
+    specs = {
+        "n_events": ("count", None),
+        "sum_value": ("sum", "value"),
+        "first_ts": ("min", "ts"),
+        "last_ts": ("max", "ts"),
+    }
+    state_path = str(tmp_path / "state")
+
+    def fold_batch(batch_df, batch_id):
+        part = partial_aggregate(
+            batch_df.select("user_id", "value", "ts"), ["user_id"], specs
+        )
+        if os.path.exists(state_path):
+            prev = spark.read.parquet(state_path)
+            merged = merge_aggregates([prev, part], ["user_id"], specs)
+        else:
+            merged = part
+        # state tables are small (one row per key): rewrite wholesale.
+        # parquet can't overwrite its own input mid-read -> stage + swap
+        tmp = state_path + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+
+    stream = ST.stream_table(spark, sf_dir, "events", split_files=4)
+    n_batches = ST.run_stream_foreach_batch(
+        stream, fold_batch, str(tmp_path / "ckpt")
+    )
+    assert n_batches >= 3  # the fold really ran across batches
+
+    got = {
+        r.user_id: (r.n_events, float(r.sum_value), r.first_ts, r.last_ts)
+        for r in spark.read.parquet(state_path).collect()
+    }
+    direct = partial_aggregate(
+        read_table(spark, sf_dir, "events").select("user_id", "value", "ts"),
+        ["user_id"],
+        specs,
+    )
+    want = {
+        r.user_id: (r.n_events, float(r.sum_value), r.first_ts, r.last_ts)
+        for r in direct.collect()
+    }
+    assert got == want
