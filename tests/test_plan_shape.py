@@ -129,3 +129,51 @@ def test_headline_plan_shape(spark, sf_dir, name):
         f"{name}: {n_bhj} BroadcastHashJoin (pinned min {min_bhj}) "
         "— a broadcast join degraded to a shuffle join"
     )
+
+
+# New r5 operators outside the bench headline: their scale shape is
+# part of the contract, so pin it structurally here too.
+R5_OP_PINS = [
+    # (builder, max Exchange, forbid-nested-loop)
+    ("funnel", 2),     # groupBy(user) + AQE read; never per-step joins
+    ("scd2", 2),       # union-merge as-of: one key shuffle (+1 slack)
+    ("fuzzy", 6),      # postings join + distinct + two attach joins
+    ("resample", 4),   # per-period window, spans agg, grid join
+    ("cdc_merge", 4),  # change window + anti join + union
+]
+
+
+@pytest.mark.parametrize("which,max_exchanges", R5_OP_PINS)
+def test_r5_operator_plan_shape(spark, sf_dir, which, max_exchanges):
+    from pyspark.sql import functions as F
+
+    from sparkgraft import queries as Q
+    from sparkgraft.analytics import funnel_steps
+    from sparkgraft.io import read_table
+    from sparkgraft.relational import (
+        apply_cdc,
+        fuzzy_join_token_blocked,
+        resample_fill,
+        scd2_join,
+    )
+
+    spark.catalog.clearCache()
+    if which == "funnel":
+        df = funnel_steps(
+            read_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+        )
+    elif which == "scd2":
+        df = Q.RETIRED_QUERIES["orders_segment_scd2"](spark, sf_dir)
+    elif which == "fuzzy":
+        df = Q.RETIRED_QUERIES["part_name_fuzzy_matches"](spark, sf_dir)
+    elif which == "resample":
+        df = Q.RETIRED_QUERIES["customer_monthly_spend_resampled"](spark, sf_dir)
+    else:
+        df = Q.RETIRED_QUERIES["customers_apply_cdc"](spark, sf_dir)
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, which
+    assert "BroadcastNestedLoopJoin" not in plan, which
+    assert "BatchEvalPython" not in plan, which
+    n = plan.count("Exchange")
+    assert n <= max_exchanges, f"{which}: {n} Exchange ops (pinned {max_exchanges})"
