@@ -50,6 +50,7 @@ __all__ = [
     "simhash32",
     "decontaminate",
     "near_dup_clusters",
+    "near_dup_committee",
 ]
 
 
@@ -853,3 +854,109 @@ def near_dup_clusters(
         )
     finally:
         edges.unpersist()
+
+
+def near_dup_committee(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
+    k: int = 3,
+    jaccard_threshold: float = 0.2,
+    cosine_threshold: float = 0.4,
+    hamming_threshold: int = 8,
+    min_signals: int = 1,
+    approx_rows: int | None = None,
+) -> DataFrame:
+    """Multi-signal near-dup CONSENSUS: the capstone that composes the
+    dedup tiers instead of picking one. Real curation pipelines vote —
+    lexical overlap (n-gram Jaccard), bit-level similarity (SimHash
+    Hamming), and semantic similarity (embedding cosine) each catch
+    duplicates the others miss, and acting on agreement cuts the false
+    positives any single detector carries.
+
+    Architecture (the scale-correct formulation): the two BUCKETED
+    detectors PROPOSE — the shingle inverted index (pairs with
+    ``jaccard >= jaccard_threshold``) and the blocked embedding tier
+    (pairs with ``cosine >= cosine_threshold``) — and SimHash SCORES
+    every proposed pair via a cheap per-doc hash join (an all-pairs
+    Hamming scan would be quadratic; as a committee member it never
+    proposes, so it costs one 32-bit XOR per candidate). A pair absent
+    from a proposer carries NULL for that measure: by construction its
+    value is below that detector's threshold, so NULL reads as "this
+    signal did not fire", never "unknown".
+
+    Returns pairs with ``n_signals >= min_signals``:
+    ``(doc_a, doc_b, jaccard, cos_sim, hamming, sig_jaccard,
+    sig_embedding, sig_simhash, n_signals)`` — downstream feeds the
+    ``n_signals >= 2`` slice to :func:`near_dup_clusters` for
+    conservative dedup, or audits single-signal pairs for threshold
+    tuning.
+    """
+    from .similarity import cosine_pairs_blocked
+
+    jac = jaccard_pairs(
+        docs, text_col, id_col, k=k, threshold=jaccard_threshold
+    ).select(
+        F.col("doc_a"), F.col("doc_b"), F.col("jaccard")
+    )
+    emb = cosine_pairs_blocked(
+        embeddings,
+        id_col=emb_id_col,
+        vec_col=emb_vec_col,
+        threshold=cosine_threshold,
+        approx_rows=approx_rows,
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("cos_sim"),
+    )
+    cand = jac.join(emb, ["doc_a", "doc_b"], "full_outer")
+
+    sims = docs.select(
+        F.col(id_col).alias("__sid"), simhash32(text_col).alias("__sim")
+    )
+    withsim = (
+        cand.join(
+            sims.select(
+                F.col("__sid").alias("doc_a"), F.col("__sim").alias("__sa")
+            ),
+            "doc_a",
+            "left",
+        )
+        .join(
+            sims.select(
+                F.col("__sid").alias("doc_b"), F.col("__sim").alias("__sb")
+            ),
+            "doc_b",
+            "left",
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("int"),
+        )
+    )
+    sig_j = F.col("jaccard").isNotNull()
+    sig_e = F.col("cos_sim").isNotNull()
+    sig_s = F.coalesce(
+        F.col("hamming") <= F.lit(hamming_threshold), F.lit(False)
+    )
+    n_signals = (
+        sig_j.cast("int") + sig_e.cast("int") + sig_s.cast("int")
+    ).cast("int")
+    return (
+        withsim.select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            "cos_sim",
+            "hamming",
+            sig_j.alias("sig_jaccard"),
+            sig_e.alias("sig_embedding"),
+            sig_s.alias("sig_simhash"),
+            n_signals.alias("n_signals"),
+        )
+        .where(F.col("n_signals") >= min_signals)
+    )

@@ -321,3 +321,83 @@ def incremental_dedup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_incremental(
         new, store, "text", id_col="doc_id", fingerprint_col="fingerprint"
     ).select("doc_id", "source", "fingerprint")
+
+
+_COS_SQL = (
+    "round(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+)
+
+_SIMHASH_SQL = (
+    "CASE WHEN len(tok) = 0 THEN NULL "
+    "ELSE CAST(list_sum(list_transform(range(0, 32), j -> "
+    "CASE WHEN list_sum(list_transform(tok, t -> "
+    "2 * ((CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) >> j) & 1) - 1"
+    ")) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) END"
+)
+
+
+@register(
+    "near_dup_committee_pairs",
+    # Retired-tier BREADTH query: the multi-signal consensus verified
+    # on every pytest run — jaccard membership, embedding cosine,
+    # SimHash Hamming, and the vote count all recomputed in SQL.
+    retired=True,
+    oracle=f"""
+    WITH {{sh_cte}},
+    jp AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.2),
+    ep AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos_sim
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id < b.vec_id
+    ),
+    epf AS (SELECT * FROM ep WHERE cos_sim >= 0.4),
+    cand AS (
+        SELECT coalesce(jp.doc_a, epf.doc_a) AS doc_a,
+               coalesce(jp.doc_b, epf.doc_b) AS doc_b,
+               jp.jaccard, epf.cos_sim
+        FROM jp FULL OUTER JOIN epf
+          ON jp.doc_a = epf.doc_a AND jp.doc_b = epf.doc_b
+    ),
+    sims AS (
+        SELECT doc_id, {_SIMHASH_SQL} AS simhash
+        FROM (SELECT doc_id, {{tok}} AS tok FROM documents)
+    ),
+    scored AS (
+        SELECT c.doc_a, c.doc_b, c.jaccard, c.cos_sim,
+               CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+        FROM cand c
+        LEFT JOIN sims sa ON c.doc_a = sa.doc_id
+        LEFT JOIN sims sb ON c.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard, cos_sim, hamming,
+           jaccard IS NOT NULL AS sig_jaccard,
+           cos_sim IS NOT NULL AS sig_embedding,
+           coalesce(hamming <= 8, FALSE) AS sig_simhash,
+           CAST(CAST(jaccard IS NOT NULL AS INT)
+                + CAST(cos_sim IS NOT NULL AS INT)
+                + CAST(coalesce(hamming <= 8, FALSE) AS INT) AS INT)
+               AS n_signals
+    FROM scored
+    """.replace("{sh_cte}", _SH_CTE).replace("{tok}", _TOK),
+)
+def near_dup_committee_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.near_dup_committee over documents + embeddings
+    (doc_id = vec_id): lexical Jaccard and blocked embedding cosine
+    PROPOSE candidate pairs, SimHash Hamming SCORES every proposal, and
+    the vote count ships with per-signal booleans — the conservative
+    n_signals >= 2 slice feeds cluster resolution, the single-signal
+    tail is the threshold-tuning audit. Every signal and the vote are
+    recomputed by the oracle."""
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    from ..io import table_row_hint
+
+    return D.near_dup_committee(
+        docs,
+        emb,
+        approx_rows=table_row_hint(sf_dir, "embeddings"),
+    )

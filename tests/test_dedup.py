@@ -301,3 +301,47 @@ def test_dedup_incremental_null_text_sentinel(spark):
     rerun = dedup_incremental(batch, grown, "text", id_col="doc_id",
                               fingerprint_col="fingerprint")
     assert rerun.count() == 0
+
+
+def test_near_dup_committee_signals(spark):
+    """Committee semantics on a planted corpus: a lexical near-dup
+    fires jaccard+simhash but not embedding; an embedding-only pair
+    (similar vectors, different text) fires exactly one signal; a pair
+    flagged by nothing is absent; NULL simhash (empty doc) cannot
+    fire the simhash signal."""
+    from sparkgraft.dedup import near_dup_committee
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog today"),  # ~dup of 1
+            (3, "completely different text about spark engines here now"),
+            (4, "unrelated words in every possible way whatsoever indeed"),
+        ],
+        "doc_id long, text string",
+    )
+    # embeddings: 3 and 4 nearly parallel (semantic pair, no shared text);
+    # 1 and 2 orthogonal to everything (their signal must come from text)
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.05]),
+            (4, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in near_dup_committee(
+            docs, emb, jaccard_threshold=0.3, cosine_threshold=0.9,
+            hamming_threshold=10,
+        ).collect()
+    }
+    lex = out[(1, 2)]
+    assert lex.sig_jaccard and lex.sig_simhash and not lex.sig_embedding
+    assert lex.n_signals == 2 and lex.cos_sim is None
+    sem = out[(3, 4)]
+    assert sem.sig_embedding and not sem.sig_jaccard
+    assert sem.cos_sim is not None and sem.jaccard is None
+    assert (1, 3) not in out and (2, 4) not in out
