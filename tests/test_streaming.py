@@ -537,3 +537,56 @@ def test_foreach_batch_incremental_rollup(spark, sf_dir, tmp_path):
         for r in direct.collect()
     }
     assert got == want
+
+
+def test_windowed_sessions_match_batch_sessionize(spark, sf_dir):
+    """Streaming session_window must carve the SAME sessions as the
+    batch lag+cumsum sessionize: per user, identical session starts,
+    ends (modulo the definitional last_ts + gap), and event counts.
+    (Boundary note: session_window closes at last_ts + gap exclusive,
+    batch sessionize splits strictly-greater-than-gap — identical
+    unless two events sit exactly one gap apart, which this corpus's
+    microsecond timestamps never do.)"""
+    gap_s = 1800
+    stream = ST.stream_table(spark, sf_dir, "events", split_files=3)
+    # watermark beyond the data span: the random 3-file split scatters
+    # event times across batches, so a 1-day watermark would drop
+    # cross-batch "late" rows and split sessions (the same isolation
+    # rationale as the checkpoint-recovery test)
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in ST.run_stream_to_memory(
+            ST.windowed_sessions(
+                stream, gap="30 minutes", watermark="3650 days"
+            ),
+            "sess_parity",
+        ).collect()
+    }
+
+    from sparkgraft.relational import sessionize
+
+    batch = sessionize(
+        read_table(spark, sf_dir, "events"),
+        ["user_id"],
+        "ts",
+        gap_seconds=gap_s,
+        order_extra=["event_id"],
+    )
+    want = {}
+    for r in (
+        batch.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("start"),
+            F.max("ts").alias("end"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    ):
+        # session_window's end is last event + gap
+        import datetime
+
+        want[(r.user_id, r.start)] = (
+            r.end + datetime.timedelta(seconds=gap_s),
+            r.n,
+        )
+    assert got == want and len(got) > 0
