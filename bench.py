@@ -44,7 +44,6 @@ HEADLINE = [
     "domain_mixture_epochs",
     "quality_percentile_filter",
     "doc_quality_metrics",
-    "doc_lang_id",
     "tfidf_top_terms",
     "corpus_curation_pipeline",
     "dedup_exact_keep_first",
@@ -58,6 +57,7 @@ HEADLINE = [
     "embedding_near_dup_lsh_planted",
     "semantic_dedup_embeddings",
     "ann_lsh_topk",
+    "ann_lsh_top1_planted",
     "ann_ivf_topk",
     "label_centroid_similarity",
 ]

@@ -372,3 +372,67 @@ def embedding_standardized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode("z_embedding").alias("pos", "z"))
         .select("vec_id", F.col("pos").cast("bigint").alias("pos"), "z")
     )
+
+
+@register(
+    "ann_lsh_top1_planted",
+    f"""
+    WITH planted AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000000 AS vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.25)
+                   AS embedding
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM planted WHERE vec_id % 50 = 0 AND vec_id < 10000000
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_cos('e.embedding', 'q.qv')} AS cos_sim
+        FROM planted e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, CAST(1 AS BIGINT) AS rank, vec_id, cos_sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk = 1
+    """,
+)
+def ann_lsh_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN top-k path under a REAL DuckDB oracle (the same planted
+    construction as embedding_near_dup_lsh_planted, applied to
+    rp_lsh_topk): plant a positively-scaled copy of every 50th vector
+    and ask LSH for each original's top-1 neighbor over the planted
+    corpus. Provably exact, not probabilistic: the copy shares the
+    query's bucket in EVERY table (positive scaling preserves all
+    projection signs), so it is always a candidate — and it is the
+    unique global cosine argmax (rounded 1.0 vs this corpus's ~0.51
+    pairwise ceiling), so the LSH top-1 equals the brute-force SQL
+    top-1 regardless of which other candidates the buckets propose.
+    Converts the ANN-top-k evidence class from rows-only to
+    hash-checked (the recall-vs-k behavior beyond rank 1 stays covered
+    by tests/test_similarity.py)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    as_double = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    copies = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") * F.lit(1.25)
+        ).alias("embedding"),
+    )
+    planted = as_double.unionByName(copies)
+    queries = as_double.where(F.col("vec_id") % 50 == 0)
+    return S.rp_lsh_topk(
+        planted, queries, dim=64, k=1, num_planes=6, num_tables=4
+    )

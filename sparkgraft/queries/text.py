@@ -64,7 +64,13 @@ def doc_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_lang_id",
-    f"""
+    # RETIRED r5 (two-round-stable; slot freed for ann_lsh_top1_planted,
+    # which converts the ANN-top-k rows-only evidence class into a
+    # hash-checked driver row): lang-id keeps active driver exercise
+    # inside corpus_curation_pipeline's lang stage, and stays
+    # oracle-verified here via tests/test_retired_oracles.py.
+    retired=True,
+    oracle=f"""
     WITH scored AS (
         SELECT doc_id, lang,
                len(list_filter({_TOK}, t -> list_contains({_DE}, t))) AS s_de,

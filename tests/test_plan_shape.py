@@ -69,7 +69,6 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # corpus-wide sort partition
     "quality_percentile_filter": (5, 1),
     "doc_quality_metrics": (1, 0),
-    "doc_lang_id": (1, 0),
     "corpus_curation_pipeline": (2, 0),
     "tfidf_top_terms": (9, 1),  # doc_len rides the rank window's exchange
     "dedup_exact_keep_first": (1, 0),
@@ -85,6 +84,8 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "embedding_near_dup_lsh_planted": (8, 3),
     "semantic_dedup_embeddings": (1, 0),  # the ONLY shuffle: groupBy cid
     "ann_lsh_topk": (6, 3),
+    # planted ANN top-1: same bucketed plan over the unioned view
+    "ann_lsh_top1_planted": (6, 3),
     "ann_ivf_topk": (3, 1),
     "label_centroid_similarity": (3, 1),
 }
