@@ -28,7 +28,6 @@ HEADLINE = [
     "user_funnel_set_ops",
     "lineitem_grouping_sets",
     # windows / sessionization / as-of
-    "rank_family",
     "user_sessions",
     "last_order_asof_event",
     "open_lineitems_per_day",
@@ -59,6 +58,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_lsh_top1_planted",
     "ann_ivf_topk",
+    "ann_ivf_top1_planted",
     "label_centroid_similarity",
 ]
 

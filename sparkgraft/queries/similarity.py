@@ -436,3 +436,65 @@ def ann_lsh_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.rp_lsh_topk(
         planted, queries, dim=64, k=1, num_planes=6, num_tables=4
     )
+
+
+@register(
+    "ann_ivf_top1_planted",
+    f"""
+    WITH planted AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000000 AS vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.25)
+                   AS embedding
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM planted WHERE vec_id % 50 = 0 AND vec_id < 10000000
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_cos('e.embedding', 'q.qv')} AS cos_sim
+        FROM planted e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, CAST(1 AS BIGINT) AS rank, vec_id, cos_sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk = 1
+    """,
+)
+def ann_ivf_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-ANN path under a REAL DuckDB oracle (completing the
+    planted-construction trio): spherical k-means assigns by COSINE,
+    which is scale-invariant, so each planted x1.25 copy lands in
+    exactly the centroid list its original is nearest to — the query's
+    FIRST probe list. With n_probe >= 1 the copy is therefore always a
+    candidate, and as the unique global rounded-cosine argmax (1.0 vs
+    the ~0.51 corpus ceiling) it is provably the top-1 whatever else
+    the probed lists contain. The quantizer's bounded lowest-id
+    training sample and lowest-id tie-breaking keep the index fully
+    deterministic. Recall beyond rank 1 stays covered by
+    tests/test_similarity.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    as_double = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    copies = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") * F.lit(1.25)
+        ).alias("embedding"),
+    )
+    planted = as_double.unionByName(copies)
+    queries = as_double.where(F.col("vec_id") % 50 == 0)
+    return S.ivf_topk(
+        planted, queries, dim=64, k=1, n_centroids=16, n_probe=4, iters=3
+    )

@@ -23,7 +23,13 @@ from .registry import dec, register
 
 @register(
     "rank_family",
-    """
+    # RETIRED r5 (two-round-stable; slot freed for ann_ivf_top1_planted,
+    # which converts the IVF-ANN rows-only evidence class into a
+    # hash-checked driver row): W2 keeps active evidence via
+    # user_sessions, the sort/top-k family via shipping_priority_top10;
+    # this stays oracle-verified via tests/test_retired_oracles.py.
+    retired=True,
+    oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice,
            rank()       OVER w AS rnk,
            dense_rank() OVER w AS drnk,

@@ -37,7 +37,6 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "orders_per_customer_left": (2, 1),
     "user_funnel_set_ops": (6, 1),
     "lineitem_grouping_sets": (1, 0),
-    "rank_family": (1, 0),
     "user_sessions": (1, 0),
     "last_order_asof_event": (1, 0),
     "open_lineitems_per_day": (4, 2),  # bucket equi-join, no nested loop
@@ -87,6 +86,8 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # planted ANN top-1: same bucketed plan over the unioned view
     "ann_lsh_top1_planted": (6, 3),
     "ann_ivf_topk": (3, 1),
+    # planted IVF top-1: same cid-keyed candidate plan over the union
+    "ann_ivf_top1_planted": (3, 1),
     "label_centroid_similarity": (3, 1),
 }
 
