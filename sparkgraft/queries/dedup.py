@@ -401,3 +401,91 @@ def near_dup_committee_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         approx_rows=table_row_hint(sf_dir, "embeddings"),
     )
+
+
+@register(
+    "conservative_dedup_keep",
+    # Retired-tier BREADTH query: the full dedup DECISION pipeline —
+    # multi-signal vote -> transitive closure -> canonical survivors —
+    # verified end-to-end on every pytest run (committee signals, the
+    # recursive closure, and every per-document keep verdict all
+    # recomputed in SQL).
+    retired=True,
+    oracle=f"""
+    WITH RECURSIVE {{sh_cte}},
+    jp AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.2),
+    ep AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos_sim
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id < b.vec_id
+    ),
+    epf AS (SELECT doc_a, doc_b, cos_sim FROM ep WHERE cos_sim >= 0.4),
+    cand AS (
+        SELECT coalesce(jp.doc_a, epf.doc_a) AS doc_a,
+               coalesce(jp.doc_b, epf.doc_b) AS doc_b,
+               jp.jaccard, epf.cos_sim
+        FROM jp FULL OUTER JOIN epf
+          ON jp.doc_a = epf.doc_a AND jp.doc_b = epf.doc_b
+    ),
+    sims AS (
+        SELECT doc_id, {_SIMHASH_SQL} AS simhash
+        FROM (SELECT doc_id, {{tok}} AS tok FROM documents)
+    ),
+    voted AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        LEFT JOIN sims sa ON c.doc_a = sa.doc_id
+        LEFT JOIN sims sb ON c.doc_b = sb.doc_id
+        WHERE CAST(c.jaccard IS NOT NULL AS INT)
+              + CAST(c.cos_sim IS NOT NULL AS INT)
+              + CAST(coalesce(
+                    bit_count(xor(sa.simhash, sb.simhash)) <= 8, FALSE)
+                AS INT) >= 2
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM voted
+        UNION
+        SELECT doc_b, doc_a FROM voted
+    ),
+    reach(n, m) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+    ),
+    clusters AS (
+        SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY n
+    )
+    SELECT d.doc_id, c.cluster_id,
+           c.cluster_id IS NULL OR c.cluster_id = d.doc_id AS keep
+    FROM documents d LEFT JOIN clusters c USING (doc_id)
+    """.replace("{sh_cte}", _SH_CTE).replace("{tok}", _TOK),
+)
+def conservative_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION, end to end: committee pairs with >= 2
+    agreeing signals (lexical + semantic + bit-level consensus — the
+    conservative slice) resolve through connected components, and each
+    document gets its verdict: singletons keep, each cluster keeps its
+    canonical min-id member. This is the query a curation pipeline
+    actually materializes — per-document keep bits, not pair lists —
+    and the oracle recomputes vote, closure, and verdict declaratively."""
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    from ..io import table_row_hint
+
+    committee = D.near_dup_committee(
+        docs,
+        emb,
+        approx_rows=table_row_hint(sf_dir, "embeddings"),
+        min_signals=2,
+    )
+    clusters = D.near_dup_clusters(committee.select("doc_a", "doc_b"))
+    return docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        (
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        ).alias("keep"),
+    )
