@@ -30,7 +30,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["validate_contract", "profile_table", "profile_drift"]
+__all__ = ["validate_contract", "profile_table", "profile_drift", "numeric_correlations"]
 
 
 def _violation(rule: Mapping) -> Column:
@@ -274,4 +274,76 @@ def profile_drift(
             | (ratio < F.lit(distinct_ratio_tol))
             | (ratio > F.lit(1.0 / distinct_ratio_tol))
         ).alias("drifted"),
+    )
+
+
+def numeric_correlations(
+    df: DataFrame, columns: Sequence[str]
+) -> DataFrame:
+    """Pairwise Pearson correlation for numeric columns in ONE scan —
+    the profiling companion that catches broken joins and unit changes
+    (two columns that always moved together suddenly decorrelating is
+    a louder drift signal than either column's own distribution).
+
+    Every pair's sufficient statistics (n, sum x, sum y, sum x^2,
+    sum y^2, sum xy over PAIRWISE-COMPLETE rows) are conditional-sum
+    columns of a single map-side-combinable aggregate — adding a pair
+    adds columns, never a scan (the validate_contract design). Sums
+    accumulate in exact DECIMAL so the correlation is identical under
+    any partitioning; the final Pearson arithmetic runs once on the
+    1-row aggregate. Degenerate pairs (no complete rows, zero
+    variance) yield NULL.
+
+    Returns ``(col_a, col_b, n, corr)`` for each unordered pair.
+    """
+    cols = list(columns)
+    if len(cols) < 2:
+        return df.sparkSession.createDataFrame(
+            [], "col_a string, col_b string, n bigint, corr double"
+        )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    dec = "decimal(38,10)"
+    aggs: list[Column] = []
+    for i, (a, b) in enumerate(pairs):
+        x, y = F.col(a).cast("double"), F.col(b).cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        z = F.lit(0).cast(dec)
+        aggs.extend(
+            [
+                F.sum(both.cast("bigint")).alias(f"__n_{i}"),
+                F.sum(F.when(both, x.cast(dec)).otherwise(z)).alias(f"__sx_{i}"),
+                F.sum(F.when(both, y.cast(dec)).otherwise(z)).alias(f"__sy_{i}"),
+                F.sum(F.when(both, (x * x).cast(dec)).otherwise(z)).alias(
+                    f"__sxx_{i}"
+                ),
+                F.sum(F.when(both, (y * y).cast(dec)).otherwise(z)).alias(
+                    f"__syy_{i}"
+                ),
+                F.sum(F.when(both, (x * y).cast(dec)).otherwise(z)).alias(
+                    f"__sxy_{i}"
+                ),
+            ]
+        )
+    wide = df.agg(*aggs)
+    per_pair = ", ".join(
+        f"'{a}', '{b}', `__n_{i}`, CAST(`__sx_{i}` AS DOUBLE), "
+        f"CAST(`__sy_{i}` AS DOUBLE), CAST(`__sxx_{i}` AS DOUBLE), "
+        f"CAST(`__syy_{i}` AS DOUBLE), CAST(`__sxy_{i}` AS DOUBLE)"
+        for i, (a, b) in enumerate(pairs)
+    )
+    long = wide.selectExpr(
+        f"stack({len(pairs)}, {per_pair}) as "
+        "(col_a, col_b, n, sx, sy, sxx, syy, sxy)"
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return long.select(
+        "col_a",
+        "col_b",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.try_divide(cov, F.sqrt(vx) * F.sqrt(vy)), 6
+        ).alias("corr"),
     )

@@ -430,3 +430,64 @@ def documents_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.1
         ).alias("distinct_ratio_ok"),
     )
+
+
+@register(
+    "lineitem_correlations",
+    # Retired-tier BREADTH query: one-scan pairwise Pearson verified on
+    # every pytest run — the decimal-exact sufficient statistics and
+    # the correlation arithmetic recomputed in SQL.
+    retired=True,
+    oracle="""
+    WITH s AS (
+        SELECT
+            CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_qe,
+            CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(l_quantity AS DECIMAL(38,10)) ELSE 0 END) AS DOUBLE) AS sx_qe,
+            CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(l_extendedprice AS DECIMAL(38,10)) ELSE 0 END) AS DOUBLE) AS sy_qe,
+            CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(l_quantity * l_quantity AS DECIMAL(38,10)) ELSE 0 END) AS DOUBLE) AS sxx_qe,
+            CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10)) ELSE 0 END) AS DOUBLE) AS syy_qe,
+            CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(l_quantity * l_extendedprice AS DECIMAL(38,10)) ELSE 0 END) AS DOUBLE) AS sxy_qe,
+            CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_qd,
+            CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_quantity AS DECIMAL(38,10)) ELSE 0 END) AS DOUBLE) AS sx_qd,
+            CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_discount AS DECIMAL(38,10)) ELSE 0 END) AS DOUBLE) AS sy_qd,
+            CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_quantity * l_quantity AS DECIMAL(38,10)) ELSE 0 END) AS DOUBLE) AS sxx_qd,
+            CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_discount * l_discount AS DECIMAL(38,10)) ELSE 0 END) AS DOUBLE) AS syy_qd,
+            CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_quantity * l_discount AS DECIMAL(38,10)) ELSE 0 END) AS DOUBLE) AS sxy_qd,
+            CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ed,
+            CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_extendedprice AS DECIMAL(38,10)) ELSE 0 END) AS DOUBLE) AS sx_ed,
+            CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_discount AS DECIMAL(38,10)) ELSE 0 END) AS DOUBLE) AS sy_ed,
+            CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10)) ELSE 0 END) AS DOUBLE) AS sxx_ed,
+            CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_discount * l_discount AS DECIMAL(38,10)) ELSE 0 END) AS DOUBLE) AS syy_ed,
+            CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_extendedprice * l_discount AS DECIMAL(38,10)) ELSE 0 END) AS DOUBLE) AS sxy_ed
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n_qe AS n,
+           round((n_qe * sxy_qe - sx_qe * sy_qe)
+                 / (sqrt(n_qe * sxx_qe - sx_qe * sx_qe)
+                    * sqrt(n_qe * syy_qe - sy_qe * sy_qe)), 6) AS corr
+    FROM s
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount', n_qd,
+           round((n_qd * sxy_qd - sx_qd * sy_qd)
+                 / (sqrt(n_qd * sxx_qd - sx_qd * sx_qd)
+                    * sqrt(n_qd * syy_qd - sy_qd * sy_qd)), 6)
+    FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount', n_ed,
+           round((n_ed * sxy_ed - sx_ed * sy_ed)
+                 / (sqrt(n_ed * sxx_ed - sx_ed * sx_ed)
+                    * sqrt(n_ed * syy_ed - sy_ed * sy_ed)), 6)
+    FROM s
+    """,
+)
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contract.numeric_correlations over lineitem's three measures:
+    every unordered pair's Pearson r from ONE map-side-combinable
+    aggregate of decimal-exact sufficient statistics — the
+    broken-join / unit-change drift detector."""
+    from ..contract import numeric_correlations
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return numeric_correlations(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )

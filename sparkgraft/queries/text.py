@@ -616,3 +616,48 @@ def doc_cdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.n_seg_tokens").alias("n_seg_tokens"),
         )
     )
+
+
+@register(
+    "doc_char_entropy",
+    # Retired-tier BREADTH query: the character-entropy quality signal
+    # verified on every pytest run — normalization, the sorted-distinct
+    # fold, and the ln() math all recomputed in SQL.
+    retired=True,
+    oracle="""
+    WITH nt AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, s,
+               list_transform(range(1, length(s) + 1),
+                              i -> substr(s, CAST(i AS INT), 1)) AS chars
+        FROM nt
+    )
+    SELECT doc_id,
+           CAST(coalesce(length(s), 0) AS BIGINT) AS n_norm_chars,
+           CASE WHEN s IS NULL OR length(s) = 0 THEN NULL
+                ELSE round(-list_sum(list_transform(
+                         list_sort(list_distinct(chars)), c ->
+                         (CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
+                          / length(s))
+                         * ln(CAST(len(list_filter(chars, x -> x = c))
+                                   AS DOUBLE) / length(s)))), 6)
+           END AS entropy
+    FROM ch
+    """,
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.char_entropy per document plus the normalized length — the
+    gibberish/boilerplate band filter. Sorted-distinct character fold
+    keeps the double summation order-identical on both engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.coalesce(F.length(T.normalize_text("text")), F.lit(0))
+        .cast("bigint")
+        .alias("n_norm_chars"),
+        T.char_entropy("text").alias("entropy"),
+    )

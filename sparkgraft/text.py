@@ -194,6 +194,33 @@ def quality_metrics(text: Column | str) -> dict[str, Column]:
     }
 
 
+def char_entropy(text: Column | str) -> Column:
+    """Shannon entropy (nats) of the normalized text's CHARACTER
+    distribution — the cheap gibberish/boilerplate detector that
+    complements the token-level quality metrics: keyboard mash and
+    base64 blobs score HIGH, repeated-padding spam scores LOW, natural
+    language sits in a stable mid band. NULL for empty/NULL text.
+
+    Deterministic cross-engine: the fold runs over the SORTED distinct
+    character set (unsorted distinct order differs between engines and
+    double summation is order-sensitive), and the result rounds to 6.
+    Pure higher-order expressions; one pass per row, no shuffle.
+    """
+    norm = normalize_text(text)
+    chars = F.split(norm, "")
+    n = F.length(norm).cast("double")
+    cnt = lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double")  # noqa: E731
+    term = lambda c: (cnt(c) / n) * F.log(cnt(c) / n)  # noqa: E731
+    ent = -F.aggregate(
+        F.array_sort(F.array_distinct(chars)),
+        F.lit(0.0),
+        lambda acc, c: acc + term(c),
+    )
+    return F.when(
+        norm.isNull() | (F.length(norm) == 0), F.lit(None).cast("double")
+    ).otherwise(F.round(ent, 6))
+
+
 def lang_scores(text: Column | str) -> dict[str, Column]:
     """Per-language stopword-hit counts plus a CJK character count —
     the cheap lang-id signal (stopword n-gram heuristic)."""

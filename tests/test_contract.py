@@ -171,3 +171,35 @@ def test_profile_drift_defaults_to_shared_columns(spark):
     after = spark.createDataFrame([(1, "b")], "id long, new string")
     out = profile_drift(before, after).collect()
     assert [r.column for r in out] == ["id"]
+
+
+def test_numeric_correlations_known_values(spark):
+    """Pearson r from the one-scan sufficient statistics: exact +1 for
+    a linear relation, exact -1 for its negation, ~0 for designed
+    orthogonality; NULL rows drop pairwise; degenerate (constant)
+    columns yield NULL instead of dividing by zero."""
+    from sparkgraft.contract import numeric_correlations
+
+    rows = []
+    for i in range(40):
+        x = float(i)
+        rows.append((x, 2 * x + 3, -x, 7.0, x if i % 2 == 0 else None))
+    df = spark.createDataFrame(
+        rows, "x double, lin double, neg double, const double, gappy double"
+    )
+    out = {
+        (r.col_a, r.col_b): (r.n, r.corr)
+        for r in numeric_correlations(
+            df, ["x", "lin", "neg", "const", "gappy"]
+        ).collect()
+    }
+    assert out[("x", "lin")] == (40, 1.0)
+    assert out[("x", "neg")] == (40, -1.0)
+    assert out[("x", "const")][1] is None  # zero variance
+    n, corr = out[("x", "gappy")]
+    assert n == 20 and corr == 1.0  # pairwise-complete rows only
+
+    # fewer than two columns -> empty report with the documented schema
+    empty = numeric_correlations(df, ["x"])
+    assert empty.count() == 0
+    assert list(empty.columns) == ["col_a", "col_b", "n", "corr"]

@@ -257,3 +257,29 @@ def test_cdc_segments_shift_robust_vs_fixed_chunking(spark):
     fixed_shared = len(cmap[1] & cmap[2]) / len(cmap[1])
     assert fixed_shared < 0.2, f"fixed chunks should shift, got {fixed_shared:.2f}"
     assert shared > fixed_shared
+
+
+def test_char_entropy_known_values(spark):
+    """Entropy semantics: a one-symbol string has zero entropy, a
+    uniform k-symbol string has ln(k), mixed text sits between, and
+    empty/NULL dead-letter to NULL. Normalization folds case first."""
+    import math
+
+    from sparkgraft.text import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaaaaaa"),
+            (2, "abcd"),       # uniform over 4 symbols -> ln 4
+            (3, "AAAAaaaa"),   # normalizes to one symbol -> 0
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.h for r in df.select(
+        "doc_id", char_entropy("text").alias("h")).collect()}
+    assert out[1] == 0.0
+    assert out[2] == round(math.log(4), 6)
+    assert out[3] == 0.0
+    assert out[4] is None and out[5] is None
