@@ -526,3 +526,45 @@ def test_funnel_matches_naive_chain_of_mins(spark, rows):
         if hits[0] is not None:
             expect[u] = (hits[0], hits[1], hits[2], hits[2] is not None)
     assert got == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", max_size=60), min_size=1, max_size=8
+    ),
+    chunk=st.integers(1, 6),
+)
+def test_chunking_and_cdc_are_lossless_partitions(spark, texts, chunk):
+    """For ARBITRARY texts: disjoint fixed chunks (stride == chunk)
+    concatenate back to exactly the token stream, and content-defined
+    segments always partition it (no loss, no overlap, order kept)."""
+    from sparkgraft.packing import chunk_documents
+    from sparkgraft.text import cdc_segments, tokens
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    toks = {
+        r.doc_id: list(r.t)
+        for r in df.select("doc_id", tokens("text").alias("t")).collect()
+    }
+
+    chunks = chunk_documents(df, "text", "doc_id", chunk_tokens=chunk, stride=chunk)
+    rebuilt: dict[int, list[str]] = {}
+    for r in sorted(chunks.collect(), key=lambda r: (r.doc_id, r.chunk_idx)):
+        rebuilt.setdefault(r.doc_id, []).extend(r.chunk_text.split(" "))
+    for d, t in toks.items():
+        assert rebuilt.get(d, []) == t
+
+    segs = df.select(
+        "doc_id", cdc_segments("text", avg_tokens=4).alias("s")
+    ).collect()
+    for r in segs:
+        total = sum(x.n_seg_tokens for x in r.s)
+        assert total == len(toks[r.doc_id])
+        assert [x.seg_idx for x in r.s] == list(range(len(r.s)))

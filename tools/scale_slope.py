@@ -83,6 +83,12 @@ PROBES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "label_centroid_similarity",
+    # r5 additions (retired tier — resolved against both registries):
+    "doc_cdc_segments",          # row-local HOFs: must be ~linear
+    "doc_unigram_logprob",       # two tokenize passes + term-keyed join
+    "embedding_standardized",    # posexplode moments + broadcast zip
+    "near_dup_committee_pairs",  # bucketed + blocked proposers composed
+    "conservative_dedup_keep",   # committee -> iterative components
 ]
 
 
@@ -136,10 +142,13 @@ def main() -> int:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 
     import __spark_entry__ as E
+    from sparkgraft.queries import RETIRED_QUERIES
     from sparkgraft.session import get_spark
 
     spark = get_spark("sparkgraft-scale-slope")
-    queries = E.queries()
+    # probe across BOTH tiers: retired breadth queries have the same
+    # scale obligations as active ones
+    queries = {**RETIRED_QUERIES, **E.queries()}
     results: dict[str, dict] = {name: {} for name in PROBES}
     row_counts: dict[int, dict[str, int]] = {}
 
