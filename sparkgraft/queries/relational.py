@@ -578,7 +578,7 @@ def part_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
                    o_totalprice AS v,
                    row_number() OVER (
                        PARTITION BY o_custkey, date_trunc('month', o_orderdate)
-                       ORDER BY o_orderdate DESC) AS rn
+                       ORDER BY o_orderdate DESC, o_totalprice DESC) AS rn
             FROM orders WHERE o_custkey < 100
         ) WHERE rn = 1
     ),

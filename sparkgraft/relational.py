@@ -601,9 +601,15 @@ def resample_fill(
             F.col(value_col).alias("__v"),
         )
         .withColumn(
+            # value as the secondary key: two observations sharing one
+            # timestamp would otherwise leave the winner to partition
+            # order (run-to-run nondeterministic); with (ts, value)
+            # equal the rows are interchangeable anyway
             "__rn",
             F.row_number().over(
-                Window.partitionBy("__key", "__p").orderBy(F.desc("__ts"))
+                Window.partitionBy("__key", "__p").orderBy(
+                    F.desc("__ts"), F.desc("__v")
+                )
             ),
         )
         .where(F.col("__rn") == 1)
