@@ -51,6 +51,7 @@ __all__ = [
     "decontaminate",
     "near_dup_clusters",
     "near_dup_committee",
+    "dedup_spans",
 ]
 
 
@@ -959,4 +960,95 @@ def near_dup_committee(
             n_signals.alias("n_signals"),
         )
         .where(F.col("n_signals") >= min_signals)
+    )
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    avg_tokens: int = 8,
+) -> DataFrame:
+    """Cross-document repeated-SPAN removal — the distributed stand-in
+    for exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499).
+
+    The paper's suffix-array construction is inherently single-machine
+    (a global sort over every suffix of a 100 TB corpus does not
+    shard); the scalable approximation is to cut each document into
+    content-defined segments (``text.cdc_segments`` — FastCDC at word
+    level, so an insertion early in a copied passage re-cuts only one
+    segment and every later segment hash survives), then keep the
+    FIRST occurrence of every segment corpus-wide and rebuild each
+    document from its surviving segments. A passage pasted into many
+    documents is kept once (in the lowest ``(doc_id, seg_idx)``
+    position) and stripped everywhere else — C4 / MassiveText line
+    dedup generalized to shift-robust boundaries.
+
+    Exactly two shuffles at any corpus size, both on uniform keys:
+    the keep-first window partitions on the md5 segment hash, and the
+    rebuild groups on ``id_col``. Segment text rides along in the
+    shuffle (needed for reassembly) but the candidate logic keys only
+    on hashes. No driver action, no UDF, no quadratic stage.
+
+    Returns one row per input document:
+    ``(id_col, text_dedup, n_segs, n_segs_removed, n_tokens_removed)``
+    where ``text_dedup`` is the normalized text with duplicated spans
+    removed (equals the normalized input when nothing was removed, and
+    '' for empty docs). Deterministic under any partitioning: the
+    keep-first tiebreak is the total order ``(doc_id, seg_idx)``.
+    """
+    from pyspark.sql import Window
+
+    from .text import cdc_segments
+
+    segs = df.select(
+        F.col(id_col),
+        F.explode(
+            cdc_segments(text_col, avg_tokens=avg_tokens, keep_text=True)
+        ).alias("s"),
+    ).select(
+        id_col,
+        F.col("s.seg_idx").alias("seg_idx"),
+        F.col("s.seg_hash").alias("seg_hash"),
+        F.col("s.n_seg_tokens").alias("n_seg_tokens"),
+        F.col("s.seg_text").alias("seg_text"),
+    )
+    w = Window.partitionBy("seg_hash").orderBy(F.col(id_col), F.col("seg_idx"))
+    marked = segs.withColumn("keep", F.row_number().over(w) == 1)
+    rebuilt = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"),
+                            F.struct("seg_idx", "seg_text"),
+                        )
+                    )
+                ),
+                lambda st: st.getField("seg_text"),
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+        F.sum((~F.col("keep")).cast("bigint")).alias("n_segs_removed"),
+        F.coalesce(
+            F.sum(F.when(~F.col("keep"), F.col("n_seg_tokens"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_tokens_removed"),
+    )
+    # Empty/NULL-text docs produce no segments; restore them with an
+    # empty rebuild so the operator is total over its input.
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_segs", F.lit(0)).alias("n_segs"),
+            F.coalesce("n_segs_removed", F.lit(0)).alias("n_segs_removed"),
+            F.coalesce("n_tokens_removed", F.lit(0)).alias("n_tokens_removed"),
+        )
     )

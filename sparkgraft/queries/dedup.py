@@ -489,3 +489,77 @@ def conservative_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("cluster_id") == F.col("doc_id"))
         ).alias("keep"),
     )
+
+
+@register(
+    "dedup_repeated_spans",
+    # Retired-tier BREADTH query (registry at its 50-slot cap):
+    # cross-document repeated-span removal oracle-verified on every
+    # pytest run — segmentation, the corpus-wide keep-first rule, and
+    # the document REASSEMBLY (string equality of the rebuilt text)
+    # all recomputed in DuckDB.
+    retired=True,
+    oracle="""
+    WITH tok AS (SELECT doc_id, {tok} AS tok FROM documents
+                 WHERE {tok} != []::VARCHAR[]),
+    b AS (
+        SELECT doc_id, tok,
+               list_filter(range(0, len(tok)),
+                   i -> CAST('0x' || substr(md5(tok[i + 1]), 1, 4) AS INTEGER)
+                        % 8 = 0) AS bpos
+        FROM tok
+    ),
+    se AS (
+        SELECT doc_id, tok,
+               list_filter(
+                   list_zip(
+                       list_concat([0], list_transform(bpos, p -> p + 1)),
+                       list_concat(list_transform(bpos, p -> p + 1),
+                                   [len(tok)])),
+                   p -> p[2] > p[1]) AS segs
+        FROM b
+    ),
+    segrows AS (
+        SELECT doc_id, CAST(i AS INT) AS seg_idx,
+               array_to_string(tok[segs[i + 1][1] + 1 : segs[i + 1][2]], ' ')
+                   AS seg_text,
+               CAST(segs[i + 1][2] - segs[i + 1][1] AS BIGINT)
+                   AS n_seg_tokens
+        FROM se, unnest(range(0, len(segs))) AS t(i)
+    ),
+    marked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY md5(seg_text)
+                                  ORDER BY doc_id, seg_idx) = 1 AS keep
+        FROM segrows
+    ),
+    agg AS (
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN keep THEN seg_text END, ' '
+                                   ORDER BY seg_idx), '') AS text_dedup,
+               CAST(count(*) AS BIGINT) AS n_segs,
+               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_segs_removed,
+               CAST(coalesce(sum(CASE WHEN NOT keep THEN n_seg_tokens END),
+                             0) AS BIGINT) AS n_tokens_removed
+        FROM marked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.text_dedup, '') AS text_dedup,
+           coalesce(a.n_segs, 0) AS n_segs,
+           coalesce(a.n_segs_removed, 0) AS n_segs_removed,
+           coalesce(a.n_tokens_removed, 0) AS n_tokens_removed
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """.replace("{tok}", _TOK),
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.dedup_spans over ``documents``: the distributed stand-in
+    for exact-substring dedup (Lee et al., arXiv:2107.06499) — cut
+    every document into content-defined segments (shift-robust
+    word-level FastCDC), keep the FIRST corpus-wide occurrence of each
+    segment, and REBUILD each document from its surviving spans. Two
+    shuffles (md5 segment hash, then doc_id), no driver action, no
+    quadratic stage — where the paper's suffix array is single-machine
+    by construction."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.dedup_spans(docs, "text", "doc_id", avg_tokens=8)

@@ -618,3 +618,87 @@ def customer_monthly_spend_resampled(spark: SparkSession, sf_dir: str) -> DataFr
         step="1 month",
         period="month",
     )
+
+
+@register(
+    "customer_monthly_spend_interpolated",
+    # Retired-tier BREADTH query: resample + LINEAR interpolation
+    # verified on every pytest run — grid generation, neighbor
+    # selection, and the lerp arithmetic all recomputed in SQL
+    # (identical expression shape, round(6) both sides).
+    retired=True,
+    oracle="""
+    WITH obs AS (
+        SELECT * FROM (
+            SELECT o_custkey AS custkey,
+                   date_trunc('month', o_orderdate) AS p,
+                   o_totalprice AS v,
+                   row_number() OVER (
+                       PARTITION BY o_custkey, date_trunc('month', o_orderdate)
+                       ORDER BY o_orderdate DESC, o_totalprice DESC) AS rn
+            FROM orders WHERE o_custkey < 100
+        ) WHERE rn = 1
+    ),
+    spans AS (
+        SELECT custkey, min(p) AS lo, max(p) AS hi FROM obs GROUP BY 1
+    ),
+    grid AS (
+        SELECT custkey, unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS p
+        FROM spans
+    ),
+    j AS (
+        SELECT g.custkey, g.p, o.v
+        FROM grid g LEFT JOIN obs o ON g.custkey = o.custkey AND g.p = o.p
+    ),
+    w AS (
+        SELECT custkey, p, v,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY custkey ORDER BY p
+                   ROWS UNBOUNDED PRECEDING) AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS)
+                   OVER (PARTITION BY custkey ORDER BY p
+                         ROWS UNBOUNDED PRECEDING) AS pp,
+               first_value(v IGNORE NULLS) OVER (
+                   PARTITION BY custkey ORDER BY p
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS)
+                   OVER (PARTITION BY custkey ORDER BY p
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS np
+        FROM j
+    )
+    SELECT custkey, p AS period_ts,
+           round(CASE WHEN v IS NOT NULL THEN v
+                 ELSE pv + (nv - pv) *
+                      (CAST(CAST(epoch(p) AS BIGINT)
+                            - CAST(epoch(pp) AS BIGINT) AS DOUBLE)
+                       / CAST(CAST(epoch(np) AS BIGINT)
+                              - CAST(epoch(pp) AS BIGINT) AS DOUBLE))
+                 END, 6) AS value,
+           v IS NOT NULL AS observed
+    FROM w
+    """,
+)
+def customer_monthly_spend_interpolated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """relational.resample_interpolate: the same complete monthly grid
+    as ``customer_monthly_spend_resampled``, but gaps take the
+    straight-line value between the surrounding observed months — the
+    gap-fill rule for continuous quantities where forward-fill would
+    introduce a step artifact."""
+    from ..relational import resample_interpolate
+
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    return resample_interpolate(
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_totalprice").alias("value"),
+        ),
+        "custkey",
+        "ts",
+        "value",
+        step="1 month",
+        period="month",
+    )

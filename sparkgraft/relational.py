@@ -42,6 +42,7 @@ __all__ = [
     "apply_cdc",
     "fuzzy_join_token_blocked",
     "resample_fill",
+    "resample_interpolate",
     "range_join",
     "sessionize",
     "pushdown_fence",
@@ -634,5 +635,94 @@ def resample_fill(
         F.col("__key").alias(key_col),
         F.col("__p").alias("period_ts"),
         F.last("__v", ignorenulls=True).over(w).alias(value_col),
+        F.col("__v").isNotNull().alias("observed"),
+    )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 day",
+    period: str = "day",
+    scale: int = 6,
+) -> DataFrame:
+    """``resample_fill``'s sibling with LINEAR interpolation: gaps in
+    the regularized per-key grid take the straight-line value between
+    the surrounding observations instead of carrying the last reading
+    — the gap-fill rule for continuous quantities (sensor readings,
+    prices) where forward-fill introduces a step artifact
+    (TimescaleDB's ``interpolate()``, Pandas ``interpolate('time')``).
+
+    Interior gaps always have both neighbors because the grid spans
+    each key's first..last observed period, so no edge extrapolation
+    arises. ``value`` is rounded to ``scale`` places so the double
+    arithmetic is engine-portable (the oracle recomputes the identical
+    expression). Within one period the latest observation wins, same
+    tiebreak as ``resample_fill``.
+
+    Scale shape: identical to ``resample_fill`` — a per-key sequence
+    explode bounded by the key's time span plus two bounded windows
+    per key (one backward, one forward); no global sort, no driver
+    action, no UDF.
+    """
+    t = F.date_trunc(period, F.col(ts_col))
+    obs = (
+        df.select(
+            F.col(key_col).alias("__key"),
+            t.alias("__p"),
+            F.col(ts_col).alias("__ts"),
+            F.col(value_col).alias("__v"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__key", "__p").orderBy(
+                    F.desc("__ts"), F.desc("__v")
+                )
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__ts")
+    )
+    spans = obs.groupBy("__key").agg(
+        F.min("__p").alias("__lo"), F.max("__p").alias("__hi")
+    )
+    grid = spans.select(
+        "__key",
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("__p"),
+    )
+    joined = grid.join(obs, ["__key", "__p"], "left")
+    back = (
+        Window.partitionBy("__key")
+        .orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("__key")
+        .orderBy("__p")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_p = F.when(F.col("__v").isNotNull(), F.col("__p"))
+    prev_v = F.last("__v", ignorenulls=True).over(back)
+    prev_p = F.last(obs_p, ignorenulls=True).over(back)
+    next_v = F.first("__v", ignorenulls=True).over(fwd)
+    next_p = F.first(obs_p, ignorenulls=True).over(fwd)
+    # epoch seconds are exact integers; the fraction and the lerp are
+    # written as ONE expression shape mirrored verbatim in the oracle
+    frac = (
+        F.unix_timestamp(F.col("__p")) - F.unix_timestamp(prev_p)
+    ).cast("double") / (
+        F.unix_timestamp(next_p) - F.unix_timestamp(prev_p)
+    ).cast("double")
+    interp = prev_v + (next_v - prev_v) * frac
+    value = F.when(F.col("__v").isNotNull(), F.col("__v")).otherwise(interp)
+    return joined.select(
+        F.col("__key").alias(key_col),
+        F.col("__p").alias("period_ts"),
+        F.round(value, scale).alias(value_col),
         F.col("__v").isNotNull().alias("observed"),
     )

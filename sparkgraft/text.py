@@ -391,6 +391,7 @@ def tfidf_top_terms(
 def cdc_segments(
     text: Column | str,
     avg_tokens: int = 8,
+    keep_text: bool = False,
 ) -> Column:
     """Content-defined segmentation of the token stream (the FastCDC /
     rsync idea lifted to word level): a token ENDS a segment when
@@ -407,7 +408,11 @@ def cdc_segments(
     Returns an ``array<struct<seg_idx int, seg_hash string,
     n_seg_tokens int>>`` — hashes only (md5 of the space-joined
     segment), deliberately not the text, since downstream joins key on
-    the hash. Empty/NULL text -> empty array. Expected segment length
+    the hash. With ``keep_text=True`` each struct carries a fourth
+    ``seg_text`` field (the space-joined segment itself) for consumers
+    that must REBUILD documents after span-level dedup
+    (``dedup.dedup_spans``) — pay the wider shuffle only when asked.
+    Empty/NULL text -> empty array. Expected segment length
     is ``avg_tokens`` (geometric); the final partial segment is kept.
 
     Pure higher-order expressions (boundary flags -> boundary position
@@ -438,21 +443,25 @@ def cdc_segments(
         ),
     )
     segs = F.filter(segs, lambda st: st.getField("len") > 0)
-    out = F.transform(
-        segs,
-        lambda st, i: F.struct(
+
+    def _seg_struct(st, i):
+        seg_text = F.array_join(
+            F.slice(tok, st.getField("s") + 1, st.getField("len")), " "
+        )
+        fields = [
             i.cast("int").alias("seg_idx"),
-            F.md5(
-                F.array_join(
-                    F.slice(tok, st.getField("s") + 1, st.getField("len")), " "
-                )
-            ).alias("seg_hash"),
+            F.md5(seg_text).alias("seg_hash"),
             st.getField("len").cast("int").alias("n_seg_tokens"),
-        ),
-    )
-    empty = F.array().cast(
-        "array<struct<seg_idx:int,seg_hash:string,n_seg_tokens:int>>"
-    )
+        ]
+        if keep_text:
+            fields.append(seg_text.alias("seg_text"))
+        return F.struct(*fields)
+
+    out = F.transform(segs, _seg_struct)
+    schema = "array<struct<seg_idx:int,seg_hash:string,n_seg_tokens:int>>"
+    if keep_text:
+        schema = schema[:-2] + ",seg_text:string>>"
+    empty = F.array().cast(schema)
     return F.when(n <= 0, empty).otherwise(out)
 
 

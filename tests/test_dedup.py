@@ -345,3 +345,82 @@ def test_near_dup_committee_signals(spark):
     assert sem.sig_embedding and not sem.sig_jaccard
     assert sem.cos_sim is not None and sem.jaccard is None
     assert (1, 3) not in out and (2, 4) not in out
+
+
+def test_dedup_spans_removes_shared_passage(spark):
+    # A long shared passage pasted into docs 1, 2 and 3; each doc also
+    # has unique surrounding text. CDC boundaries depend only on local
+    # content, so the passage segments hash identically in every doc.
+    passage = " ".join(f"shared{i}" for i in range(80))
+    rows = [
+        (1, f"alpha one two {passage}"),
+        (2, f"{passage} beta three four"),
+        (3, f"gamma {passage} delta"),
+        (4, "totally unrelated content here"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: r.asDict()
+        for r in D.dedup_spans(df, "text", "doc_id", avg_tokens=8).collect()
+    }
+    # every doc survives, including the empty one
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[5]["text_dedup"] == "" and out[5]["n_segs"] == 0
+    # doc 4 shares nothing -> rebuilt text is its normalized input
+    assert out[4]["text_dedup"] == "totally unrelated content here"
+    assert out[4]["n_segs_removed"] == 0
+    # doc 1 is the lowest id: it keeps the passage in full
+    assert "shared0" in out[1]["text_dedup"]
+    assert out[1]["n_tokens_removed"] == 0
+    # docs 2 and 3 lose the interior of the passage (the segment
+    # containing the splice point can differ; everything after the
+    # first boundary inside the passage is shift-robust-identical)
+    for d in (2, 3):
+        assert out[d]["n_segs_removed"] > 0
+        assert out[d]["n_tokens_removed"] >= out[d]["n_segs_removed"]
+        assert out[d]["n_tokens_removed"] >= 20
+    # unique text survives span removal
+    assert "beta" in out[2]["text_dedup"]
+    assert "gamma" in out[3]["text_dedup"] and "delta" in out[3]["text_dedup"]
+
+
+def test_dedup_spans_identical_docs_keep_first_only(spark):
+    text = " ".join(f"w{i % 11}x{i % 7}" for i in range(60))
+    df = spark.createDataFrame(
+        [(10, text), (20, text), (30, text)], "doc_id int, text string"
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in D.dedup_spans(df, "text", "doc_id", avg_tokens=8).collect()
+    }
+    assert out[10]["text_dedup"] == text and out[10]["n_segs_removed"] == 0
+    for d in (20, 30):
+        # an exact copy loses every span
+        assert out[d]["text_dedup"] == ""
+        assert out[d]["n_segs_removed"] == out[d]["n_segs"]
+        assert out[d]["n_tokens_removed"] == 60
+
+
+def test_dedup_spans_deterministic_across_partitioning(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(9)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 50))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    a = sorted(
+        map(tuple, D.dedup_spans(df.repartition(1), "text", "doc_id").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            D.dedup_spans(
+                df.repartition(13, "doc_id"), "text", "doc_id"
+            ).collect(),
+        )
+    )
+    assert a == b

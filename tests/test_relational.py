@@ -303,3 +303,34 @@ def test_resample_fill_gaps_and_latest_in_period(spark):
     assert rows[(1, "2024-01-04")] == (40.0, True)
     assert rows[(2, "2024-02-01")] == (5.0, True)
     assert len(rows) == 5
+
+
+def test_resample_interpolate_linear_gaps(spark):
+    """Interpolation: gaps take the straight-line value between the
+    surrounding observations; observed rows keep their exact value;
+    latest-in-period tiebreak matches resample_fill."""
+    from sparkgraft.relational import resample_interpolate
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 10.0),
+            (1, "2024-01-01 18:00:00", 13.0),  # same day, later -> wins
+            (1, "2024-01-04 12:00:00", 40.0),  # 2-day gap before this
+            (1, "2024-01-06 00:00:00", 50.0),  # 1-day gap
+            (2, "2024-02-01 00:00:00", 5.0),
+        ],
+        "k long, ts string, v double",
+    ).select("k", F.col("ts").cast("timestamp_ntz").alias("ts"), "v")
+    out = resample_interpolate(df, "k", "ts", "v", step="1 day", period="day")
+    rows = {
+        (r.k, str(r.period_ts)[:10]): (r.v, r.observed)
+        for r in out.collect()
+    }
+    assert rows[(1, "2024-01-01")] == (13.0, True)
+    assert rows[(1, "2024-01-02")] == (22.0, False)  # 13 + (40-13)/3
+    assert rows[(1, "2024-01-03")] == (31.0, False)
+    assert rows[(1, "2024-01-04")] == (40.0, True)
+    assert rows[(1, "2024-01-05")] == (45.0, False)  # midpoint of 40..50
+    assert rows[(1, "2024-01-06")] == (50.0, True)
+    assert rows[(2, "2024-02-01")] == (5.0, True)
+    assert len(rows) == 7
