@@ -30,7 +30,13 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["validate_contract", "profile_table", "profile_drift", "numeric_correlations"]
+__all__ = [
+    "validate_contract",
+    "profile_table",
+    "profile_drift",
+    "numeric_correlations",
+    "mad_outliers",
+]
 
 
 def _violation(rule: Mapping) -> Column:
@@ -346,4 +352,61 @@ def numeric_correlations(
         F.round(
             F.try_divide(cov, F.sqrt(vx) * F.sqrt(vy)), 6
         ).alias("corr"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_cols: Sequence[str] | None = None,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier detection via the median absolute
+    deviation (Iglewicz-Hoaglin modified z-score): a value is
+    anomalous when ``|0.6745 * (v - median) / MAD| > z_threshold``.
+    Mean/stddev z-scores are useless exactly when you need them — the
+    outliers you hunt inflate the stddev and hide themselves; the
+    median/MAD pair has a 50% breakdown point.
+
+    Two grouped EXACT percentile aggregations (median of values, then
+    median of absolute deviations) with the per-group statistics
+    joined back — |groups| rows each, broadcast-sized at any corpus
+    scale; the data itself is scanned twice but never globally sorted.
+
+    Degenerate groups (MAD = 0: over half the group shares one value)
+    yield a NULL ``robust_z``, and ``is_outlier`` falls back to "any
+    deviation from the median" — documented, engine-portable, and
+    division-free (neither engine's x/0 semantics are relied on).
+
+    Returns id/group/value columns plus ``(med, mad, robust_z,
+    is_outlier)``; ``robust_z`` is rounded to 6 places so the double
+    quotient is oracle-comparable.
+    """
+    gcols = list(group_cols)
+    ids = list(id_cols) if id_cols else []
+    v = F.col(value_col).cast("double")
+    med_df = df.groupBy(*gcols).agg(
+        F.percentile(v, F.lit(0.5)).alias("med")
+    )
+    with_med = df.select(*ids, *gcols, v.alias(value_col)).join(
+        F.broadcast(med_df), gcols
+    )
+    dev = F.abs(F.col(value_col) - F.col("med"))
+    mad_df = with_med.groupBy(*gcols).agg(
+        F.percentile(dev, F.lit(0.5)).alias("mad")
+    )
+    out = with_med.join(F.broadcast(mad_df), gcols)
+    z = F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad")
+    dev_out = F.abs(F.col(value_col) - F.col("med"))
+    return out.select(
+        *ids,
+        *gcols,
+        value_col,
+        "med",
+        "mad",
+        F.round(F.when(F.col("mad") > 0, z), 6).alias("robust_z"),
+        F.when(F.col("mad") > 0, F.abs(z) > z_threshold)
+        .otherwise(dev_out > 0)
+        .alias("is_outlier"),
     )

@@ -491,3 +491,56 @@ def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numeric_correlations(
         li, ["l_quantity", "l_extendedprice", "l_discount"]
     )
+
+
+@register(
+    "order_price_mad_outliers",
+    # Retired-tier BREADTH query: robust (median/MAD) outlier
+    # detection verified on every pytest run — both exact medians, the
+    # modified z-score arithmetic, and the degenerate-MAD fallback all
+    # recomputed in SQL (quantile_cont == Spark's exact interpolated
+    # percentile; identical expression shape; round(6) both sides).
+    retired=True,
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_custkey < 200
+    ),
+    med AS (
+        SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+        FROM base GROUP BY 1
+    ),
+    wm AS (
+        SELECT b.*, m.med FROM base b JOIN med m USING (o_orderpriority)
+    ),
+    mad AS (
+        SELECT o_orderpriority,
+               quantile_cont(abs(o_totalprice - med), 0.5) AS mad
+        FROM wm GROUP BY 1
+    )
+    SELECT w.o_orderkey, w.o_orderpriority, w.o_totalprice, w.med, d.mad,
+           round(CASE WHEN d.mad > 0
+                 THEN 0.6745 * (w.o_totalprice - w.med) / d.mad END, 6)
+               AS robust_z,
+           CASE WHEN d.mad > 0
+                THEN abs(0.6745 * (w.o_totalprice - w.med) / d.mad) > 3.5
+                ELSE abs(w.o_totalprice - w.med) > 0 END AS is_outlier
+    FROM wm w JOIN mad d USING (o_orderpriority)
+    """,
+)
+def order_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contract.mad_outliers over order prices grouped by priority:
+    the robust anomaly flag (median/MAD modified z-score, 50%
+    breakdown point) that mean/stddev z-scores can't give you — the
+    outliers being hunted inflate the stddev and hide themselves.
+    Per-group stats are broadcast-sized at any corpus scale."""
+    from ..contract import mad_outliers
+
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    return mad_outliers(
+        orders,
+        ["o_orderpriority"],
+        "o_totalprice",
+        id_cols=["o_orderkey"],
+    )

@@ -661,3 +661,75 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_norm_chars"),
         T.char_entropy("text").alias("entropy"),
     )
+
+
+@register(
+    "doc_quality_logistic",
+    # Retired-tier BREADTH query: the quality-CLASSIFIER stage (CCNet
+    # fastText-filter shape) verified on every pytest run — feature
+    # extraction, the sigmoid arithmetic, and the keep decision all
+    # recomputed in SQL. Fixed published weights (what a deployed
+    # filter ships); training is classify.train_logistic, verified
+    # against a numpy twin in test_classify.py.
+    retired=True,
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, {{tok}} AS tok,
+               coalesce(length(text), 0) AS n_chars,
+               coalesce(length(text), 0)
+                 - coalesce(length(regexp_replace(text, '[^\\w\\s]', '', 'g')), 0)
+                 AS n_punct
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, source,
+               round(n_punct / nullif(n_chars, 0), 6) AS punct_ratio,
+               round(len(list_filter(tok, t -> list_contains({{en}}, t)))
+                     / nullif(len(tok), 0), 6) AS stopword_ratio,
+               round(list_sum(list_transform(tok, t -> length(t)))
+                     / nullif(len(tok), 0), 6) AS mean_token_len
+        FROM base
+    )
+    SELECT doc_id, source, punct_ratio, stopword_ratio, mean_token_len,
+           round(1.0 / (1.0 + exp(-(-1.0 + 4.0 * stopword_ratio
+                                    + -8.0 * punct_ratio
+                                    + 0.25 * mean_token_len))), 6)
+               AS quality_score,
+           CASE WHEN punct_ratio IS NULL THEN NULL
+                ELSE round(1.0 / (1.0 + exp(-(-1.0 + 4.0 * stopword_ratio
+                                              + -8.0 * punct_ratio
+                                              + 0.25 * mean_token_len))), 6)
+                     >= 0.5 END AS keep
+    FROM feats
+    """.replace("{tok}", _TOK).replace("{en}", _EN),
+)
+def doc_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classify.logistic_score over the quality features: every
+    document scored by a fixed logistic model (sigmoid of a weighted
+    feature sum) and gated at 0.5 — the quality-classifier stage of a
+    curation pipeline as ONE codegen map over the scan, no shuffle.
+    Empty docs (NULL features) keep a NULL score and NULL verdict."""
+    from ..classify import logistic_score
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    m = T.quality_metrics("text")
+    feats = docs.select(
+        "doc_id",
+        "source",
+        m["punct_ratio"].alias("punct_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        m["mean_token_len"].alias("mean_token_len"),
+    )
+    score = logistic_score(
+        {
+            "stopword_ratio": 4.0,
+            "punct_ratio": -8.0,
+            "mean_token_len": 0.25,
+        },
+        bias=-1.0,
+    )
+    return feats.select(
+        "*",
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )

@@ -280,3 +280,51 @@ def distribution_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             "second_cheapest_key"
         ),
     )
+
+
+@register(
+    "customer_trailing_90d_spend",
+    # Retired-tier BREADTH query: the one window-frame kind nothing
+    # else exercises — a RANGE frame over TIME (value-based, so all
+    # same-day peers enter the frame together, unlike any ROWS frame).
+    # Decimal-exact sums; the avg follows the pricing_summary
+    # decimal->double->round(4) convention on both engines.
+    retired=True,
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS trailing_sum,
+           count(*) OVER w AS trailing_n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                      AS DOUBLE) / count(*) OVER w, 4) AS trailing_avg
+    FROM orders
+    WHERE o_custkey < 300
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def customer_trailing_90d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 90-day spend per order: a time-RANGE window frame —
+    the moving aggregate every metrics pipeline computes over event
+    time. RANGE (value-based) semantics matter: two orders on the same
+    day are peers and see the SAME frame, where a ROWS frame would
+    order them arbitrarily and produce nondeterministic partial sums.
+    Scale shape: one shuffle on the partition key; frame state is
+    bounded by a key's 90-day order count, never the partition."""
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 300)
+    day_us = 86400 * 1_000_000
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_us("o_orderdate"))
+        .rangeBetween(-90 * day_us, 0)
+    )
+    tsum = F.sum(dec("o_totalprice")).over(w).cast("double")
+    tn = F.count(F.lit(1)).over(w)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        tsum.alias("trailing_sum"),
+        tn.alias("trailing_n"),
+        F.round(tsum / tn, 4).alias("trailing_avg"),
+    )

@@ -203,3 +203,29 @@ def test_numeric_correlations_known_values(spark):
     empty = numeric_correlations(df, ["x"])
     assert empty.count() == 0
     assert list(empty.columns) == ["col_a", "col_b", "n", "corr"]
+
+
+def test_mad_outliers_planted_and_degenerate(spark):
+    from sparkgraft.contract import mad_outliers
+
+    rows = (
+        # group A: spread values, one wild point
+        [("A", i, float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 15, 500])]
+        # group B: constant (MAD = 0) plus one deviation -> fallback rule
+        + [("B", i, 7.0) for i in range(6)]
+        + [("B", 99, 8.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = {
+        (r.g, r.id): r
+        for r in mad_outliers(df, ["g"], "v", id_cols=["id"]).collect()
+    }
+    # group A: median 13, MAD 2 -> 500 is a massive outlier, rest are not
+    a_flags = {i: out[("A", i)].is_outlier for i in range(7)}
+    assert a_flags[6] is True
+    assert all(a_flags[i] is False for i in range(6))
+    assert out[("A", 6)].robust_z > 100
+    # group B: MAD = 0 -> robust_z NULL, any deviation flagged
+    assert out[("B", 99)].is_outlier is True
+    assert out[("B", 99)].robust_z is None
+    assert all(out[("B", i)].is_outlier is False for i in range(6))
