@@ -401,3 +401,84 @@ def compact_partitions(
         .partitionBy(*partition_by)
         .parquet(dest_root)
     )
+
+
+def zorder_key(
+    norm_cols: "list[Column]",
+    bits: int = 16,
+) -> Column:
+    """Interleave the low ``bits`` bits of pre-normalized integer
+    columns into one Morton (Z-order) key. ``norm_cols`` must already
+    be integers in ``[0, 2**bits)`` — see ``zorder_write`` for the
+    min/max normalization step. Pure bit arithmetic, whole-stage
+    codegen, no shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    k = len(norm_cols)
+    if k == 0:
+        raise ValueError("zorder_key: need at least one column")
+    if bits * k > 63:
+        raise ValueError("zorder_key: bits * len(cols) must fit in a long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(norm_cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    zorder_cols: "list[str]",
+    num_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional data clustering on write — the open-source
+    shape of Delta Lake's ``OPTIMIZE ZORDER BY`` / Databricks
+    liquid clustering, built from public primitives: normalize each
+    clustering column to ``bits``-bit integers by global min/max,
+    interleave into a Morton key, ``repartitionByRange`` on that key
+    (one range shuffle), sort within partitions, write parquet.
+
+    Why it matters at 100 TB: a single-column sort gives tight
+    parquet min/max footer stats — and therefore row-group/file
+    skipping — on ONE column only; the space-filling curve keeps
+    EVERY clustering column's per-file range narrow, so predicate
+    pushdown skips files for queries on any of them. The min/max
+    normalization is one tiny aggregate (2*k numbers to the driver —
+    bounded, standard); everything else is a map plus the single
+    range shuffle any clustered write needs.
+
+    Rows with NULL in a clustering column sort first (key -1).
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(zorder_cols)],
+        *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(zorder_cols)],
+    ).collect()[0]
+    norm = []
+    top = (1 << bits) - 1
+    for i, c in enumerate(zorder_cols):
+        lo, hi = stats[f"__lo_{i}"], stats[f"__hi_{i}"]
+        col = F.col(c).cast("double")
+        if lo is None or hi is None or hi == lo:
+            norm.append(F.lit(0).cast("long"))
+        else:
+            span = float(hi) - float(lo)
+            scaled = F.floor((col - F.lit(float(lo))) / F.lit(span) * top)
+            norm.append(
+                F.least(F.greatest(scaled, F.lit(0)), F.lit(top)).cast("long")
+            )
+    key = F.coalesce(zorder_key(norm, bits=bits), F.lit(-1))
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -702,3 +702,92 @@ def customer_monthly_spend_interpolated(
         step="1 month",
         period="month",
     )
+
+
+def _zorder_oracle_sql() -> str:
+    """Unrolled Morton-interleave SQL (16 bits x 2 cols) mirroring
+    io.zorder_key bit-for-bit with DuckDB's >> << & | operators."""
+    terms = []
+    for i in range(16):
+        for j, c in enumerate(("na", "nb")):
+            terms.append(f"((({c} >> {i}) & 1) << {i * 2 + j})")
+    interleave = " | ".join(terms)
+    return f"""
+    WITH stats AS (
+        SELECT min(l_partkey) AS lo_a, max(l_partkey) AS hi_a,
+               min(l_suppkey) AS lo_b, max(l_suppkey) AS hi_b
+        FROM lineitem
+    ),
+    norm AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               least(greatest(CAST(floor(
+                   (CAST(l_partkey AS DOUBLE) - CAST(lo_a AS DOUBLE))
+                   / (CAST(hi_a AS DOUBLE) - CAST(lo_a AS DOUBLE)) * 65535
+               ) AS BIGINT), 0), 65535) AS na,
+               least(greatest(CAST(floor(
+                   (CAST(l_suppkey AS DOUBLE) - CAST(lo_b AS DOUBLE))
+                   / (CAST(hi_b AS DOUBLE) - CAST(lo_b AS DOUBLE)) * 65535
+               ) AS BIGINT), 0), 65535) AS nb
+        FROM lineitem, stats
+        WHERE l_orderkey < 3000
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST({interleave} AS BIGINT) AS zkey
+    FROM norm
+    """
+
+
+@register(
+    "lineitem_zorder_keys",
+    # Retired-tier BREADTH query: the Morton-key math behind
+    # io.zorder_write verified on every pytest run — min/max
+    # normalization and all 32 interleaved bit positions recomputed in
+    # SQL (the interleave is the same unrolled expression, engine
+    # operators only).
+    retired=True,
+    oracle=_zorder_oracle_sql(),
+)
+def lineitem_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order (Morton) clustering key over (l_partkey, l_suppkey)
+    — the multi-dimensional data-layout primitive behind
+    io.zorder_write (Delta OPTIMIZE ZORDER shape): each column min/max
+    -normalized to 16 bits, bits interleaved so files range-partitioned
+    by the key keep BOTH columns' per-file min/max narrow, giving
+    parquet footer skipping on either predicate. Stats join is a 1-row
+    broadcast; the interleave is pure codegen bit math."""
+    from ..io import zorder_key
+
+    li = read_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_partkey").alias("lo_a"),
+        F.max("l_partkey").alias("hi_a"),
+        F.min("l_suppkey").alias("lo_b"),
+        F.max("l_suppkey").alias("hi_b"),
+    )
+    top = 65535
+
+    def norm(col, lo, hi):
+        scaled = F.floor(
+            (F.col(col).cast("double") - F.col(lo).cast("double"))
+            / (F.col(hi).cast("double") - F.col(lo).cast("double"))
+            * top
+        )
+        return F.least(F.greatest(scaled, F.lit(0)), F.lit(top)).cast("long")
+
+    return (
+        li.where(F.col("l_orderkey") < 3000)
+        .join(F.broadcast(stats))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            zorder_key(
+                [
+                    norm("l_partkey", "lo_a", "hi_a"),
+                    norm("l_suppkey", "lo_b", "hi_b"),
+                ],
+                bits=16,
+            ).alias("zkey"),
+        )
+    )

@@ -288,3 +288,58 @@ def test_write_training_shards_deterministic_manifest(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(os.path.join(p1, pf)).collect()
     ]
     assert keys == sorted(keys)
+
+
+def test_zorder_write_tightens_file_ranges_on_both_cols(spark, tmp_path, sf_dir):
+    """The point of Z-ordering: after clustering on (a, b), EVERY
+    file's min/max footer range is narrow on BOTH columns, so
+    predicate pushdown can skip files for queries on either. A
+    hash-random layout has every file spanning ~the full domain."""
+    import pyarrow.parquet as pq
+
+    from sparkgraft.io import read_table, zorder_write
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    zpath = str(tmp_path / "zordered")
+    rpath = str(tmp_path / "random")
+    zorder_write(li, zpath, ["l_partkey", "l_suppkey"], num_files=8)
+    li.repartition(8).write.mode("overwrite").parquet(rpath)
+
+    import glob
+
+    def avg_range_frac(root, col):
+        fracs = []
+        glo, ghi = None, None
+        metas = []
+        for f in glob.glob(f"{root}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            if los:
+                metas.append((min(los), max(his)))
+        glo = min(m[0] for m in metas)
+        ghi = max(m[1] for m in metas)
+        span = ghi - glo or 1
+        for lo, hi in metas:
+            fracs.append((hi - lo) / span)
+        return sum(fracs) / len(fracs)
+
+    for col in ("l_partkey", "l_suppkey"):
+        z = avg_range_frac(zpath, col)
+        r = avg_range_frac(rpath, col)
+        # random layout: every file spans ~everything; z-order: a
+        # fraction of the domain on BOTH interleaved columns at once
+        assert r > 0.9, (col, r)
+        assert z < 0.6 * r, (col, z, r)
+
+    # layout must not change the data
+    back = spark.read.parquet(zpath)
+    assert back.count() == li.count()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, li.collect()))
