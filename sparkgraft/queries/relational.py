@@ -791,3 +791,68 @@ def lineitem_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("zkey"),
         )
     )
+
+
+@register(
+    "customer_snapshot_diff",
+    # Retired-tier BREADTH query: snapshot reconciliation verified on
+    # every pytest run — the derived "new" snapshot, both null-safe
+    # row hashes, and the insert/update/delete classification all
+    # recomputed in SQL. Hash inputs are int/string columns only
+    # (double->string formatting is not engine-portable).
+    retired=True,
+    oracle="""
+    WITH old AS (
+        SELECT c_custkey,
+               md5(concat_ws('|',
+                   coalesce(md5(CAST(c_name AS VARCHAR)), 'N'),
+                   coalesce(md5(CAST(c_mktsegment AS VARCHAR)), 'N'),
+                   coalesce(md5(CAST(c_nationkey AS VARCHAR)), 'N')
+               )) AS h
+        FROM customer
+    ),
+    neu AS (
+        SELECT c_custkey,
+               md5(concat_ws('|',
+                   coalesce(md5(CAST(c_name AS VARCHAR)), 'N'),
+                   coalesce(md5(CAST(CASE WHEN c_custkey % 11 = 0
+                                     THEN 'MIGRATED' ELSE c_mktsegment END
+                                AS VARCHAR)), 'N'),
+                   coalesce(md5(CAST(c_nationkey AS VARCHAR)), 'N')
+               )) AS h
+        FROM customer WHERE c_custkey % 13 != 0
+    )
+    SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.h IS NULL THEN 'insert'
+                WHEN n.h IS NULL THEN 'delete'
+                WHEN o.h != n.h THEN 'update'
+                ELSE 'unchanged' END AS change_type
+    FROM old o FULL OUTER JOIN neu n USING (c_custkey)
+    WHERE CASE WHEN o.h IS NULL THEN 'insert'
+               WHEN n.h IS NULL THEN 'delete'
+               WHEN o.h != n.h THEN 'update'
+               ELSE 'unchanged' END != 'unchanged'
+    """,
+)
+def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """relational.snapshot_diff: reconcile the customer table against
+    a migrated snapshot (every 13th key dropped, every 11th segment
+    rewritten) — the diff that validates a backfill or derives a
+    change feed when the source can't produce one. Row comparison is
+    a null-safe per-column-then-row md5 computed map-side on each input, so only
+    (key, hash) pairs shuffle into the full outer join — never the
+    payload, however wide the table."""
+    from ..relational import snapshot_diff
+
+    cust = read_table(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
+    old = cust.select(*cols)
+    new = cust.where(F.col("c_custkey") % 13 != 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("MIGRATED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "c_nationkey",
+    )
+    return snapshot_diff(old, new, ["c_custkey"])

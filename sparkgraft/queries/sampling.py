@@ -151,3 +151,43 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.round(F.col("__w"), 6).alias("weight"),
     )
+
+
+@register(
+    "docs_exact_n_per_source",
+    # Retired-tier BREADTH query: exact-N stratified sampling
+    # (distributed reservoir equivalent) verified on every pytest run
+    # — seeded-hash draw order and the per-stratum cutoff recomputed
+    # in SQL.
+    retired=True,
+    oracle="""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('n:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def docs_exact_n_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-N-per-stratum sampling: rate-based draws (hash-bucket
+    thresholds) give each stratum a BINOMIAL sample size; when the
+    contract is 'exactly 10 docs per source' (eval set assembly,
+    per-domain quotas) the draw must be a top-N over a seeded-hash
+    order — the deterministic, distributed equivalent of per-stratum
+    reservoir sampling. One shuffle on the stratum key; the hash
+    order makes the sample identical on any partitioning and
+    re-drawable forever from the seed."""
+    from ..relational import top_k_per_group
+
+    docs = read_table(spark, sf_dir, "documents")
+    draw = F.md5(F.concat(F.lit("n:"), F.col("doc_id").cast("string")))
+    picked = top_k_per_group(
+        docs.select("doc_id", "source", draw.alias("__draw")),
+        ["source"],
+        [F.asc("__draw"), F.asc("doc_id")],
+        k=10,
+    )
+    return picked.select("doc_id", "source")

@@ -43,6 +43,7 @@ __all__ = [
     "fuzzy_join_token_blocked",
     "resample_fill",
     "resample_interpolate",
+    "snapshot_diff",
     "range_join",
     "sessionize",
     "pushdown_fence",
@@ -726,3 +727,53 @@ def resample_interpolate(
         F.round(value, scale).alias(value_col),
         F.col("__v").isNotNull().alias("observed"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: "list[str]",
+    compare_cols: "list[str] | None" = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Reconcile two snapshots of the same table: classify every key
+    as ``insert`` (new only), ``delete`` (old only), ``update``
+    (present in both, compared columns differ) or ``unchanged`` —
+    the diff a pipeline runs to validate a migration/backfill or to
+    DERIVE a change feed when the source system can't produce one
+    (the inverse of ``apply_cdc``: ``apply_cdc(old, snapshot_diff(
+    old, new)) == new``).
+
+    One full outer join on the key — the minimum any diff must pay —
+    with comparison via a null-safe md5 row hash computed map-side on
+    EACH input before the join, so only (key, 32-byte hash) shuffles
+    for wide tables, never the payload columns. Each column is hashed
+    FIRST and NULL maps to a token outside the hex alphabet, so no
+    value string can collide with the null marker or smear across
+    column boundaries.
+
+    Returns ``key_cols + (change_type string)``.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in key_cols]
+
+    def row_hash(df: DataFrame) -> Column:
+        parts = [
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("N"))
+            for c in compare_cols
+        ]
+        return F.md5(F.concat_ws("|", *parts))
+
+    o = old.select(*key_cols, row_hash(old).alias("__oh"))
+    n = new.select(*key_cols, row_hash(new).alias("__nh"))
+    joined = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("__oh").isNull(), F.lit("insert"))
+        .when(F.col("__nh").isNull(), F.lit("delete"))
+        .when(F.col("__oh") != F.col("__nh"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(*key_cols, change.alias("change_type"))
+    if not include_unchanged:
+        out = out.where(F.col("change_type") != "unchanged")
+    return out

@@ -334,3 +334,51 @@ def test_resample_interpolate_linear_gaps(spark):
     assert rows[(1, "2024-01-06")] == (50.0, True)
     assert rows[(2, "2024-02-01")] == (5.0, True)
     assert len(rows) == 7
+
+
+def test_snapshot_diff_classifies_and_inverts_cdc(spark):
+    """snapshot_diff classifies insert/update/delete; applying the
+    derived change feed via apply_cdc reproduces the new snapshot."""
+    from sparkgraft.relational import apply_cdc, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, "d", 40)],
+        "k long, name string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", None), (4, None, 40), (5, "e", 50)],
+        "k long, name string, v int",
+    )
+    diff = {
+        r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert diff == {2: "update", 3: "delete", 4: "update", 5: "insert"}
+
+    full = snapshot_diff(old, new, ["k"], include_unchanged=True)
+    assert {r.k: r.change_type for r in full.collect()}[1] == "unchanged"
+
+    # NULL cannot collide with ANY literal string (per-column md5
+    # tokens are hex; the null marker is not)
+    o2 = spark.createDataFrame([(1, None)], "k long, s string")
+    n2 = spark.createDataFrame([(1, "N")], "k long, s string")
+    assert [
+        r.change_type for r in snapshot_diff(o2, n2, ["k"]).collect()
+    ] == ["update"]
+
+    # inverse property: old + derived changes == new
+    changes = (
+        snapshot_diff(old, new, ["k"])
+        .withColumnRenamed("change_type", "op")
+        .withColumn(
+            "op",
+            F.when(F.col("op") == "delete", "D")
+            .when(F.col("op") == "insert", "I")
+            .otherwise("U"),
+        )
+        .join(new, ["k"], "left")
+        .withColumn("seq", F.lit(1))
+    )
+    rebuilt = apply_cdc(old, changes, "k")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
