@@ -1,0 +1,145 @@
+"""Iterative graph analytics on DataFrames.
+
+PageRank (Brin & Page 1998) as a bounded driver loop of pure
+DataFrame plans — the same design contract as the connected-components
+resolver (dedup.near_dup_clusters), the IVF trainer and the logistic
+trainer: the driver never holds a data row, only loop control; each
+iteration is one join + one aggregate, both keyed on the node id.
+
+Scale shape per iteration: the edge table joins the |nodes|-row rank
+table on ``src`` (one shuffle, or zero if both sides are bucketed by
+node), contributions aggregate on ``dst`` (second shuffle), and the
+dangling-mass term is a 1-row in-plan aggregate cross-joined back —
+no driver scalar per iteration. Each generation's rank table is
+``localCheckpoint``-ed (eager): the new plan references ranks TWICE
+(contributions and dangling mass), so an untruncated lineage doubles
+per generation and the optimizer itself OOMs around iteration 8-10 —
+the same geometric-plan failure mode measured in
+``dedup.near_dup_clusters``; checkpointing keeps the plan O(1) deep.
+
+Determinism: per-edge contributions are cast to ``decimal(38,10)``
+before summing (double summation is order-sensitive; decimal is not),
+so ranks are identical under any partitioning — and reproducible by
+an engine-independent oracle that unrolls the same iterations in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank", "degree_stats"]
+
+_DEC = "decimal(38,10)"
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    damping: float = 0.85,
+    iters: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list.
+
+    ``rank_{k+1}(v) = (1-d)/N + d * (sum over in-edges (u,v) of
+    rank_k(u) * w(u,v) / out_w(u)) + d * dangling_k / N`` — the
+    standard formulation with dangling-node mass (nodes with no
+    out-edges) redistributed uniformly, so ranks sum to 1 every
+    iteration (checked in tests to 1e-6).
+
+    The node-count denominator is collected ONCE before the loop (a
+    single bounded scalar, the IVF-trainer precedent); everything per
+    iteration stays in-plan. Returns ``(node, rank)`` with rank
+    rounded to ``scale`` for engine-portable comparison.
+    """
+    w: Column = F.lit(1.0) if weight_col is None else F.col(weight_col).cast(
+        "double"
+    )
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame([], "node long, rank double")
+    outw = e.groupBy("__s").agg(F.sum("__w").alias("__ow")).persist()
+
+    d = float(damping)
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("r")).localCheckpoint()
+    try:
+        for _ in range(iters):
+            contribs = (
+                e.join(ranks.withColumnRenamed("node", "__s"), "__s")
+                .join(outw, "__s")
+                .select(
+                    F.col("__d").alias("node"),
+                    (F.lit(d) * F.col("r") * F.col("__w") / F.col("__ow"))
+                    .cast(_DEC)
+                    .alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("c"))
+            )
+            dangling = (
+                ranks.join(
+                    outw.withColumnRenamed("__s", "node"), "node", "left_anti"
+                )
+                .agg(
+                    F.coalesce(
+                        F.sum((F.lit(d) * F.col("r")).cast(_DEC)),
+                        F.lit(0).cast(_DEC),
+                    ).alias("dg")
+                )
+            )
+            new_ranks = (
+                nodes.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - d) / n)
+                        + F.coalesce(
+                            F.col("c").cast("double"), F.lit(0.0)
+                        )
+                        + F.col("dg").cast("double") / F.lit(float(n))
+                    ).alias("r"),
+                )
+                .localCheckpoint()
+            )
+            ranks = new_ranks
+        return ranks.select("node", F.round("r", scale).alias("rank"))
+    finally:
+        nodes.unpersist()
+        outw.unpersist()
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node in/out degree — the profiling pass before any graph
+    algorithm (hub detection feeds the same skew mitigations as hot
+    join keys: salting, hub caps). One aggregate per direction, one
+    outer-join merge."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )

@@ -856,3 +856,101 @@ def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
     )
     return snapshot_diff(old, new, ["c_custkey"])
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    """Unrolled PageRank SQL mirroring graph.pagerank's exact update:
+    same decimal(38,10) contribution sums, same double expression
+    shapes ((1.0 - 0.85) computed in DOUBLE, not as a 0.15 literal —
+    the binary values differ)."""
+    head = """
+    WITH raw AS (
+        SELECT o_custkey AS cust, l_suppkey AS supp,
+               CAST(count(*) AS DOUBLE) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_custkey < 150
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT cust AS src, supp + 1000000 AS dst, w FROM raw
+        UNION ALL
+        SELECT supp + 1000000, cust, w FROM raw WHERE supp % 3 != 0
+    ),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS r FROM nodes, nn)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+    c{k} AS (
+        SELECT e.dst AS node,
+               sum(CAST(CAST(0.85 AS DOUBLE) * r.r * e.w / o.ow
+                        AS DECIMAL(38,10))) AS c
+        FROM edges e
+        JOIN r{k-1} r ON e.src = r.node
+        JOIN outw o ON e.src = o.src
+        GROUP BY 1
+    ),
+    dg{k} AS (
+        SELECT coalesce(sum(CAST(CAST(0.85 AS DOUBLE) * r.r
+                                 AS DECIMAL(38,10))),
+                        CAST(0 AS DECIMAL(38,10))) AS dg
+        FROM r{k-1} r WHERE r.node NOT IN (SELECT src FROM outw)
+    ),
+    r{k} AS (
+        SELECT n0.node,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                 + coalesce(CAST(c.c AS DOUBLE), CAST(0.0 AS DOUBLE))
+                 + CAST(dg.dg AS DOUBLE) / nn.n AS r
+        FROM nodes n0 LEFT JOIN c{k} c ON n0.node = c.node, dg{k} dg, nn
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"\n    SELECT node, round(r, 6) AS rank FROM r{iters}"
+    )
+
+
+@register(
+    "trade_graph_pagerank",
+    # Retired-tier BREADTH query: iterative graph analytics under a
+    # real oracle — three PageRank iterations over the customer <->
+    # supplier trade graph unrolled as SQL CTEs, decimal contribution
+    # sums and every double expression shape identical, so ranks
+    # hash-match to 6 places.
+    retired=True,
+    oracle=_pagerank_oracle_sql(3),
+)
+def trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph.pagerank over the trade graph: customers point at the
+    suppliers they buy from (edge weight = lineitem count) and most
+    suppliers point back — every third supplier does not, leaving
+    real dangling mass for the redistribution term. Bounded driver
+    loop: the driver holds loop control and one node count; each
+    iteration is one edge-to-ranks join plus one aggregate, ranks
+    localCheckpoint-ed so the plan stays O(1) deep."""
+    from ..graph import pagerank
+
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 150)
+    li = read_table(spark, sf_dir, "lineitem")
+    raw = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    fwd = raw.select(
+        F.col("cust").alias("src"),
+        (F.col("supp") + 1000000).alias("dst"),
+        "w",
+    )
+    back = raw.where(F.col("supp") % 3 != 0).select(
+        (F.col("supp") + 1000000).alias("src"),
+        F.col("cust").alias("dst"),
+        "w",
+    )
+    edges = fwd.unionByName(back)
+    return pagerank(edges, weight_col="w", iters=3)
