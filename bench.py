@@ -46,6 +46,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "corpus_curation_pipeline",
     "dedup_exact_keep_first",
+    "dedup_repeated_spans",
     "decontaminate_docs",
     "ngram_jaccard_near_dups",
     "minhash_lsh_near_dups",

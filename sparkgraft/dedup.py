@@ -1000,19 +1000,32 @@ def dedup_spans(
     """
     from pyspark.sql import Window
 
+    from .relational import spread
     from .text import cdc_segments
 
-    segs = df.select(
-        F.col(id_col),
-        F.explode(
-            cdc_segments(text_col, avg_tokens=avg_tokens, keep_text=True)
-        ).alias("s"),
-    ).select(
-        id_col,
-        F.col("s.seg_idx").alias("seg_idx"),
-        F.col("s.seg_hash").alias("seg_hash"),
-        F.col("s.n_seg_tokens").alias("n_seg_tokens"),
-        F.col("s.seg_text").alias("seg_text"),
+    # explode_outer + null filter, NOT plain explode: from a bare
+    # explode, InferFiltersFromGenerate derives ``size(segments) > 0``,
+    # inlines the WHOLE tokenize+segment+hash expression tree into that
+    # filter and pushes it below the spread Exchange — re-running the
+    # segmentation in the single-task scan stage (the _doc_shingles
+    # lesson; measured 21s -> ~2s at sf0.1 for this operator). The
+    # outer form filters on the generate's OUTPUT, which cannot sink.
+    segs = (
+        spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            id_col,
+            F.explode_outer(
+                cdc_segments(text_col, avg_tokens=avg_tokens, keep_text=True)
+            ).alias("s"),
+        )
+        .where(F.col("s").isNotNull())
+        .select(
+            id_col,
+            F.col("s.seg_idx").alias("seg_idx"),
+            F.col("s.seg_hash").alias("seg_hash"),
+            F.col("s.n_seg_tokens").alias("n_seg_tokens"),
+            F.col("s.seg_text").alias("seg_text"),
+        )
     )
     w = Window.partitionBy("seg_hash").orderBy(F.col(id_col), F.col("seg_idx"))
     marked = segs.withColumn("keep", F.row_number().over(w) == 1)

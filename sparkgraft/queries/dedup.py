@@ -493,12 +493,11 @@ def conservative_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_repeated_spans",
-    # Retired-tier BREADTH query (registry at its 50-slot cap):
-    # cross-document repeated-span removal oracle-verified on every
-    # pytest run — segmentation, the corpus-wide keep-first rule, and
+    # ACTIVE (r5, swapped in for the two-round-stable
+    # winnowing_shared_fingerprints): cross-document repeated-span
+    # removal — segmentation, the corpus-wide keep-first rule, and
     # the document REASSEMBLY (string equality of the rebuilt text)
     # all recomputed in DuckDB.
-    retired=True,
     oracle="""
     WITH tok AS (SELECT doc_id, {tok} AS tok FROM documents
                  WHERE {tok} != []::VARCHAR[]),

@@ -498,3 +498,62 @@ def ann_ivf_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
         planted, queries, dim=64, k=1, n_centroids=16, n_probe=4, iters=3
     )
+
+
+@register(
+    "semantic_dedup_planted",
+    # Retired-tier: SemDeDup's verdict surface under a REAL DuckDB
+    # oracle — the last of the four rows-only evidence classes
+    # (VERDICT r4 'What's missing' #1) to earn one. Runs on every
+    # pytest via test_retired_oracles.
+    oracle="""
+    WITH planted AS (
+        SELECT vec_id FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000000 FROM embeddings WHERE vec_id % 50 = 0
+    )
+    SELECT vec_id,
+           CASE WHEN vec_id >= 10000000 THEN vec_id - 10000000
+                ELSE vec_id END AS group_id,
+           vec_id < 10000000 AS keep
+    FROM planted
+    """,
+    retired=True,
+)
+def semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under a REAL DuckDB oracle, completing the planted
+    construction for all four rows-only evidence classes: plant one
+    positively-scaled copy (x1.25) of every 50th vector and run the
+    full pipeline (k-means train, map-side assignment, per-cluster
+    applyInPandas dedup) at eps=0.95.
+
+    Why the verdict surface is exact, not probabilistic: a scaled copy
+    normalizes to the same unit vector, so (a) spherical k-means
+    assigns original and copy to the SAME cluster with certainty —
+    the cluster-boundary approximation cannot split them; (b) their
+    pairwise cosine is ~1.0, far over eps, so the pair is always a
+    duplicate group; (c) their centroid cosines tie exactly after
+    round-6, so the documented tiebreak (lowest id keeps) makes the
+    ORIGINAL the survivor deterministically. Natural pairs max out
+    ~0.51 cosine on this corpus — none reach 0.95 — so every
+    non-planted vector is a singleton that keeps itself. The
+    engine-specific parts (cluster ids, centroid sims) are projected
+    away; what remains (group_id, keep) is fully SQL-determined."""
+    from ..semdedup import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    as_double = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    copies = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") * F.lit(1.25)
+        ).alias("embedding"),
+    )
+    planted = as_double.unionByName(copies)
+    out = semantic_dedup(planted, dim=64, eps=0.95, n_clusters=16, iters=3)
+    return out.select("vec_id", "group_id", "keep")

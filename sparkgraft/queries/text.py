@@ -180,7 +180,13 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 @register(
     "winnowing_shared_fingerprints",
-    f"""
+    # RETIRED r5 (two-round-stable, green r3+r4; slot freed for
+    # dedup_repeated_spans, which carries the span-fingerprinting
+    # concept into the driver gate as the Lee-et-al-style
+    # repeated-span REMOVAL operator): winnowing stays
+    # oracle-verified here via tests/test_retired_oracles.py.
+    retired=True,
+    oracle=f"""
     WITH norm AS MATERIALIZED (
         -- MATERIALIZED + exploded window-min instead of per-position
         -- list lambdas: the lambda form re-ran the regexp normalize

@@ -32,6 +32,9 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "conformance_flagship": (4, 2),  # +1: spread before the fence
     "conformance_pipeline_versioned": (10, 4),  # +1: spread before the fence
     "conformance_three_payload": (4, 2),  # +1: spread before the fence
+    # repeated-span dedup: spread fan-out + seg-hash window + doc_id
+    # groupBy + the restore-empty-docs broadcast join to the id spine
+    "dedup_repeated_spans": (4, 1),
     "pricing_summary": (1, 0),
     "revenue_per_segment": (2, 1),
     "orders_per_customer_left": (2, 1),
