@@ -328,3 +328,54 @@ def customer_trailing_90d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         tn.alias("trailing_n"),
         F.round(tsum / tn, 4).alias("trailing_avg"),
     )
+
+
+@register(
+    "user_value_twa_daily",
+    # Retired-tier BREADTH query: time-weighted averaging (LOCF)
+    # verified on every pytest run — interval construction, the
+    # period-grid explode, microsecond overlap clipping, and the
+    # decimal-weighted sums all recomputed in SQL.
+    retired=True,
+    oracle="""
+    WITH iv AS (
+        SELECT user_id AS k, ts, value AS v,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, value) AS nts
+        FROM events WHERE user_id < 60
+    ),
+    ivf AS (SELECT * FROM iv WHERE nts IS NOT NULL AND nts > ts),
+    grid AS (
+        SELECT k, v, ts, nts,
+               unnest(generate_series(date_trunc('day', ts),
+                                      date_trunc('day', nts),
+                                      INTERVAL 1 DAY)) AS p
+        FROM ivf
+    ),
+    ov AS (
+        SELECT k, p, v,
+               CAST(epoch_us(least(nts, p + INTERVAL 1 DAY))
+                  - epoch_us(greatest(ts, p)) AS BIGINT) AS us
+        FROM grid
+    ),
+    w AS (
+        SELECT k, p, us,
+               CAST(v * CAST(us AS DOUBLE) AS DECIMAL(38,6)) AS wv
+        FROM ov WHERE us > 0
+    )
+    SELECT k AS user_id, p AS period_ts,
+           round(CAST(sum(wv) AS DOUBLE) / CAST(sum(us) AS DOUBLE), 6) AS twa,
+           CAST(sum(us) AS BIGINT) AS covered_us
+    FROM w GROUP BY 1, 2
+    """,
+)
+def user_value_twa_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """relational.time_weighted_avg over the event stream: each user's
+    daily time-weighted value under last-observation-carried-forward —
+    the aggregate that answers 'what level was this metric AT' where a
+    plain AVG over-weights bursts (ten readings in a minute shouldn't
+    dominate a day spent at another level). Intervals from one window,
+    clipped onto the day grid, decimal-weighted sums."""
+    from ..relational import time_weighted_avg
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("user_id") < 60)
+    return time_weighted_avg(ev, "user_id", "ts", "value", period="day")

@@ -44,6 +44,7 @@ __all__ = [
     "resample_fill",
     "resample_interpolate",
     "snapshot_diff",
+    "time_weighted_avg",
     "range_join",
     "sessionize",
     "pushdown_fence",
@@ -777,3 +778,79 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.where(F.col("change_type") != "unchanged")
     return out
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: str = "day",
+    scale: int = 6,
+) -> DataFrame:
+    """Time-weighted average per (key, period) under last-observation-
+    carried-forward semantics (TimescaleDB ``time_weight('LOCF')``):
+    each observation's value HOLDS from its timestamp until the next
+    observation, and a period's average weights each held value by how
+    long it was in effect inside that period. The plain AVG of
+    irregular observations over-weights bursts — ten readings in one
+    minute shouldn't dominate a day the sensor spent at another level.
+
+    Construction: ``lead`` turns observations into validity intervals
+    ``[ts, next_ts)`` (the key's final observation carries no duration
+    and a key needs >= 2 observations to appear); each interval
+    explodes onto the period grid it overlaps (bounded by the
+    interval's span — the ``range_join`` bucket-decomposition idea);
+    per (key, period) the weighted sum accumulates in exact DECIMAL
+    (value x microsecond overlap), so results are identical under any
+    partitioning. One window per key plus one groupBy — no global
+    sort, no driver action.
+
+    Returns ``(key, period_ts, twa, covered_us)`` with ``twa`` rounded
+    to ``scale`` and ``covered_us`` the observed microseconds inside
+    the period (denominator — callers can gate on coverage).
+    """
+    k, v = F.col(key_col), F.col(value_col).cast("double")
+    ts = F.col(ts_col)
+    iv = (
+        df.select(k.alias("__k"), ts.alias("__ts"), v.alias("__v"))
+        .withColumn("__nts", F.lead("__ts").over(Window.partitionBy("__k").orderBy("__ts", "__v")))
+        .where(F.col("__nts").isNotNull() & (F.col("__nts") > F.col("__ts")))
+    )
+    # explode each interval onto the periods it overlaps
+    grid = iv.select(
+        "__k",
+        "__v",
+        "__ts",
+        "__nts",
+        F.explode(
+            F.sequence(
+                F.date_trunc(period, F.col("__ts")),
+                F.date_trunc(period, F.col("__nts")),
+                F.expr(f"INTERVAL 1 {period}"),
+            )
+        ).alias("__p"),
+    )
+    p_end = F.col("__p") + F.expr(f"INTERVAL 1 {period}")
+    overlap_us = epoch_us(F.least(F.col("__nts"), p_end)) - epoch_us(
+        F.greatest(F.col("__ts"), F.col("__p"))
+    )
+    weighted = grid.where(overlap_us > 0).select(
+        "__k",
+        "__p",
+        overlap_us.alias("__us"),
+        (F.col("__v") * overlap_us.cast("double")).cast("decimal(38,6)").alias(
+            "__wv"
+        ),
+    )
+    out = weighted.groupBy("__k", "__p").agg(
+        F.sum("__wv").alias("__num"), F.sum("__us").alias("__den")
+    )
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__p").alias("period_ts"),
+        F.round(
+            F.col("__num").cast("double") / F.col("__den").cast("double"), scale
+        ).alias("twa"),
+        F.col("__den").alias("covered_us"),
+    )

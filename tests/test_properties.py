@@ -568,3 +568,68 @@ def test_chunking_and_cdc_are_lossless_partitions(spark, texts, chunk):
         total = sum(x.n_seg_tokens for x in r.s)
         assert total == len(toks[r.doc_id])
         assert [x.seg_idx for x in r.s] == list(range(len(r.s)))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 99), min_size=0, max_size=40),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_dedup_spans_matches_python_model(spark, docs):
+    """dedup_spans == the obvious single-machine model: segment each
+    token list with the same content-defined rule, keep the first
+    (doc_id, seg_idx) occurrence of each segment corpus-wide, rejoin.
+    Also proves losslessness: when no segment repeats, every rebuilt
+    text equals its normalized input."""
+    import hashlib
+
+    from sparkgraft import dedup as D
+
+    # doc i draws from vocab band i % 3 so some docs share vocab (and
+    # can collide on segments) while others are disjoint
+    texts = [
+        " ".join(f"w{(i % 3) * 1000 + t}" for t in toks)
+        for i, toks in enumerate(docs)
+    ]
+
+    def model():
+        seen = set()
+        out = {}
+        for i, text in enumerate(texts):
+            toks = text.split() if text else []
+            segs, cur = [], []
+            for t in toks:
+                cur.append(t)
+                h = hashlib.md5(t.encode()).hexdigest()
+                if int(h[:4], 16) % 8 == 0:
+                    segs.append(cur)
+                    cur = []
+            if cur:
+                segs.append(cur)
+            kept, n_rm_seg, n_rm_tok = [], 0, 0
+            for seg in segs:
+                key = hashlib.md5(" ".join(seg).encode()).hexdigest()
+                if key in seen:
+                    n_rm_seg += 1
+                    n_rm_tok += len(seg)
+                else:
+                    seen.add(key)
+                    kept.append(" ".join(seg))
+            out[i] = (" ".join(kept), len(segs), n_rm_seg, n_rm_tok)
+        return out
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: (r.text_dedup, r.n_segs, r.n_segs_removed, r.n_tokens_removed)
+        for r in D.dedup_spans(df, "text", "doc_id", avg_tokens=8).collect()
+    }
+    assert got == model()

@@ -382,3 +382,34 @@ def test_snapshot_diff_classifies_and_inverts_cdc(spark):
     assert sorted(map(tuple, rebuilt.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_time_weighted_avg_locf_known_values(spark):
+    """Hand-computed LOCF time-weighted averages, including an
+    interval spanning a period boundary."""
+    from sparkgraft.relational import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [
+            # day 1: value 10 holds 06:00->18:00 (12h), then 30 holds
+            # 18:00 -> day2 06:00 (6h in day 1, 6h in day 2)
+            (1, "2024-01-01 06:00:00", 10.0),
+            (1, "2024-01-01 18:00:00", 30.0),
+            (1, "2024-01-02 06:00:00", 50.0),
+            (1, "2024-01-02 12:00:00", 0.0),  # terminal: carries no time
+            # key 2: single observation -> no interval, absent from output
+            (2, "2024-01-01 00:00:00", 7.0),
+        ],
+        "k long, ts string, v double",
+    ).select("k", F.col("ts").cast("timestamp_ntz").alias("ts"), "v")
+    out = {
+        (r.k, str(r.period_ts)[:10]): (r.twa, r.covered_us)
+        for r in time_weighted_avg(df, "k", "ts", "v", period="day").collect()
+    }
+    h = 3_600_000_000
+    # day 1: (10*12h + 30*6h) / 18h = 300/18
+    assert out[(1, "2024-01-01")] == (round(300 / 18, 6), 18 * h)
+    # day 2: (30*6h + 50*6h) / 12h = 40
+    assert out[(1, "2024-01-02")] == (40.0, 12 * h)
+    assert not any(k == 2 for k, _ in out)
+    assert len(out) == 2

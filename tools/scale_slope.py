@@ -89,6 +89,10 @@ PROBES = [
     "embedding_standardized",    # posexplode moments + broadcast zip
     "near_dup_committee_pairs",  # bucketed + blocked proposers composed
     "conservative_dedup_keep",   # committee -> iterative components
+    # late-r5 additions:
+    "dedup_repeated_spans",      # seg-hash window + doc groupBy: ~linear
+    "doc_quality_logistic",      # pure map over the scan: ~linear
+    "semantic_dedup_planted",    # planted SemDeDup (oracled path)
 ]
 
 
