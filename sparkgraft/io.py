@@ -482,3 +482,82 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_layout_manifest(path: str, columns: "list[str]") -> list[dict]:
+    """Write ``_LAYOUT_MANIFEST.json`` next to a parquet directory:
+    per-file min/max for the given columns, read from parquet footers
+    (metadata only — no data pages). The driver-side cost is one
+    footer per file, which is exactly the work any engine's planning
+    phase already does; materializing it once lets every later reader
+    prune files WITHOUT opening footers (at 100 TB the footer pass
+    itself is minutes — manifests are why table formats like Delta
+    and Iceberg keep file stats in the log rather than the files).
+    """
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    entries: list[dict] = []
+    for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+        md = _pq.ParquetFile(f).metadata
+        stats: dict[str, list] = {c: [None, None] for c in columns}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in stats and col.statistics is not None:
+                    lo, hi = stats[name]
+                    cmin, cmax = col.statistics.min, col.statistics.max
+                    stats[name][0] = cmin if lo is None else min(lo, cmin)
+                    stats[name][1] = cmax if hi is None else max(hi, cmax)
+        entries.append(
+            {"file": os.path.basename(f), "rows": md.num_rows, "stats": stats}
+        )
+    with open(os.path.join(path, "_LAYOUT_MANIFEST.json"), "w") as fh:
+        _json.dump({"columns": columns, "files": entries}, fh, indent=1)
+    return entries
+
+
+def read_manifest_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+) -> "tuple[DataFrame, int, int]":
+    """Open ONLY the files whose manifest ``[min, max]`` range for
+    ``col`` intersects ``[lo, hi]`` — file-level data skipping driven
+    by the layout manifest instead of a full-directory footer pass.
+    After a ``zorder_write`` on ``col`` (among others), a narrow
+    predicate touches a small fraction of files; on a random layout it
+    touches all of them (the test asserts both). Returns ``(df,
+    files_read, files_total)``; the caller still applies the exact
+    row-level filter — manifest pruning is a superset guarantee, the
+    same contract as parquet row-group skipping.
+
+    Files with no recorded stats for ``col`` (all-NULL, missing
+    column) are conservatively kept.
+    """
+    import json as _json
+
+    with open(os.path.join(path, "_LAYOUT_MANIFEST.json")) as fh:
+        manifest = _json.load(fh)
+    keep = []
+    for entry in manifest["files"]:
+        st = entry["stats"].get(col)
+        if st is None or st[0] is None or st[1] is None:
+            keep.append(entry["file"])
+        elif not (st[1] < lo or st[0] > hi):
+            keep.append(entry["file"])
+    total = len(manifest["files"])
+    if not keep:
+        # empty selection: preserve schema by reading zero rows
+        return (
+            spark.read.parquet(path).limit(0),
+            0,
+            total,
+        )
+    paths = [os.path.join(path, f) for f in keep]
+    return spark.read.parquet(*paths), len(keep), total
