@@ -373,6 +373,11 @@ def mad_outliers(
     median of absolute deviations) with the per-group statistics
     joined back — |groups| rows each, broadcast-sized at any corpus
     scale; the data itself is scanned twice but never globally sorted.
+    Exact grouped percentiles sort within groups; at 100 TB swap
+    ``F.percentile`` for ``percentile_approx`` (mergeable sketch, no
+    sort) — the flag-day change is one function name, and the
+    histogram route (``packing.ntile_by_histogram``) is the
+    third option when even the sketch's memory is unwelcome.
 
     Degenerate groups (MAD = 0: over half the group shares one value)
     yield a NULL ``robust_z``, and ``is_outlier`` falls back to "any
