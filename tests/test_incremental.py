@@ -69,3 +69,41 @@ def test_non_decomposable_specs_rejected(spark):
         partial_aggregate(df, ["k"], {"s": ("sum", None)})
     with pytest.raises(ValueError, match="at least one state"):
         merge_aggregates([], ["k"], SPECS)
+
+
+def test_distinct_sketch_merge_equals_direct(spark, sf_dir):
+    """The HLL state decomposes count-distinct: folding per-batch
+    sketches gives the IDENTICAL estimate to sketching all history at
+    once (union is associative and deterministic — exact equality, no
+    tolerance), and the estimate tracks the exact distinct count
+    within the lg_k=12 bound."""
+    from sparkgraft.incremental import merge_distinct, partial_distinct
+    from sparkgraft.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    batches = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
+    states = [
+        partial_distinct(b, ["event_type"], "user_id") for b in batches
+    ]
+    folded = merge_distinct(states, ["event_type"])
+    direct = merge_distinct(
+        [partial_distinct(ev, ["event_type"], "user_id")], ["event_type"]
+    )
+    f = {r.event_type: r.n_distinct for r in folded.collect()}
+    d = {r.event_type: r.n_distinct for r in direct.collect()}
+    assert f == d  # exact: same sketch algorithm, associative union
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(f) == set(exact)
+    for k, n in exact.items():
+        assert abs(f[k] - n) <= max(2, 0.05 * n), (k, f[k], n)
+    # merged state can be folded AGAIN (state is persistable/reusable)
+    refolded = merge_distinct(
+        [folded.select("event_type", "distinct_sketch")], ["event_type"]
+    )
+    r = {x.event_type: x.n_distinct for x in refolded.collect()}
+    assert r == f
