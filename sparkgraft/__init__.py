@@ -24,6 +24,12 @@ Modules:
   multimodal   binary-column plumbing for image/audio payloads (stubbed decode)
   streaming    Structured Streaming variants of the conformance
                aggregations + stream-static / stream-stream joins
+  incremental  batch-over-batch aggregate maintenance (monoid states,
+               mergeable HLL distinct sketches)
+  analytics    behavioral analytics (funnel conversion, cohort retention)
+  classify     quality classifier (logistic scoring + distributed GD)
+  graph        iterative graph analytics (PageRank, degree stats)
+  bpe          BPE tokenizer training + Arrow-batched encoding
 """
 
 __version__ = "0.1.0"

@@ -251,6 +251,9 @@ def events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (A1/A2/P11/F17): grouped decimal-exact sums and
+    round(4) averages over lineitem — the cast/arithmetic/aggregation
+    conformance anchor. One map-side-combinable aggregate."""
     li = read_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
@@ -284,6 +287,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/O3: deterministic latest-event-per-user via row_number with
+    a unique (ts, event_id) tiebreak — the reference's latest-version
+    selection (event_verify.py:36-41) without the driver pull and
+    without the rank() tie nondeterminism."""
     from ..relational import top_k_per_group
 
     ev = read_table(spark, sf_dir, "events")
