@@ -25,6 +25,11 @@ _TZ_SENSITIVE = [
     "last_order_asof_event",
     "date_ops_orders",
     "orders_per_month",
+    # r5 time-series additions: grids, RANGE frames over epoch time,
+    # lerp fractions from epoch differences, interval clipping
+    "customer_monthly_spend_interpolated",
+    "customer_trailing_90d_spend",
+    "user_value_twa_daily",
 ]
 
 
