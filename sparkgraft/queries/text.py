@@ -609,12 +609,20 @@ def doc_cdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     length) with their md5 hashes — the shift-robust dedup key that
     survives token insertions/deletions, where fixed-window chunk
     hashes all change past the first edit. Entirely row-local HOFs in
-    codegen; zero shuffles at any corpus size."""
-    docs = read_table(spark, sf_dir, "documents")
+    codegen; the only exchange is the spread fan-out.
+
+    explode_outer + null filter, not plain explode: a bare explode
+    lets InferFiltersFromGenerate push a ``size(segments) > 0`` filter
+    (carrying the ENTIRE segmentation expression tree) below the
+    spread into the single-task scan — measured 18s -> ~1s at sf0.1
+    (the dedup._doc_shingles / dedup_spans lesson)."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
     return (
         docs.select(
-            "doc_id", F.explode(T.cdc_segments("text", avg_tokens=8)).alias("s")
+            "doc_id",
+            F.explode_outer(T.cdc_segments("text", avg_tokens=8)).alias("s"),
         )
+        .where(F.col("s").isNotNull())
         .select(
             "doc_id",
             F.col("s.seg_idx").alias("seg_idx"),
