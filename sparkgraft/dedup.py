@@ -793,11 +793,19 @@ def near_dup_clusters(
     from pyspark import StorageLevel
 
     a, b = F.col(id_a), F.col(id_b)
+    # localCheckpoint, not persist: persist caches BLOCKS but leaves the
+    # full upstream LOGICAL plan attached, and every label generation
+    # embeds the edges subtree twice — fed by a deep producer (e.g. the
+    # near_dup_committee composition) the per-iteration plan carries
+    # 2^interval copies of that producer's whole tree, and plan
+    # stringification alone OOMs the driver (observed at sf0.1).
+    # Checkpointing cuts the graph at the materialized edges, making
+    # each iteration's plan O(interval), independent of the producer.
     edges = (
         pairs.select(a.alias("src"), b.alias("dst"))
         .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
