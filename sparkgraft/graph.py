@@ -41,6 +41,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     scale: int = 6,
+    tol: float | None = None,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list.
 
@@ -52,8 +53,12 @@ def pagerank(
 
     The node-count denominator is collected ONCE before the loop (a
     single bounded scalar, the IVF-trainer precedent); everything per
-    iteration stays in-plan. Returns ``(node, rank)`` with rank
-    rounded to ``scale`` for engine-portable comparison.
+    iteration stays in-plan. With ``tol`` set, iteration stops early
+    once the L1 rank movement ``sum(|r_new - r_old|)`` falls below it
+    — a 1-row driver probe per iteration, the same documented
+    fixpoint-termination exception as connected components; ``iters``
+    remains the hard cap either way. Returns ``(node, rank)`` with
+    rank rounded to ``scale`` for engine-portable comparison.
     """
     w: Column = F.lit(1.0) if weight_col is None else F.col(weight_col).cast(
         "double"
@@ -115,7 +120,24 @@ def pagerank(
                 )
                 .localCheckpoint()
             )
-            ranks = new_ranks
+            if tol is not None:
+                delta = (
+                    new_ranks.withColumnRenamed("r", "rn")
+                    .join(ranks.withColumnRenamed("r", "ro"), "node")
+                    .agg(
+                        F.sum(
+                            F.abs(F.col("rn") - F.col("ro")).cast(
+                                "decimal(38,10)"
+                            )
+                        ).alias("d")
+                    )
+                    .collect()[0]["d"]
+                )
+                ranks = new_ranks
+                if float(delta) < tol:
+                    break
+            else:
+                ranks = new_ranks
         return ranks.select("node", F.round("r", scale).alias("rank"))
     finally:
         nodes.unpersist()

@@ -32,6 +32,7 @@ __all__ = [
     "resize_media",
     "sample_frames",
     "embed_media",
+    "perceptual_hash",
 ]
 
 # Canonical metadata struct carried next to every binary payload.
@@ -249,3 +250,58 @@ def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "embedding": vecs})
 
     return media.select("media_id", "payload").mapInPandas(encode, out_schema)
+
+
+def perceptual_hash(
+    media: DataFrame,
+    grid: int = 8,
+    resize_fn: Callable[[bytes, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """Difference-hash (dHash) per payload: the perceptual fingerprint
+    real pipelines dedupe images by — two visually-identical files
+    with different bytes (re-encode, metadata strip, mild recompress)
+    hash to nearby values, where the md5 content fingerprint sees two
+    unrelated blobs. The algorithm is the public dHash: normalize to a
+    ``(grid+1) x grid`` luminance grid, emit one bit per horizontal
+    neighbor comparison — ``grid^2`` bits (64 at the default).
+
+    The decode/normalize step rides the SAME seam as every other
+    multimodal operator (``resize_fn``: bytes -> fixed-size bytes —
+    swap in PIL/cv2 grayscale downsampling in a real deployment; the
+    deterministic stride-sampler stands in here). Arrow-batched
+    mapInPandas, NULL payloads dead-lettered as NULL hashes.
+
+    Returns ``(media_id, phash bigint)``. Downstream pairing is the
+    SimHash machinery unchanged: band the bits for candidates, verify
+    by exact Hamming distance (``dedup.simhash`` tier) — byte-level
+    near-dups land within a few bits.
+    """
+    import numpy as np
+    import pandas as pd
+
+    w, h = grid + 1, grid
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(media_id)
+                if payload is None or len(payload) == 0:
+                    hashes.append(None)
+                    continue
+                cells = np.frombuffer(
+                    resize_fn(bytes(payload), w, h), dtype=np.uint8
+                ).astype(np.int16).reshape(h, w)
+                bits = (cells[:, 1:] > cells[:, :-1]).flatten()
+                v = 0
+                for bit in bits:
+                    v = (v << 1) | int(bit)
+                # two's-complement into signed 64-bit for a BIGINT column
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                hashes.append(v)
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return media.select("media_id", "payload").mapInPandas(
+        hash_batches, "media_id long, phash long"
+    )

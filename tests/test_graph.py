@@ -83,3 +83,17 @@ def test_degree_stats(spark):
     assert got[3] == (2, 3)
     assert got[5] == (0, 1)
     assert got[4] == (1, 0)
+
+
+def test_pagerank_tol_early_stop_matches_full_run(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long, w double")
+    full = {
+        r.node: r.rank
+        for r in pagerank(df, weight_col="w", iters=60).collect()
+    }
+    early = {
+        r.node: r.rank
+        for r in pagerank(df, weight_col="w", iters=60, tol=1e-9).collect()
+    }
+    # converged: the early-stopped ranks equal the full run at round-6
+    assert early == full

@@ -161,3 +161,60 @@ def test_decode_fn_seam_carries_real_codec(spark):
     # real decode errors dead-letter exactly like the stub's
     assert out[3].feat_n_bytes is None
     assert out[4].feat_n_bytes is None
+
+
+def test_perceptual_hash_near_dup_vs_unrelated(spark):
+    """dHash: identical payloads collide exactly; a lightly-corrupted
+    copy lands within a few bits; unrelated payloads are far — and the
+    SimHash-style Hamming verdict separates the two. NULLs dead-letter."""
+    import random
+
+    rng = random.Random(42)
+    base = bytes(rng.randrange(256) for _ in range(512))
+    # corrupt 4 bytes of 512 (re-encode-ish noise)
+    corrupted = bytearray(base)
+    for i in (7, 100, 301, 444):
+        corrupted[i] = (corrupted[i] + 13) % 256
+    unrelated = bytes(rng.randrange(256) for _ in range(512))
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(base)),
+            (2, bytearray(base)),
+            (3, corrupted),
+            (4, bytearray(unrelated)),
+            (5, None),
+        ],
+        "id int, raw binary",
+    )
+    media = M.attach_media_metadata(
+        df, "raw", modality="image", format="fake", id_col="id"
+    )
+    out = {r.media_id: r.phash for r in M.perceptual_hash(media).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert out[1] == out[2]  # byte-identical -> identical hash
+    assert out[5] is None  # dead-letter
+    assert hamming(out[1], out[3]) <= 12  # near-dup: few flipped bits
+    assert hamming(out[1], out[4]) >= 16  # unrelated: far
+    assert hamming(out[1], out[3]) < hamming(out[1], out[4])
+
+
+def test_perceptual_hash_custom_resize_seam(spark):
+    """A third-party normalizer rides the same seam: constant-grid
+    resize makes every payload hash to the same value."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b"xyz" * 50))],
+        "id int, raw binary",
+    )
+    media = M.attach_media_metadata(
+        df, "raw", modality="image", format="fake", id_col="id"
+    )
+    out = {
+        r.media_id: r.phash
+        for r in M.perceptual_hash(
+            media, resize_fn=lambda p, w, h: bytes(range(w)) * h
+        ).collect()
+    }
+    assert out[1] == out[2]
