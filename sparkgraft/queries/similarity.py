@@ -557,3 +557,43 @@ def semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = as_double.unionByName(copies)
     out = semantic_dedup(planted, dim=64, eps=0.95, n_clusters=16, iters=3)
     return out.select("vec_id", "group_id", "keep")
+
+
+@register(
+    "semantic_decontaminate_docs",
+    # Retired-tier BREADTH query: embedding-space decontamination
+    # verified on every pytest run — per-row max eval cosine, the
+    # lowest-id tiebreak, and the threshold verdict all recomputed
+    # in SQL.
+    retired=True,
+    oracle=f"""
+    WITH ev AS (SELECT vec_id AS eval_id, embedding AS evec
+                FROM embeddings WHERE vec_id % 97 = 0),
+    scored AS (
+        SELECT e.vec_id, ev.eval_id,
+               {_cos('e.embedding', 'ev.evec')} AS sim
+        FROM embeddings e CROSS JOIN ev
+    )
+    SELECT vec_id, max_eval_sim, nearest_eval_id,
+           max_eval_sim >= 0.5 AS contaminated
+    FROM (
+        SELECT vec_id, max(sim) AS max_eval_sim,
+               min(CASE WHEN sim = mx THEN eval_id END) AS nearest_eval_id
+        FROM (SELECT vec_id, eval_id, sim,
+                     max(sim) OVER (PARTITION BY vec_id) AS mx
+              FROM scored)
+        GROUP BY vec_id
+    )
+    """,
+)
+def semantic_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity.semantic_decontaminate over the embedding corpus:
+    every 97th vector stands in as the (broadcast) eval set, and every
+    corpus vector reports its closest eval item and the >= 0.5 verdict
+    — the paraphrase-robust complement to n-gram decontamination
+    (a reworded eval leak defeats shingle matching; its embedding
+    barely moves). Eval members themselves hit cosine 1.0 — the exact
+    leak is flagged too. Linear scan, broadcast evals, map-side max."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 97 == 0)
+    return S.semantic_decontaminate(emb, ev, threshold=0.5)

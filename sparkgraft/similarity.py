@@ -60,6 +60,7 @@ __all__ = [
     "ivf_assign_udf",
     "ivf_probe_udf",
     "ivf_topk",
+    "semantic_decontaminate",
 ]
 
 
@@ -996,4 +997,67 @@ def standardize_embeddings(
     )
     return withstats.select(
         F.col(id_col), z.alias("z_embedding")
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination: flag corpus items whose
+    embedding is too close to ANY eval-set embedding — the
+    paraphrase-robust complement to n-gram decontamination
+    (``dedup.decontaminate``), which a reworded or translated eval
+    leak walks straight past while its embedding barely moves.
+
+    Scale shape mirrors the n-gram version exactly: the eval side is
+    small by definition, so it BROADCASTS and the corpus is one
+    linear scan — per row, max cosine against the broadcast matrix
+    (here a cross join + max-aggregate over |eval| rows per corpus
+    row; swap in a blocked-matmul Pandas stage if the eval set grows
+    to many thousands). No shuffle of the corpus beyond its scan.
+
+    Returns one row per corpus vector: ``(id_col, max_eval_sim,
+    nearest_eval_id, contaminated)`` — the audit columns a removal
+    pass filters on. Ties on the rounded max resolve to the lowest
+    eval id, so output is deterministic and oracle-comparable. The
+    per-row max is a groupBy (NOT a window over the cross join): the
+    scored rows for one corpus row are partition-local, so the
+    map-side partial aggregate collapses |corpus| x |eval| rows back
+    to |corpus| before anything shuffles.
+    """
+    from .relational import spread
+
+    ev = eval_set.select(
+        F.col(id_col).alias("__eval_id"), F.col(vec_col).alias("__evec")
+    )
+    scored = (
+        spread(corpus.select(F.col(id_col), F.col(vec_col)))
+        .crossJoin(F.broadcast(ev))
+        .select(
+            id_col,
+            "__eval_id",
+            F.round(cosine(F.col(vec_col), F.col("__evec")), round_to).alias(
+                "__sim"
+            ),
+        )
+    )
+    # max of (sim, -eval_id): highest similarity, lowest eval id on ties
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("__sim").alias("s"),
+                (-F.col("__eval_id")).alias("neg_id"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        id_col,
+        F.col("b.s").alias("max_eval_sim"),
+        (-F.col("b.neg_id")).alias("nearest_eval_id"),
+        (F.col("b.s") >= threshold).alias("contaminated"),
     )

@@ -376,3 +376,38 @@ def test_standardize_embeddings_moments_and_zero_variance(spark):
     assert np.all(z[:, 2] == 0.0)
     # affinely-related dims standardize identically
     assert np.allclose(z[:, 0], z[:, 1])
+
+
+def test_semantic_decontaminate_catches_paraphrase_leak(spark):
+    """A near-copy of an eval vector (the 'paraphrase': same direction,
+    small perturbation) is flagged; orthogonal corpus items are not;
+    the exact leak (the eval vector itself in the corpus) hits 1.0."""
+    import numpy as np
+
+    from sparkgraft.similarity import semantic_decontaminate
+
+    rng = np.random.default_rng(5)
+    ev = rng.normal(size=8)
+    para = ev + rng.normal(scale=0.05, size=8)  # cosine ~0.999
+    # orthogonalize a far item against ev
+    far = rng.normal(size=8)
+    far -= far.dot(ev) / ev.dot(ev) * ev
+    rows = [
+        (100, [float(x) for x in ev]),     # exact leak in corpus
+        (2, [float(x) for x in para]),     # paraphrase leak
+        (3, [float(x) for x in far]),      # clean
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    eval_df = spark.createDataFrame(
+        [(100, [float(x) for x in ev])], "vec_id long, embedding array<float>"
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_decontaminate(
+            corpus, eval_df, threshold=0.9
+        ).collect()
+    }
+    assert out[100].contaminated and out[100].max_eval_sim == 1.0
+    assert out[2].contaminated and out[2].max_eval_sim > 0.99
+    assert not out[3].contaminated and abs(out[3].max_eval_sim) < 0.01
+    assert all(r.nearest_eval_id == 100 for r in out.values())
