@@ -590,3 +590,57 @@ def test_windowed_sessions_match_batch_sessionize(spark, sf_dir):
             r.n,
         )
     assert got == want and len(got) > 0
+
+
+def test_foreach_batch_streaming_distinct_sketch(spark, sf_dir, tmp_path):
+    """Streaming distinct-user counts — the metric plain streaming
+    aggregation cannot maintain (distinct does not decompose) but the
+    HLL state does: foreachBatch folds each micro-batch's sketch into
+    the parquet state; after the stream drains, the per-key estimate
+    equals sketching the whole table at once EXACTLY (associative
+    deterministic union), and tracks exact distincts within bound."""
+    import os
+
+    from sparkgraft.incremental import merge_distinct, partial_distinct
+
+    state_path = str(tmp_path / "state")
+
+    def fold_batch(batch_df, batch_id):
+        part = partial_distinct(batch_df, ["event_type"], "user_id")
+        if os.path.exists(state_path):
+            prev = spark.read.parquet(state_path).select(
+                "event_type", "distinct_sketch"
+            )
+            merged = merge_distinct([prev, part], ["event_type"])
+        else:
+            merged = merge_distinct([part], ["event_type"])
+        tmp = state_path + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+
+    stream = ST.stream_table(spark, sf_dir, "events", split_files=4)
+    n_batches = ST.run_stream_foreach_batch(
+        stream, fold_batch, str(tmp_path / "ckpt")
+    )
+    assert n_batches >= 3
+
+    got = {
+        r.event_type: r.n_distinct
+        for r in spark.read.parquet(state_path).collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    direct = {
+        r.event_type: r.n_distinct
+        for r in merge_distinct(
+            [partial_distinct(ev, ["event_type"], "user_id")], ["event_type"]
+        ).collect()
+    }
+    assert got == direct  # fold across micro-batches == one-shot sketch
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(2, 0.05 * n)
