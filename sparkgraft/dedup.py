@@ -52,6 +52,7 @@ __all__ = [
     "near_dup_clusters",
     "near_dup_committee",
     "dedup_spans",
+    "near_dup_incremental",
 ]
 
 
@@ -1071,5 +1072,130 @@ def dedup_spans(
             F.coalesce("n_segs", F.lit(0)).alias("n_segs"),
             F.coalesce("n_segs_removed", F.lit(0)).alias("n_segs_removed"),
             F.coalesce("n_tokens_removed", F.lit(0)).alias("n_tokens_removed"),
+        )
+    )
+
+
+def near_dup_incremental(
+    new_docs: DataFrame,
+    seen_signatures: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup dedup of an ARRIVING batch against all of history
+    WITHOUT recomputing history — the cross-run twin of
+    ``dedup_incremental`` (exact) for the MinHash tier: the persistent
+    store holds one ``(doc_id, signature)`` row per historical
+    document (a few hundred bytes each — the store never holds text
+    or shingles), and each run:
+
+    1. computes signatures for the new batch only (the ONLY text pass);
+    2. derives LSH band hashes from BOTH signature sets row-locally
+       (md5 over signature slices — no retokenization of history);
+    3. joins new bands to historical bands on ``(band, band_hash)``
+       for candidates (uniform hash key, ~linear);
+    4. verifies candidates by ESTIMATED Jaccard — the fraction of
+       agreeing minhash positions, the standard estimator, computable
+       from stored signatures alone (exact-Jaccard verification would
+       require storing shingle sets: ~the corpus itself).
+
+    Returns one row per new document: ``(id_col, matched_id,
+    est_jaccard, is_dup, signature)`` where ``matched_id`` is the
+    best-matching historical doc (highest estimate, lowest id on
+    ties; NULL when no candidate) and ``signature`` is ready to
+    append to the store for the next run. Within-batch near-dups are
+    NOT resolved here — run ``minhash_near_dups`` on the batch first
+    if arrivals can duplicate each other.
+    """
+    rows = num_hashes // num_bands
+
+    def bands_of(sig_df: DataFrame, label: str) -> DataFrame:
+        return (
+            sig_df.select(
+                F.col(id_col).alias(label),
+                F.explode_outer(
+                    lsh_bands(F.col("signature"), num_bands, rows)
+                ).alias("b"),
+            )
+            .where(F.col("b").isNotNull())
+            .select(
+                label,
+                F.col("b.band").alias("band"),
+                F.col("b.band_hash").alias("band_hash"),
+            )
+        )
+
+    new_sigs = (
+        _doc_shingle_sets(new_docs, text_col, id_col, k)
+        .where(F.size("shingles") > 0)
+        .select(
+            F.col("doc_id").alias(id_col),
+            signature_from_shingles(F.col("shingles"), num_hashes).alias(
+                "signature"
+            ),
+        )
+        .persist()
+    )
+    seen = seen_signatures.select(
+        F.col(id_col).alias("__old_id"), F.col("signature").alias("__old_sig")
+    )
+    cands = (
+        bands_of(new_sigs, id_col)
+        .join(
+            bands_of(
+                seen.select(
+                    F.col("__old_id").alias(id_col),
+                    F.col("__old_sig").alias("signature"),
+                ),
+                "__old_id",
+            ),
+            ["band", "band_hash"],
+        )
+        .select(id_col, "__old_id")
+        .distinct()
+    )
+    est = (
+        cands.join(new_sigs, id_col)
+        .join(seen, "__old_id")
+        .select(
+            id_col,
+            "__old_id",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("signature"),
+                            F.col("__old_sig"),
+                            lambda a, b: a == b,
+                        ),
+                        lambda x: x,
+                    )
+                )
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+    )
+    best = est.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("est_jaccard").alias("j"),
+                (-F.col("__old_id")).alias("neg_id"),
+            )
+        ).alias("b")
+    )
+    return (
+        new_sigs.join(best, id_col, "left")
+        .select(
+            id_col,
+            (-F.col("b.neg_id")).alias("matched_id"),
+            F.col("b.j").alias("est_jaccard"),
+            F.coalesce(
+                F.col("b.j") >= threshold, F.lit(False)
+            ).alias("is_dup"),
+            "signature",
         )
     )

