@@ -63,9 +63,11 @@ def pagerank(
     w: Column = F.lit(1.0) if weight_col is None else F.col(weight_col).cast(
         "double"
     )
-    e = edges.select(
-        F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
-    )
+    # NULL endpoints carry no usable identity: drop the edge rather
+    # than materialize a NULL node that joins to nothing
+    e = edges.where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    ).select(F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w"))
     nodes = (
         e.select(F.col("__s").alias("node"))
         .union(e.select(F.col("__d").alias("node")))
