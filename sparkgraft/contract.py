@@ -36,6 +36,7 @@ __all__ = [
     "profile_drift",
     "numeric_correlations",
     "mad_outliers",
+    "psi_drift",
 ]
 
 
@@ -414,4 +415,91 @@ def mad_outliers(
         F.when(F.col("mad") > 0, F.abs(z) > z_threshold)
         .otherwise(dev_out > 0)
         .alias("is_outlier"),
+    )
+
+
+def psi_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard distribution-shift score model-monitoring
+    gates on (rule of thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25
+    shifted): ``PSI = sum over bins of (p_b - q_b) * ln(p_b / q_b)``
+    with fixed ``[lo, hi)`` bins (edge-clamped, like the incremental
+    histogram states this composes with). Complements
+    ``profile_drift``, which sees null-fraction and cardinality moves
+    but is blind to a distribution sliding within the same range.
+
+    Zero-count bins take the standard epsilon (1e-6) so the log stays
+    finite. Each side is ONE map-side-combinable aggregate (bins
+    conditional sums); the PSI arithmetic runs on the joined
+    ``bins``-row frames. Per-bin fractions round to 6 BEFORE the log
+    (the repo's engine-portability convention), so the score is
+    oracle-comparable.
+
+    Returns one row: ``(n_baseline, n_current, psi)``.
+    """
+    eps = 1e-6
+
+    def frac(df: DataFrame, side: str) -> DataFrame:
+        v = F.col(col).cast("double")
+        width = (hi - lo) / bins
+        bin_expr = F.least(
+            F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+            F.lit(bins - 1),
+        ).cast("int")
+        counts = (
+            df.where(v.isNotNull())
+            .groupBy(bin_expr.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(f"__n_{side}"))
+        )
+        return counts
+
+    b = frac(baseline, "b")
+    c = frac(current, "c")
+    all_bins = baseline.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    joined = (
+        all_bins.join(b, "bin", "left")
+        .join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("__n_b", F.lit(0)).alias("nb"),
+            F.coalesce("__n_c", F.lit(0)).alias("nc"),
+        )
+        .crossJoin(
+            F.broadcast(
+                all_bins.join(b, "bin", "left")
+                .join(c, "bin", "left")
+                .agg(
+                    F.sum(F.coalesce("__n_b", F.lit(0))).alias("tb"),
+                    F.sum(F.coalesce("__n_c", F.lit(0))).alias("tc"),
+                )
+            )
+        )
+    )
+    p = F.greatest(
+        F.round(F.col("nb") / F.col("tb"), scale), F.lit(eps)
+    )
+    q = F.greatest(
+        F.round(F.col("nc") / F.col("tc"), scale), F.lit(eps)
+    )
+    per_bin = joined.select(
+        "tb",
+        "tc",
+        ((p - q) * F.log(p / q)).cast("decimal(38,10)").alias("__term"),
+    )
+    return per_bin.groupBy("tb", "tc").agg(
+        F.round(F.sum("__term").cast("double"), scale).alias("psi")
+    ).select(
+        F.col("tb").cast("bigint").alias("n_baseline"),
+        F.col("tc").cast("bigint").alias("n_current"),
+        "psi",
     )

@@ -40,6 +40,9 @@ __all__ = [
     "merge_aggregates",
     "partial_distinct",
     "merge_distinct",
+    "partial_histogram",
+    "merge_histograms",
+    "histogram_quantile",
 ]
 
 # spec kinds -> (batch aggregate, state-merge aggregate)
@@ -170,4 +173,84 @@ def merge_distinct(
         *keys,
         sketch_col,
         F.hll_sketch_estimate(F.col(sketch_col)).alias(estimate_col),
+    )
+
+
+def partial_histogram(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 32,
+) -> DataFrame:
+    """One batch's keyed fixed-bin histogram — the state that makes
+    QUANTILES decomposable (the way the HLL sketch decomposes
+    count-distinct): with bounds fixed up front, bin counts are plain
+    summable monoids, so per-batch histograms merge exactly and any
+    quantile reads off the merged cumulative counts. The price is the
+    fixed ``[lo, hi)`` domain (values clamp into the edge bins —
+    counted, never dropped) and bin-width resolution; the gain is a
+    state table of ``bins`` longs per key that folds forever.
+
+    Returns ``keys + (bin int, n bigint)`` — long form, so merging is
+    ``unionByName + groupBy sum`` with ordinary map-side combine.
+    """
+    v = F.col(col).cast("double")
+    width = (hi - lo) / bins
+    bin_expr = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*keys, bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_histograms(
+    states: Sequence[DataFrame], keys: Sequence[str]
+) -> DataFrame:
+    """Fold per-batch histogram states: union + one summing groupBy on
+    ``keys + bin`` — shuffle proportional to |keys| x bins, never the
+    history."""
+    from functools import reduce as _reduce
+
+    if not states:
+        raise ValueError("merge_histograms: need at least one state table")
+    unioned = _reduce(lambda a, b: a.unionByName(b), states)
+    return unioned.groupBy(*keys, "bin").agg(F.sum("n").alias("n"))
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    keys: Sequence[str],
+    q: float,
+    lo: float,
+    hi: float,
+    bins: int = 32,
+    out_col: str = "quantile",
+) -> DataFrame:
+    """Read a quantile off a (merged) histogram state: the left edge
+    of the first bin whose cumulative count reaches ``q`` of the key's
+    total — resolution is the bin width, the standard histogram
+    estimator (same convention as ``packing.ntile_by_histogram``: no
+    interpolation, a real data value's bin edge). One window over the
+    ``bins``-row-per-key state — the data is long gone.
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    w = Window.partitionBy(*keys).orderBy("bin")
+    tot = Window.partitionBy(*keys)
+    cum = (
+        hist.withColumn("__cum", F.sum("n").over(w))
+        .withColumn("__tot", F.sum("n").over(tot))
+        .where(F.col("__cum") >= F.lit(q) * F.col("__tot"))
+    )
+    first = cum.groupBy(*keys).agg(F.min("bin").alias("__bin"))
+    return first.select(
+        *keys,
+        (F.lit(lo) + F.col("__bin") * F.lit(width)).alias(out_col),
     )

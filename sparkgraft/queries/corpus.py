@@ -544,3 +544,65 @@ def order_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         id_cols=["o_orderkey"],
     )
+
+
+@register(
+    "order_price_psi_drift",
+    # Retired-tier BREADTH query: the PSI distribution-shift score
+    # verified on every pytest run — binning, per-bin fractions
+    # (round-6 before the log), the epsilon guard, and the
+    # decimal-summed PSI all recomputed in SQL.
+    retired=True,
+    oracle="""
+    WITH base AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+    ),
+    cur AS (
+        SELECT CAST(o_totalprice AS DOUBLE) * 1.15 AS v
+        FROM orders WHERE o_custkey % 2 = 1
+    ),
+    bb AS (
+        SELECT CAST(least(greatest(floor((v - 0.0) / 60000.0), 0), 9)
+                    AS INT) AS bin, count(*) AS n
+        FROM base GROUP BY 1
+    ),
+    cc AS (
+        SELECT CAST(least(greatest(floor((v - 0.0) / 60000.0), 0), 9)
+                    AS INT) AS bin, count(*) AS n
+        FROM cur GROUP BY 1
+    ),
+    grid AS (SELECT unnest(range(0, 10)) AS bin),
+    j AS (
+        SELECT g.bin, coalesce(bb.n, 0) AS nb, coalesce(cc.n, 0) AS nc
+        FROM grid g LEFT JOIN bb ON g.bin = bb.bin
+                    LEFT JOIN cc ON g.bin = cc.bin
+    ),
+    tot AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM j),
+    terms AS (
+        SELECT tot.tb, tot.tc,
+               CAST((greatest(round(j.nb / tot.tb, 6), 1e-6)
+                     - greatest(round(j.nc / tot.tc, 6), 1e-6))
+                    * ln(greatest(round(j.nb / tot.tb, 6), 1e-6)
+                         / greatest(round(j.nc / tot.tc, 6), 1e-6))
+                    AS DECIMAL(38,10)) AS term
+        FROM j, tot
+    )
+    SELECT CAST(tb AS BIGINT) AS n_baseline,
+           CAST(tc AS BIGINT) AS n_current,
+           round(CAST(sum(term) AS DOUBLE), 6) AS psi
+    FROM terms GROUP BY tb, tc
+    """,
+)
+def order_price_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contract.psi_drift: the Population Stability Index between the
+    full order-price distribution and a 15%-inflated half-sample — the
+    distribution-shift score model monitoring gates on, which
+    profile_drift's null/cardinality checks cannot see. Two one-pass
+    bin aggregates; the PSI arithmetic runs on 10-row frames."""
+    from ..contract import psi_drift
+
+    orders = read_table(spark, sf_dir, "orders")
+    current = orders.where(F.col("o_custkey") % 2 == 1).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.15
+    )
+    return psi_drift(orders, current, "o_totalprice", 0.0, 600000.0, bins=10)

@@ -229,3 +229,27 @@ def test_mad_outliers_planted_and_degenerate(spark):
     assert out[("B", 99)].is_outlier is True
     assert out[("B", 99)].robust_z is None
     assert all(out[("B", i)].is_outlier is False for i in range(6))
+
+
+def test_psi_drift_detects_shift(spark, sf_dir):
+    """PSI: a snapshot against itself scores ~0; a 15%-scaled copy of
+    the same column scores well above the 0.1 drift line."""
+    from sparkgraft.contract import psi_drift
+    from sparkgraft.io import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    same = psi_drift(
+        orders, orders, "o_totalprice", 0.0, 600000.0, bins=10
+    ).collect()[0]
+    assert same.psi == 0.0
+    assert same.n_baseline == same.n_current
+
+    from pyspark.sql import functions as SF
+
+    shifted = orders.withColumn(
+        "o_totalprice", SF.col("o_totalprice") * 1.15
+    )
+    moved = psi_drift(
+        orders, shifted, "o_totalprice", 0.0, 600000.0, bins=10
+    ).collect()[0]
+    assert moved.psi > 0.1

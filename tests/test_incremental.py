@@ -107,3 +107,46 @@ def test_distinct_sketch_merge_equals_direct(spark, sf_dir):
     )
     r = {x.event_type: x.n_distinct for x in refolded.collect()}
     assert r == f
+
+
+def test_histogram_states_fold_and_quantile(spark, sf_dir):
+    """Histogram states decompose quantiles: per-batch histograms fold
+    to the identical merged state as one-shot histogramming, and the
+    read-off median lands within one bin width of the exact median."""
+    from sparkgraft.incremental import (
+        histogram_quantile,
+        merge_histograms,
+        partial_histogram,
+    )
+    from sparkgraft.io import read_table
+
+    lo, hi, bins = 0.0, 600000.0, 64
+    orders = read_table(spark, sf_dir, "orders")
+    batches = [orders.where(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    states = [
+        partial_histogram(b, ["o_orderpriority"], "o_totalprice", lo, hi, bins)
+        for b in batches
+    ]
+    folded = merge_histograms(states, ["o_orderpriority"])
+    direct = partial_histogram(
+        orders, ["o_orderpriority"], "o_totalprice", lo, hi, bins
+    )
+    f = {(r.o_orderpriority, r.bin): r.n for r in folded.collect()}
+    d = {(r.o_orderpriority, r.bin): r.n for r in direct.collect()}
+    assert f == d  # exact: bin counts are plain sums
+
+    med = {
+        r.o_orderpriority: r.quantile
+        for r in histogram_quantile(
+            folded, ["o_orderpriority"], 0.5, lo, hi, bins
+        ).collect()
+    }
+    exact = {
+        r.o_orderpriority: r.m
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.expr("percentile(o_totalprice, 0.5)").alias("m"))
+        .collect()
+    }
+    width = (hi - lo) / bins
+    for k, m in exact.items():
+        assert abs(med[k] - m) <= width, (k, med[k], m)
