@@ -466,6 +466,11 @@ def psi_drift(
     all_bins = baseline.sparkSession.range(bins).select(
         F.col("id").cast("int").alias("bin")
     )
+    from pyspark.sql import Window
+
+    # totals via a window over the bins-row frame — each input is
+    # aggregated exactly once; everything after runs on `bins` rows
+    whole = Window.partitionBy()
     joined = (
         all_bins.join(b, "bin", "left")
         .join(c, "bin", "left")
@@ -474,16 +479,8 @@ def psi_drift(
             F.coalesce("__n_b", F.lit(0)).alias("nb"),
             F.coalesce("__n_c", F.lit(0)).alias("nc"),
         )
-        .crossJoin(
-            F.broadcast(
-                all_bins.join(b, "bin", "left")
-                .join(c, "bin", "left")
-                .agg(
-                    F.sum(F.coalesce("__n_b", F.lit(0))).alias("tb"),
-                    F.sum(F.coalesce("__n_c", F.lit(0))).alias("tc"),
-                )
-            )
-        )
+        .withColumn("tb", F.sum("nb").over(whole))
+        .withColumn("tc", F.sum("nc").over(whole))
     )
     p = F.greatest(
         F.round(F.col("nb") / F.col("tb"), scale), F.lit(eps)
