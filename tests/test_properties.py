@@ -633,3 +633,105 @@ def test_dedup_spans_matches_python_model(spark, docs):
         for r in D.dedup_spans(df, "text", "doc_id", avg_tokens=8).collect()
     }
     assert got == model()
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 12),                      # key
+            st.one_of(st.none(), st.text("ab", max_size=2)),  # payload a
+            st.one_of(st.none(), st.integers(0, 3)),          # payload b
+        ),
+        max_size=15,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(0, 12),
+            st.one_of(st.none(), st.text("ab", max_size=2)),
+            st.one_of(st.none(), st.integers(0, 3)),
+        ),
+        max_size=15,
+    ),
+)
+def test_snapshot_diff_inverts_cdc_on_random_tables(spark, old_rows, new_rows):
+    """For ANY pair of keyed snapshots (first row per key wins),
+    applying the diff-derived change feed to `old` reproduces `new`
+    exactly — insert/update/delete classification is total and
+    correct, NULLs included."""
+    from pyspark.sql import functions as SF
+
+    from sparkgraft.relational import apply_cdc, snapshot_diff
+
+    def dedup_first(rows):
+        seen, out = set(), []
+        for k, a, b in rows:
+            if k not in seen:
+                seen.add(k)
+                out.append((k, a, b))
+        return out
+
+    schema = "k long, a string, b int"
+    old = spark.createDataFrame(dedup_first(old_rows) or [(-(10**6), None, None)], schema)
+    new = spark.createDataFrame(dedup_first(new_rows) or [(-(10**6) - 1, None, None)], schema)
+    changes = (
+        snapshot_diff(old, new, ["k"])
+        .withColumnRenamed("change_type", "op")
+        .withColumn(
+            "op",
+            SF.when(SF.col("op") == "delete", "D")
+            .when(SF.col("op") == "insert", "I")
+            .otherwise("U"),
+        )
+        .join(new, ["k"], "left")
+        .withColumn("seq", SF.lit(1))
+    )
+    rebuilt = apply_cdc(old, changes, "k")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9), st.integers(1, 4)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_pagerank_matches_numpy_on_random_graphs(spark, raw_edges):
+    """Random small digraphs (self-loops and multi-edges folded):
+    distributed PageRank tracks the full-precision numpy twin."""
+    import math as _math
+
+    from sparkgraft.graph import pagerank
+
+    from test_graph import numpy_pagerank
+
+    folded = {}
+    for u, v, w in raw_edges:
+        if u == v:
+            continue
+        folded[(u, v)] = folded.get((u, v), 0.0) + float(w)
+    edges = [(u, v, w) for (u, v), w in folded.items()]
+    if not edges:
+        edges = [(0, 1, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, weight_col="w", iters=6).collect()
+    }
+    want = numpy_pagerank(edges, iters=6)
+    assert set(got) == set(want)
+    for v in want:
+        assert _math.isclose(got[v], want[v], abs_tol=1e-5), (v, got[v], want[v])
+    assert _math.isclose(sum(got.values()), 1.0, abs_tol=1e-4)
