@@ -182,3 +182,29 @@ def test_r5_operator_plan_shape(spark, sf_dir, which, max_exchanges):
     assert "BatchEvalPython" not in plan, which
     n = plan.count("Exchange")
     assert n <= max_exchanges, f"{which}: {n} Exchange ops (pinned {max_exchanges})"
+
+
+NON_HEADLINE_ACTIVE = sorted(
+    name
+    for name in Q.QUERIES
+    if name not in bench.HEADLINE and not name.startswith("stream_")
+)
+
+
+@pytest.mark.parametrize("name", NON_HEADLINE_ACTIVE)
+def test_active_nonheadline_no_row_udfs_or_cartesian(spark, sf_dir, name):
+    """The structural no-anti-pattern floor for the ACTIVE queries the
+    headline pins don't cover: no row-at-a-time Python (Arrow-batched
+    mapInPandas/ArrowEval is allowed, BatchEvalPython is not) and no
+    unbounded CartesianProduct anywhere in the driver-facing surface.
+    (Streaming queries execute micro-batches on construction and are
+    parity-gated in test_streaming instead.)"""
+    spark.catalog.clearCache()
+    plan = (
+        Q.QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    assert "CartesianProduct" not in plan, name
