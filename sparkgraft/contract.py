@@ -445,6 +445,13 @@ def psi_drift(
 
     Returns one row: ``(n_baseline, n_current, psi)``.
     """
+    if bins < 1:
+        raise ValueError(f"psi_drift: bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(
+            f"psi_drift: need hi > lo, got lo={lo} hi={hi} — a degenerate "
+            "range would send every row into a NULL bin"
+        )
     eps = 1e-6
 
     def frac(df: DataFrame, side: str) -> DataFrame:

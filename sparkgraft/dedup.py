@@ -1179,11 +1179,15 @@ def near_dup_incremental(
             ).alias("est_jaccard"),
         )
     )
+    # min of (-jaccard, old_id): highest estimate, lowest id on ties.
+    # Negate the ESTIMATE (a double), never the id — ``-id`` on a
+    # string id column casts to double and yields NULL, silently
+    # blanking matched_id for every row while is_dup still computes.
     best = est.groupBy(id_col).agg(
-        F.max(
+        F.min(
             F.struct(
-                F.col("est_jaccard").alias("j"),
-                (-F.col("__old_id")).alias("neg_id"),
+                (-F.col("est_jaccard")).alias("nj"),
+                F.col("__old_id").alias("oid"),
             )
         ).alias("b")
     )
@@ -1191,10 +1195,10 @@ def near_dup_incremental(
         new_sigs.join(best, id_col, "left")
         .select(
             id_col,
-            (-F.col("b.neg_id")).alias("matched_id"),
-            F.col("b.j").alias("est_jaccard"),
+            F.col("b.oid").alias("matched_id"),
+            (-F.col("b.nj")).alias("est_jaccard"),
             F.coalesce(
-                F.col("b.j") >= threshold, F.lit(False)
+                -F.col("b.nj") >= threshold, F.lit(False)
             ).alias("is_dup"),
             "signature",
         )

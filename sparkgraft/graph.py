@@ -64,13 +64,21 @@ def pagerank(
         "double"
     )
     # NULL endpoints carry no usable identity: drop the edge rather
-    # than materialize a NULL node that joins to nothing
+    # than materialize a NULL node that joins to nothing. Edges with
+    # non-positive weight carry no rank mass either — but their
+    # SOURCE must not appear in outw, or a node whose out-weights sum
+    # to 0 divides by __ow = 0, its contributions go NULL, and its
+    # rank mass silently evaporates (ranks stop summing to 1). Nodes
+    # still enter the graph via ``nodes`` below; filtering here just
+    # makes zero-out-weight sources properly dangling.
     e = edges.where(
         F.col(src).isNotNull() & F.col(dst).isNotNull()
     ).select(F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w"))
+    nodes_src = e
+    e = e.where(F.col("__w") > 0)
     nodes = (
-        e.select(F.col("__s").alias("node"))
-        .union(e.select(F.col("__d").alias("node")))
+        nodes_src.select(F.col("__s").alias("node"))
+        .union(nodes_src.select(F.col("__d").alias("node")))
         .distinct()
         .persist()
     )
@@ -152,11 +160,14 @@ def degree_stats(
     """Per-node in/out degree — the profiling pass before any graph
     algorithm (hub detection feeds the same skew mitigations as hot
     join keys: salting, hub caps). One aggregate per direction, one
-    outer-join merge."""
-    out_d = edges.groupBy(F.col(src).alias("node")).agg(
+    outer-join merge. NULL-endpoint edges are dropped under the SAME
+    policy as ``pagerank`` — the profiling pass must not report a
+    NULL node the algorithm will never see."""
+    e = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    out_d = e.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("out_degree")
     )
-    in_d = edges.groupBy(F.col(dst).alias("node")).agg(
+    in_d = e.groupBy(F.col(dst).alias("node")).agg(
         F.count(F.lit(1)).alias("in_degree")
     )
     return (

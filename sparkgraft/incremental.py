@@ -196,6 +196,13 @@ def partial_histogram(
     Returns ``keys + (bin int, n bigint)`` — long form, so merging is
     ``unionByName + groupBy sum`` with ordinary map-side combine.
     """
+    if bins < 1:
+        raise ValueError(f"partial_histogram: bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(
+            f"partial_histogram: need hi > lo, got lo={lo} hi={hi} — a "
+            "degenerate range would send every row into a NULL bin"
+        )
     v = F.col(col).cast("double")
     width = (hi - lo) / bins
     bin_expr = F.least(
@@ -241,6 +248,12 @@ def histogram_quantile(
     """
     from pyspark.sql import Window
 
+    if bins < 1:
+        raise ValueError(f"histogram_quantile: bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(
+            f"histogram_quantile: need hi > lo, got lo={lo} hi={hi}"
+        )
     width = (hi - lo) / bins
     w = Window.partitionBy(*keys).orderBy("bin")
     tot = Window.partitionBy(*keys)

@@ -1046,18 +1046,21 @@ def semantic_decontaminate(
             ),
         )
     )
-    # max of (sim, -eval_id): highest similarity, lowest eval id on ties
+    # min of (-sim, eval_id): highest similarity, lowest eval id on
+    # ties. The NEGATION rides the similarity (always a double), never
+    # the id — negating the id silently casts string ids to NULL
+    # doubles and the tiebreak (and the matched id itself) vanishes.
     best = scored.groupBy(id_col).agg(
-        F.max(
+        F.min(
             F.struct(
-                F.col("__sim").alias("s"),
-                (-F.col("__eval_id")).alias("neg_id"),
+                (-F.col("__sim")).alias("ns"),
+                F.col("__eval_id").alias("eid"),
             )
         ).alias("b")
     )
     return best.select(
         id_col,
-        F.col("b.s").alias("max_eval_sim"),
-        (-F.col("b.neg_id")).alias("nearest_eval_id"),
-        (F.col("b.s") >= threshold).alias("contaminated"),
+        (-F.col("b.ns")).alias("max_eval_sim"),
+        F.col("b.eid").alias("nearest_eval_id"),
+        (-F.col("b.ns") >= threshold).alias("contaminated"),
     )

@@ -253,3 +253,16 @@ def test_psi_drift_detects_shift(spark, sf_dir):
         orders, shifted, "o_totalprice", 0.0, 600000.0, bins=10
     ).collect()[0]
     assert moved.psi > 0.1
+
+
+def test_psi_drift_degenerate_range_raises(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparkgraft.contract import psi_drift
+
+    df = spark.range(3).withColumn("v", F.col("id").cast("double"))
+    with pytest.raises(ValueError):
+        psi_drift(df, df, "v", lo=1.0, hi=1.0)
+    with pytest.raises(ValueError):
+        psi_drift(df, df, "v", lo=0.0, hi=1.0, bins=0)

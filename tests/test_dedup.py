@@ -466,3 +466,31 @@ def test_near_dup_incremental_flags_against_history_only(spark):
     # the returned signature is the store row for the next run
     assert len(out[21].signature) == 16
     assert out[21].signature == out[21].signature  # present, stable
+
+
+def test_near_dup_incremental_string_ids_tiebreak(spark):
+    """ADVICE r5: the old tiebreak negated the id column, which casts
+    string ids to NULL doubles — matched_id silently blanked for every
+    row. The tiebreak must negate the ESTIMATE instead: string ids
+    survive, and ties on est_jaccard resolve to the LOWEST id."""
+    hist_text = "the quick brown fox jumps over the lazy dog again and again"
+    hist = spark.createDataFrame(
+        [("doc-b", hist_text), ("doc-a", hist_text)],  # identical twins
+        "doc_id string, text string",
+    )
+    seen = (
+        D._doc_shingle_sets(hist, "text", "doc_id", 3)
+        .where(F.size("shingles") > 0)
+        .select(
+            "doc_id",
+            D.signature_from_shingles(F.col("shingles"), 16).alias("signature"),
+        )
+    )
+    arrivals = spark.createDataFrame(
+        [("doc-z", hist_text)], "doc_id string, text string"
+    )
+    [row] = D.near_dup_incremental(
+        arrivals, seen, "text", "doc_id", threshold=0.25
+    ).collect()
+    assert row.is_dup and row.est_jaccard == 1.0
+    assert row.matched_id == "doc-a"  # lowest id wins the tie, not NULL

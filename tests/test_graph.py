@@ -97,3 +97,42 @@ def test_pagerank_tol_early_stop_matches_full_run(spark):
     }
     # converged: the early-stopped ranks equal the full run at round-6
     assert early == full
+
+
+def test_pagerank_zero_weight_source_is_dangling(spark):
+    """ADVICE r5: a node whose out-weights sum to 0 must count as
+    DANGLING (its mass redistributes) rather than dividing by
+    __ow = 0 and silently dropping rank mass. Ranks still sum to 1,
+    and the result equals the same graph with the zero edge removed."""
+    edges = [(1, 2, 1.0), (2, 1, 1.0), (3, 1, 0.0)]  # 3: zero out-weight
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {r.node: r.rank for r in pagerank(df, weight_col="w", iters=8).collect()}
+    assert set(got) == {1, 2, 3}
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-6)
+    # same update rule as numpy twin with node 3 dangling
+    want = numpy_pagerank([(1, 2, 1.0), (2, 1, 1.0)] , iters=8)
+    # numpy twin lacks node 3; rebuild with it present but edge-less:
+    # emulate by adding 3 to the node set via a self-describing run
+    n = 3
+    r = {1: 1 / n, 2: 1 / n, 3: 1 / n}
+    d = 0.85
+    for _ in range(8):
+        dang = d * r[3]
+        r = {
+            1: (1 - d) / n + d * r[2] + dang / n,
+            2: (1 - d) / n + d * r[1] + dang / n,
+            3: (1 - d) / n + dang / n,
+        }
+    for k in (1, 2, 3):
+        assert math.isclose(got[k], r[k], abs_tol=5e-6), (k, got[k], r[k])
+
+
+def test_degree_stats_drops_null_endpoint_edges(spark):
+    """ADVICE r5: degree_stats applies the same NULL-endpoint edge
+    filter as pagerank — no NULL node row in the profile."""
+    df = spark.createDataFrame(
+        [(1, 2), (None, 2), (1, None)], "src long, dst long"
+    )
+    rows = {r.node: (r.out_degree, r.in_degree) for r in degree_stats(df).collect()}
+    assert None not in rows
+    assert rows == {1: (1, 0), 2: (0, 1)}

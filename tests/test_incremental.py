@@ -150,3 +150,19 @@ def test_histogram_states_fold_and_quantile(spark, sf_dir):
     width = (hi - lo) / bins
     for k, m in exact.items():
         assert abs(med[k] - m) <= width, (k, med[k], m)
+
+
+def test_histogram_degenerate_range_raises(spark):
+    """ADVICE r5: hi <= lo (or bins < 1) must raise, not silently bin
+    every row into NULL."""
+    import pytest
+
+    from sparkgraft.incremental import histogram_quantile, partial_histogram
+
+    df = spark.range(3).withColumn("v", F.col("id").cast("double"))
+    with pytest.raises(ValueError):
+        partial_histogram(df, [], "v", lo=5.0, hi=5.0)
+    with pytest.raises(ValueError):
+        partial_histogram(df, [], "v", lo=0.0, hi=1.0, bins=0)
+    with pytest.raises(ValueError):
+        histogram_quantile(df, [], 0.5, lo=2.0, hi=1.0)

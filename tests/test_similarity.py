@@ -411,3 +411,22 @@ def test_semantic_decontaminate_catches_paraphrase_leak(spark):
     assert out[2].contaminated and out[2].max_eval_sim > 0.99
     assert not out[3].contaminated and abs(out[3].max_eval_sim) < 0.01
     assert all(r.nearest_eval_id == 100 for r in out.values())
+
+
+def test_semantic_decontaminate_string_eval_ids(spark):
+    """ADVICE r5: nearest_eval_id must survive string eval ids (the old
+    tiebreak negated the id, casting strings to NULL); ties on the
+    rounded max resolve to the lowest id."""
+    from sparkgraft.similarity import semantic_decontaminate
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    corpus = spark.createDataFrame(
+        [("c1", v)], "vec_id string, embedding array<float>"
+    )
+    eval_df = spark.createDataFrame(
+        [("ev-b", v), ("ev-a", v)],  # identical -> tie at sim 1.0
+        "vec_id string, embedding array<float>",
+    )
+    [row] = semantic_decontaminate(corpus, eval_df, threshold=0.9).collect()
+    assert row.contaminated and row.max_eval_sim == 1.0
+    assert row.nearest_eval_id == "ev-a"
