@@ -994,11 +994,48 @@ def dedup_spans(
     position) and stripped everywhere else — C4 / MassiveText line
     dedup generalized to shift-robust boundaries.
 
-    Exactly two shuffles at any corpus size, both on uniform keys:
-    the keep-first window partitions on the md5 segment hash, and the
-    rebuild groups on ``id_col``. Segment text rides along in the
-    shuffle (needed for reassembly) but the candidate logic keys only
-    on hashes. No driver action, no UDF, no quadratic stage.
+    Text crosses exactly ONE exchange at any corpus size (the scan
+    fan-out before segmentation; the per-document regroup is a
+    DISK_ONLY ``localCheckpoint`` write, the distributed-disk
+    equivalent of one more corpus write), and the tokenize+segment
+    Generate runs exactly ONCE — enforced by MATERIALIZATION, not by
+    optimizer goodwill. The per-doc ``groupBy(id_col)`` aggregation is
+    the shared spine of the operator: both the keep/strip decision
+    path and the final rebuild read it, and without a checkpoint
+    Catalyst INLINES the spine subtree into each consumer (DataFrame
+    reuse is not plan reuse), re-running the whole segmentation
+    expression per consumer; ``ReusedExchange`` cannot rescue it
+    because the consumers push different filters/prunings into their
+    copies, so the canonicalized exchanges never match. The measured
+    cost of that inlining was 3 scans + 3 Generates and a
+    nondeterministic interpreted-path CPU blowup (one driver pass
+    burned 1204 s CPU vs 32 s for the identical query). After the
+    checkpoint the decision path re-explodes a HASHES-ONLY projection
+    ``(doc_id, seg_idx, seg_hash, n_seg_tokens)`` (~50 bytes/row), so
+    no decision-path exchange carries text. Earlier shapes of this
+    operator all failed at driver scale and are documented here as the
+    contrast set: (a) a row_number window over ``seg_hash`` shuffled
+    segment text through a skew-sensitive window stage (driver passes
+    5.6/16.0/15.1 s — spill-bimodal); (b) re-deriving the segment
+    stream per consumer ran the Generate three times and
+    round-robin-shuffled RAW text three times (passes 192/11/8 s); (c)
+    restoring empty docs via an id-spine join let the optimizer
+    BROADCAST the full rebuilt text. Here empty/NULL-text docs stay
+    in-stream (``explode_outer`` emits a NULL segment that the collect
+    skips), so there is no spine join to mis-broadcast.
+
+    The keeper per hash is a map-side-combinable
+    ``min(struct(doc_id, seg_idx))`` aggregate, NOT a row_number
+    window: a hyper-duplicated boilerplate segment (cookie banners,
+    license headers — billions of copies at crawl scale) collapses to
+    one candidate per map partition before the exchange instead of
+    funnelling every copy into a single window partition, and only
+    genuinely duplicated hashes (count > 1) enter the loser join,
+    which AQE skew-split handles. No driver action, no UDF, no
+    quadratic stage, and no MEMORY caching (the spine checkpoint is
+    DISK_ONLY: per-executor local disk holds corpus/num_executors
+    bytes, the same budget class as the shuffle itself — pinning the
+    segment stream in executor MEMORY would hold ~the corpus).
 
     Returns one row per input document:
     ``(id_col, text_dedup, n_segs, n_segs_removed, n_tokens_removed)``
@@ -1007,73 +1044,114 @@ def dedup_spans(
     '' for empty docs). Deterministic under any partitioning: the
     keep-first tiebreak is the total order ``(doc_id, seg_idx)``.
     """
-    from pyspark.sql import Window
-
     from .relational import spread
     from .text import cdc_segments
 
-    # explode_outer + null filter, NOT plain explode: from a bare
-    # explode, InferFiltersFromGenerate derives ``size(segments) > 0``,
-    # inlines the WHOLE tokenize+segment+hash expression tree into that
-    # filter and pushes it below the spread Exchange — re-running the
+    # explode_outer, NOT plain explode: from a bare explode,
+    # InferFiltersFromGenerate derives ``size(segments) > 0``, inlines
+    # the WHOLE tokenize+segment+hash expression tree into that filter
+    # and pushes it below the spread Exchange — re-running the
     # segmentation in the single-task scan stage (the _doc_shingles
     # lesson; measured 21s -> ~2s at sf0.1 for this operator). The
-    # outer form filters on the generate's OUTPUT, which cannot sink.
-    segs = (
-        spread(df.select(F.col(id_col), F.col(text_col)))
-        .select(
-            id_col,
-            F.explode_outer(
-                cdc_segments(text_col, avg_tokens=avg_tokens, keep_text=True)
-            ).alias("s"),
+    # outer form has no such filter to sink, and its NULL rows are
+    # load-bearing here: they keep zero-segment docs in the stream so
+    # the per-doc groupBy is total over the input with no spine join.
+    segs = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        id_col,
+        F.explode_outer(
+            cdc_segments(text_col, avg_tokens=avg_tokens, keep_text=True)
+        ).alias("s"),
+    )
+    # The shared per-doc spine. NULL segments (empty docs) are skipped
+    # by the when(): such docs yield an empty __segs array, which
+    # rebuilds to ''. The DISK_ONLY eager localCheckpoint is what makes
+    # "segment once" TRUE rather than hoped-for: both consumers below
+    # read the materialized blocks instead of re-deriving the
+    # segmentation subtree (see docstring for the measured cost of the
+    # un-checkpointed shape).
+    from pyspark import StorageLevel
+
+    per_doc = (
+        segs.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("s").isNotNull(),
+                        F.struct(
+                            F.col("s.seg_idx").alias("seg_idx"),
+                            F.col("s.seg_hash").alias("seg_hash"),
+                            F.col("s.n_seg_tokens").alias("n_seg_tokens"),
+                            F.col("s.seg_text").alias("seg_text"),
+                        ),
+                    )
+                )
+            ).alias("__segs")
         )
-        .where(F.col("s").isNotNull())
-        .select(
-            id_col,
-            F.col("s.seg_idx").alias("seg_idx"),
-            F.col("s.seg_hash").alias("seg_hash"),
-            F.col("s.n_seg_tokens").alias("n_seg_tokens"),
-            F.col("s.seg_text").alias("seg_text"),
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    # Decision path (hashes only): re-explode the grouped arrays,
+    # project the text away BEFORE any exchange, find the corpus-wide
+    # first occurrence of every DUPLICATED hash as a partial-aggregable
+    # min, then the per-document strip list.
+    keys = per_doc.select(
+        F.col(id_col), F.explode("__segs").alias("s")
+    ).select(
+        id_col,
+        F.col("s.seg_idx").alias("seg_idx"),
+        F.col("s.seg_hash").alias("seg_hash"),
+        F.col("s.n_seg_tokens").alias("n_seg_tokens"),
+    )
+    dup_winners = (
+        keys.groupBy("seg_hash")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("seg_idx").alias("x"))
+            ).alias("__w"),
+            F.count(F.lit(1)).alias("__c"),
+        )
+        .where(F.col("__c") > 1)
+        .select("seg_hash", "__w")
+    )
+    strip = (
+        keys.join(dup_winners, "seg_hash")
+        .where(
+            F.struct(F.col(id_col).alias("i"), F.col("seg_idx").alias("x"))
+            != F.col("__w")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_set("seg_idx").alias("__removed_idx"),
+            F.count(F.lit(1)).cast("bigint").alias("n_segs_removed"),
+            F.sum("n_seg_tokens").cast("bigint").alias("n_tokens_removed"),
         )
     )
-    w = Window.partitionBy("seg_hash").orderBy(F.col(id_col), F.col("seg_idx"))
-    marked = segs.withColumn("keep", F.row_number().over(w) == 1)
-    rebuilt = marked.groupBy(id_col).agg(
+    # Rebuild: drop the stripped positions with an array filter. strip
+    # is tiny (ids + int arrays, no text), so whichever join strategy
+    # the optimizer picks cannot move or broadcast document text.
+    return per_doc.join(strip, id_col, "left").select(
+        id_col,
         F.array_join(
             F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("keep"),
-                            F.struct("seg_idx", "seg_text"),
-                        )
-                    )
+                F.filter(
+                    F.col("__segs"),
+                    lambda st: ~F.array_contains(
+                        F.coalesce(
+                            F.col("__removed_idx"),
+                            F.array().cast("array<int>"),
+                        ),
+                        st.getField("seg_idx"),
+                    ),
                 ),
                 lambda st: st.getField("seg_text"),
             ),
             " ",
         ).alias("text_dedup"),
-        F.count(F.lit(1)).cast("bigint").alias("n_segs"),
-        F.sum((~F.col("keep")).cast("bigint")).alias("n_segs_removed"),
-        F.coalesce(
-            F.sum(F.when(~F.col("keep"), F.col("n_seg_tokens"))), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("n_tokens_removed"),
+        F.size("__segs").cast("bigint").alias("n_segs"),
+        F.coalesce("n_segs_removed", F.lit(0)).alias("n_segs_removed"),
+        F.coalesce("n_tokens_removed", F.lit(0)).alias("n_tokens_removed"),
     )
-    # Empty/NULL-text docs produce no segments; restore them with an
-    # empty rebuild so the operator is total over its input.
-    return (
-        df.select(id_col)
-        .join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
-            F.coalesce("n_segs", F.lit(0)).alias("n_segs"),
-            F.coalesce("n_segs_removed", F.lit(0)).alias("n_segs_removed"),
-            F.coalesce("n_tokens_removed", F.lit(0)).alias("n_tokens_removed"),
-        )
-    )
+
 
 
 def near_dup_incremental(

@@ -32,9 +32,17 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "conformance_flagship": (4, 2),  # +1: spread before the fence
     "conformance_pipeline_versioned": (10, 4),  # +1: spread before the fence
     "conformance_three_payload": (4, 2),  # +1: spread before the fence
-    # repeated-span dedup: spread fan-out + seg-hash window + doc_id
-    # groupBy + the restore-empty-docs broadcast join to the id spine
-    "dedup_repeated_spans": (4, 1),
+    # repeated-span dedup (r6 checkpointed-spine rewrite): the plan the
+    # driver sees starts AT the eager DISK_ONLY localCheckpoint of the
+    # per-doc segment spine (segmentation + the one text-bearing
+    # shuffle happen exactly once, at materialization), so the pinned
+    # shape is the decision+rebuild tail: the map-side-combinable
+    # seg_hash min aggregate, the per-doc strip groupBy, and two
+    # hashes-only broadcast joins (loser join + strip join-back). The
+    # pre-r6 shapes are documented in dedup.dedup_spans' docstring
+    # (window form spilled; inlined-spine form ran the segmentation 3x
+    # with a nondeterministic interpreted-path CPU blowup).
+    "dedup_repeated_spans": (4, 2),
     "pricing_summary": (1, 0),
     "revenue_per_segment": (2, 1),
     "orders_per_customer_left": (2, 1),
