@@ -56,9 +56,7 @@ HEADLINE = [
     "embedding_near_dup_lsh",
     "embedding_near_dup_lsh_planted",
     "semantic_dedup_embeddings",
-    "ann_lsh_topk",
     "ann_lsh_top1_planted",
-    "ann_ivf_topk",
     "ann_ivf_top1_planted",
     "label_centroid_similarity",
 ]

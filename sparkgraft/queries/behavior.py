@@ -17,7 +17,7 @@ from .registry import register
 
 @register(
     "user_funnel_view_click_purchase",
-    retired=True,
+    # PROMOTED to a driver slot r6 (rotation policy)
     oracle="""
     WITH s1 AS (
         SELECT user_id, min(ts) AS t1 FROM events

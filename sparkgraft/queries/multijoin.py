@@ -164,7 +164,10 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "returned_items_top_customers",
-    f"""
+    # retired r6 (slot rotation): two-round-stable; the TPC-H chain
+    # family keeps driver evidence via shipping_priority_top10
+    retired=True,
+    oracle=f"""
     SELECT c_custkey, c_name, n_name,
            CAST({_REV_SQL} AS DOUBLE) AS revenue,
            CAST(c_acctbal AS DOUBLE) AS c_acctbal
@@ -563,15 +566,14 @@ def cross_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_segment_scd2",
-    # Retired-tier BREADTH query (registry at its 50-slot cap): the
-    # SCD2 temporal dimension join oracle-verified on every pytest run.
+    # PROMOTED to a driver slot r6 (rotation policy): the SCD2
+    # temporal dimension join.
     # The dimension history is synthesized deterministically from
     # customer: version 1 carries c_mktsegment over
     # [1992-01-01, 1995-07-01), version 2 carries c_mktsegment || '_v2'
     # open-ended from 1995-07-01 — orders span both regimes, so the
     # as-of boundary, the version flip, and the open interval are all
     # exercised (plus NULL-out correctness for any pre-1992 fact).
-    retired=True,
     oracle="""
     WITH dim AS (
         SELECT c_custkey AS custkey, c_mktsegment AS segment,

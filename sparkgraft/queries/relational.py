@@ -147,6 +147,10 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey, p_name, p_brand FROM part
     WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
     """,
+    # retired r6 (slot rotation): two-round-stable; the semi/anti join
+    # family keeps driver evidence via orders_per_customer_left +
+    # user_funnel_set_ops, and this stays locally oracled every run
+    retired=True,
 )
 def parts_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi join: existence check with no column pollution / duplication
@@ -446,12 +450,11 @@ def orders_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "customers_apply_cdc",
-    # Retired-tier BREADTH query: the CDC MERGE (latest change per key
-    # wins; I/U upsert, D delete) oracle-verified on every pytest run.
-    # Snapshot and change batch are both derived deterministically from
-    # customer, so inserts of new keys, updates of existing rows, and
-    # deletes are all exercised.
-    retired=True,
+    # PROMOTED to a driver slot r6 (rotation policy): the CDC MERGE
+    # (latest change per key wins; I/U upsert, D delete). Snapshot and
+    # change batch are both derived deterministically from customer, so
+    # inserts of new keys, updates of existing rows, and deletes are
+    # all exercised.
     oracle="""
     WITH snapshot AS (
         SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
@@ -795,12 +798,11 @@ def lineitem_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "customer_snapshot_diff",
-    # Retired-tier BREADTH query: snapshot reconciliation verified on
-    # every pytest run — the derived "new" snapshot, both null-safe
-    # row hashes, and the insert/update/delete classification all
+    # PROMOTED to a driver slot r6 (rotation policy): snapshot
+    # reconciliation — the derived "new" snapshot, both null-safe row
+    # hashes, and the insert/update/delete classification all
     # recomputed in SQL. Hash inputs are int/string columns only
     # (double->string formatting is not engine-portable).
-    retired=True,
     oracle="""
     WITH old AS (
         SELECT c_custkey,

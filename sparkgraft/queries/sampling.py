@@ -69,7 +69,11 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_train_split",
-    f"""
+    # retired r6 (slot rotation): two-round-stable; sampling keeps
+    # driver evidence via quality_percentile_filter + doc_train_split's
+    # retired-tier oracle on every pytest run
+    retired=True,
+    oracle=f"""
     SELECT doc_id, source, {_BUCKET} AS bucket,
            CASE WHEN {_BUCKET} < 'cccc' THEN 'train'
                 WHEN {_BUCKET} < 'e666' THEN 'val'

@@ -198,7 +198,10 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, dim=64, eps=0.4, n_clusters=16, iters=3)
 
 
-@register("ann_lsh_topk")  # engine-specific bucketing: rows-only check
+# Retired r6 (slot rotation): the hash-checked planted twin
+# (ann_lsh_top1_planted) is the ACTIVE driver evidence for this path;
+# the rows-only variant keeps local verification + recall tests.
+@register("ann_lsh_topk", retired=True)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via sign-random-projection LSH (6 planes x
     4 tables, md5-derived hyperplanes): candidates share a bucket with
@@ -210,7 +213,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.rp_lsh_topk(emb, queries, dim=64, k=10, num_planes=6, num_tables=4)
 
 
-@register("ann_ivf_topk")  # engine-specific index: rows-only check
+# Retired r6 (slot rotation): ann_ivf_top1_planted is the ACTIVE
+# hash-checked driver evidence for the IVF path.
+@register("ann_ivf_topk", retired=True)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via an IVF index (spherical k-means coarse
     quantizer, deterministic lowest-id init, 3 Lloyd passes; probe the

@@ -332,11 +332,11 @@ def customer_trailing_90d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_value_twa_daily",
-    # Retired-tier BREADTH query: time-weighted averaging (LOCF)
-    # verified on every pytest run — interval construction, the
-    # period-grid explode, microsecond overlap clipping, and the
-    # decimal-weighted sums all recomputed in SQL.
-    retired=True,
+    # PROMOTED to a driver slot r6 (rotation policy: new operator
+    # families earn driver rows): time-weighted averaging (LOCF) —
+    # interval construction, the period-grid explode, microsecond
+    # overlap clipping, and the decimal-weighted sums all recomputed
+    # in SQL.
     oracle="""
     WITH iv AS (
         SELECT user_id AS k, ts, value AS v,

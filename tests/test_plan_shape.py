@@ -93,11 +93,9 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # view (union adds no exchange — both branches scan in place)
     "embedding_near_dup_lsh_planted": (8, 3),
     "semantic_dedup_embeddings": (1, 0),  # the ONLY shuffle: groupBy cid
-    "ann_lsh_topk": (6, 3),
-    # planted ANN top-1: same bucketed plan over the unioned view
+    # planted ANN top-1 (the rows-only ann_*_topk twins retired r6;
+    # the planted queries carry the same bucketed/cid-keyed plans)
     "ann_lsh_top1_planted": (6, 3),
-    "ann_ivf_topk": (3, 1),
-    # planted IVF top-1: same cid-keyed candidate plan over the union
     "ann_ivf_top1_planted": (3, 1),
     "label_centroid_similarity": (3, 1),
 }
@@ -176,13 +174,13 @@ def test_r5_operator_plan_shape(spark, sf_dir, which, max_exchanges):
             read_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
         )
     elif which == "scd2":
-        df = Q.RETIRED_QUERIES["orders_segment_scd2"](spark, sf_dir)
+        df = Q.QUERIES["orders_segment_scd2"](spark, sf_dir)
     elif which == "fuzzy":
         df = Q.RETIRED_QUERIES["part_name_fuzzy_matches"](spark, sf_dir)
     elif which == "resample":
         df = Q.RETIRED_QUERIES["customer_monthly_spend_resampled"](spark, sf_dir)
     else:
-        df = Q.RETIRED_QUERIES["customers_apply_cdc"](spark, sf_dir)
+        df = Q.QUERIES["customers_apply_cdc"](spark, sf_dir)
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, which

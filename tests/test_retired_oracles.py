@@ -55,14 +55,24 @@ def _cells_equal(a, b) -> bool:
     return a == b
 
 
+# The two queries that were BORN rows-only (engine-specific ANN
+# bucketing/indexing; no SQL twin exists by design) and were rotated to
+# the retired tier in r6 once their hash-checked planted-oracle twins
+# (ann_lsh_top1_planted / ann_ivf_top1_planted) took over the ACTIVE
+# evidence. Recall-vs-brute-force is asserted in tests/test_similarity.
+ROWS_ONLY_RETIRED = {"ann_lsh_topk", "ann_ivf_topk"}
+
+
 def test_retired_tier_is_fully_oracled():
-    # retirement must never silently downgrade a query to rows-only
-    assert set(Q.RETIRED_QUERIES) == set(Q.RETIRED_ORACLES)
+    # retirement must never silently downgrade a query to rows-only:
+    # the only un-oracled retired entries are the documented
+    # born-rows-only pair whose planted twins hold the active oracle
+    assert set(Q.RETIRED_QUERIES) - set(Q.RETIRED_ORACLES) == ROWS_ONLY_RETIRED
     # and never shadow an active name
     assert not set(Q.RETIRED_QUERIES) & set(Q.QUERIES)
 
 
-@pytest.mark.parametrize("name", sorted(Q.RETIRED_QUERIES))
+@pytest.mark.parametrize("name", sorted(Q.RETIRED_ORACLES))
 def test_retired_query_matches_oracle(spark, name, duck):
     sdf = Q.RETIRED_QUERIES[name](spark, SF_DIR).toPandas()
     odf = duck.sql(Q.RETIRED_ORACLES[name]).df()
