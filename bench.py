@@ -62,6 +62,57 @@ HEADLINE = [
 ]
 
 
+def _stage_metrics_reader(spark):
+    """Per-query executor-metric deltas from the JVM AppStatusStore.
+
+    Returns a closure that, on each call, sums shuffle read/write and
+    spill bytes over every stage whose stageId is above the previous
+    call's watermark — i.e. the stages the just-finished query ran.
+    Stage IDs are monotonic, so UI stage eviction (which only drops the
+    oldest entries) cannot corrupt the deltas the way a cumulative-sum
+    snapshot would. The listener bus is drained first so task-end
+    metric updates are not attributed to the next query.
+    """
+    sc = spark.sparkContext
+    gw = sc._gateway
+    jsc = sc._jsc.sc()
+    store = jsc.statusStore()
+    watermark = -1
+
+    def read() -> dict[str, int]:
+        nonlocal watermark
+        try:
+            jsc.listenerBus().waitUntilEmpty()
+            seq = store.stageList(
+                gw.jvm.java.util.ArrayList(),  # all statuses
+                False,  # no task details
+                False,  # no summaries
+                gw.new_array(gw.jvm.double, 0),
+                gw.jvm.java.util.ArrayList(),
+            )
+            totals = {"shuffle_read": 0, "shuffle_write": 0,
+                      "spill_mem": 0, "spill_disk": 0}
+            top = watermark
+            it = seq.iterator()
+            while it.hasNext():
+                s = it.next()
+                sid = s.stageId()
+                if sid <= watermark:
+                    continue
+                top = max(top, sid)
+                totals["shuffle_read"] += s.shuffleReadBytes()
+                totals["shuffle_write"] += s.shuffleWriteBytes()
+                totals["spill_mem"] += s.memoryBytesSpilled()
+                totals["spill_disk"] += s.diskBytesSpilled()
+            watermark = top
+            return totals
+        except Exception:
+            # metrics are diagnostics, never a bench failure
+            return {}
+
+    return read
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -99,6 +150,13 @@ def main() -> int:
     # persisted intermediates don't carry over — only code/page-cache
     # warmth does.
     passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    exec_metrics: dict[str, dict[str, list[int]]] = {
+        name: {"shuffle_read": [], "shuffle_write": [],
+               "spill_mem": [], "spill_disk": []}
+        for name in HEADLINE
+    }
+    read_metrics = _stage_metrics_reader(spark)
+    read_metrics()  # consume warmup stages so pass 1 starts clean
     for _ in range(3):
         spark.catalog.clearCache()
         for name in HEADLINE:
@@ -106,6 +164,8 @@ def main() -> int:
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             passes[name].append(round(time.time() - t0, 3))
+            for k, v in read_metrics().items():
+                exec_metrics[name][k].append(v)
 
     # "queries" stays the min per query (the stable plan-cost estimate);
     # "passes" publishes all three raw times so a driver-vs-local
@@ -114,6 +174,15 @@ def main() -> int:
     # change (all passes moved)
     timings = {name: min(ps) for name, ps in passes.items()}
     total = round(sum(timings.values()), 3)
+    # per-pass shuffle/spill bytes make driver-bench outliers
+    # attributable at a glance: a slow pass with spill_disk > 0 is
+    # memory pressure; one with identical bytes across passes is host
+    # contention/JIT, not a plan or data-volume change
+    exec_out = {
+        name: m
+        for name, m in exec_metrics.items()
+        if any(m.values()) and any(sum(v) > 0 for v in m.values())
+    }
     print(
         json.dumps(
             {
@@ -122,6 +191,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "passes": passes,
+                "exec_bytes_per_pass": exec_out,
                 "sf": sf,
             }
         )
