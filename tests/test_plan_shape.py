@@ -190,6 +190,47 @@ def test_r5_operator_plan_shape(spark, sf_dir, which, max_exchanges):
     assert n <= max_exchanges, f"{which}: {n} Exchange ops (pinned {max_exchanges})"
 
 
+# Iterative operators (r6): a count pin is the wrong instrument for a
+# fixpoint loop — the meaningful structural claim is that LINEAGE IS
+# BOUNDED. pagerank localCheckpoints the ranks every iteration, so the
+# final plan the caller consumes must be rooted at the checkpointed
+# ranks (a scan + the last in-plan ops, ~zero exchanges) no matter how
+# many iterations ran; the components composite (committee ->
+# min-label propagation -> verdict join) localCheckpoints edges and
+# labels every 5 iterations, so its final plan is bounded by one
+# checkpoint interval (<= 2^5 references to the CHECKPOINTED edge
+# scan), never the committee producer's tree. If either checkpoint is
+# removed, the plan balloons geometrically (observed: driver OOM in
+# plan stringification at sf0.1 pre-r5-fix) — the char bound trips
+# long before that.
+ITERATIVE_LINEAGE_PINS = [
+    # (name, max Exchange, max plan chars)
+    ("trade_graph_pagerank", 4, 40_000),
+    ("conservative_dedup_keep", 350, 600_000),
+]
+
+
+@pytest.mark.parametrize("name,max_exchanges,max_chars", ITERATIVE_LINEAGE_PINS)
+def test_iterative_operator_lineage_bounded(
+    spark, sf_dir, name, max_exchanges, max_chars
+):
+    spark.catalog.clearCache()
+    df = Q.RETIRED_QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "BatchEvalPython" not in plan, name
+    n = plan.count("Exchange")
+    assert n <= max_exchanges, (
+        f"{name}: {n} Exchange ops in the FINAL plan (pinned "
+        f"{max_exchanges}) — iterative lineage is no longer truncated"
+    )
+    assert len(plan) <= max_chars, (
+        f"{name}: {len(plan)}-char final plan (pinned {max_chars}) — "
+        "a checkpoint was removed and the plan is growing with depth"
+    )
+
+
 NON_HEADLINE_ACTIVE = sorted(
     name
     for name in Q.QUERIES

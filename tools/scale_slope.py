@@ -49,7 +49,8 @@ two LARGEST points, where fixed overhead is most amortized — the
 asymptote estimate). Linear plans: tail_exponent ~<= 1.3; a quadratic
 candidate stage lands near 2.
 
-Usage: python tools/scale_slope.py [factor] [sf_dir]
+Usage: python tools/scale_slope.py [factor] [sf_dir] [probe ...]
+(trailing probe names filter PROBES — sanity runs of a new probe)
 Output: one JSON line {"metric": "scale_slope", ...} plus a table on
 stderr; results are recorded in BENCH_NOTES.md.
 """
@@ -93,7 +94,26 @@ PROBES = [
     "dedup_repeated_spans",      # seg-hash window + doc groupBy: ~linear
     "doc_quality_logistic",      # pure map over the scan: ~linear
     "semantic_dedup_planted",    # planted SemDeDup (oracled path)
+    # r6: iterative graph analytics. The registered query
+    # (trade_graph_pagerank) bounds its graph with o_custkey < 150 for
+    # the unrolled-SQL oracle, so it cannot grow with the staging
+    # factor; this probe runs the same graph.pagerank (3 iterations,
+    # same dangling-mass handling) over a staged edge table that grows
+    # linearly with the factor — n nodes, ~2.4n weighted edges, 1 in 5
+    # nodes dangling. Expected linear: edges x fixed iteration count.
+    "pagerank_synth_graph",
 ]
+
+
+def _pagerank_synth_graph(spark, work_dir: str):
+    """graph.pagerank over the staged ``edges.parquet`` (see stage())."""
+    from sparkgraft.graph import pagerank
+
+    edges = spark.read.parquet(os.path.join(work_dir, "edges.parquet"))
+    return pagerank(edges, weight_col="w", iters=3)
+
+
+EXTRA_PROBES = {"pagerank_synth_graph": _pagerank_synth_graph}
 
 
 def stage(spark, sf_dir: str, out_dir: str, factor: int) -> dict[str, int]:
@@ -133,6 +153,27 @@ def stage(spark, sf_dir: str, out_dir: str, factor: int) -> dict[str, int]:
     )
     staged_emb.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
+    # Edge table for the pagerank probe: each staged doc_id (already
+    # replica-offset, so the node set grows linearly) emits 3 weighted
+    # out-edges to fixed strides, except every 5th node which emits
+    # none — real dangling mass for the redistribution term every
+    # iteration. Materialized to parquet so the timed passes measure
+    # pagerank, not edge derivation.
+    ids = staged_docs.select("doc_id")
+    dsts = F.array(
+        F.col("doc_id") + 1, F.col("doc_id") + 17, F.col("doc_id") + 131
+    )
+    edges = (
+        ids.where(F.col("doc_id") % 5 != 0)
+        .select(F.col("doc_id").alias("src"), F.posexplode(dsts))
+        .select(
+            "src",
+            F.col("col").alias("dst"),
+            (F.col("pos") + 1).cast("double").alias("w"),
+        )
+    )
+    edges.write.mode("overwrite").parquet(os.path.join(out_dir, "edges.parquet"))
+
     from sparkgraft.io import read_table as rt
 
     return {
@@ -144,6 +185,9 @@ def stage(spark, sf_dir: str, out_dir: str, factor: int) -> dict[str, int]:
 def main() -> int:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    # optional probe-name filter (sanity runs of a single new probe)
+    only = set(sys.argv[3:])
+    probes = [p for p in PROBES if not only or p in only]
 
     import __spark_entry__ as E
     from sparkgraft.queries import RETIRED_QUERIES
@@ -152,8 +196,8 @@ def main() -> int:
     spark = get_spark("sparkgraft-scale-slope")
     # probe across BOTH tiers: retired breadth queries have the same
     # scale obligations as active ones
-    queries = {**RETIRED_QUERIES, **E.queries()}
-    results: dict[str, dict] = {name: {} for name in PROBES}
+    queries = {**RETIRED_QUERIES, **E.queries(), **EXTRA_PROBES}
+    results: dict[str, dict] = {name: {} for name in probes}
     row_counts: dict[int, dict[str, int]] = {}
 
     # three scale points: 1x, mid, Nx (mid = factor // 2, distinct)
@@ -166,7 +210,7 @@ def main() -> int:
             # multi-second (observed 3.5s vs 30.5s for the same query
             # and data under min-of-2); the min over three passes is
             # the stable plan-cost estimator, same policy as bench.py
-            for name in PROBES:
+            for name in probes:
                 best = None
                 for _ in range(3):
                     spark.catalog.clearCache()
@@ -207,7 +251,7 @@ def main() -> int:
         file=sys.stderr,
     )
     slopes = {}
-    for name in PROBES:
+    for name in probes:
         ts = [results[name][f] for f in points]
         t1, tn = ts[0], ts[-1]
         r1, rn = results[name]["rows_1"], results[name][f"rows_{factor}"]
