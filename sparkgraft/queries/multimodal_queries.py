@@ -75,6 +75,144 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "perceptual_near_dup_planted",
+    # Retired-tier BREADTH query: media near-dup via perceptual hashing
+    # under a REAL oracle — dHash (stride-resample to a 9x8 grid, one
+    # bit per horizontal neighbor comparison, 64-bit pack) recomputed
+    # from scratch in SQL, then ALL-pairs Hamming <= 6. The planted
+    # re-encode shifts every payload byte by +1 (a brightness shift:
+    # md5 sees an unrelated blob, every neighbor comparison — hence the
+    # dHash — is preserved exactly), so each twin pair lands at Hamming
+    # 0 while unrelated payloads sit near the random-pair expectation
+    # of 32 differing bits. The Spark side is the production path:
+    # Arrow-batched perceptual_hash, then 8-bit banding for candidates
+    # (complete for Hamming <= 7 by pigeonhole, so banding finds every
+    # pair the all-pairs oracle keeps).
+    retired=True,
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id AS media_id, {_PAYLOAD_SQL} AS s FROM documents
+    ),
+    twin AS (
+        SELECT media_id + 10000000 AS media_id,
+               list_reduce(list_transform(range(1, length(s) + 1),
+                   i -> chr(ascii(substr(s, CAST(i AS INT), 1)) + 1)),
+                   (a, b) -> a || b) AS s
+        FROM base WHERE media_id % 20 = 0
+    ),
+    allm AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+    -- fake_resize: payloads are < 144 bytes so the stride is 1 and the
+    -- 72-byte grid is the payload extended cyclically
+    bytes AS (
+        SELECT media_id,
+               list_transform(range(0, 72),
+                   i -> ascii(substr(s, CAST(i % length(s) AS INT) + 1, 1)))
+                   AS bs
+        FROM allm
+    ),
+    -- bit k (row r = k // 8, col c = k % 8): grid cell (r, c+1) vs
+    -- (r, c); cell (r, c) = byte[r*9 + c] (9-wide rows, 1-indexed list)
+    bits AS (
+        SELECT media_id,
+               list_transform(range(0, 64),
+                   k -> CASE WHEN
+                         bs[CAST(k // 8 AS INT) * 9 + CAST(k % 8 AS INT) + 2]
+                       > bs[CAST(k // 8 AS INT) * 9 + CAST(k % 8 AS INT) + 1]
+                       THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)
+                   AS bl
+        FROM bytes
+    ),
+    ph AS (
+        SELECT media_id,
+               CAST(CASE WHEN v >= CAST(9223372036854775808 AS HUGEINT)
+                    THEN v - CAST(18446744073709551616 AS HUGEINT)
+                    ELSE v END AS BIGINT) AS phash
+        FROM (SELECT media_id,
+                     list_reduce(bl, (a, b) -> a * 2 + b) AS v
+              FROM bits)
+    )
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
+           b.media_id = a.media_id + 10000000 AS is_planted_twin
+    FROM ph a JOIN ph b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 6
+    """,
+)
+def perceptual_near_dup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup, end to end: plant a byte-shifted re-encode of
+    every 20th payload (visually identical, md5-distinct), dHash every
+    payload through the Arrow decode seam, band the 64 bits into 8
+    exact-match bytes for candidates, verify by exact Hamming <= 6.
+    Banding is COMPLETE at this threshold (<= 7 differing bits cannot
+    dirty all 8 bands), so the banded candidate set provably contains
+    every pair the oracle's all-pairs scan keeps — the md5-distinct
+    controls (~32 differing bits) cannot band-collide into the output
+    because the Hamming verify rejects them."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _payload_col().alias("s"),
+    )
+    twin = base.where(F.col("media_id") % 20 == 0).select(
+        (F.col("media_id") + 10_000_000).alias("media_id"),
+        F.array_join(
+            F.transform(
+                F.split(F.col("s"), ""), lambda c: F.char(F.ascii(c) + 1)
+            ),
+            "",
+        ).alias("s"),
+    )
+    media = (
+        base.unionByName(twin)
+        .select("media_id", F.encode(F.col("s"), "UTF-8").alias("payload"))
+    )
+    ph = M.perceptual_hash(media)
+    # 8 bands of 8 bits: arithmetic shift then mask — candidates must
+    # agree exactly on at least one band (pigeonhole-complete <= 7)
+    bands = ph.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("phash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "phash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= 6)
+        .distinct()
+    )
+    return pairs.withColumn(
+        "is_planted_twin",
+        F.col("media_b") == F.col("media_a") + 10_000_000,
+    )
+
+
+@register(
     "multimodal_frame_sample",
     f"""
     WITH p AS (

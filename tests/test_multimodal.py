@@ -218,3 +218,55 @@ def test_perceptual_hash_custom_resize_seam(spark):
         ).collect()
     }
     assert out[1] == out[2]
+
+
+def test_perceptual_planted_twins_land_and_controls_do_not(spark, sf_dir):
+    """The planted perceptual-hash gate (media near-dup north star):
+    every byte-shifted re-encode must land at Hamming 0 against its
+    original (the +1 shift preserves every dHash neighbor comparison),
+    and md5-distinct control payloads must NOT pair — their hashes sit
+    near the 32-bit random-pair expectation, far above the threshold."""
+    from sparkgraft.io import read_table
+    from sparkgraft.queries import RETIRED_QUERIES
+
+    out = RETIRED_QUERIES["perceptual_near_dup_planted"](
+        spark, sf_dir
+    ).toPandas()
+    doc_ids = [
+        r.doc_id
+        for r in read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    expected_twins = {(d, d + 10_000_000) for d in doc_ids if d % 20 == 0}
+    got_twins = {
+        (r.media_a, r.media_b)
+        for r in out.itertuples(index=False)
+        if r.is_planted_twin
+    }
+    # every planted visually-identical pair is found, at distance 0
+    assert got_twins == expected_twins
+    assert (out[out.is_planted_twin].hamming == 0).all()
+    # md5-distinct control: two specific unrelated base payloads must
+    # sit far outside the threshold (deterministic given the testdata)
+    a_id, b_id = doc_ids[0], doc_ids[1]
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isin([a_id, b_id])
+    )
+    payloads = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.concat(
+                F.md5(F.col("text")),
+                F.lit("|MM01|"),
+                F.col("doc_id").cast("string"),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    ph = {r.media_id: r.phash for r in M.perceptual_hash(payloads).collect()}
+    hamming = bin((ph[a_id] ^ ph[b_id]) & ((1 << 64) - 1)).count("1")
+    assert hamming > 6
+    # and no control pair leaked into the output as a pseudo-twin
+    non_twin = out[~out.is_planted_twin]
+    assert (non_twin.hamming <= 6).all()  # every kept pair passed verify
