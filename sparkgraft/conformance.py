@@ -201,8 +201,33 @@ def verify_pipeline(
     if catalog_version_expr is None:
         from .json_ops import extract_path
 
-        catalog_version_expr = extract_path(payload_cols[0], "$.app.version")
-    cat = catalog.withColumn("__version", catalog_version_expr.cast("string"))
+        # scrub OUTSIDE the tainted projection below: nullif's
+        # ``if (x = '') null else x`` would duplicate the parse
+        # textually inside the CASE branch, and the uniform ''->NULL
+        # rule applies identically to the computed attribute
+        catalog_version_expr = extract_path(
+            payload_cols[0], "$.app.version", scrub_empty=False
+        )
+    # Parse the version payload ONCE per row. The inner spec join emits
+    # a null-key filter on __spec_version, and deterministic filters
+    # legally push through PROJECTIONS (alias substitution — exactly
+    # the re-inlining), so a plain projection leaves the $.app.version
+    # parse appearing 3x in the optimized plan: once via common-expr
+    # elimination, twice inside the pushed-down filter. A
+    # ``pushdown_fence`` below the projection cannot stop that (the
+    # filter only crosses the Project, never the fence). The barrier
+    # that works is tainting the projected FIELD: an always-true
+    # ``rand`` branch makes the field nondeterministic, and
+    # PushPredicateThroughNonJoin refuses to substitute through a
+    # nondeterministic projection — the filter stays above and
+    # references the computed attribute. With KB-sized real payloads
+    # the eliminated copies are whole extra parses of every row.
+    cat = catalog.withColumn(
+        "__version",
+        F.when(
+            F.rand(42) != F.lit(-1.0), catalog_version_expr.cast("string")
+        ),
+    ).withColumn("__version", F.nullif(F.col("__version"), F.lit("")))
     cat = cat.withColumnRenamed(catalog_channel_col, channel_col) \
              .withColumn("__spec_version", F.col("__version"))
 
