@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "degree_stats"]
+__all__ = ["pagerank", "degree_stats", "triangle_count"]
 
 _DEC = "decimal(38,10)"
 
@@ -177,4 +177,79 @@ def degree_stats(
             F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
         )
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simple graph —
+    the community-structure / clustering-coefficient primitive
+    (a bipartite graph like the customer<->supplier trade graph has
+    none by construction, which is itself a checkable property).
+
+    Scale shape is the classic degree-ORIENTED wedge join (node
+    iterator with orientation; cf. Suri & Vassilvitskii 2011, "Counting
+    Triangles and the Curse of the Last Reducer"): orient every
+    undirected edge from its lower-(degree, id) endpoint to the higher
+    one, build wedges by self-joining the oriented list on the source,
+    and close each wedge against the oriented edge set. Orientation
+    bounds per-node wedge fan-out by the node's ORIENTED out-degree
+    (O(sqrt(m)) on skewed graphs instead of the hub's full degree), so
+    the star-hub key that kills the naive wedge join never forms —
+    the curse-of-the-last-reducer mitigation, same family as the
+    salted-join treatment of hot keys. Every triangle {a, b, c} is
+    enumerated exactly once (its unique orientation-consistent wedge),
+    then credited to all three corners.
+
+    NULL endpoints and self-loops are dropped under the module's edge
+    policy; parallel edges collapse via distinct. Nodes in no triangle
+    are absent (callers outer-join degree_stats for zeros).
+    """
+    e = (
+        edges.where(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient low -> high by (degree, id): ties broken by id make the
+    # orientation a strict total order, so the oriented graph is acyclic
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    # wedges from each oriented source; b < c dedups the unordered pair
+    w1 = oriented.select(F.col("a"), F.col("b").alias("x"))
+    w2 = oriented.select(F.col("a"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "a").where(F.col("x") < F.col("y"))
+    # close the wedge: the third side may be oriented either way
+    closer = oriented.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    )
+    tris = wedges.join(closer, ["x", "y"])
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("x").alias("node")))
+        .unionByName(tris.select(F.col("y").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
     )

@@ -43,6 +43,7 @@ __all__ = [
     "percentile_keep",
     "ntile_by_histogram",
     "winsorize",
+    "leakage_safe_split",
     "deterministic_shuffle",
     "chunk_documents",
 ]
@@ -361,4 +362,47 @@ def winsorize(
             F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
         )
         .drop("__lo", "__hi")
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_hex: str = "cccc",
+    val_hex: str = "e666",
+) -> DataFrame:
+    """Cluster-aware train/val/test assignment — the split a curation
+    pipeline must use AFTER dedup decisions exist: bucketing each doc
+    by a hash of its OWN id lets exact duplicates straddle the
+    train/eval boundary (the canonical eval-leakage bug; near-dup-level
+    leakage is the decontamination operators' job), so the split key
+    here is the CLUSTER canonical id — min doc id per content
+    fingerprint — and every copy of a text lands in the same split by
+    construction.
+
+    One shuffle: the min-per-fingerprint is a window over the
+    fingerprint partition (map-side combinable key, uniform md5
+    distribution — no skew at any corpus size); the bucket-to-split
+    mapping is row-local. Same md5 hex-bucket thresholds as the
+    document-level splitter, so mixture ratios are preserved in
+    expectation."""
+    from pyspark.sql import Window
+
+    from .text import fingerprint
+
+    w = Window.partitionBy("__fp")
+    bucket = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4)
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("__fp"))
+        .withColumn("cluster_id", F.min(id_col).over(w))
+        .select(
+            id_col,
+            "cluster_id",
+            bucket.alias("bucket"),
+            F.when(bucket < F.lit(train_hex), "train")
+            .when(bucket < F.lit(val_hex), "val")
+            .otherwise("test")
+            .alias("split"),
+        )
     )

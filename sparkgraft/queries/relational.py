@@ -956,3 +956,62 @@ def trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = fwd.unionByName(back)
     return pagerank(edges, weight_col="w", iters=3)
+
+
+@register(
+    "customer_ring_triangles",
+    # Retired-tier BREADTH query: triangle counting under a real
+    # oracle — the degree-oriented wedge join verified against a
+    # direct a<b<c three-way self-join in SQL. The graph is synthesized
+    # deterministically from customer keys: two ring strides (c+1,
+    # c+2) make a triangle at every key, and a block-hub edge
+    # (c -> c - c%100) adds hub triangles (c, c+1, hub) plus real
+    # degree skew (each hub has ~99 spokes), so the orientation's
+    # skew-bounding is exercised, not just its correctness.
+    retired=True,
+    oracle="""
+    WITH raw AS (SELECT c_custkey AS c FROM customer),
+    ed AS (
+        SELECT c AS s, c + 1 AS t FROM raw
+        UNION ALL SELECT c, c + 2 FROM raw
+        UNION ALL SELECT c, c - (c % 100) FROM raw WHERE c % 100 != 0
+    ),
+    e AS (
+        SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+        FROM ed WHERE s != t
+    ),
+    tri AS (
+        SELECT t1.u AS a, t1.v AS b, t2.v AS c
+        FROM e t1
+        JOIN e t2 ON t2.u = t1.u AND t2.v > t1.v
+        JOIN e t3 ON t3.u = t1.v AND t3.v = t2.v
+    ),
+    corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
+    """,
+)
+def customer_ring_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph.triangle_count over a ring+hub graph on customer keys:
+    the oriented wedge join enumerates each triangle once from its
+    unique low-(degree, id) corner, so the SQL oracle's exhaustive
+    ordered three-way join must produce identical per-node counts."""
+    from ..graph import triangle_count
+
+    c = F.col("c")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("c")
+    )
+    edges = (
+        cust.select(c.alias("src"), (c + 1).alias("dst"))
+        .unionByName(cust.select(c.alias("src"), (c + 2).alias("dst")))
+        .unionByName(
+            cust.where(c % 100 != 0).select(
+                c.alias("src"), (c - c % 100).alias("dst")
+            )
+        )
+    )
+    return triangle_count(edges)

@@ -195,3 +195,41 @@ def docs_exact_n_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
     )
     return picked.select("doc_id", "source")
+
+
+@register(
+    "doc_leakage_safe_split",
+    # Retired-tier BREADTH query: the dedup-aware split — every doc is
+    # bucketed by its exact-dup CLUSTER canonical id, so duplicate
+    # texts can never straddle the train/eval boundary. The oracle
+    # recomputes the content fingerprint, the per-fingerprint min id,
+    # the hex bucket, and the threshold mapping from scratch.
+    retired=True,
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents
+    ),
+    cl AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS cluster_id
+        FROM fp
+    )
+    SELECT doc_id, cluster_id,
+           substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) AS bucket,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train'
+                WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM cl
+    """,
+)
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """packing.leakage_safe_split over documents: same 80/10/10 hex
+    thresholds as doc_train_split, but keyed on the exact-dup cluster
+    canonical id so no duplicated text leaks across splits."""
+    from ..packing import leakage_safe_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    return leakage_safe_split(docs)

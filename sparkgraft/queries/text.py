@@ -747,3 +747,113 @@ def doc_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("quality_score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+# Planted PII fixture shared by both engines (pure ASCII, every PII
+# token space-isolated and letter-bounded — the adjacency class where
+# Java-regex lookarounds and DuckDB/RE2 capture-group emulation agree
+# exactly; RE2 has no lookarounds, so the oracle re-emits the captured
+# boundary characters instead).
+_PII_TEXT_SQL = """
+    'doc ' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.org ok'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789 x' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' ip 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1 y'
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-5309 z' ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN ' card 4111111111111111 w' ELSE '' END
+    || ' tail'
+"""
+
+
+@register(
+    "doc_pii_redaction",
+    # Retired-tier BREADTH query: the PII scrub pass (redact_pii +
+    # pii_counts — the cheap always-on tier under any NER layer) with
+    # the REDACTED STRING ITSELF oracle-verified. DuckDB applies the
+    # same pattern chain in the same order with lookarounds emulated
+    # by boundary captures re-emitted in the replacement ('\\1<K>\\2'),
+    # which is exact on the planted fixture's isolated matches.
+    retired=True,
+    oracle=f"""
+    WITH p AS (SELECT doc_id, {_PII_TEXT_SQL} AS s FROM documents),
+    red AS (
+        SELECT doc_id, s,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    s,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                    '<EMAIL>', 'g'),
+                  '([^0-9]|^)[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}([^0-9]|$)',
+                  '\\1<SSN>\\2', 'g'),
+                '([^0-9]|^)(\\+?[0-9]{{1,3}}[-. ])?(\\([0-9]{{3}}\\)[-. ]?|[0-9]{{3}}[-. ])[0-9]{{3}}[-. ][0-9]{{4}}([^0-9]|$)',
+                '\\1<PHONE>\\4', 'g'),
+              '([^0-9.]|^)([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}([^0-9.]|$)',
+              '\\1<IPV4>\\3', 'g'),
+            '([^0-9]|^)[0-9]{{13,19}}([^0-9]|$)', '\\1<CARD>\\2', 'g')
+            AS redacted
+        FROM p
+    )
+    SELECT doc_id, redacted,
+           CAST(length(redacted) AS BIGINT) AS redacted_len,
+           CAST(len(regexp_extract_all(s,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+               AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(s,
+               '([^0-9]|^)[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}([^0-9]|$)'))
+               AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(s,
+               '([^0-9]|^)(\\+?[0-9]{{1,3}}[-. ])?(\\([0-9]{{3}}\\)[-. ]?|[0-9]{{3}}[-. ])[0-9]{{3}}[-. ][0-9]{{4}}([^0-9]|$)'))
+               AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(s,
+               '([^0-9.]|^)([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}([^0-9.]|$)'))
+               AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(s,
+               '([^0-9]|^)[0-9]{{13,19}}([^0-9]|$)'))
+               AS BIGINT) AS n_card
+    FROM red
+    """,
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """redact_pii over a planted-PII corpus with the redacted text as
+    the verified value: emails, SSNs, phones, IPv4s and card numbers
+    are appended deterministically by doc_id residue, counts audit the
+    ORIGINAL text, and the chained in-order replacement must match the
+    oracle byte-for-byte."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    did = F.col("doc_id").cast("string")
+    piece = lambda mod, mk: F.when(  # noqa: E731
+        F.col("doc_id") % mod == 0, mk
+    ).otherwise("")
+    s = F.concat(
+        F.lit("doc "), did,
+        piece(7, F.concat(F.lit(" mail user"), did, F.lit("@example.org ok"))),
+        piece(5, F.lit(" ssn 123-45-6789 x")),
+        piece(11, F.concat(
+            F.lit(" ip 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.1 y"),
+        )),
+        piece(13, F.lit(" call 555-867-5309 z")),
+        piece(17, F.lit(" card 4111111111111111 w")),
+        F.lit(" tail"),
+    )
+    planted = docs.select("doc_id", s.alias("s"))
+    red = T.redact_pii("s")
+    counts = T.pii_counts("s")
+    return planted.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.length(red).cast("bigint").alias("redacted_len"),
+        counts["n_email"].alias("n_email"),
+        counts["n_ssn"].alias("n_ssn"),
+        counts["n_phone"].alias("n_phone"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        counts["n_card"].alias("n_card"),
+    )

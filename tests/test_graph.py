@@ -136,3 +136,42 @@ def test_degree_stats_drops_null_endpoint_edges(spark):
     rows = {r.node: (r.out_degree, r.in_degree) for r in degree_stats(df).collect()}
     assert None not in rows
     assert rows == {1: (1, 0), 2: (0, 1)}
+
+
+def test_triangle_count_k4_plus_star(spark):
+    """K4: every node sits in C(3,2)=3 triangles. A star hub (no
+    spoke-spoke edges) has none, so star nodes are absent. Dirty
+    input — self-loops, NULL endpoints, parallel/reversed duplicates —
+    must not change the counts."""
+    from sparkgraft.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    star = [(10, s) for s in range(11, 16)]
+    dirty = [(1, 1), (None, 2), (3, None), (2, 1), (1, 2)]
+    df = spark.createDataFrame(k4 + star + dirty, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_orientation_matches_naive(spark):
+    """The degree-oriented wedge join equals the naive unordered
+    enumeration on a skewed graph (one hub of degree n joined to a
+    chain): per-node counts from first principles."""
+    from sparkgraft.graph import triangle_count
+
+    # hub 0 connected to 1..12; chain 1-2-3-...-12: triangle (0,i,i+1)
+    edges = [(0, i) for i in range(1, 13)] + [(i, i + 1) for i in range(1, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    naive = {}
+    es = {tuple(sorted(e)) for e in edges}
+    nodes = sorted({n for e in edges for n in e})
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            for c_ in nodes:
+                if c_ <= b:
+                    continue
+                if ((a, b) in es and (a, c_) in es and (b, c_) in es):
+                    for n in (a, b, c_):
+                        naive[n] = naive.get(n, 0) + 1
+    assert got == naive

@@ -253,3 +253,29 @@ def test_winsorize_clamps_to_group_quantiles(spark):
 
     with _pytest.raises(ValueError):
         winsorize(df, "grp", "v", lo_frac=0.9, hi_frac=0.1)
+
+
+def test_leakage_safe_split_keeps_duplicates_together(spark):
+    """The leakage invariant: exact duplicates (modulo case/whitespace)
+    always share a split; distinct texts bucket independently; all
+    three splits are reachable."""
+    from sparkgraft.packing import leakage_safe_split
+
+    rows = []
+    # 40 distinct texts, each duplicated at 3 ids (one case-mangled,
+    # one whitespace-mangled) spread far apart in id space
+    for i in range(40):
+        rows.append((i, f"alpha beta gamma {i}"))
+        rows.append((1000 + i, f"Alpha  Beta   GAMMA {i}"))
+        rows.append((2000 + i, f"alpha beta gamma {i} "))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df).toPandas()
+    assert len(out) == 120
+    by_cluster = out.groupby("cluster_id")["split"].nunique()
+    assert (by_cluster == 1).all()
+    # each trio resolved to the min id as canonical
+    for i in range(40):
+        sub = out[out.doc_id.isin([i, 1000 + i, 2000 + i])]
+        assert set(sub.cluster_id) == {i}
+    assert set(out.split) <= {"train", "val", "test"}
+    assert out.split.nunique() >= 2  # thresholds actually partition
