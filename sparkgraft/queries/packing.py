@@ -13,7 +13,7 @@ an aggregated sink); these are extension operators per the brief.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import packing as P
@@ -281,3 +281,72 @@ def doc_length_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.winsorize(
         docs, "source", "n_chars", lo_frac=0.05, hi_frac=0.95
     ).select("doc_id", "source", "n_chars", "n_chars_w")
+
+
+# Temperature for the multilingual/multi-domain sampling rebalance
+# (alpha-scaling of raw domain shares, Conneau & Lample 2019 / XLM-R:
+# w_i ∝ p_i^alpha): 0.7 upweights small domains without letting any
+# single huge domain dominate the mixture.
+_TEMP_ALPHA = 0.7
+
+
+@register(
+    "domain_temperature_weights",
+    retired=True,
+    oracle=f"""
+    WITH per AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({_TOK})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), staged AS (
+        SELECT source, n_docs, n_tokens,
+               n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS p,
+               pow(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE),
+                   {_TEMP_ALPHA}) AS pa
+        FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           round(p, 6) AS p_raw,
+           round(pa / sum(pa) OVER (), 6) AS w_temp,
+           round(pa / sum(pa) OVER () / p, 6) AS boost
+    FROM staged
+    """,
+)
+def domain_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced domain mixture weights: per-source token
+    shares ``p_i`` flattened to ``w_i ∝ p_i^alpha`` (alpha=0.7, the
+    XLM-R multilingual sampling rule), plus the realized boost factor
+    each domain gets over proportional sampling. Feeds
+    ``domain_mixture_epochs``: w_temp * token_budget / n_tokens is the
+    per-source epoch multiplier a curriculum would materialize.
+
+    Scale shape: token counting happens map-side in the scan tasks
+    (only (source, count) rows ride the one aggregation shuffle — never
+    text), and BOTH normalizing sums run as unbounded windows over the
+    already-aggregated |sources|-row frame (the PSI convention:
+    aggregate once, window over the tiny result, no second scan and no
+    driver-side total)."""
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(T.tokens("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(w).cast("double")
+    staged = per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        p.alias("__p"),
+        F.pow(p, F.lit(_TEMP_ALPHA)).alias("__pa"),
+    )
+    wsum = F.sum("__pa").over(w)
+    return staged.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("__p", 6).alias("p_raw"),
+        F.round(F.col("__pa") / wsum, 6).alias("w_temp"),
+        F.round(F.col("__pa") / wsum / F.col("__p"), 6).alias("boost"),
+    )

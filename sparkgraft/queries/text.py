@@ -857,3 +857,194 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["n_ipv4"].alias("n_ipv4"),
         counts["n_card"].alias("n_card"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher / C4 corpus-cleaning gates (round 6)
+# ---------------------------------------------------------------------------
+
+# Thresholds tuned to the synthetic corpus's 10-99-word docs so the
+# gate splits it nontrivially (production defaults live on the library
+# function's signature: min_words=50, min_stop_hits=2).
+_G_MIN_WORDS = 30
+_G_MIN_STOP = 1
+_G_STOP = "['the','be','to','of','and','that','have','with']"
+
+
+@register(
+    "doc_gopher_quality_gate",
+    retired=True,
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, text, {_TOK} AS tok FROM documents
+    ), m AS (
+        SELECT doc_id, source,
+               CAST(len(tok) AS BIGINT) AS n_words,
+               round(list_sum(list_transform(tok, t -> length(t)))
+                     / nullif(len(tok), 0), 6) AS mean_word_len,
+               round((
+                 (coalesce(length(text), 0)
+                    - coalesce(length(replace(text, '#', '')), 0))
+                 + CAST((coalesce(length(text), 0)
+                    - coalesce(length(replace(text, '...', '')), 0)) / 3
+                   AS BIGINT)
+               ) / nullif(len(tok), 0), 6) AS symbol_ratio,
+               round(len(list_filter(tok, x -> regexp_matches(x, '[a-z]')))
+                     / nullif(len(tok), 0), 6) AS alpha_frac,
+               CAST(len(list_filter({_G_STOP}, w -> list_contains(tok, w)))
+                    AS BIGINT) AS stop_hits,
+               CASE WHEN text IS NULL OR text = '' THEN []::VARCHAR[]
+                    ELSE string_split(text, chr(10)) END AS ls
+        FROM base
+    ), fr AS (
+        SELECT *,
+               round(len(list_filter(ls, l ->
+                       starts_with(trim(l), '-') OR starts_with(trim(l), '*')
+                       OR starts_with(trim(l), '•')))
+                     / nullif(len(ls), 0), 6) AS bullet_frac,
+               round(len(list_filter(ls, l -> ends_with(trim(l), '...')))
+                     / nullif(len(ls), 0), 6) AS ellipsis_frac
+        FROM m
+    ), rules AS (
+        SELECT doc_id, source, n_words, mean_word_len, symbol_ratio,
+               alpha_frac, stop_hits,
+               coalesce(n_words >= {_G_MIN_WORDS} AND n_words <= 100000, false)
+                 AS r_word_count,
+               coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, false)
+                 AS r_mean_word_len,
+               coalesce(symbol_ratio <= 0.1, false) AS r_symbol_ratio,
+               coalesce(bullet_frac <= 0.9, false) AS r_bullet_lines,
+               coalesce(ellipsis_frac <= 0.3, false) AS r_ellipsis_lines,
+               coalesce(alpha_frac >= 0.8, false) AS r_alpha_words,
+               coalesce(stop_hits >= {_G_MIN_STOP}, false) AS r_stopwords
+        FROM fr
+    )
+    SELECT *,
+           r_word_count AND r_mean_word_len AND r_symbol_ratio
+           AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+           AND r_stopwords AS keep
+    FROM rules
+    """,
+)
+def doc_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher doc-level quality gate (text.gopher_rules; Rae et al.
+    2021 §A1.1): every heuristic — word-count band, mean-word-length
+    band, #/... symbol ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, required-stopword presence — recomputed
+    by the oracle, plus the conjunction verdict. One scan, row-local
+    HOFs, no shuffle; the gate splits the synthetic corpus ~2:1."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    g = T.gopher_rules("text", min_words=_G_MIN_WORDS, min_stop_hits=_G_MIN_STOP)
+    cols = [
+        "n_words", "mean_word_len", "symbol_ratio", "alpha_frac",
+        "stop_hits", "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+        "r_stopwords", "keep",
+    ]
+    return docs.select("doc_id", "source", *[g[c].alias(c) for c in cols])
+
+
+# Planted fixture lines for the C4 line filter: each line is dropped by
+# exactly ONE rule (terminal punct passes on all four), so the oracle
+# verifies every rule independently. Chosen free of SQL-quoting hazards.
+_JS_LINE = "this page requires javascript to render properly."
+_BRACE_LINE = "the function body is { return one } here."
+_SHORT_LINE = "buy now."
+_LOREM_LINE = "lorem ipsum dolor sit amet consectetur adipiscing."
+
+
+@register(
+    "doc_c4_line_filter",
+    retired=True,
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, source, {_TOK} AS tok FROM documents
+    ), built AS (
+        SELECT doc_id, source,
+               list_concat(
+                 CASE WHEN len(tok) = 0 THEN []::VARCHAR[]
+                      ELSE list_transform(
+                             range(0, CAST(ceil(len(tok) / 8.0) AS INT)),
+                             i -> array_to_string(tok[i*8+1 : i*8+8], ' ')
+                                  || CASE WHEN i % 3 = 2 THEN '' ELSE '.' END)
+                 END,
+                 list_concat(
+                   CASE WHEN doc_id % 7 = 0 THEN ['{_JS_LINE}']
+                        ELSE []::VARCHAR[] END,
+                   list_concat(
+                     CASE WHEN doc_id % 11 = 0 THEN ['{_BRACE_LINE}']
+                          ELSE []::VARCHAR[] END,
+                     list_concat(
+                       CASE WHEN doc_id % 5 = 0 THEN ['{_SHORT_LINE}']
+                            ELSE []::VARCHAR[] END,
+                       CASE WHEN doc_id % 13 = 0 THEN ['{_LOREM_LINE}']
+                            ELSE []::VARCHAR[] END)))) AS ls
+        FROM b
+    ), filt AS (
+        SELECT doc_id, source, ls,
+               list_filter(ls, l ->
+                 (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+                  OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+                 AND (CASE WHEN trim(l) = '' THEN 0
+                           ELSE len(string_split(
+                                  trim(regexp_replace(l, '\\s+', ' ', 'g')),
+                                  ' ')) END) >= 5
+                 AND NOT contains(lower(trim(l)), '{{')
+                 AND NOT contains(lower(trim(l)), '}}')
+                 AND NOT contains(lower(trim(l)), 'lorem ipsum')
+                 AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+        FROM built
+    )
+    SELECT doc_id, source,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           array_to_string(kept, chr(10)) AS kept_text
+    FROM filt
+    """,
+)
+def doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (text.c4_line_filter; Raffel et al. 2020
+    §2.2) over a deterministic multi-line fixture: the single-line
+    synthetic docs are re-cut into 8-token lines (every third left
+    without terminal punctuation) and salted by doc_id residue with a
+    javascript line, a curly-brace line, a too-short line, and a lorem
+    ipsum line — one planted violation per rule. The REBUILT document
+    (surviving lines joined) is the verified value, byte-for-byte."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    staged = docs.select("doc_id", "source", T.tokens("text").alias("__tok"))
+    n = F.size("__tok")
+    m = F.ceil(n / F.lit(8.0)).cast("int")
+    empty = F.array().cast("array<string>")
+    base = F.when(n == 0, empty).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(F.col("__tok"), i * 8 + 1, 8), " "),
+                F.when(i % 3 == 2, F.lit("")).otherwise(F.lit(".")),
+            ),
+        )
+    )
+
+    def plant(mod: int, line: str):
+        return F.when(
+            F.col("doc_id") % mod == 0, F.array(F.lit(line))
+        ).otherwise(empty)
+
+    lines = F.concat(
+        base,
+        plant(7, _JS_LINE),
+        plant(11, _BRACE_LINE),
+        plant(5, _SHORT_LINE),
+        plant(13, _LOREM_LINE),
+    )
+    staged2 = staged.select(
+        "doc_id", "source", F.array_join(lines, "\n").alias("__text2")
+    )
+    c = T.c4_line_filter("__text2")
+    return staged2.select(
+        "doc_id",
+        "source",
+        c["n_lines"].alias("n_lines"),
+        c["n_kept"].alias("n_kept"),
+        c["kept_text"].alias("kept_text"),
+    )

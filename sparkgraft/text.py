@@ -302,6 +302,169 @@ def pii_counts(text: Column | str) -> dict[str, Column]:
     }
 
 
+# The Gopher rules' stopword-presence check uses ITS OWN word list
+# (Rae et al. 2021, arXiv:2112.11446 §A1.1: "the, be, to, of, and,
+# that, have, with"), distinct from the lang-id STOPWORDS above.
+GOPHER_STOP: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    text: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> dict[str, Column]:
+    """The Gopher document-quality heuristics (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1) as one codegen column bundle: word-count
+    band, mean-word-length band, ``#``/``...`` symbol-to-word ratio,
+    bullet-start and ellipsis-end line fractions, alphabetic-word
+    fraction, and the required-stopword presence check — plus ``keep``,
+    the conjunction. This is the standard doc-level gate a pretraining
+    pipeline runs between lang-id and dedup; every signal is a pure
+    row-local expression (HOFs + length arithmetic, no regex
+    backtracking, no shuffle), so the gate costs one scan at any scale.
+
+    Symbol counts use replace-based arithmetic (``length(t) -
+    length(replace(t, s))``) rather than regex so DuckDB oracles
+    reproduce them exactly; ratios ``round(x, 6)`` for
+    representation-stable comparisons. NULL-safe: an empty/NULL
+    document fails every rule explicitly (``keep = false``, never
+    NULL).
+    """
+    t = _col(text)
+    tok = tokens(t)
+    n_words = F.size(tok).cast("bigint")
+    nz = F.when(n_words > 0, n_words)
+    mean_word_len = F.round(
+        F.aggregate(tok, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x))
+        / nz,
+        6,
+    )
+    n_hash = (
+        F.coalesce(F.length(t), F.lit(0))
+        - F.coalesce(F.length(F.replace(t, F.lit("#"), F.lit(""))), F.lit(0))
+    ).cast("bigint")
+    n_ellipsis = (
+        (
+            F.coalesce(F.length(t), F.lit(0))
+            - F.coalesce(
+                F.length(F.replace(t, F.lit("..."), F.lit(""))), F.lit(0)
+            )
+        )
+        / 3
+    ).cast("bigint")
+    symbol_ratio = F.round((n_hash + n_ellipsis) / nz, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(tok, lambda x: x.rlike("[a-z]"))) / nz, 6
+    )
+    lines = F.when(
+        t.isNull() | (t == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(t, "\n"))
+    n_lines = F.size(lines).cast("bigint")
+    nzl = F.when(n_lines > 0, n_lines)
+    bullet_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.trim(l).startswith("-")
+                | F.trim(l).startswith("*")
+                | F.trim(l).startswith("•"),
+            )
+        )
+        / nzl,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: F.trim(l).endswith("..."))) / nzl, 6
+    )
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOP])
+    stop_hits = F.size(
+        F.filter(stop_arr, lambda w: F.array_contains(tok, w))
+    ).cast("bigint")
+    nn = lambda c: F.coalesce(c, F.lit(False))  # noqa: E731  empty doc -> false
+    rules = {
+        "r_word_count": nn((n_words >= min_words) & (n_words <= max_words)),
+        "r_mean_word_len": nn(
+            (mean_word_len >= min_mean_len) & (mean_word_len <= max_mean_len)
+        ),
+        "r_symbol_ratio": nn(symbol_ratio <= max_symbol_ratio),
+        "r_bullet_lines": nn(bullet_frac <= max_bullet_frac),
+        "r_ellipsis_lines": nn(ellipsis_frac <= max_ellipsis_frac),
+        "r_alpha_words": nn(alpha_frac >= min_alpha_frac),
+        "r_stopwords": nn(stop_hits >= min_stop_hits),
+    }
+    keep = F.lit(True)
+    for r in rules.values():
+        keep = keep & r
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "alpha_frac": alpha_frac,
+        "stop_hits": stop_hits,
+        **rules,
+        "keep": keep,
+    }
+
+
+# Substrings whose presence disqualifies a line under the C4 cleaning
+# rules (Raffel et al. 2020, arXiv:1910.10683 §2.2) — boilerplate
+# markers, matched case-insensitively.
+C4_BAD_SUBSTRINGS: tuple[str, ...] = ("lorem ipsum", "javascript")
+C4_TERMINAL: tuple[str, ...] = (".", "!", "?", '"')
+
+
+def c4_line_filter(
+    text: Column | str, min_line_words: int = 5
+) -> dict[str, Column]:
+    """C4-style LINE-level cleaning (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2): keep a line iff it (1) ends in terminal
+    punctuation, (2) has at least ``min_line_words`` whitespace words,
+    (3) contains no curly brace (code/boilerplate marker), and (4)
+    contains none of ``C4_BAD_SUBSTRINGS`` case-insensitively; the
+    document is REBUILT from surviving lines. The complement of the
+    doc-level ``gopher_rules`` gate — that drops whole documents, this
+    salvages the good lines of mixed ones.
+
+    Returns ``{n_lines, n_kept, kept_text}``. Entirely row-local HOFs
+    (one filter pass over the split lines, no regex beyond whitespace
+    collapse): one scan, zero shuffles, at any corpus size.
+    """
+    t = _col(text)
+    lines = F.when(
+        t.isNull() | (t == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(t, "\n"))
+
+    def _ok(l):
+        lt = F.trim(l)
+        low = F.lower(lt)
+        punct_ok = F.lit(False)
+        for p in C4_TERMINAL:
+            punct_ok = punct_ok | lt.endswith(p)
+        n_w = F.when(lt == "", F.lit(0)).otherwise(
+            F.size(F.split(F.trim(F.regexp_replace(l, r"\s+", " ")), " "))
+        )
+        clean = ~low.contains("{") & ~low.contains("}")
+        for bad in C4_BAD_SUBSTRINGS:
+            clean = clean & ~low.contains(bad)
+        return punct_ok & (n_w >= min_line_words) & clean
+
+    kept = F.filter(lines, _ok)
+    return {
+        "n_lines": F.size(lines).cast("bigint"),
+        "n_kept": F.size(kept).cast("bigint"),
+        "kept_text": F.array_join(kept, "\n"),
+    }
+
+
 def tfidf_top_terms(
     df: "DataFrame",  # noqa: F821 - forward ref, avoids module-level import
     text_col: str = "text",

@@ -279,3 +279,28 @@ def test_leakage_safe_split_keeps_duplicates_together(spark):
         assert set(sub.cluster_id) == {i}
     assert set(out.split) <= {"train", "val", "test"}
     assert out.split.nunique() >= 2  # thresholds actually partition
+
+
+def test_domain_temperature_weights_numpy_twin(spark, sf_dir):
+    import numpy as np
+
+    from sparkgraft.queries.packing import domain_temperature_weights
+
+    rows = domain_temperature_weights(spark, sf_dir).collect()
+    n_tok = np.array([r.n_tokens for r in rows], dtype=np.float64)
+    p = n_tok / n_tok.sum()
+    pa = p**0.7
+    w = pa / pa.sum()
+    for i, r in enumerate(rows):
+        assert r.p_raw == round(float(p[i]), 6)
+        assert r.w_temp == round(float(w[i]), 6)
+        assert r.boost == round(float(w[i] / p[i]), 6)
+    # temperature flattens: every under-represented domain is boosted,
+    # every over-represented one damped, and weights still sum to 1
+    assert abs(sum(r.w_temp for r in rows) - 1.0) < 1e-5
+    mean_p = 1.0 / len(rows)
+    for i, r in enumerate(rows):
+        if p[i] < mean_p * 0.8:
+            assert r.boost > 1.0
+        elif p[i] > mean_p * 1.25:
+            assert r.boost < 1.0

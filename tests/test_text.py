@@ -283,3 +283,61 @@ def test_char_entropy_known_values(spark):
     assert out[2] == round(math.log(4), 6)
     assert out[3] == 0.0
     assert out[4] is None and out[5] is None
+
+
+def test_gopher_rules_each_rule_bites(spark):
+    base = " ".join(["the quick brown fox of"] * 12)  # 60 words, 2 req stops
+    rows = [
+        (1, base),  # clean: passes everything
+        (2, "word " * 10),  # 10 words < 50 -> r_word_count false
+        (3, base + " ###### " + "#" * 20),  # symbol ratio blown
+        (4, "\n".join(["- bullet line one", "- bullet two", "* three"])),
+        (5, "\n".join([base, "to be continued...", "and more...",
+                       "then some...", "third dots..."])),
+        (6, " ".join(["12345"] * 60)),  # numeric words -> alpha_frac 0
+        (7, " ".join(["zz"] * 60)),  # no required stopwords, short words
+        (8, ""),  # empty -> keep false, never NULL
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    g = T.gopher_rules("text")
+    out = df.select("doc_id", *[v.alias(k) for k, v in g.items()]).collect()
+    r = {row.doc_id: row for row in out}
+    assert r[1].keep is True
+    assert r[2].keep is False and r[2].r_word_count is False
+    assert r[3].r_symbol_ratio is False
+    assert r[4].r_bullet_lines is False  # 3/3 bullet lines > 0.9
+    assert r[5].r_ellipsis_lines is False  # 4/5 ellipsis-ended > 0.3
+    assert r[6].r_alpha_words is False and r[6].alpha_frac == 0.0
+    assert r[7].r_stopwords is False and r[7].r_mean_word_len is False
+    for doc in (8, 9):
+        assert r[doc].keep is False  # explicit false, not NULL
+        assert all(
+            getattr(r[doc], f) is False
+            for f in r[doc].asDict() if f.startswith("r_")
+        )
+
+
+def test_c4_line_filter_rules_and_rebuild(spark):
+    text = "\n".join([
+        "this line has plenty of words and ends well.",  # kept
+        "no terminal punctuation on this long line here",  # punct rule
+        "too short.",  # word-count rule
+        "this page needs javascript enabled to work fine.",  # bad substring
+        "the code block is { x } in this sentence.",  # brace rule
+        "lorem ipsum dolor sit amet consectetur elite.",  # bad substring
+        "another perfectly fine sentence survives the filter!",  # kept
+    ])
+    df = spark.createDataFrame([(1, text), (2, ""), (3, None)],
+                               "doc_id int, text string")
+    c = T.c4_line_filter("text")
+    out = df.select("doc_id", *[v.alias(k) for k, v in c.items()]).collect()
+    r = {row.doc_id: row for row in out}
+    assert r[1].n_lines == 7 and r[1].n_kept == 2
+    assert r[1].kept_text == (
+        "this line has plenty of words and ends well.\n"
+        "another perfectly fine sentence survives the filter!"
+    )
+    for doc in (2, 3):
+        assert r[doc].n_lines == 0 and r[doc].n_kept == 0
+        assert r[doc].kept_text == ""
