@@ -1048,3 +1048,51 @@ def doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         c["n_kept"].alias("n_kept"),
         c["kept_text"].alias("kept_text"),
     )
+
+
+@register(
+    "doc_importance_resampling",
+    retired=True,
+    oracle=f"""
+    WITH stok AS (SELECT doc_id, {{tok}} AS tok FROM documents),
+    terms AS (SELECT doc_id, unnest(tok) AS term FROM stok),
+    tc AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    rctf AS (SELECT term, sum(tf) AS rctf FROM tc GROUP BY 1),
+    tterms AS (SELECT unnest({{tok}}) AS term FROM documents
+               WHERE source = 'src0'),
+    tctf AS (SELECT term, count(*) AS tctf FROM tterms GROUP BY 1),
+    rtot AS (SELECT CAST(coalesce(sum(rctf), 0) AS DOUBLE) AS rt,
+                    CAST(count(*) AS DOUBLE) AS rv FROM rctf),
+    ttot AS (SELECT CAST(coalesce(sum(tctf), 0) AS DOUBLE) AS tt,
+                    CAST(count(*) AS DOUBLE) AS tv FROM tctf),
+    scored AS (
+        SELECT tc.doc_id, sum(tf) AS n_tokens,
+               sum(CAST(tf AS DECIMAL(18,0)) *
+                   (CAST(round(ln((CAST(coalesce(tctf, 0) AS DOUBLE) + 1)
+                                  / (tt + tv)), 6) AS DECIMAL(18,6))
+                    - CAST(round(ln((CAST(coalesce(rctf, 0) AS DOUBLE) + 1)
+                                    / (rt + rv)), 6) AS DECIMAL(18,6)))) AS s
+        FROM tc LEFT JOIN tctf USING (term) LEFT JOIN rctf USING (term)
+        CROSS JOIN ttot CROSS JOIN rtot
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           round(CAST(sc.s AS DOUBLE) / CAST(sc.n_tokens AS DOUBLE), 6)
+               AS avg_llr,
+           coalesce(round(CAST(sc.s AS DOUBLE)
+                          / CAST(sc.n_tokens AS DOUBLE), 6) > 0, false)
+               AS keep
+    FROM documents d LEFT JOIN scored sc USING (doc_id)
+    """.replace("{tok}", _TOK),
+)
+def doc_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling gate (text.importance_llr; Xie
+    et al. 2023): every document scored by its mean unigram
+    log-likelihood ratio between the src0 target model and the whole
+    corpus's background model, ``keep = avg_llr > 0``. The oracle
+    recomputes both smoothed models, the rounded per-term ln-ratio,
+    the exact-decimal accumulation, and the gate."""
+    docs = read_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    return T.importance_llr(docs, target)

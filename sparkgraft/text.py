@@ -551,6 +551,104 @@ def tfidf_top_terms(
     )
 
 
+def importance_llr(
+    df: "DataFrame",  # noqa: F821
+    target_df: "DataFrame",  # noqa: F821
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_intermediates: bool = True,
+) -> "DataFrame":  # noqa: F821
+    """DSIR-style importance weighting (Xie et al. 2023,
+    arXiv:2302.03169), reduced to its unigram term: per document, the
+    mean log-likelihood RATIO between a TARGET domain's unigram model
+    and the raw corpus's own — ``avg_llr > 0`` means "more plausible
+    under the target than under the background", the deterministic
+    keep gate of importance resampling (DSIR adds Gumbel noise for a
+    soft sample; the hard ratio gate is the reproducible tier a 100 TB
+    selection run wants). Both models use add-one smoothing
+    (``p(w) = (ctf + 1) / (T + V)``), so out-of-vocabulary words are
+    defined on both sides.
+
+    Determinism: each per-term ``ln p`` is rounded to 6 places and the
+    per-doc accumulation runs in exact DECIMAL arithmetic
+    (``unigram_logprob``'s convention), so the score is independent of
+    partitioning and reproducible in DuckDB.
+
+    Scale shape: ONE tokenize pass over the scored corpus into compact
+    ``(doc, term, tf)`` counts (persisted — it feeds both the scoring
+    join and the raw-model totals, so the background model costs no
+    second pass over text); the target model tokenizes only the target
+    slice; T/V for both models ride broadcast one-row aggregates; the
+    scoring joins are term-keyed over the compact count table.
+    """
+    from .relational import spread
+
+    def term_counts(src):
+        toks = spread(
+            src.select(F.col(id_col).alias("doc_id"), text_col)
+        ).select("doc_id", tokens(text_col).alias("__tok"))
+        terms = toks.select(
+            "doc_id", F.explode_outer("__tok").alias("term")
+        ).where(F.col("term").isNotNull())
+        return terms.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("__tf")
+        )
+
+    tc = term_counts(df)
+    if persist_intermediates:
+        from pyspark import StorageLevel
+
+        # tc feeds the raw-model totals AND the scoring join
+        tc = tc.persist(StorageLevel.MEMORY_AND_DISK)
+    raw_ctf = tc.groupBy("term").agg(F.sum("__tf").alias("__rctf"))
+    tgt_ctf = term_counts(target_df).groupBy("term").agg(
+        F.sum("__tf").alias("__tctf")
+    )
+    raw_tot = raw_ctf.agg(
+        F.sum("__rctf").alias("__rt"), F.count(F.lit(1)).alias("__rv")
+    )
+    tgt_tot = tgt_ctf.agg(
+        F.sum("__tctf").alias("__tt"), F.count(F.lit(1)).alias("__tv")
+    )
+
+    def logp(ctf, t, v):
+        return F.round(
+            F.log(
+                (F.coalesce(ctf, F.lit(0)).cast("double") + 1.0)
+                / (t.cast("double") + v.cast("double"))
+            ),
+            6,
+        ).cast("decimal(18,6)")
+
+    llr = logp(F.col("__tctf"), F.col("__tt"), F.col("__tv")) - logp(
+        F.col("__rctf"), F.col("__rt"), F.col("__rv")
+    )
+    scored = (
+        tc.join(tgt_ctf, "term", "left")
+        .join(raw_ctf, "term", "left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(raw_tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("__tf").cast("decimal(18,0)") * llr).alias("__s"),
+        )
+    )
+    avg = F.round(F.col("__s").cast("double") / F.col("n_tokens"), 6)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            avg.alias("avg_llr"),
+            F.coalesce(avg > 0, F.lit(False)).alias("keep"),
+        )
+    )
+
+
 def cdc_segments(
     text: Column | str,
     avg_tokens: int = 8,

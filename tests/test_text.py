@@ -341,3 +341,25 @@ def test_c4_line_filter_rules_and_rebuild(spark):
     for doc in (2, 3):
         assert r[doc].n_lines == 0 and r[doc].n_kept == 0
         assert r[doc].kept_text == ""
+
+
+def test_importance_llr_separates_target_from_background(spark):
+    rows = [
+        (1, "alpha beta gamma alpha beta"),   # pure target vocabulary
+        (2, "noise junk clutter static hum"),  # pure background
+        (3, "alpha beta noise junk gamma"),    # mixed, target-leaning
+        (4, ""),                               # empty -> keep false, not NULL
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id int, text string")
+    # target model big enough that its smoothing floor 1/(T+V) sits
+    # BELOW the background's rare-word probability — with a toy-sized
+    # target the add-one floor dominates and every word looks plausible
+    target = spark.createDataFrame(
+        [(100, " ".join(["alpha beta gamma"] * 10))], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in T.importance_llr(corpus, target).collect()}
+    assert out[1].keep is True and out[1].avg_llr > 0
+    assert out[2].keep is False and out[2].avg_llr < 0
+    assert out[3].avg_llr > out[2].avg_llr
+    assert out[4].keep is False and out[4].n_tokens == 0
+    assert out[4].avg_llr is None  # undefined score, explicit false gate
