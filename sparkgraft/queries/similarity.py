@@ -608,3 +608,35 @@ def semantic_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     ev = emb.where(F.col("vec_id") % 97 == 0)
     return S.semantic_decontaminate(emb, ev, threshold=0.5)
+
+
+@register(
+    "hard_negative_mining",
+    retired=True,
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+               {_cos('e.embedding', 'q.qv')} AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id AND e.label != q.qlabel
+    )
+    SELECT query_id, CAST(qlabel AS INT) AS query_label, rank, vec_id,
+           CAST(label AS INT) AS neg_label, cos_sim
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC)
+            AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity.hard_negatives over the labeled embeddings: per
+    bounded query vector, the 5 most-similar DIFFERENT-label corpus
+    vectors — the contrastive-training mining step. The oracle is the
+    exhaustive filtered cross join with the same rounded ranking."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.hard_negatives(emb, queries, k=5)

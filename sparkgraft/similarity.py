@@ -177,6 +177,70 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-``k`` most-similar corpus vectors with a DIFFERENT label — the
+    negatives that actually move an InfoNCE/triplet loss (random
+    negatives are trivially separable; the highest-similarity wrong-
+    label examples define the decision boundary).
+
+    Same exact-tier shape as :func:`cosine_topk` (broadcast bounded
+    query set, one corpus pass, rounded-cosine + id-tiebreak ranking —
+    deterministic and engine-independent); the label-mismatch
+    predicate lands map-side in the scan, BEFORE the per-query window,
+    so same-label mass never reaches the shuffle. For corpus-scale
+    query sets, route candidates through ``rp_lsh_topk`` buckets first
+    and apply the same mismatch predicate per bucket.
+
+    Returns ``(query_id, query_label, rank, vec_id, neg_label,
+    cos_sim)``.
+    """
+    from pyspark.sql import Window
+
+    from .relational import spread
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("query_label"),
+    )
+    c = spread(corpus.select(id_col, vec_col, label_col))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(
+            (F.col(id_col) != F.col("query_id"))
+            & (F.col(label_col) != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            id_col,
+            F.col(label_col).alias("neg_label"),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), round_to).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "rank", id_col, "neg_label", "cos_sim"
+        )
+    )
+
+
 def knn_label_vote(
     corpus: DataFrame,
     queries: DataFrame,

@@ -430,3 +430,23 @@ def test_semantic_decontaminate_string_eval_ids(spark):
     [row] = semantic_decontaminate(corpus, eval_df, threshold=0.9).collect()
     assert row.contaminated and row.max_eval_sim == 1.0
     assert row.nearest_eval_id == "ev-a"
+
+
+def test_hard_negatives_exclude_same_label_and_rank(spark):
+    from sparkgraft.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # query
+        (1, [0.999, 0.05], 0),  # nearest overall but SAME label -> excluded
+        (2, [0.95, 0.3], 1),    # best different-label
+        (3, [0.5, 0.8], 1),
+        (4, [-1.0, 0.0], 2),    # opposite
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hard_negatives(emb, emb.where("vec_id = 0"), k=3).collect()
+    assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)] == [2, 3, 4]
+    assert all(r.neg_label != r.query_label for r in out)
+    sims = [r.cos_sim for r in sorted(out, key=lambda r: r.rank)]
+    assert sims == sorted(sims, reverse=True)
