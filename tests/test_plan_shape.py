@@ -255,3 +255,40 @@ def test_active_nonheadline_no_row_udfs_or_cartesian(spark, sf_dir, name):
     )
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     assert "CartesianProduct" not in plan, name
+
+
+# New r6 operators (retired tier): pin their scale shape structurally.
+# BNLJ allowances are the documented linear broadcast patterns —
+# doc_importance_resampling cross-joins TWO broadcast one-row model
+# totals (the tfidf in-plan-scalar discipline, A5), and
+# hard_negative_mining broadcasts its bounded query set against the
+# corpus scan (the knn_cosine_bruteforce exact-tier pattern). The DSIR
+# Exchange count reads high because the persisted (doc, term, tf)
+# subtree prints once per consumer in the plan tree; at runtime it
+# materializes once (persist in text.importance_llr).
+R6_OP_PINS = [
+    # (query name, max Exchange, allow BNLJ)
+    ("doc_gopher_quality_gate", 1, False),   # spread only — gate rides the scan
+    ("doc_c4_line_filter", 1, False),        # spread only
+    ("web_url_filter_gate", 1, False),       # spread only
+    ("domain_temperature_weights", 2, False),  # source agg + tiny-frame window
+    ("doc_importance_resampling", 22, True),
+    ("hard_negative_mining", 3, True),
+]
+
+
+@pytest.mark.parametrize("name,max_exchanges,allow_bnlj", R6_OP_PINS)
+def test_r6_operator_plan_shape(spark, sf_dir, name, max_exchanges, allow_bnlj):
+    spark.catalog.clearCache()
+    plan = (
+        Q.RETIRED_QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, name
+    if not allow_bnlj:
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    n = plan.count("Exchange")
+    assert n <= max_exchanges, f"{name}: {n} Exchange ops (pinned {max_exchanges})"
