@@ -350,3 +350,104 @@ def domain_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("__pa") / wsum, 6).alias("w_temp"),
         F.round(F.col("__pa") / wsum / F.col("__p"), 6).alias("boost"),
     )
+
+
+@register(
+    "temperature_resampled_docs",
+    retired=True,
+    oracle=f"""
+    WITH per AS (
+        SELECT source, CAST(sum(len({_TOK})) AS BIGINT) AS n_tok
+        FROM documents GROUP BY source
+    ), shares AS (
+        SELECT source, n_tok,
+               pow(n_tok / CAST(sum(n_tok) OVER () AS DOUBLE),
+                   {_TEMP_ALPHA}) AS pa,
+               CAST(sum(n_tok) OVER () AS DOUBLE) AS t_total
+        FROM per
+    ), w AS (
+        SELECT source, n_tok, t_total,
+               round(pa / sum(pa) OVER (), 6) AS w6
+        FROM shares
+    ), rates AS (
+        SELECT source,
+               CAST(floor(w6 * t_total / n_tok) AS INT) AS full_epochs,
+               CAST(floor((w6 * t_total / n_tok
+                           - floor(w6 * t_total / n_tok)) * 65536) AS INT)
+                 AS frac_thr
+        FROM w
+    ), planned AS (
+        SELECT d.doc_id, d.source,
+               r.full_epochs
+               + CASE WHEN CAST('0x' ||
+                       substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                       AS INTEGER) < r.frac_thr THEN 1 ELSE 0 END AS n_epochs
+        FROM documents d JOIN rates r USING (source)
+    )
+    SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM (
+        SELECT p.doc_id, p.source, unnest(range(1, p.n_epochs + 1)) AS epoch
+        FROM planned p WHERE p.n_epochs > 0
+    )
+    """,
+)
+def temperature_resampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature mixture MATERIALIZED: per-source replication
+    rates derived from the same w ∝ p^0.7 weights as
+    ``domain_temperature_weights`` at a token budget equal to the
+    corpus total — so over-represented sources downsample (fractional
+    epoch via a deterministic md5 draw) and under-represented ones
+    replicate — then realized as (doc_id, source, epoch) rows. The
+    end-to-end path a curriculum run executes: weights -> rates ->
+    rows, with no rand() anywhere.
+
+    Scale shape: the rate table is an aggregate of the corpus (token
+    counts map-side, |sources| rows), broadcast back for the one
+    row-local epoch explode; the fractional draw compares the doc's
+    md5 bucket against floor(frac * 65536) NUMERICALLY (both engines
+    parse the hex — no string-format dependence). Zero non-broadcast
+    joins, zero shuffles beyond the rate aggregate."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(T.tokens("text")).alias("__nt")
+    )
+    per = docs.groupBy("source").agg(
+        F.sum("__nt").cast("bigint").alias("__n_tok")
+    )
+    w = Window.partitionBy()
+    p = F.col("__n_tok") / F.sum("__n_tok").over(w).cast("double")
+    pa = F.pow(p, F.lit(_TEMP_ALPHA))
+    staged = per.select(
+        "source",
+        "__n_tok",
+        F.round(pa / F.sum(pa).over(w), 6).alias("__w6"),
+        F.sum("__n_tok").over(w).cast("double").alias("__t"),
+    )
+    r = F.col("__w6") * F.col("__t") / F.col("__n_tok")
+    rates = staged.select(
+        "source",
+        F.floor(r).cast("int").alias("__full"),
+        F.floor((r - F.floor(r)) * 65536).cast("int").alias("__thr"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    planned = (
+        docs.select("doc_id", "source", bucket.alias("__b"))
+        .join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.col("__full")
+                + F.when(F.col("__b") < F.col("__thr"), 1).otherwise(0)
+            ).alias("__ne"),
+        )
+    )
+    return (
+        planned.where(F.col("__ne") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("__ne"))).alias("epoch"),
+        )
+        .select("doc_id", "source", F.col("epoch").cast("bigint").alias("epoch"))
+    )

@@ -304,3 +304,43 @@ def test_domain_temperature_weights_numpy_twin(spark, sf_dir):
             assert r.boost > 1.0
         elif p[i] > mean_p * 1.25:
             assert r.boost < 1.0
+
+
+def test_temperature_resampled_docs_up_and_down_paths(spark, tmp_path):
+    """Skewed fixture: the dominant source lands r < 1 (hash-thinned to
+    a single fractional epoch) while the tail source lands r > 1 (full
+    replication + fractional extra) — and the realized rows match an
+    exact hashlib recomputation of the md5 draw."""
+    import hashlib
+    import math
+
+    rows = [(i, "tok " * 50, "en", "big", 200) for i in range(8)]
+    rows += [(100 + i, "tok tok tok tok tok", "en", "small", 19) for i in range(2)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "corpus")
+    df.coalesce(1).write.parquet(path + "/documents.parquet")
+    from sparkgraft.queries.packing import temperature_resampled_docs
+
+    out = temperature_resampled_docs(spark, path).collect()
+    per_doc: dict[int, int] = {}
+    for r in out:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+
+    # exact twin of the rate arithmetic
+    n_tok = {"big": 8 * 50, "small": 2 * 5}
+    total = sum(n_tok.values())
+    pa = {s: (n / total) ** 0.7 for s, n in n_tok.items()}
+    w6 = {s: round(pa[s] / sum(pa.values()), 6) for s in pa}
+    rate = {s: w6[s] * total / n_tok[s] for s in n_tok}
+    assert rate["big"] < 1 < rate["small"]
+    for doc_id, _, _, src, _ in [(r[0], 0, 0, r[3], 0) for r in rows]:
+        full = math.floor(rate[src])
+        thr = math.floor((rate[src] - full) * 65536)
+        bucket = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+        expected = full + (1 if bucket < thr else 0)
+        assert per_doc.get(doc_id, 0) == expected, (doc_id, src)
+    # replication realized: every small doc >= 2 epochs, big docs <= 1
+    assert all(per_doc.get(100 + i, 0) >= 2 for i in range(2))
+    assert all(per_doc.get(i, 0) <= 1 for i in range(8))
