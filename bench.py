@@ -24,8 +24,8 @@ HEADLINE = [
     "conformance_three_payload",
     "pricing_summary",
     "revenue_per_segment",
-    "orders_per_customer_left",
     "user_funnel_set_ops",
+    "doc_importance_resampling",
     "lineitem_grouping_sets",
     # windows / sessionization / as-of
     "user_sessions",
@@ -42,7 +42,7 @@ HEADLINE = [
     "pack_training_sequences",
     "domain_mixture_epochs",
     "quality_percentile_filter",
-    "doc_quality_metrics",
+    "doc_gopher_quality_gate",
     "tfidf_top_terms",
     "corpus_curation_pipeline",
     "dedup_exact_keep_first",

@@ -27,7 +27,13 @@ _DE = "['der','die','das','und','ist','ein','eine','zu','den','von']"
 
 @register(
     "doc_quality_metrics",
-    f"""
+    # retired r6 continuation (slot rotation for
+    # doc_importance_resampling): two-round-stable; the quality-metric
+    # expressions keep driver exercise inside corpus_curation_pipeline
+    # (and the gopher gate recomputes the same signal family), and this
+    # stays locally oracled every pytest run
+    retired=True,
+    oracle=f"""
     WITH base AS (
         SELECT doc_id, source, {_TOK} AS tok,
                coalesce(length(text), 0) AS n_chars,
@@ -873,7 +879,10 @@ _G_STOP = "['the','be','to','of','and','that','have','with']"
 
 @register(
     "doc_gopher_quality_gate",
-    retired=True,
+    # ACTIVE (r6 continuation): promoted on registration day per the
+    # coverage policy (new code earns driver rows); funded by retiring
+    # the two-round-stable doc_quality_metrics, whose expressions stay
+    # driver-exercised inside corpus_curation_pipeline
     oracle=f"""
     WITH base AS (
         SELECT doc_id, source, text, {_TOK} AS tok FROM documents
@@ -1052,7 +1061,9 @@ def doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_importance_resampling",
-    retired=True,
+    # ACTIVE (r6 continuation): promoted on registration day per the
+    # coverage policy; funded by retiring orders_per_customer_left
+    # (left-outer evidence stays driver-held by conformance_flagship)
     oracle=f"""
     WITH stok AS (SELECT doc_id, {{tok}} AS tok FROM documents),
     terms AS (SELECT doc_id, unnest(tok) AS term FROM stok),

@@ -45,7 +45,6 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "dedup_repeated_spans": (4, 2),
     "pricing_summary": (1, 0),
     "revenue_per_segment": (2, 1),
-    "orders_per_customer_left": (2, 1),
     "user_funnel_set_ops": (6, 1),
     "lineitem_grouping_sets": (1, 0),
     "user_sessions": (1, 0),
@@ -78,7 +77,11 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # the BroadcastExchange joining kept scores back — never a
     # corpus-wide sort partition
     "quality_percentile_filter": (5, 1),
-    "doc_quality_metrics": (1, 0),
+    "doc_gopher_quality_gate": (1, 0),  # gate rides the scan (spread only)
+    # DSIR: the persisted (doc, term, tf) subtree prints once per
+    # consumer (materializes once at runtime); the two BNLJs are the
+    # broadcast one-row model totals (A5 in-plan scalars)
+    "doc_importance_resampling": (22, 0),
     "corpus_curation_pipeline": (2, 0),
     "tfidf_top_terms": (9, 1),  # doc_len rides the rank window's exchange
     "dedup_exact_keep_first": (1, 0),
@@ -105,7 +108,12 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
 # construction): knn broadcasts its bounded query set;
 # tfidf cross-joins a broadcast ONE-ROW aggregate (the in-plan N
 # scalar, A5 discipline). Everything else must not nested-loop at all.
-BNLJ_ALLOWED = {"knn_cosine_bruteforce", "tfidf_top_terms"}
+BNLJ_ALLOWED = {
+    "knn_cosine_bruteforce",
+    "tfidf_top_terms",
+    # two broadcast one-row model totals (T/V scalars, A5 discipline)
+    "doc_importance_resampling",
+}
 
 
 def test_pins_cover_headline():
@@ -268,12 +276,13 @@ def test_active_nonheadline_no_row_udfs_or_cartesian(spark, sf_dir, name):
 # materializes once (persist in text.importance_llr).
 R6_OP_PINS = [
     # (query name, max Exchange, allow BNLJ)
-    ("doc_gopher_quality_gate", 1, False),   # spread only — gate rides the scan
     ("doc_c4_line_filter", 1, False),        # spread only
     ("web_url_filter_gate", 1, False),       # spread only
     ("domain_temperature_weights", 2, False),  # source agg + tiny-frame window
-    ("doc_importance_resampling", 22, True),
     ("hard_negative_mining", 3, True),
+    # rate aggregate + tiny-frame window + broadcast join-back; the
+    # epoch explode is row-local
+    ("temperature_resampled_docs", 3, False),
 ]
 
 

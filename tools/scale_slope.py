@@ -102,6 +102,12 @@ PROBES = [
     # linearly with the factor — n nodes, ~2.4n weighted edges, 1 in 5
     # nodes dangling. Expected linear: edges x fixed iteration count.
     "pagerank_synth_graph",
+    # r6 continuation: the heaviest new operator (tokenize -> term
+    # counts -> two term-keyed model joins -> doc aggregate). Both
+    # models grow with the corpus (target = the src0 slice), so
+    # expected ~linear: term-count tables are compact and the joins
+    # are term-keyed, never all-pairs.
+    "doc_importance_resampling",
 ]
 
 
