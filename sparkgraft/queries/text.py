@@ -1107,3 +1107,165 @@ def doc_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     target = docs.where(F.col("source") == "src0")
     return T.importance_llr(docs, target)
+
+
+@register(
+    "pretrain_curation_pipeline",
+    retired=True,
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, text, {_TOK} AS tok FROM documents
+    ), m AS (
+        SELECT doc_id, source, text, CAST(len(tok) AS BIGINT) AS n_tokens,
+               round(list_sum(list_transform(tok, t -> length(t)))
+                     / nullif(len(tok), 0), 6) AS mean_word_len,
+               round((
+                 (coalesce(length(text), 0)
+                    - coalesce(length(replace(text, '#', '')), 0))
+                 + CAST((coalesce(length(text), 0)
+                    - coalesce(length(replace(text, '...', '')), 0)) / 3
+                   AS BIGINT)
+               ) / nullif(len(tok), 0), 6) AS symbol_ratio,
+               round(len(list_filter(tok, x -> regexp_matches(x, '[a-z]')))
+                     / nullif(len(tok), 0), 6) AS alpha_frac,
+               len(list_filter({_G_STOP}, w -> list_contains(tok, w)))
+                 AS stop_hits,
+               CASE WHEN text IS NULL OR text = '' THEN []::VARCHAR[]
+                    ELSE string_split(text, chr(10)) END AS ls
+        FROM base
+    ), gated AS (
+        SELECT doc_id, source, text, n_tokens FROM m
+        WHERE coalesce(n_tokens >= {_G_MIN_WORDS} AND n_tokens <= 100000,
+                       false)
+          AND coalesce(mean_word_len BETWEEN 3.0 AND 10.0, false)
+          AND coalesce(symbol_ratio <= 0.1, false)
+          AND coalesce(round(len(list_filter(ls, l ->
+                    starts_with(trim(l), '-') OR starts_with(trim(l), '*')
+                    OR starts_with(trim(l), '•')))
+                  / nullif(len(ls), 0), 6) <= 0.9, false)
+          AND coalesce(round(len(list_filter(ls, l ->
+                    ends_with(trim(l), '...')))
+                  / nullif(len(ls), 0), 6) <= 0.3, false)
+          AND coalesce(alpha_frac >= 0.8, false)
+          AND coalesce(stop_hits >= {_G_MIN_STOP}, false)
+    ), deduped AS (
+        SELECT doc_id, source, n_tokens FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(trim(regexp_replace(lower(text),
+                                                     '\\s+', ' ', 'g')))
+                ORDER BY doc_id ASC) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    ), per AS (
+        SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_tok
+        FROM deduped GROUP BY source
+    ), shares AS (
+        SELECT source, n_tok,
+               pow(n_tok / CAST(sum(n_tok) OVER () AS DOUBLE), 0.7) AS pa,
+               CAST(sum(n_tok) OVER () AS DOUBLE) AS t_total
+        FROM per
+    ), w AS (
+        SELECT source, n_tok, t_total,
+               round(pa / sum(pa) OVER (), 6) AS w6
+        FROM shares
+    ), rates AS (
+        SELECT source,
+               CAST(floor(w6 * t_total / n_tok) AS INT) AS full_epochs,
+               CAST(floor((w6 * t_total / n_tok
+                           - floor(w6 * t_total / n_tok)) * 65536) AS INT)
+                 AS frac_thr
+        FROM w
+    ), planned AS (
+        SELECT d.doc_id, d.source, d.n_tokens,
+               r.full_epochs
+               + CASE WHEN CAST('0x' ||
+                       substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                       AS INTEGER) < r.frac_thr THEN 1 ELSE 0 END AS n_epochs
+        FROM deduped d JOIN rates r USING (source)
+    )
+    SELECT doc_id, source, n_tokens, CAST(epoch AS BIGINT) AS epoch FROM (
+        SELECT p.doc_id, p.source, p.n_tokens,
+               unnest(range(1, p.n_epochs + 1)) AS epoch
+        FROM planned p WHERE p.n_epochs > 0
+    )
+    """,
+)
+def pretrain_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 operators COMPOSED end-to-end the way a pretraining
+    run chains them: Gopher doc-quality gate -> exact-dup keep-first ->
+    temperature-rebalanced epoch materialization (w ∝ p^0.7 over the
+    SURVIVING corpus — mixture weights must be computed after
+    filtering/dedup, or removed duplicates still inflate their
+    domain's share). Output is the realized training roster:
+    (doc_id, source, n_tokens, epoch). Every stage — all seven rule
+    booleans, the fingerprint window, the weights, rates, fractional
+    draws and epoch rows — is recomputed by the oracle.
+
+    Scale shape: the gate is row-local on the scan; dedup is one
+    fingerprint-keyed window; the rate table is a |sources|-row
+    aggregate broadcast back for a row-local explode. Text crosses
+    exactly one exchange (the dedup window's); everything after moves
+    (id, source, count) rows."""
+    from pyspark.sql import Window
+
+    from .. import dedup as D
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    g = T.gopher_rules("text", min_words=_G_MIN_WORDS, min_stop_hits=_G_MIN_STOP)
+    gated = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(T.tokens("text")).cast("bigint").alias("n_tokens"),
+        g["keep"].alias("__keep"),
+    ).where(F.col("__keep"))
+    deduped = D.dedup_exact(gated, "text", "doc_id").select(
+        "doc_id", "source", "n_tokens"
+    )
+    per = deduped.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("__n_tok")
+    )
+    w = Window.partitionBy()
+    p = F.col("__n_tok") / F.sum("__n_tok").over(w).cast("double")
+    pa = F.pow(p, F.lit(0.7))
+    staged = per.select(
+        "source",
+        "__n_tok",
+        F.round(pa / F.sum(pa).over(w), 6).alias("__w6"),
+        F.sum("__n_tok").over(w).cast("double").alias("__t"),
+    )
+    r = F.col("__w6") * F.col("__t") / F.col("__n_tok")
+    rates = staged.select(
+        "source",
+        F.floor(r).cast("int").alias("__full"),
+        F.floor((r - F.floor(r)) * 65536).cast("int").alias("__thr"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    planned = (
+        deduped.withColumn("__b", bucket)
+        .join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (
+                F.col("__full")
+                + F.when(F.col("__b") < F.col("__thr"), 1).otherwise(0)
+            ).alias("__ne"),
+        )
+    )
+    return (
+        planned.where(F.col("__ne") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(1), F.col("__ne"))).alias("epoch"),
+        )
+        .select(
+            "doc_id", "source", "n_tokens",
+            F.col("epoch").cast("bigint").alias("epoch"),
+        )
+    )

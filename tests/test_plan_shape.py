@@ -283,6 +283,9 @@ R6_OP_PINS = [
     # rate aggregate + tiny-frame window + broadcast join-back; the
     # epoch explode is row-local
     ("temperature_resampled_docs", 3, False),
+    # gate (row-local) -> fingerprint window -> rate agg + tiny-frame
+    # window + broadcast join-back; text crosses one exchange
+    ("pretrain_curation_pipeline", 7, False),
 ]
 
 
