@@ -363,3 +363,38 @@ def test_importance_llr_separates_target_from_background(spark):
     assert out[3].avg_llr > out[2].avg_llr
     assert out[4].keep is False and out[4].n_tokens == 0
     assert out[4].avg_llr is None  # undefined score, explicit false gate
+
+
+def test_pretrain_pipeline_weights_follow_dedup(spark, tmp_path):
+    """The composite's ordering claim: mixture rates are computed on
+    the SURVIVING corpus. A source whose volume is mostly duplicate
+    copies must end up with the replication rate of its deduped size,
+    not its raw size — i.e. its realized row share shrinks after
+    dedup, instead of the duplicates inflating its domain weight."""
+    base = " ".join(["the quick brown fox of"] * 12)  # passes the gate
+    rows = []
+    # src_dup: 12 docs but only 2 distinct texts (10 duplicates)
+    for i in range(12):
+        rows.append((i, base + (" extra" if i % 6 == 0 else ""), "en", "src_dup", 0))
+    # src_uniq: 6 docs, all distinct
+    for i in range(6):
+        rows.append((100 + i, base + f" unique{i} marker{i}", "en", "src_uniq", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "corpus")
+    df.coalesce(1).write.parquet(path + "/documents.parquet")
+    from sparkgraft.queries.text import pretrain_curation_pipeline
+
+    out = pretrain_curation_pipeline(spark, path).collect()
+    per_source: dict[str, int] = {}
+    distinct_docs = set()
+    for r in out:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+        distinct_docs.add(r.doc_id)
+    # dedup happened: at most 2 distinct src_dup docs survive
+    assert len([d for d in distinct_docs if d < 100]) <= 2
+    # and the mixture reflects the DEDUPED sizes: src_uniq (6 survivors)
+    # gets more training rows than src_dup (2 survivors), even though
+    # src_dup's RAW corpus is twice as large
+    assert per_source.get("src_uniq", 0) > per_source.get("src_dup", 0)
