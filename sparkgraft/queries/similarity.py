@@ -640,3 +640,52 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return S.hard_negatives(emb, queries, k=5)
+
+
+@register(
+    "label_noise_audit",
+    retired=True,
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < 50),
+    scored AS (
+        SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+               {_cos('e.embedding', 'q.qv')} AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 10
+    ),
+    votes AS (
+        SELECT query_id, qlabel, label AS predicted_label,
+               CAST(count(*) AS BIGINT) AS votes,
+               max(cos_sim) AS top_cos
+        FROM topk GROUP BY query_id, qlabel, label
+    )
+    SELECT query_id,
+           CAST(qlabel AS INT) AS assigned_label,
+           CAST(predicted_label AS INT) AS predicted_label,
+           votes, top_cos,
+           predicted_label != qlabel AND votes >= 7 AS is_suspect
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY votes DESC, predicted_label ASC) AS vr
+        FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity.label_noise_candidates over 50 labeled query vectors:
+    rows whose assigned label loses a strong-majority (>= 7 of 10)
+    neighborhood vote are flagged as mislabel candidates; the oracle
+    recomputes the ranking, the vote, the tiebreak, and the flag."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50)
+    return S.label_noise_candidates(emb, queries, k=10, min_votes=7)

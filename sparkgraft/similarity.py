@@ -297,6 +297,52 @@ def knn_label_vote(
     )
 
 
+def label_noise_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+    min_votes: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Label-noise audit (Confident-Learning-style neighborhood
+    disagreement): a row is a mislabel CANDIDATE when a strong
+    majority (``min_votes`` of ``k``) of its nearest neighbors carry a
+    DIFFERENT label than the one assigned — the cheap first-pass
+    filter a labeled-data pipeline runs before human re-review or
+    training-dynamics scoring. Built on :func:`knn_label_vote`
+    (deterministic ranking + smallest-label tiebreak), so the verdict
+    is engine-independent and SQL-oracle-able.
+
+    Returns every query row with ``(assigned_label, predicted_label,
+    votes, top_cos, is_suspect)`` — the full audit report, not just
+    the flagged subset, so reviewers see the margin everywhere.
+    """
+    votes = knn_label_vote(
+        corpus, queries, id_col, vec_col, label_col, k, round_to
+    )
+    assigned = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("assigned_label"),
+    )
+    return (
+        votes.join(assigned, "query_id")
+        .select(
+            "query_id",
+            "assigned_label",
+            "predicted_label",
+            "votes",
+            "top_cos",
+            (
+                (F.col("predicted_label") != F.col("assigned_label"))
+                & (F.col("votes") >= min_votes)
+            ).alias("is_suspect"),
+        )
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

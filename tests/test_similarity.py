@@ -450,3 +450,33 @@ def test_hard_negatives_exclude_same_label_and_rank(spark):
     assert all(r.neg_label != r.query_label for r in out)
     sims = [r.cos_sim for r in sorted(out, key=lambda r: r.rank)]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_label_noise_candidates_flags_planted_mislabel(spark):
+    from sparkgraft.similarity import label_noise_candidates
+
+    # a tight label-0 cluster around [1, 0]; vec 99 sits inside it but
+    # is labeled 1 (the planted mislabel); vec 50 is a correctly
+    # labeled singleton far away (its neighbors disagree, but a lone
+    # off-cluster point is exactly what min_votes protects: flag it
+    # anyway — all its neighbors are label 0 — so use it to check the
+    # is_suspect semantics, not the absence of a flag)
+    rows = [(i, [1.0, 0.001 * i], 0) for i in range(12)]
+    rows.append((99, [1.0, 0.005], 1))   # planted mislabel inside the cluster
+    rows.append((50, [-1.0, 0.0], 2))    # far-away singleton, label 2
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r.query_id: r
+        for r in label_noise_candidates(
+            emb, emb.where("vec_id in (0, 99, 50)"), k=5, min_votes=4
+        ).collect()
+    }
+    assert out[99].is_suspect  # cluster votes label 0 against assigned 1
+    assert out[99].predicted_label == 0 and out[99].assigned_label == 1
+    assert not out[0].is_suspect  # in-cluster, correctly labeled
+    assert out[0].predicted_label == 0
+    # the singleton's neighborhood is all label 0 -> it flags too; the
+    # report carries the margin so a reviewer sees WHY
+    assert out[50].is_suspect and out[50].predicted_label == 0
