@@ -689,3 +689,57 @@ def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 50)
     return S.label_noise_candidates(emb, queries, k=10, min_votes=7)
+
+
+@register(
+    "embedding_centroid_drift",
+    retired=True,
+    oracle="""
+    WITH exploded AS (
+        SELECT vec_id, label, vec_id % 2 AS half,
+               CAST(t.i - 1 AS BIGINT) AS pos,
+               CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS v
+        FROM embeddings, range(1, 65) t(i)
+    ),
+    dimstats AS (
+        SELECT label, pos,
+               CAST(round(CAST(sum(CASE WHEN half = 0
+                       THEN CAST(v AS DECIMAL(38,28)) END) AS DOUBLE)
+                     / nullif(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END), 0),
+                   6) AS DECIMAL(18,6)) AS ma,
+               CAST(round(CAST(sum(CASE WHEN half = 1
+                       THEN CAST(v AS DECIMAL(38,28)) END) AS DOUBLE)
+                     / nullif(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END), 0),
+                   6) AS DECIMAL(18,6)) AS mb
+        FROM exploded GROUP BY label, pos
+    ),
+    dots AS (
+        SELECT label,
+               CAST(sum(ma * mb) AS DOUBLE) AS dab,
+               CAST(sum(ma * ma) AS DOUBLE) AS daa,
+               CAST(sum(mb * mb) AS DOUBLE) AS dbb
+        FROM dimstats GROUP BY label
+    ),
+    counts AS (
+        SELECT label,
+               CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM embeddings GROUP BY label
+    )
+    SELECT c.label, c.n_a, c.n_b,
+           round(dab / nullif(sqrt(daa) * sqrt(dbb), 0), 6) AS centroid_cos,
+           coalesce(round(dab / nullif(sqrt(daa) * sqrt(dbb), 0), 6) < 0.8,
+                    false) AS drifted
+    FROM counts c JOIN dots USING (label)
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity.centroid_drift over the labeled embeddings (even vs
+    odd vec_id as the two snapshots): per-label centroid cosine with
+    decimal-exact per-dimension means, drift flag below 0.8. The
+    oracle recomputes the explode, both halves' rounded means, the
+    exact-decimal dot products, and the flag."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.centroid_drift(emb, dim=64, min_cos=0.8)

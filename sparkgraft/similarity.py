@@ -343,6 +343,70 @@ def label_noise_candidates(
     )
 
 
+def centroid_drift(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    min_cos: float = 0.8,
+) -> DataFrame:
+    """Embedding-space drift report: per label, the cosine between the
+    centroids of two deterministic halves of the corpus (even vs odd
+    ``id`` — a stand-in for snapshot A vs snapshot B; pass real
+    snapshots by unioning them with a parity id). The embedding
+    sibling of ``contract.profile_drift``: an embedding-model swap, a
+    silently reshuffled dimension order, or a poisoned ingest shows up
+    as a centroid rotation long before downstream metrics move.
+
+    Determinism: per-dimension means accumulate in DECIMAL(38,28) and
+    round to 6 before the (exact-decimal) dot products, so the report
+    is partitioning-independent and SQL-reproducible. Scale shape: one
+    posexplode aggregation keyed (label, dim) — |labels| x dim rows —
+    then a |labels|-row fold; the corpus is read once.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    half = (F.col(id_col) % 2).alias("__half")
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        half,
+        F.posexplode(F.col(vec_col)).alias("pos", "__v"),
+    )
+    d = F.col("__v").cast("decimal(38,28)")
+    cnt = lambda h: F.sum(F.when(F.col("__half") == h, 1).otherwise(0))  # noqa: E731
+    mean = lambda h: F.round(  # noqa: E731
+        F.sum(F.when(F.col("__half") == h, d)).cast("double")
+        / F.when(cnt(h) > 0, cnt(h)),
+        6,
+    ).cast("decimal(18,6)")
+    dimstats = exploded.groupBy("label", "pos").agg(
+        mean(0).alias("__ma"), mean(1).alias("__mb")
+    )
+    dots = dimstats.groupBy("label").agg(
+        F.sum(F.col("__ma") * F.col("__mb")).cast("double").alias("__dab"),
+        F.sum(F.col("__ma") * F.col("__ma")).cast("double").alias("__daa"),
+        F.sum(F.col("__mb") * F.col("__mb")).cast("double").alias("__dbb"),
+    )
+    counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.sum(F.when(F.col(id_col) % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col(id_col) % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    denom = F.sqrt("__daa") * F.sqrt("__dbb")
+    ccos = F.round(F.col("__dab") / F.when(denom > 0, denom), 6)
+    return counts.join(dots, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        ccos.alias("centroid_cos"),
+        F.coalesce(ccos < min_cos, F.lit(False)).alias("drifted"),
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

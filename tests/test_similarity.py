@@ -480,3 +480,24 @@ def test_label_noise_candidates_flags_planted_mislabel(spark):
     # the singleton's neighborhood is all label 0 -> it flags too; the
     # report carries the margin so a reviewer sees WHY
     assert out[50].is_suspect and out[50].predicted_label == 0
+
+
+def test_centroid_drift_planted_rotation(spark):
+    from sparkgraft.similarity import centroid_drift
+
+    rows = []
+    # label 0: odd half NEGATED (planted drift -> centroid cos ~ -1)
+    for i in range(20):
+        v = [1.0, 0.5, 0.25, 0.125]
+        rows.append((i * 2, v, 0))
+        rows.append((i * 2 + 1, [-x for x in v], 0))
+    # label 1: both halves identical (cos 1.0, no drift)
+    for i in range(20):
+        rows.append((1000 + i, [0.5, 0.5, 0.1, 0.9], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.label: r for r in centroid_drift(emb, dim=4).collect()}
+    assert out[0].drifted and out[0].centroid_cos < -0.99
+    assert not out[1].drifted and out[1].centroid_cos == 1.0
+    assert out[0].n_a == 20 and out[0].n_b == 20
