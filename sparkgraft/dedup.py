@@ -1281,3 +1281,90 @@ def near_dup_incremental(
             "signature",
         )
     )
+
+
+def dedup_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 10,
+) -> DataFrame:
+    """Boilerplate LINE removal (the RefinedWeb/FineWeb web-cleaning
+    step): a line whose normalized form appears in at least
+    ``min_docs`` DISTINCT documents is template boilerplate — cookie
+    banners, nav text, footers, "subscribe" calls — and is removed
+    from EVERY document. The complement of :func:`dedup_spans`: long
+    shared passages keep a first owner (one copy is real content);
+    boilerplate has no owner worth keeping.
+
+    Matching normalizes (lowercase, whitespace-collapse) but the
+    REBUILT document carries each surviving line verbatim. Returns one
+    row per input document: ``(id, cleaned_text, n_lines, n_removed)``
+    — empty/NULL docs come back with empty text and zero counts, never
+    dropped.
+
+    Scale shape: explode lines once; the line-frequency aggregate is a
+    two-phase distinct count keyed on the md5 of the normalized line
+    (the shuffle carries 32-hex keys, never line text); the flagged
+    key set — tiny by construction, only keys crossing ``min_docs`` —
+    broadcasts back; the rebuild is one doc-keyed groupBy. Document
+    text crosses exactly one exchange (the rebuild's).
+    """
+    from .text import normalize_text
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.when(
+                F.col(text_col).isNull() | (F.col(text_col) == ""),
+                F.array().cast("array<string>"),
+            ).otherwise(F.split(F.col(text_col), "\n"))
+        ).alias("__line_idx", "__line"),
+    ).withColumn("__k", F.md5(normalize_text(F.col("__line"))))
+    freq = (
+        lines.where(F.col("__line").isNotNull())
+        .groupBy("__k")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+    )
+    common = freq.where(F.col("__nd") >= min_docs).select(
+        "__k", F.lit(True).alias("__bp")
+    )
+    flagged = lines.join(F.broadcast(common), "__k", "left")
+    agg = (
+        flagged.where(F.col("__line").isNotNull())
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("__bp"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        ~F.coalesce(F.col("__bp"), F.lit(False)),
+                        F.struct(
+                            F.col("__line_idx").alias("i"),
+                            F.col("__line").alias("l"),
+                        ),
+                    )
+                )
+            ).alias("__kept"),
+        )
+    )
+    cleaned = F.array_join(
+        F.transform(F.col("__kept"), lambda s: s.getField("l")), "\n"
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(cleaned, F.lit("")).alias("cleaned_text"),
+            F.coalesce(F.col("n_lines"), F.lit(0))
+            .cast("bigint")
+            .alias("n_lines"),
+            F.coalesce(F.col("n_removed"), F.lit(0))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )

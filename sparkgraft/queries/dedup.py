@@ -638,3 +638,99 @@ def near_dup_incremental_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame
     return D.near_dup_incremental(
         arrivals, seen, "text", "doc_id", threshold=0.25
     ).select("doc_id", "matched_id", "est_jaccard", "is_dup")
+
+
+# Planted boilerplate for the line-removal gate: two template lines
+# salted into large residue classes (~1/2 and ~1/3 of the corpus), far
+# above the min_docs=10 threshold; the organic 8-token word-soup lines
+# sit far below it.
+_NEWS_LINE = "subscribe to our newsletter for updates."
+_RIGHTS_LINE = "all rights reserved by the site owner."
+
+
+@register(
+    "boilerplate_line_removal",
+    retired=True,
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, {_TOK} AS tok FROM documents
+    ), built AS (
+        SELECT doc_id,
+               list_concat(
+                 CASE WHEN len(tok) = 0 THEN []::VARCHAR[]
+                      ELSE list_transform(
+                             range(0, CAST(ceil(len(tok) / 8.0) AS INT)),
+                             i -> array_to_string(tok[i*8+1 : i*8+8], ' ')
+                                  || '.')
+                 END,
+                 list_concat(
+                   CASE WHEN doc_id % 2 = 0 THEN ['{_NEWS_LINE}']
+                        ELSE []::VARCHAR[] END,
+                   CASE WHEN doc_id % 3 = 0 THEN ['{_RIGHTS_LINE}']
+                        ELSE []::VARCHAR[] END)) AS ls
+        FROM b
+    ), lines AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS line_idx,
+               ls[CAST(t.i + 1 AS INT)] AS line,
+               md5(trim(regexp_replace(lower(ls[CAST(t.i + 1 AS INT)]),
+                                       '\\s+', ' ', 'g'))) AS k
+        FROM built, unnest(range(0, len(ls))) AS t(i)
+    ), freq AS (
+        SELECT k, count(DISTINCT doc_id) AS nd FROM lines GROUP BY k
+    ), flagged AS (
+        SELECT l.doc_id, l.line_idx, l.line,
+               coalesce(f.nd >= 10, false) AS bp
+        FROM lines l LEFT JOIN freq f USING (k)
+    ), agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_removed,
+               array_to_string(
+                 list(line ORDER BY line_idx) FILTER (WHERE NOT bp),
+                 chr(10)) AS cleaned
+        FROM flagged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.cleaned, '') AS cleaned_text,
+           coalesce(a.n_lines, 0) AS n_lines,
+           coalesce(a.n_removed, 0) AS n_removed
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.dedup_boilerplate_lines over a planted multi-line fixture:
+    the single-line docs are re-cut into 8-token lines and salted with
+    two template lines landing in ~1/2 and ~1/3 of the corpus — both
+    far above the 10-distinct-doc threshold, so they vanish from every
+    document while the organic lines survive. The REBUILT text is the
+    verified value, byte-for-byte, with per-doc line/removal counts."""
+    from ..relational import spread
+
+    from .. import text as T
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    tok = F.col("__tok")
+    staged = docs.select("doc_id", T.tokens("text").alias("__tok"))
+    n = F.size("__tok")
+    m = F.ceil(n / F.lit(8.0)).cast("int")
+    empty = F.array().cast("array<string>")
+    base = F.when(n == 0, empty).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(tok, i * 8 + 1, 8), " "), F.lit(".")
+            ),
+        )
+    )
+
+    def plant(mod: int, line: str):
+        return F.when(
+            F.col("doc_id") % mod == 0, F.array(F.lit(line))
+        ).otherwise(empty)
+
+    lines = F.concat(base, plant(2, _NEWS_LINE), plant(3, _RIGHTS_LINE))
+    fixture = staged.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    return D.dedup_boilerplate_lines(fixture, "text", "doc_id", min_docs=10)

@@ -494,3 +494,31 @@ def test_near_dup_incremental_string_ids_tiebreak(spark):
     ).collect()
     assert row.is_dup and row.est_jaccard == 1.0
     assert row.matched_id == "doc-a"  # lowest id wins the tie, not NULL
+
+
+def test_boilerplate_line_removal_planted(spark):
+    from sparkgraft.dedup import dedup_boilerplate_lines
+
+    bp = "Subscribe   to our Newsletter today."  # matched NORMALIZED
+    rows = []
+    for i in range(12):
+        rows.append((i, f"unique content line number {i}.\n" + bp.lower()))
+    rows.append((100, "a single document with no boilerplate at all."))
+    rows.append((101, ""))
+    rows.append((102, None))
+    # one doc carries the boilerplate with different case/spacing: the
+    # normalized key must still match, and the kept text stays verbatim
+    rows.append((103, "top line stays here.\n" + bp))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup_boilerplate_lines(df, min_docs=10).collect()
+    }
+    for i in range(12):
+        assert out[i].cleaned_text == f"unique content line number {i}."
+        assert out[i].n_lines == 2 and out[i].n_removed == 1
+    assert out[103].cleaned_text == "top line stays here."
+    assert out[103].n_removed == 1
+    assert out[100].cleaned_text == rows[12][1] and out[100].n_removed == 0
+    for doc in (101, 102):
+        assert out[doc].cleaned_text == "" and out[doc].n_lines == 0
