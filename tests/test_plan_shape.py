@@ -286,6 +286,11 @@ R6_OP_PINS = [
     # gate (row-local) -> fingerprint window -> rate agg + tiny-frame
     # window + broadcast join-back; text crosses one exchange
     ("pretrain_curation_pipeline", 7, False),
+    # line explode x2 consumers (freq + rebuild branches of one scan),
+    # md5-key distinct count, broadcast flagged-keys join-back, the
+    # doc-keyed rebuild, and the final id join; no text in the
+    # frequency shuffle
+    ("boilerplate_line_removal", 8, False),
 ]
 
 
