@@ -108,6 +108,10 @@ PROBES = [
     # expected ~linear: term-count tables are compact and the joins
     # are term-keyed, never all-pairs.
     "doc_importance_resampling",
+    # line explode -> md5-key distinct count -> broadcast join-back ->
+    # doc-keyed rebuild; the flagged key set stays 2 planted templates
+    # regardless of factor, so expected ~linear.
+    "boilerplate_line_removal",
 ]
 
 
