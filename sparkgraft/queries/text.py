@@ -1269,3 +1269,40 @@ def pretrain_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("epoch").cast("bigint").alias("epoch"),
         )
     )
+
+
+@register(
+    "vocab_shift_topk",
+    retired=True,
+    oracle=f"""
+    WITH terms AS (
+        SELECT doc_id % 2 AS half, unnest({_TOK}) AS term FROM documents
+    ), counts AS (
+        SELECT term,
+               CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c_a,
+               CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c_b
+        FROM terms GROUP BY term
+    ), tot AS (
+        SELECT CAST(sum(c_a) AS DOUBLE) AS ta,
+               CAST(sum(c_b) AS DOUBLE) AS tb,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM counts
+    )
+    SELECT term, c_a, c_b,
+           round(((c_a + 1) / (ta + v))
+                 * ln(((c_a + 1) / (ta + v)) / ((c_b + 1) / (tb + v))), 6)
+             AS kl_contrib
+    FROM counts CROSS JOIN tot
+    ORDER BY kl_contrib DESC, term ASC
+    LIMIT 20
+    """,
+)
+def vocab_shift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.vocab_shift_topk over the corpus (even vs odd doc_id as
+    the two crawls): top-20 terms by smoothed KL contribution — the
+    token-distribution drift report. The oracle recomputes both
+    smoothed distributions, the ln ratio, and the rounded ranking."""
+    docs = read_table(spark, sf_dir, "documents")
+    return T.vocab_shift_topk(docs, k=20)

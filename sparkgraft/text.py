@@ -649,6 +649,63 @@ def importance_llr(
     )
 
 
+def vocab_shift_topk(
+    df: "DataFrame",  # noqa: F821
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> "DataFrame":  # noqa: F821
+    """Token-distribution drift between two deterministic corpus
+    halves (even vs odd ``id`` — stand-ins for crawl A vs crawl B):
+    the top-``k`` terms by smoothed KL contribution
+    ``p_a * ln(p_a / p_b)``, the text-domain sibling of
+    ``contract.psi_drift`` — a topic shift, a language mix change, or
+    a scraper regression shows up as a handful of terms carrying
+    outsized contribution long before doc-level metrics move. Add-one
+    smoothing over the UNION vocabulary defines both sides for terms
+    unique to one half.
+
+    Determinism: contributions round to 6 places, ranking breaks ties
+    on the term, so the report is engine-independent. Scale shape: one
+    tokenize pass into (term, half) counts (map-side combinable),
+    totals as ONE broadcast one-row aggregate (A5 in-plan scalars),
+    top-k as a TakeOrdered — no corpus-wide sort.
+    """
+    from .relational import spread
+
+    terms = (
+        spread(df.select(F.col(id_col).alias("__id"), text_col))
+        .select(
+            (F.col("__id") % 2).alias("__half"),
+            F.explode_outer(tokens(text_col)).alias("term"),
+        )
+        .where(F.col("term").isNotNull())
+    )
+    counts = terms.groupBy("term").agg(
+        F.sum(F.when(F.col("__half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.sum(F.when(F.col("__half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_b"),
+    )
+    totals = counts.agg(
+        F.sum("c_a").alias("__ta"),
+        F.sum("c_b").alias("__tb"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    p = lambda c, t: (c.cast("double") + 1.0) / (  # noqa: E731
+        t.cast("double") + F.col("__v").cast("double")
+    )
+    pa = p(F.col("c_a"), F.col("__ta"))
+    pb = p(F.col("c_b"), F.col("__tb"))
+    contrib = F.round(pa * F.log(pa / pb), 6)
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "term", "c_a", "c_b", contrib.alias("kl_contrib")
+    )
+    return scored.orderBy(F.desc("kl_contrib"), F.asc("term")).limit(k)
+
+
 def cdc_segments(
     text: Column | str,
     avg_tokens: int = 8,

@@ -398,3 +398,20 @@ def test_pretrain_pipeline_weights_follow_dedup(spark, tmp_path):
     # gets more training rows than src_dup (2 survivors), even though
     # src_dup's RAW corpus is twice as large
     assert per_source.get("src_uniq", 0) > per_source.get("src_dup", 0)
+
+
+def test_vocab_shift_flags_planted_term(spark):
+    """A term concentrated in one half must top the KL report."""
+    rows = []
+    for i in range(40):
+        base = "common words shared by both halves equally fine"
+        if i % 2 == 0:  # even half gets the planted drift term
+            base += " driftword driftword driftword"
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.vocab_shift_topk(df, k=3).collect()
+    assert out[0].term == "driftword"
+    assert out[0].c_a == 60 and out[0].c_b == 0
+    assert out[0].kl_contrib > 0
+    # shared terms contribute ~0 and rank below
+    assert all(r.kl_contrib < out[0].kl_contrib for r in out[1:])
