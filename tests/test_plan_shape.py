@@ -291,6 +291,17 @@ R6_OP_PINS = [
     # doc-keyed rebuild, and the final id join; no text in the
     # frequency shuffle
     ("boilerplate_line_removal", 8, False),
+    # r6 TPC-H correlated-subquery shapes (queries/tpch_extra.py): all
+    # decorrelated into key joins / one-pass aggregates — BHJ-only
+    # except rich_idle_customers, whose BNLJ is the documented 1-row
+    # scalar-average broadcast (A5 in-plan-denominator discipline).
+    ("nation_market_share", 8, False),        # 8-table chain, dims broadcast
+    ("customer_order_distribution", 3, False),  # join + 2 groupBys (1 reused key)
+    ("top_revenue_supplier", 3, False),        # supp agg + 1-part window + bcast dim
+    ("small_qty_avg_revenue", 4, False),       # per-part avg join decorrelation
+    ("disjunctive_filter_revenue", 2, False),  # bcast part + 1-row combine
+    ("suppliers_sole_returned", 7, False),     # one per-order agg folds both EXISTS
+    ("rich_idle_customers", 5, True),          # scalar-avg BNLJ + anti join
 ]
 
 
