@@ -471,3 +471,57 @@ def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal")).cast("double").alias("total_acctbal"),
         )
     )
+
+
+@register(
+    "bloom_pruned_urgent_revenue",
+    # NEW r6 retired tier: the bloom_prune_join operator behind a plain
+    # join oracle — the Bloom stage is EXACT pruning (false positives
+    # removed by the verifying join), so the oracle is simply the join
+    # it accelerates.
+    retired=True,
+    oracle=f"""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+           CAST({_REV_SQL} AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_totalprice > 150000
+    GROUP BY ship_month
+    """,
+)
+def bloom_pruned_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly shipped revenue restricted to urgent, high-value orders —
+    executed through ``relational.bloom_prune_join``: the filtered
+    orders build a 2^20-bit Bloom bitmap (128 KB broadcast, independent
+    of key count), lineitem tests membership MAP-SIDE and drops
+    non-matching rows before any shuffle, and the verifying equi-join
+    removes the false positives. At 100 TB this is the big-big join
+    pattern: the selective side's key set won't broadcast, but its
+    bitmap always will, and the fact table shuffles only the matching
+    fraction. The result provably equals the plain join (the oracle IS
+    the plain join).
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    )
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    )
+    from ..relational import bloom_prune_join
+
+    joined = bloom_prune_join(li, orders.select("o_orderkey"), "o_orderkey")
+    return (
+        joined.groupBy(
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+                "ship_month"
+            )
+        )
+        .agg(
+            _rev().cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

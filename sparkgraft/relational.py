@@ -48,6 +48,7 @@ __all__ = [
     "range_join",
     "sessionize",
     "pushdown_fence",
+    "bloom_prune_join",
 ]
 
 
@@ -854,3 +855,83 @@ def time_weighted_avg(
         ).alias("twa"),
         F.col("__den").alias("covered_us"),
     )
+
+
+def bloom_prune_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Equi-join with a Bloom-filter pre-shuffle prune of the left side.
+
+    The big-big join gap: when the right side's KEY SET is too large to
+    broadcast as a set (so Catalyst picks a full shuffle join), a Bloom
+    BITMAP of those keys is still tiny — ``num_bits/8`` bytes regardless
+    of key count. Building the bitmap as a DataFrame aggregate and
+    broadcasting it lets every left row test membership map-side and
+    drop BEFORE the shuffle, so a selective join shuffles only the
+    ~matching fraction of the left side instead of all of it. (Spark's
+    own runtime row-level filtering does this for some plans; this
+    operator makes the technique explicit, tunable, and available to
+    every composition here.)
+
+    Mechanics, all JVM-side expressions:
+    - build: each right key sets ``num_hashes`` bits at
+      ``xxhash64(key, seed) pmod num_bits``; bits pack into 64-bit words
+      via ``bit_or`` grouped on the word index (≤ num_bits/64 rows, a
+      few MB — always broadcastable);
+    - probe: the left side joins the broadcast word table once per
+      seed on the word index and keeps rows whose bit is set — a Bloom
+      MISS means the key is provably absent, so pruning is exact;
+    - verify: the real equi-join runs on the survivors. Bloom false
+      positives (tune with num_bits/num_hashes) only cost shuffle
+      bytes; the join removes them, so the result EQUALS the plain
+      ``left.join(right, on, how)`` for any filter size.
+
+    Left-pruning is only sound where unmatched left rows don't reach
+    the output, hence the inner/semi guard.
+    """
+    if how not in ("inner", "left_semi", "leftsemi", "semi"):
+        raise ValueError(
+            f"bloom_prune_join supports inner/left_semi only, got how={how!r}: "
+            "outer variants must keep unmatched left rows the prune drops"
+        )
+    if num_bits & (num_bits - 1):
+        raise ValueError(f"num_bits must be a power of two, got {num_bits}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+
+    def pos(seed: int) -> Column:
+        return F.pmod(F.xxhash64(F.col(on), F.lit(seed)), F.lit(num_bits))
+
+    word = lambda p: (p / 64).cast("long")  # noqa: E731
+    bit = lambda p: F.expr("shiftleft(1L, cast(__pos % 64 AS int))")  # noqa: E731
+
+    words = (
+        right.select(F.explode(F.array(*[pos(s) for s in range(num_hashes)])).alias("__pos"))
+        .select(
+            word(F.col("__pos")).alias("__word"),
+            bit(F.col("__pos")).alias("__bit"),
+        )
+        .groupBy("__word")
+        .agg(F.expr("bit_or(__bit)").alias("__bits"))
+    )
+
+    probed = left
+    for seed in range(num_hashes):
+        w = words.select(
+            F.col("__word").alias(f"__w{seed}"), F.col("__bits").alias(f"__b{seed}")
+        )
+        probed = (
+            probed.withColumn("__pos", pos(seed))
+            .join(
+                F.broadcast(w),
+                word(F.col("__pos")) == F.col(f"__w{seed}"),
+            )
+            .where(F.expr(f"__b{seed} & shiftleft(1L, cast(__pos % 64 AS int))") != 0)
+            .drop("__pos", f"__w{seed}", f"__b{seed}")
+        )
+    return probed.join(right, on, how)

@@ -302,6 +302,8 @@ R6_OP_PINS = [
     ("disjunctive_filter_revenue", 2, False),  # bcast part + 1-row combine
     ("suppliers_sole_returned", 7, False),     # one per-order agg folds both EXISTS
     ("rich_idle_customers", 5, True),          # scalar-avg BNLJ + anti join
+    # bitmap build agg + 3 broadcast word probes + verify join + month agg
+    ("bloom_pruned_urgent_revenue", 8, False),
 ]
 
 

@@ -413,3 +413,63 @@ def test_time_weighted_avg_locf_known_values(spark):
     assert out[(1, "2024-01-02")] == (40.0, 12 * h)
     assert not any(k == 2 for k, _ in out)
     assert len(out) == 2
+
+
+# ---- bloom_prune_join (pre-shuffle Bloom pruning) --------------------------
+
+
+def _bloom_fixture(spark):
+    left = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(200)] + [(None, "pnull")],
+        "k bigint, payload string",
+    )
+    # selective right side: 7 keys present, incl. a duplicate key row
+    right = spark.createDataFrame(
+        [(k, f"r{k}") for k in (3, 17, 42, 42, 99, 150, 151, 199)],
+        "k bigint, name string",
+    )
+    return left, right
+
+
+def test_bloom_prune_join_matches_plain_join(spark):
+    left, right = _bloom_fixture(spark)
+    plain = left.join(right, "k").select("k", "payload", "name")
+    bloomed = R.bloom_prune_join(left, right, "k").select("k", "payload", "name")
+    assert sorted(map(tuple, bloomed.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bloom_prune_join_exact_under_heavy_false_positives(spark):
+    # 64-bit filter for 200 probe keys: nearly every bit is set, so the
+    # prune passes almost everything — the verifying join must still
+    # produce exactly the plain result (false positives cost bytes, not
+    # correctness)
+    left, right = _bloom_fixture(spark)
+    plain = left.join(right, "k", "left_semi")
+    bloomed = R.bloom_prune_join(left, right, "k", how="left_semi", num_bits=64, num_hashes=2)
+    assert sorted(map(tuple, bloomed.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bloom_prune_join_prunes_before_shuffle(spark):
+    # the probe stage (everything before the verifying join) must pass
+    # only a small superset of the matching rows: with 8 keys in a 2^20
+    # filter the false-positive rate is ~0, so the survivor count equals
+    # the true match count
+    left, right = _bloom_fixture(spark)
+    semi = R.bloom_prune_join(left, right, "k", how="left_semi")
+    true_matches = left.join(right, "k", "left_semi").count()
+    assert semi.count() == true_matches
+    # and the plan stays structurally sane: broadcast probes, no
+    # cartesian, no row-UDFs
+    plan = semi._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bloom_prune_join_guards_outer_variants(spark):
+    left, right = _bloom_fixture(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left_semi"):
+        R.bloom_prune_join(left, right, "k", how="left")
+    with _pytest.raises(ValueError, match="power of two"):
+        R.bloom_prune_join(left, right, "k", num_bits=1000)
