@@ -1368,3 +1368,47 @@ def dedup_boilerplate_lines(
             .alias("n_removed"),
         )
     )
+
+
+def quality_keep(
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str,
+    score_col: str,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Quality-aware survivor selection over near-dup clusters: keep
+    the HIGHEST-SCORING member of each connected component instead of
+    the lowest id.
+
+    Keep-first (min id) is the cheap default, but production curation
+    keeps the best representative — a near-dup group usually mixes a
+    clean original with truncated or boilerplate-padded copies, and
+    min-id picks among them arbitrarily. This resolves the component
+    (near_dup_clusters), joins each member's quality score, and keeps
+    the score-argmax with ``id ASC`` as the deterministic tiebreak.
+
+    Cost over keep-first: one (id, score) join — score rows are ~16
+    bytes and join on the id partitioning the cluster resolution just
+    produced — plus the same per-cluster window. Returns one row per
+    CLUSTERED document: (id_col, cluster_id, score_col, keep);
+    singletons (never proposed as near-dups) are implicitly kept, as in
+    near_dup_clusters.
+    """
+    from pyspark.sql.window import Window
+
+    clusters = near_dup_clusters(pairs, id_a=id_a, id_b=id_b)
+    members = clusters.withColumnRenamed("doc_id", id_col).join(
+        scores.select(id_col, score_col), id_col
+    )
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    )
+    return members.select(
+        id_col,
+        "cluster_id",
+        score_col,
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

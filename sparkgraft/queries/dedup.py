@@ -734,3 +734,63 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_join(lines, "\n").alias("text")
     )
     return D.dedup_boilerplate_lines(fixture, "text", "doc_id", min_docs=10)
+
+
+@register(
+    "near_dup_quality_keep",
+    # NEW r6 retired tier: quality-aware survivor selection — the
+    # RefinedWeb-style "keep the best representative" policy on top of
+    # the same component resolution near_dup_doc_clusters verifies.
+    retired=True,
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTE},
+    np AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.2),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM np
+        UNION
+        SELECT doc_b, doc_a FROM np
+    ),
+    reach(n, m) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+    ),
+    clusters AS (
+        SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY n
+    ),
+    quality AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(tok)) AS BIGINT) AS n_unique_tokens
+        FROM tok
+    )
+    SELECT doc_id, cluster_id, n_unique_tokens,
+           row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY n_unique_tokens DESC, doc_id ASC) = 1 AS keep
+    FROM clusters JOIN quality USING (doc_id)
+    """,
+)
+def near_dup_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-argmax dedup decision (dedup.quality_keep): the same
+    3-gram-Jaccard components as near_dup_doc_clusters, but the
+    survivor is the member with the RICHEST vocabulary (distinct-token
+    count; doc_id ASC tiebreak) rather than the lowest id — the policy
+    a curation pipeline actually wants, since near-dup groups mix a
+    clean original with truncated copies. The oracle recomputes the
+    transitive closure (recursive CTE), the quality score, and the
+    argmax window, so the full decision surface is hash-checked.
+    """
+    from .. import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2)
+    scores = docs.select(
+        "doc_id",
+        F.array_size(F.array_distinct(T.tokens("text"))).cast("bigint").alias(
+            "n_unique_tokens"
+        ),
+    )
+    return D.quality_keep(
+        pairs.select("doc_a", "doc_b"), scores, "doc_id", "n_unique_tokens"
+    )

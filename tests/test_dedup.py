@@ -522,3 +522,24 @@ def test_boilerplate_line_removal_planted(spark):
     assert out[100].cleaned_text == rows[12][1] and out[100].n_removed == 0
     for doc in (101, 102):
         assert out[doc].cleaned_text == "" and out[doc].n_lines == 0
+
+
+def test_quality_keep_prefers_richer_member_over_lower_id(spark):
+    from sparkgraft.dedup import quality_keep
+
+    # cluster {1,2,3}: doc 3 (highest id) has the richest vocabulary and
+    # must win; cluster {7,8}: tie on score -> lower id 7 wins
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 12), (7, 4), (8, 4), (99, 1)],
+        "doc_id long, n_unique_tokens long",
+    )
+    out = {r.doc_id: r for r in quality_keep(pairs, scores, "doc_id", "n_unique_tokens").collect()}
+    assert set(out) == {1, 2, 3, 7, 8}  # singleton 99 not in the graph
+    assert [out[i].keep for i in (1, 2, 3)] == [False, False, True]
+    assert out[3].cluster_id == out[1].cluster_id == 1
+    assert out[7].keep and not out[8].keep  # id ASC tiebreak on equal score
+    # exactly one survivor per cluster
+    assert sum(r.keep for r in out.values()) == 2
