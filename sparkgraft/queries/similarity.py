@@ -743,3 +743,50 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-decimal dot products, and the flag."""
     emb = read_table(spark, sf_dir, "embeddings")
     return S.centroid_drift(emb, dim=64, min_cos=0.8)
+
+
+@register(
+    "embedding_covariance_cells",
+    # NEW r6 retired tier: the sufficient statistic for PCA/whitening
+    # (similarity.covariance_cells). The oracle recomputes every upper-
+    # triangle covariance cell with the same decimal-exact sums, so the
+    # one-scan row-local pair expansion is verified against the naive
+    # explode + self-join formulation it replaces.
+    retired=True,
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS pos,
+               CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS v
+        FROM embeddings, range(1, 65) t(i)
+    ),
+    m AS (
+        SELECT pos,
+               CAST(sum(CAST(v AS DECIMAL(38,28))) AS DOUBLE) / count(*) AS m
+        FROM ex GROUP BY pos
+    ),
+    s AS (
+        SELECT a.pos AS i, b.pos AS j,
+               CAST(sum(CAST(a.v * b.v AS DECIMAL(38,28))) AS DOUBLE) AS s,
+               count(*) AS n
+        FROM ex a JOIN ex b USING (vec_id)
+        WHERE b.pos >= a.pos
+        GROUP BY 1, 2
+    )
+    SELECT i, j, round(s / n - mi.m * mj.m, 8) AS cov
+    FROM s JOIN m mi ON s.i = mi.pos
+           JOIN m mj ON s.j = mj.pos
+    """,
+)
+def embedding_covariance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus covariance of the embedding column as (i, j, cov) upper-
+    triangle cells — similarity.covariance_cells. The Spark plan
+    generates each vector's d(d+1)/2 coordinate products ROW-LOCALLY
+    (nested transform + one explode: no self-join, nothing shuffles
+    vectors, the only exchange is the map-side-combinable cell
+    aggregation), while the oracle deliberately uses the naive
+    explode-and-self-join formulation — the comparison proves the
+    in-place expansion computes the same statistic the textbook plan
+    does. Feeds pca_whiten's driver-side eigendecomposition (d x d,
+    bounded driver state)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.covariance_cells(emb, 64)

@@ -1238,3 +1238,159 @@ def semantic_decontaminate(
         F.col("b.eid").alias("nearest_eval_id"),
         (-F.col("b.ns") >= threshold).alias("contaminated"),
     )
+
+
+def covariance_cells(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 8,
+) -> DataFrame:
+    """Corpus-wide covariance matrix of an embedding column as
+    ``(i, j, cov)`` cells over the upper triangle (i <= j) — the
+    sufficient statistic for PCA/whitening/decorrelation.
+
+    Scale shape — ONE scan, ZERO joins: the d(d+1)/2 coordinate
+    products of each vector are generated ROW-LOCALLY (a nested
+    ``transform`` over the array plus one explode), so nothing ever
+    shuffles vectors or self-joins on the id; the only exchange is the
+    map-side-combinable aggregation down to d(d+1)/2 cells. Contrast
+    the naive formulation — explode to (id, i, v) and self-join on id —
+    which shuffles n*d rows to produce the same partial products this
+    plan derives in place.
+
+    Determinism: per-cell product sums and per-dimension mean sums
+    accumulate in exact DECIMAL (order-independent under any
+    partitioning), the final ``cov = E[xy] - mean_i * mean_j`` uses the
+    population form, rounded to ``round_to`` — the exact math a DuckDB
+    oracle replays.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pair_structs = F.expr(
+        f"""flatten(transform({vec_col}, (x, i) ->
+                transform(slice({vec_col}, i + 1, {dim} - i), (y, j) ->
+                    struct(i AS i, i + j AS j,
+                           CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                                AS DECIMAL(38,28)) AS p))))"""
+    )
+    sums = (
+        df.select(F.explode(pair_structs).alias("c"))
+        .select(
+            F.col("c.i").cast("bigint").alias("i"),
+            F.col("c.j").cast("bigint").alias("j"),
+            F.col("c.p").alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("double").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    means = (
+        df.select(F.posexplode(v).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,28)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    mi = means.select(F.col("pos").cast("bigint").alias("i"), F.col("m").alias("m_i"))
+    mj = means.select(F.col("pos").cast("bigint").alias("j"), F.col("m").alias("m_j"))
+    return (
+        sums.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("s") / F.col("n") - F.col("m_i") * F.col("m_j"), round_to
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_whiten(
+    df: DataFrame,
+    dim: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 1e-9,
+    round_to: int = 6,
+) -> DataFrame:
+    """PCA whitening: project embeddings onto the top-``k`` principal
+    components scaled to unit variance — the decorrelation transform
+    SemDeDup-style pipelines apply before cosine thresholds so no
+    single correlated direction dominates every distance.
+
+    Bounded-driver-loop design (the IVF-trainer / BPE / logistic-GD
+    pattern): the driver holds only the d x d covariance (built by
+    ``covariance_cells`` — one distributed scan) and its eigenpairs; the
+    projection itself runs as JVM ``aggregate``/``zip_with`` expressions
+    against the (k x d) LITERAL whitening matrix, so the corpus-sized
+    pass is codegen, not Python. Eigenvector sign is fixed by making
+    each component's largest-|coefficient| entry positive (eigh returns
+    an arbitrary sign; without the convention two runs could emit
+    mirrored projections).
+
+    Returns (id_col, z) with ``z`` the k-dim whitened array, each
+    coordinate rounded to ``round_to``.
+    """
+    import numpy as np
+
+    cells = covariance_cells(
+        df, dim, id_col=id_col, vec_col=vec_col, round_to=12
+    ).collect()
+    cov = np.zeros((dim, dim))
+    for r in cells:
+        cov[r.i, r.j] = r.cov
+        cov[r.j, r.i] = r.cov
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for rank, idx in enumerate(order):
+        vec = vecs[:, idx]
+        if abs(vec.min()) > abs(vec.max()):
+            vec = -vec
+        scale = 1.0 / float(np.sqrt(max(vals[idx], 0.0)) + eps)
+        comps.append((vec * scale).tolist())
+
+    means_row = (
+        df.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,28)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__pm"))
+        .select(
+            F.transform(F.col("__pm"), lambda s: s.getField("m")).alias("__mean")
+        )
+    )
+    centered = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.col("__mean"),
+        lambda x, m: x - m,
+    )
+    z = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        centered,
+                        F.array(*[F.lit(float(w)) for w in comp]),
+                        lambda x, w: x * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ),
+                round_to,
+            )
+            for comp in comps
+        ]
+    )
+    return df.crossJoin(F.broadcast(means_row)).select(
+        id_col, z.alias("z")
+    )

@@ -501,3 +501,64 @@ def test_centroid_drift_planted_rotation(spark):
     assert out[0].drifted and out[0].centroid_cos < -0.99
     assert not out[1].drifted and out[1].centroid_cos == 1.0
     assert out[0].n_a == 20 and out[0].n_b == 20
+
+
+# ---- covariance / PCA whitening --------------------------------------------
+
+
+def test_covariance_cells_matches_numpy(spark, emb):
+    import numpy as np
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    X = np.stack(pdf["embedding"].map(np.asarray).values).astype(np.float64)
+    cells = S.covariance_cells(emb, 64).collect()
+    assert len(cells) == 64 * 65 // 2  # upper triangle incl. diagonal
+    cov = np.zeros((64, 64))
+    for r in cells:
+        assert r.i <= r.j
+        cov[r.i, r.j] = cov[r.j, r.i] = r.cov
+    ref = np.cov(X, rowvar=False, bias=True)
+    assert np.abs(cov - ref).max() < 1e-8  # round_to=8 is the only slack
+
+
+def test_covariance_cells_plan_has_no_self_join(spark, emb):
+    # the whole point: pair products are generated row-locally, so the
+    # plan contains no join at all before the broadcast of the d means
+    plan = S.covariance_cells(emb, 64)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pca_whiten_identity_covariance_and_numpy_twin(spark, emb):
+    import numpy as np
+
+    k = 6
+    zdf = S.pca_whiten(emb, 64, k).orderBy("vec_id").toPandas()
+    Z = np.stack(zdf["z"].map(np.asarray).values)
+    assert Z.shape[1] == k
+    zc = np.cov(Z, rowvar=False, bias=True)
+    assert np.abs(np.diag(zc) - 1.0).max() < 1e-3  # unit variance per component
+    assert np.abs(zc - np.diag(np.diag(zc))).max() < 1e-3  # decorrelated
+    # twin: projecting with numpy's own eigh of the SAME covariance gives
+    # the same subspace — compare absolute component correlations
+    pdf = emb.orderBy("vec_id").toPandas()
+    X = np.stack(pdf["embedding"].map(np.asarray).values).astype(np.float64)
+    ref = np.cov(X, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(ref)
+    order = np.argsort(vals)[::-1][:k]
+    W = vecs[:, order] / np.sqrt(vals[order])
+    Zr = (X - X.mean(axis=0)) @ W
+    for c in range(k):
+        corr = abs(np.corrcoef(Z[:, c], Zr[:, c])[0, 1])
+        assert corr > 0.999, (c, corr)
+
+
+def test_pca_whiten_deterministic_under_repartitioning(spark, emb):
+    import numpy as np
+
+    a = S.pca_whiten(emb, 64, 4).orderBy("vec_id").toPandas()
+    b = S.pca_whiten(emb.repartition(13), 64, 4).orderBy("vec_id").toPandas()
+    Za = np.stack(a["z"].map(np.asarray).values)
+    Zb = np.stack(b["z"].map(np.asarray).values)
+    assert (Za == Zb).all()
