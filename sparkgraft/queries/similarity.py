@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from .. import similarity as S
 from ..io import read_table
+from .duckfrag import SHINGLES_K3 as _SHF
+from .duckfrag import TOK as _TOKF
 from .registry import register
 
 _DOT = (
@@ -790,3 +792,143 @@ def embedding_covariance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded driver state)."""
     emb = read_table(spark, sf_dir, "embeddings")
     return S.covariance_cells(emb, 64)
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    # NEW r6 retired tier: reciprocal-rank fusion of a lexical ranking
+    # (3-gram Jaccard) and a vector ranking (cosine) — the standard
+    # hybrid-retrieval merge. The oracle recomputes BOTH arms' rounded
+    # scores and row_number ranks, the per-term reciprocal rounding,
+    # the decimal fusion sum, and the final top-10 window.
+    retired=True,
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               {_TOKF} AS tok
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest({_SHF}) AS shingle FROM tok
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    qsh AS (SELECT doc_id AS query_id, shingle FROM sh WHERE doc_id % 100 = 7),
+    common AS (
+        SELECT q.query_id, s.doc_id, count(*) AS common
+        FROM sh s JOIN qsh q USING (shingle)
+        WHERE s.doc_id <> q.query_id
+        GROUP BY 1, 2
+    ),
+    lex AS (
+        SELECT common.query_id, common.doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY common.query_id
+                   ORDER BY round(common.common
+                                  / (sq.n_sh + sd.n_sh - common.common), 6) DESC,
+                            common.doc_id ASC) AS BIGINT) AS rank
+        FROM common
+        JOIN sizes sq ON common.query_id = sq.doc_id
+        JOIN sizes sd ON common.doc_id = sd.doc_id
+        QUALIFY rank <= 20
+    ),
+    qv AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id % 100 = 7),
+    vec AS (
+        SELECT query_id, vec_id AS doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_cos('e.embedding', 'qv.qe')} DESC,
+                            e.vec_id ASC) AS BIGINT) AS rank
+        FROM embeddings e CROSS JOIN qv
+        WHERE e.vec_id <> qv.query_id
+        QUALIFY rank <= 20
+    ),
+    fused AS (
+        SELECT query_id, doc_id,
+               round(CAST(sum(CAST(round(1.0 / (60 + rank), 12)
+                                   AS DECIMAL(18,12))) AS DOUBLE), 8)
+                   AS rrf_score,
+               CAST(count(*) AS BIGINT) AS n_signals
+        FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+        GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, n_signals,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= 10
+    """,
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: per query document (doc_id % 100 == 7), fuse a
+    LEXICAL top-20 (3-gram shingle Jaccard — the BM25 stand-in on this
+    schema) with a VECTOR top-20 (embedding cosine, doc_id = vec_id)
+    via reciprocal-rank fusion (similarity.rrf_fuse), keep the fused
+    top-10. RRF needs no score calibration between arms — exactly why
+    production hybrid stacks use it.
+
+    Scale shape: the lexical arm broadcasts only the QUERY shingles
+    (an inverted-index join keyed on shingle, never all-pairs); the
+    vector arm is the documented exact broadcast tier; the fusion
+    itself aggregates signals x queries x 20 rows — independent of
+    corpus size. Both arms rank on rounded scores with id tiebreaks,
+    and fused scores accumulate rounded reciprocal terms in exact
+    decimal, so every stage is engine-portable.
+    """
+    from pyspark.sql import Window
+
+    from .. import dedup as D
+    from .. import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    is_q = F.col("doc_id") % 100 == 7
+
+    sh = docs.select(
+        "doc_id", F.explode(D.word_shingles("text", 3)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    qsh = sh.where(is_q).select(
+        F.col("doc_id").alias("query_id"), "shingle"
+    )
+    common = (
+        sh.join(F.broadcast(qsh), "shingle")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = (
+        common.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("query_id"), F.col("n_sh").alias("q_sh"))
+            ),
+            "query_id",
+        )
+        .join(sizes, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("common") / (F.col("q_sh") + F.col("n_sh") - F.col("common")), 6
+            ).alias("score"),
+        )
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        jac.withColumn("rank", F.row_number().over(w_lex).cast("bigint"))
+        .where(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+    vec = S.cosine_topk(emb, emb.where(F.col("vec_id") % 100 == 7), k=20).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    fused = S.rrf_fuse([lex, vec], id_col="doc_id")
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f).cast("bigint"))
+        .where(F.col("fused_rank") <= 10)
+        .select("query_id", "doc_id", "rrf_score", "n_signals", "fused_rank")
+    )

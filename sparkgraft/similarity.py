@@ -61,6 +61,9 @@ __all__ = [
     "ivf_probe_udf",
     "ivf_topk",
     "semantic_decontaminate",
+    "covariance_cells",
+    "pca_whiten",
+    "rrf_fuse",
 ]
 
 
@@ -1393,4 +1396,46 @@ def pca_whiten(
     )
     return df.crossJoin(F.broadcast(means_row)).select(
         id_col, z.alias("z")
+    )
+
+
+def rrf_fuse(
+    ranked: "Sequence[DataFrame]",
+    id_col: str = "vec_id",
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    round_to: int = 8,
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-query candidate rankings:
+    ``score(d) = sum over signals of 1 / (k + rank_signal(d))``
+    (Cormack et al., SIGIR 2009) — the standard way a hybrid retrieval
+    stack merges a lexical ranking with a vector ranking without
+    score calibration (ranks are comparable where raw scores are not;
+    ``k`` damps the head so one signal's #1 can't always dominate).
+
+    Each input frame carries (query_col, id_col, rank_col) with ranks
+    1-based; candidates missing from a signal simply contribute no
+    term. Engine-portable determinism: each reciprocal term is rounded
+    then accumulated in exact DECIMAL, so the fused score is identical
+    under any partitioning and any signal arrival order — with 3+
+    signals a raw double sum would depend on partial-aggregation
+    order.
+
+    Scale: a by-name union of the (already small) per-query top-N
+    frames and ONE map-side-combinable aggregation keyed on
+    (query, candidate) — cost is bounded by signals x queries x N,
+    independent of corpus size.
+    """
+    from .relational import union_all
+
+    tagged = union_all(
+        [r.select(query_col, id_col, rank_col) for r in ranked]
+    )
+    term = F.round(
+        F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col)), 12
+    ).cast("decimal(18,12)")
+    return tagged.groupBy(query_col, id_col).agg(
+        F.round(F.sum(term).cast("double"), round_to).alias("rrf_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_signals"),
     )

@@ -304,6 +304,10 @@ R6_OP_PINS = [
     ("rich_idle_customers", 5, True),          # scalar-avg BNLJ + anti join
     # bitmap build agg + 3 broadcast word probes + verify join + month agg
     ("bloom_pruned_urgent_revenue", 8, False),
+    # lexical arm (shingle inverted index + 2 bcast size joins + window)
+    # + vector arm (the documented exact broadcast-query BNLJ tier,
+    # knn_cosine_bruteforce pattern) + decimal fusion agg + final window
+    ("hybrid_retrieval_rrf", 10, True),
 ]
 
 

@@ -562,3 +562,25 @@ def test_pca_whiten_deterministic_under_repartitioning(spark, emb):
     Za = np.stack(a["z"].map(np.asarray).values)
     Zb = np.stack(b["z"].map(np.asarray).values)
     assert (Za == Zb).all()
+
+
+def test_rrf_fuse_hand_computed(spark):
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, vec_id long, rank long",
+    )
+    vec = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, vec_id long, rank long",
+    )
+    out = {r.vec_id: r for r in S.rrf_fuse([lex, vec], k=60).collect()}
+    # doc 11 appears in both signals: 1/62 + 1/61 (terms rounded to 12,
+    # sum rounded to 8 — compare the exact same arithmetic)
+    assert out[11].n_signals == 2
+    assert out[11].rrf_score == round(round(1 / 62, 12) + round(1 / 61, 12), 8)
+    # single-signal docs get exactly their one term
+    assert out[10].n_signals == 1 and out[10].rrf_score == round(round(1 / 61, 12), 8)
+    assert out[13].n_signals == 1 and out[13].rrf_score == round(round(1 / 62, 12), 8)
+    # fusion must rank the both-signal doc above every single-signal doc here
+    best = max(out.values(), key=lambda r: r.rrf_score)
+    assert best.vec_id == 11
