@@ -1306,3 +1306,68 @@ def vocab_shift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothed distributions, the ln ratio, and the rounded ranking."""
     docs = read_table(spark, sf_dir, "documents")
     return T.vocab_shift_topk(docs, k=20)
+
+
+@register(
+    "doc_bigram_logprob",
+    # NEW r6 retired tier: the context-aware sibling of
+    # doc_unigram_logprob — same rounding/decimal discipline, model =
+    # the src0 slice, so non-src0 docs exercise unseen-bigram AND
+    # unseen-context smoothing.
+    retired=True,
+    oracle="""
+    WITH stok AS (SELECT doc_id, {tok} AS tok FROM documents),
+    bgi AS (
+        SELECT doc_id, tok,
+               unnest(range(1, greatest(len(tok), 1))) AS i
+        FROM stok
+    ),
+    bg AS (
+        SELECT doc_id,
+               tok[CAST(i AS INT)] AS w1,
+               tok[CAST(i + 1 AS INT)] AS w2
+        FROM bgi
+    ),
+    dbg AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+    mbg AS (
+        SELECT b.w1, b.w2, b.tf
+        FROM dbg b JOIN documents d USING (doc_id)
+        WHERE d.source = 'src0'
+    ),
+    c12 AS (SELECT w1, w2, sum(tf) AS c12 FROM mbg GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(tf) AS c1 FROM mbg GROUP BY 1),
+    voc AS (
+        SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+        FROM (SELECT w1 AS w FROM mbg UNION ALL SELECT w2 FROM mbg)
+    ),
+    scored AS (
+        SELECT dbg.doc_id,
+               sum(dbg.tf) AS n_bigrams,
+               sum(CAST(dbg.tf AS DECIMAL(18,0))
+                   * CAST(round(-ln((CAST(coalesce(c12.c12, 0) AS DOUBLE) + 1)
+                                    / (CAST(coalesce(c1.c1, 0) AS DOUBLE) + v)),
+                          6) AS DECIMAL(18,6))) AS s
+        FROM dbg
+        LEFT JOIN c12 ON dbg.w1 = c12.w1 AND dbg.w2 = c12.w2
+        LEFT JOIN c1 ON dbg.w1 = c1.w1
+        CROSS JOIN voc
+        GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+               AS avg_neg_logprob
+    FROM scored
+    """.replace("{tok}", _TOK),
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean negative add-one bigram log-probability per document under
+    a src0-slice reference model (text.bigram_logprob): the quality
+    signal that catches fluent-word/nonsense-ORDER text a unigram
+    model scores as fine. One tokenize pass feeds the per-doc bigram
+    counts, the model counts, the context counts, and the broadcast
+    1-row vocabulary scalar; docs with < 2 tokens have no bigram and
+    are absent, matching the oracle."""
+    docs = read_table(spark, sf_dir, "documents")
+    return T.bigram_logprob(
+        docs, model_df=docs.where(F.col("source") == "src0")
+    )

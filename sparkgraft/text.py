@@ -1054,3 +1054,102 @@ def collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(k)
+
+
+def bigram_logprob(
+    df: "DataFrame",  # noqa: F821
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model_df: "DataFrame | None" = None,  # noqa: F821
+    persist_intermediates: bool = True,
+) -> "DataFrame":  # noqa: F821
+    """Per-document mean negative BIGRAM log-probability — the
+    context-aware upgrade of :func:`unigram_logprob`: a document of
+    individually-common words in nonsense ORDER ("the of and is the
+    of") scores innocuous under a unigram model but improbable under
+    ``p(w2 | w1)``, which is what separates fluent text from shuffled
+    or template-stitched text.
+
+    Model: add-one-smoothed conditional
+    ``p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)`` with c = model bigram /
+    bigram-first counts and V the bigram-model vocabulary (distinct
+    words appearing in any model bigram). ``model_df`` defaults to
+    ``df`` (self-scoring). Per doc: ``avg_neg_logprob =
+    sum(tf * -ln p) / n_bigrams``; documents with fewer than two
+    tokens have no bigram and are absent from the output (callers
+    left-join if they need NULL rows, as with every gate here).
+
+    Determinism: per-bigram ``-ln p`` rounds to 6 places and
+    accumulates in exact DECIMAL — partitioning-independent and
+    engine-portable (the unigram_logprob discipline).
+
+    Scale shape: ONE tokenize pass into (doc, w1, w2, tf) counts that
+    feed both the model aggregation and the scoring join (persisted so
+    the pass runs once); c(w1,w2), c(w1) and V are map-side-combinable
+    aggregates of that same frame; V rides a broadcast one-row scalar
+    (A5); scoring joins are bigram-keyed then w1-keyed — both uniform
+    hash keys, no skew hot spot beyond natural stopword pairs, which
+    AQE splits.
+    """
+    from .relational import spread
+
+    def bigram_counts(src):
+        toks = spread(
+            src.select(F.col(id_col).alias("doc_id"), text_col)
+        ).select("doc_id", tokens(text_col).alias("__tok"))
+        n = F.size("__tok") - 1
+        pairs = F.when(n < 1, F.array().cast("array<struct<w1:string,w2:string>>")).otherwise(
+            F.zip_with(
+                F.slice("__tok", 1, n),
+                F.slice("__tok", 2, n),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        )
+        bg = toks.select("doc_id", F.explode_outer(pairs).alias("__bg")).where(
+            F.col("__bg").isNotNull()
+        )
+        return bg.select(
+            "doc_id", F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2")
+        ).groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("__tf"))
+
+    doc_bg = bigram_counts(df)
+    if model_df is None:
+        if persist_intermediates:
+            from pyspark import StorageLevel
+
+            doc_bg = doc_bg.persist(StorageLevel.MEMORY_AND_DISK)
+        model_bg = doc_bg
+    else:
+        model_bg = bigram_counts(model_df)
+    c12 = model_bg.groupBy("w1", "w2").agg(F.sum("__tf").alias("__c12"))
+    c1 = model_bg.groupBy("w1").agg(F.sum("__tf").alias("__c1"))
+    vocab = (
+        model_bg.select(F.col("w1").alias("w"))
+        .unionByName(model_bg.select(F.col("w2").alias("w")))
+        .agg(F.count_distinct("w").alias("__v"))
+    )
+    neg_logp = F.round(
+        -F.log(
+            (F.coalesce(F.col("__c12"), F.lit(0)).cast("double") + 1.0)
+            / (
+                F.coalesce(F.col("__c1"), F.lit(0)).cast("double")
+                + F.col("__v").cast("double")
+            )
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        doc_bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", F.col("__tf").alias("__tf"), neg_logp.alias("__nlp"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__tf").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("__nlp") * F.col("__tf")).cast("double")
+                / F.sum("__tf").cast("double"),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )

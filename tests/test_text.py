@@ -415,3 +415,36 @@ def test_vocab_shift_flags_planted_term(spark):
     assert out[0].kl_contrib > 0
     # shared terms contribute ~0 and rank below
     assert all(r.kl_contrib < out[0].kl_contrib for r in out[1:])
+
+
+def test_bigram_logprob_separates_word_order(spark):
+    """The discriminative claim: same WORDS, nonsense ORDER must score
+    worse under the bigram model while the unigram score ties exactly."""
+    from sparkgraft.text import bigram_logprob, unigram_logprob
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    shuffled = "mat the on dog sat the rug and cat the on sat the"
+    model_rows = [(100 + i, fluent) for i in range(20)]
+    df = spark.createDataFrame(
+        model_rows + [(1, fluent), (2, shuffled)], "doc_id long, text string"
+    )
+    model = df.where(F.col("doc_id") >= 100)
+    uni = {r.doc_id: r.avg_neg_logprob for r in unigram_logprob(df, model_df=model).collect()}
+    bi = {r.doc_id: r for r in bigram_logprob(df, model_df=model).collect()}
+    assert uni[1] == uni[2]  # identical bags of words
+    assert bi[2].avg_neg_logprob > bi[1].avg_neg_logprob + 1.0
+    assert bi[1].n_bigrams == bi[2].n_bigrams == len(fluent.split()) - 1
+
+
+def test_bigram_logprob_short_docs_absent_and_deterministic(spark):
+    from sparkgraft.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, "single"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = bigram_logprob(df).collect()
+    assert {r.doc_id for r in out} == {1}  # <2 tokens -> no bigram row
+    a = sorted(map(tuple, bigram_logprob(df).collect()))
+    b = sorted(map(tuple, bigram_logprob(df.repartition(7)).collect()))
+    assert a == b
