@@ -812,7 +812,8 @@ def embedding_covariance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, unnest({_SHF}) AS shingle FROM tok
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    qsh AS (SELECT doc_id AS query_id, shingle FROM sh WHERE doc_id % 100 = 7),
+    qsh AS (SELECT doc_id AS query_id, shingle FROM sh
+           WHERE doc_id % 100 = 7 AND doc_id < 1000),
     common AS (
         SELECT q.query_id, s.doc_id, count(*) AS common
         FROM sh s JOIN qsh q USING (shingle)
@@ -832,7 +833,7 @@ def embedding_covariance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         QUALIFY rank <= 20
     ),
     qv AS (SELECT vec_id AS query_id, embedding AS qe
-           FROM embeddings WHERE vec_id % 100 = 7),
+           FROM embeddings WHERE vec_id % 100 = 7 AND vec_id < 1000),
     vec AS (
         SELECT query_id, vec_id AS doc_id,
                CAST(row_number() OVER (
@@ -861,7 +862,10 @@ def embedding_covariance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: per query document (doc_id % 100 == 7), fuse a
+    """Hybrid retrieval: per query document (doc_id % 100 == 7, id <
+    1000 — a set BOUNDED at 10 queries at any corpus size, so total
+    work stays linear in the corpus rather than queries x corpus both
+    growing), fuse a
     LEXICAL top-20 (3-gram shingle Jaccard — the BM25 stand-in on this
     schema) with a VECTOR top-20 (embedding cosine, doc_id = vec_id)
     via reciprocal-rank fusion (similarity.rrf_fuse), keep the fused
@@ -883,7 +887,7 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     emb = read_table(spark, sf_dir, "embeddings")
-    is_q = F.col("doc_id") % 100 == 7
+    is_q = (F.col("doc_id") % 100 == 7) & (F.col("doc_id") < 1000)
 
     sh = docs.select(
         "doc_id", F.explode(D.word_shingles("text", 3)).alias("shingle")
@@ -920,7 +924,7 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 20)
         .select("query_id", "doc_id", "rank")
     )
-    vec = S.cosine_topk(emb, emb.where(F.col("vec_id") % 100 == 7), k=20).select(
+    vec = S.cosine_topk(emb, emb.where((F.col("vec_id") % 100 == 7) & (F.col("vec_id") < 1000)), k=20).select(
         "query_id", F.col("vec_id").alias("doc_id"), "rank"
     )
     fused = S.rrf_fuse([lex, vec], id_col="doc_id")
