@@ -62,6 +62,7 @@ __all__ = [
     "ivf_topk",
     "semantic_decontaminate",
     "covariance_cells",
+    "covariance_cells_arrow",
     "pca_whiten",
     "rrf_fuse",
 ]
@@ -1438,4 +1439,89 @@ def rrf_fuse(
     return tagged.groupBy(query_col, id_col).agg(
         F.round(F.sum(term).cast("double"), round_to).alias("rrf_score"),
         F.count(F.lit(1)).cast("bigint").alias("n_signals"),
+    )
+
+
+def covariance_cells_arrow(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 8,
+) -> DataFrame:
+    """Arrow partial-Gram covariance — the HIGH-DIMENSION scale tier of
+    :func:`covariance_cells`. The exact tier explodes d(d+1)/2 product
+    structs per row, which is the right trade at d=64 (2080 structs)
+    but not at d=768+ (295k structs per row dwarf the vector itself);
+    here each Arrow batch contributes ONE partial-sufficient-statistics
+    row — ``n``, the d coordinate sums, and the flattened d*d Gram
+    X^T X computed as a single numpy matmul — and batches reduce to
+    cells via one exploded aggregation of batch-count rows (thousands,
+    not corpus-sized).
+
+    The trade, stated: partial Gram sums are FLOAT (numpy accumulation
+    order varies with batch boundaries), so results are reproducible
+    only to float tolerance, not bit-exact — use the decimal-exact
+    tier where an oracle or cross-run hash must match (the
+    np_cosine-vs-HOF precedent: Arrow for throughput, HOF/decimal for
+    bit-exactness). Agreement is asserted to 1e-6 in tests.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("sums", ArrayType(DoubleType())),
+            StructField("gram", ArrayType(DoubleType())),
+        ]
+    )
+
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [len(pdf)],
+                    "sums": [X.sum(axis=0).tolist()],
+                    "gram": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = df.select(vec_col).mapInPandas(partial, schema)
+    totals = parts.agg(
+        F.sum("n").alias("__n"),
+        F.array(
+            *[F.sum(F.element_at("sums", i + 1)) for i in range(dim)]
+        ).alias("__sums"),
+    )
+    gram_cells = (
+        parts.select(F.posexplode("gram").alias("flat", "g"))
+        .groupBy("flat")
+        .agg(F.sum("g").alias("s"))
+        .select(
+            (F.col("flat") / dim).cast("bigint").alias("i"),
+            (F.col("flat") % dim).cast("bigint").alias("j"),
+            "s",
+        )
+        .where(F.col("i") <= F.col("j"))
+    )
+    return gram_cells.crossJoin(F.broadcast(totals)).select(
+        "i",
+        "j",
+        F.round(
+            F.col("s") / F.col("__n")
+            - (F.element_at("__sums", (F.col("i") + 1).cast("int")) / F.col("__n"))
+            * (F.element_at("__sums", (F.col("j") + 1).cast("int")) / F.col("__n")),
+            round_to,
+        ).alias("cov"),
     )

@@ -584,3 +584,26 @@ def test_rrf_fuse_hand_computed(spark):
     # fusion must rank the both-signal doc above every single-signal doc here
     best = max(out.values(), key=lambda r: r.rrf_score)
     assert best.vec_id == 11
+
+
+def test_covariance_cells_arrow_agrees_with_exact_tier(spark, emb):
+    import numpy as np
+
+    exact = {(r.i, r.j): r.cov for r in S.covariance_cells(emb, 64).collect()}
+    arrow = {
+        (r.i, r.j): r.cov
+        for r in S.covariance_cells_arrow(emb.repartition(7), 64).collect()
+    }
+    assert set(arrow) == set(exact)
+    worst = max(abs(arrow[k] - exact[k]) for k in exact)
+    # float partial-Gram sums vs decimal-exact sums: tolerance, not hash
+    assert worst < 1e-6, worst
+    # the Arrow tier's plan must stay Arrow-batched (ArrowEvalPython /
+    # mapInPandas), never row-at-a-time Python
+    plan = (
+        S.covariance_cells_arrow(emb, 64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan

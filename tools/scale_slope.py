@@ -112,6 +112,21 @@ PROBES = [
     # doc-keyed rebuild; the flagged key set stays 2 planted templates
     # regardless of factor, so expected ~linear.
     "boilerplate_line_removal",
+    # r6 late additions:
+    # row-local pair expansion -> d(d+1)/2-cell aggregate; cell count is
+    # CONSTANT in n, so expected ~linear (explode volume n * 2080).
+    "embedding_covariance_cells",
+    # one tokenize pass -> bigram/context/model aggregates + two
+    # term-keyed joins; compact count tables, expected ~linear.
+    "doc_bigram_logprob",
+    # query set bounded at 10 ids (doc_id % 100 == 7 AND < 1000): the
+    # lexical inverted-index join and the vector scan are each linear
+    # in the corpus for a FIXED query count.
+    "hybrid_retrieval_rrf",
+    # jaccard pair proposal (inverted index) -> iterative components ->
+    # (id, score) join + per-cluster window; salted replicas keep pairs
+    # ~linear, so expected ~linear.
+    "near_dup_quality_keep",
 ]
 
 
