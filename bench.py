@@ -59,6 +59,11 @@ HEADLINE = [
     "ann_lsh_top1_planted",
     "ann_ivf_top1_planted",
     "label_centroid_similarity",
+    # r6 second-continuation promotion (rotation policy; the other
+    # promotion, near_dup_quality_keep, is iterative and so pinned via
+    # ITERATIVE_LINEAGE_PINS rather than benched — the
+    # near_dup_doc_clusters precedent)
+    "suppliers_sole_returned",
 ]
 
 

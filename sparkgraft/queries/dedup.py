@@ -214,7 +214,11 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "near_dup_doc_clusters",
-    f"""
+    # retired r6 (slot rotation): near_dup_quality_keep supersets this
+    # query (identical closure + the keep policy) and holds the active
+    # slot; this stays locally oracled on every pytest run
+    retired=True,
+    oracle=f"""
     WITH RECURSIVE {_SH_CTE},
     np AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.2),
     edges AS (
@@ -738,10 +742,11 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "near_dup_quality_keep",
-    # NEW r6 retired tier: quality-aware survivor selection — the
-    # RefinedWeb-style "keep the best representative" policy on top of
-    # the same component resolution near_dup_doc_clusters verifies.
-    retired=True,
+    # NEW r6, PROMOTED to an active driver slot on registration day
+    # (rotation policy: new code earns driver rows) — funded by
+    # retiring near_dup_doc_clusters, which this query strictly
+    # SUPERSETS (same transitive closure, plus the quality score and
+    # the argmax keep decision, all in the one oracle).
     oracle=f"""
     WITH RECURSIVE {_SH_CTE},
     np AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.2),

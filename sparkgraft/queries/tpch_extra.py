@@ -344,11 +344,14 @@ def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "suppliers_sole_returned",
-    # TPC-H Q21 shape (retired tier). The trimmed schema has no
+    # TPC-H Q21 shape — PROMOTED to an active driver slot on
+    # registration day (rotation policy: the decorrelated-quantifier
+    # family is a new evidence class; funded by retiring
+    # doc_repetition_metrics, whose text family keeps five active
+    # driver rows). The trimmed schema has no
     # commit/receipt dates, so "kept orders waiting" becomes "had the
     # order's ONLY returned line": same EXISTS / NOT-EXISTS structure
     # against the same fact table, different flag column.
-    retired=True,
     oracle="""
     SELECT s_name, count(*) AS numwait
     FROM supplier, lineitem l1, orders, nation

@@ -101,6 +101,9 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "ann_lsh_top1_planted": (6, 3),
     "ann_ivf_top1_planted": (3, 1),
     "label_centroid_similarity": (3, 1),
+    # Q21: one per-order countDistinct aggregate folds both correlated
+    # quantifiers; orderkey partitioning reused by the join-back
+    "suppliers_sole_returned": (7, 4),
 }
 
 # Exact tiers that legitimately broadcast a bounded side against every
@@ -215,6 +218,11 @@ ITERATIVE_LINEAGE_PINS = [
     # (name, max Exchange, max plan chars)
     ("trade_graph_pagerank", 4, 40_000),
     ("conservative_dedup_keep", 350, 600_000),
+    # promoted r6: components + (id, score) join + argmax window on
+    # top of the checkpointed labels (measured 71 Exchanges / 53k
+    # chars at sf0.01 — one checkpoint interval, same bound class as
+    # the clusters query it supersets)
+    ("near_dup_quality_keep", 120, 120_000),
 ]
 
 
@@ -223,7 +231,7 @@ def test_iterative_operator_lineage_bounded(
     spark, sf_dir, name, max_exchanges, max_chars
 ):
     spark.catalog.clearCache()
-    df = Q.RETIRED_QUERIES[name](spark, sf_dir)
+    df = {**Q.RETIRED_QUERIES, **Q.QUERIES}[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
@@ -315,7 +323,7 @@ R6_OP_PINS = [
 def test_r6_operator_plan_shape(spark, sf_dir, name, max_exchanges, allow_bnlj):
     spark.catalog.clearCache()
     plan = (
-        Q.RETIRED_QUERIES[name](spark, sf_dir)
+        {**Q.RETIRED_QUERIES, **Q.QUERIES}[name](spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
