@@ -1376,3 +1376,55 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bigram_logprob(
         docs, model_df=docs.where(F.col("source") == "src0")
     )
+
+
+@register(
+    "doc_hash_embedding",
+    # NEW r6 retired tier: the feature-hashing embedder with every
+    # coordinate reproduced in SQL — md5-derived dimension and sign,
+    # exact signed integer counts, one rounded normalize.
+    retired=True,
+    oracle="""
+    WITH stok AS (SELECT doc_id, {tok} AS tok FROM documents),
+    t AS (SELECT doc_id, unnest(tok) AS term FROM stok),
+    h AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 64 AS pos,
+               CASE WHEN substr(md5(term), 9, 1) < '8' THEN 1 ELSE -1 END
+                   AS sign
+        FROM t
+    ),
+    cell AS (SELECT doc_id, pos, sum(sign) AS raw FROM h GROUP BY 1, 2),
+    dense AS (
+        SELECT ids.doc_id, CAST(g.i AS BIGINT) AS pos,
+               coalesce(c.raw, 0) AS raw
+        FROM (SELECT DISTINCT doc_id FROM cell) ids
+        CROSS JOIN range(0, 64) g(i)
+        LEFT JOIN cell c ON c.doc_id = ids.doc_id AND c.pos = g.i
+    ),
+    nrm AS (
+        SELECT doc_id, sqrt(sum(CAST(raw * raw AS DOUBLE))) AS n
+        FROM dense GROUP BY 1
+    )
+    SELECT dense.doc_id, pos,
+           round(CAST(raw AS DOUBLE) / n, 6) AS v
+    FROM dense JOIN nrm USING (doc_id)
+    WHERE n > 0
+    """.replace("{tok}", _TOK),
+)
+def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.hash_embed over the corpus, exploded to (doc_id, pos, v)
+    scalars for robust cross-engine comparison (the
+    embedding_standardized convention). The Spark plan is entirely
+    row-local — one md5 per token, a per-dimension fold, ZERO
+    exchanges before the explode — while the oracle takes the
+    explode/group/densify route; agreement proves the in-place fold
+    computes the textbook hashed vector. This is the model-free bridge
+    from text into the vector operators (cosine/LSH/SemDeDup/PCA/RRF),
+    so its coordinates being oracle-exact matters downstream."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        T.hash_embed(docs)
+        .select("doc_id", F.posexplode("embedding").alias("pos", "v"))
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "v")
+    )

@@ -448,3 +448,50 @@ def test_bigram_logprob_short_docs_absent_and_deterministic(spark):
     a = sorted(map(tuple, bigram_logprob(df).collect()))
     b = sorted(map(tuple, bigram_logprob(df.repartition(7)).collect()))
     assert a == b
+
+
+def test_hash_embed_properties_and_retrieval_composition(spark):
+    """Unit norm, similar-text affinity, and the composition claim:
+    hash-embedded text drives cosine_topk retrieval directly."""
+    import numpy as np
+
+    from sparkgraft.similarity import cosine_topk
+    from sparkgraft.text import hash_embed
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox leaps over the lazy dog"),
+            (3, "completely unrelated prose about database engines"),
+            (4, "another unrelated passage on parquet file layouts"),
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    emb = hash_embed(df)
+    rows = {r.doc_id: np.array(r.embedding) for r in emb.collect()}
+    assert set(rows) == {1, 2, 3, 4}  # empty/NULL docs absent
+    for v in rows.values():
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5  # unit norm (rounded)
+    # near-dup text pair beats every unrelated pair by a wide margin
+    sim = rows[1] @ rows[2]
+    worst = max(rows[1] @ rows[3], rows[1] @ rows[4], rows[2] @ rows[3])
+    assert sim > 0.85 > worst + 0.4
+    # composition: retrieval over hashed vectors ranks doc 2 first for doc 1
+    top = cosine_topk(
+        emb, emb.where(F.col("doc_id") == 1), id_col="doc_id", k=1
+    ).collect()
+    assert [(r.query_id, r.doc_id) for r in top] == [(1, 2)]
+
+
+def test_hash_embed_deterministic_under_repartitioning(spark, sf_dir):
+    from sparkgraft.io import read_table
+    from sparkgraft.text import hash_embed
+
+    docs = read_table(spark, sf_dir, "documents").limit(100)
+    a = sorted(map(tuple, hash_embed(docs).select("doc_id", "embedding").collect()))
+    b = sorted(
+        map(tuple, hash_embed(docs.repartition(7)).select("doc_id", "embedding").collect())
+    )
+    assert [(i, tuple(e)) for i, e in a] == [(i, tuple(e)) for i, e in b]
