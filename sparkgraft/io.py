@@ -561,3 +561,130 @@ def read_manifest_pruned(
         )
     paths = [os.path.join(path, f) for f in keep]
     return spark.read.parquet(*paths), len(keep), total
+
+
+def write_bloom_manifest(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 3,
+) -> dict:
+    """Write ``_BLOOM_MANIFEST.json`` next to a parquet directory: a
+    per-FILE Bloom bitmap of ``col``'s values — the data-skipping
+    complement of :func:`write_layout_manifest`. Min/max stats prune
+    RANGE predicates but are useless for point lookups on a
+    high-cardinality column that isn't the sort key (every file's
+    [min, max] spans the whole domain); a per-file Bloom answers "can
+    this file contain key K?" in the planner, which is exactly why
+    Delta offers Bloom filter indexes alongside its min/max stats.
+
+    Build is DISTRIBUTED, not a driver scan: ``_metadata.file_path``
+    tags each row with its source file, each value sets ``num_hashes``
+    md5-derived bit positions (the repo hash convention — chosen here
+    so the READER can recompute probe positions in plain Python
+    without a Spark job), and bits pack into 64-bit words via one
+    (file, word) ``bit_or`` aggregate. The driver holds only the
+    packed words (<= num_bits/64 longs per file).
+
+    Values hash via their STRING form (exact for int/string keys —
+    document keys, order ids; float keys would need a stable textual
+    form and are not supported).
+    """
+    import json as _json
+
+    seeds = list(range(num_hashes))
+    src = spark.read.parquet(path).select(
+        F.col(col).cast("string").alias("__k"),
+        F.col("_metadata.file_path").alias("__f"),
+    ).where(F.col("__k").isNotNull())
+    pos = [
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{s}|"), F.col("__k"))), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(num_bits),
+        )
+        for s in seeds
+    ]
+    words = (
+        src.select("__f", F.explode(F.array(*pos)).alias("__pos"))
+        .select(
+            "__f",
+            (F.col("__pos") / 64).cast("long").alias("__w"),
+            F.expr("shiftleft(1L, cast(__pos % 64 AS int))").alias("__b"),
+        )
+        .groupBy("__f", "__w")
+        .agg(F.expr("bit_or(__b)").alias("__bits"))
+        .groupBy("__f")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__w", "__bits"))).alias("__words")
+        )
+        .collect()
+    )
+    files = {
+        os.path.basename(r["__f"]): {
+            str(w["__w"]): w["__bits"] for w in r["__words"]
+        }
+        for r in words
+    }
+    manifest = {
+        "column": col,
+        "num_bits": num_bits,
+        "num_hashes": num_hashes,
+        "files": files,
+    }
+    with open(os.path.join(path, "_BLOOM_MANIFEST.json"), "w") as fh:
+        _json.dump(manifest, fh, indent=1)
+    return manifest
+
+
+def read_bloom_pruned(
+    spark: SparkSession,
+    path: str,
+    value,
+) -> "tuple[DataFrame, int, int]":
+    """Open ONLY the files whose ``_BLOOM_MANIFEST.json`` bitmap can
+    contain ``value`` (all ``num_hashes`` bits set). A Bloom miss is
+    exact — a skipped file provably does not contain the key — so
+    pruning is a superset guarantee like every skipping tier here; the
+    caller still applies the exact row filter (false positives only
+    cost an extra file open). Probe positions are recomputed in plain
+    Python (hashlib md5 — bit-identical to the build's Spark md5), so
+    planning costs zero Spark jobs and zero footer reads.
+
+    Returns ``(df, files_read, files_total)``; ``df`` is empty (with
+    the directory's schema) when every file is pruned. Files missing
+    from the manifest (written after it) are conservatively kept.
+    """
+    import glob as _glob
+    import hashlib as _hashlib
+    import json as _json
+
+    with open(os.path.join(path, "_BLOOM_MANIFEST.json")) as fh:
+        m = _json.load(fh)
+    key = str(value)
+    positions = [
+        int(_hashlib.md5(f"{s}|{key}".encode()).hexdigest()[:8], 16) % m["num_bits"]
+        for s in range(m["num_hashes"])
+    ]
+    all_files = sorted(
+        os.path.basename(f) for f in _glob.glob(os.path.join(path, "*.parquet"))
+    )
+    keep = []
+    for f in all_files:
+        words = m["files"].get(f)
+        if words is None:
+            keep.append(f)  # not indexed: conservative
+            continue
+        if all(
+            int(words.get(str(p // 64), 0)) & (1 << (p % 64)) for p in positions
+        ):
+            keep.append(f)
+    if not keep:
+        empty = spark.read.parquet(path).where(F.lit(False))
+        return empty, 0, len(all_files)
+    df = spark.read.parquet(*[os.path.join(path, f) for f in keep])
+    return df, len(keep), len(all_files)

@@ -400,3 +400,51 @@ def test_layout_manifest_prunes_files_after_zorder(spark, tmp_path, sf_dir):
     )
     assert n == 0 and empty.count() == 0
     assert set(empty.columns) == set(li.columns)
+
+
+def test_bloom_manifest_prunes_point_lookups(spark, sf_dir, tmp_path):
+    """Per-file Bloom index: a point lookup on a high-cardinality key
+    opens a strict subset of files (min/max stats could prune nothing —
+    the key is hash-distributed so every file spans the whole range),
+    the result equals the full-scan filter, and a Bloom miss on every
+    file yields an empty frame with the right schema."""
+    from sparkgraft.io import read_bloom_pruned, read_table, write_bloom_manifest
+
+    out = str(tmp_path / "docs")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    # hash-distribute so each file holds an arbitrary id subset: the
+    # worst case for range stats, the design case for Bloom
+    docs.repartition(8, "doc_id").write.parquet(out)
+    m = write_bloom_manifest(spark, out, "doc_id")
+    assert len(m["files"]) == 8
+
+    full = docs.where(F.col("doc_id") == 137)
+    pruned, n_read, n_total = read_bloom_pruned(spark, out, 137)
+    got = sorted(map(tuple, pruned.where(F.col("doc_id") == 137).collect()))
+    assert got == sorted(map(tuple, full.collect())) and len(got) == 1
+    assert n_total == 8
+    # 3 hashes in 2^16 bits over ~60 keys/file: false-positive odds are
+    # astronomically small, so exactly ONE file (the key's home) opens
+    assert n_read == 1
+
+    # absent key: every file pruned, empty result, schema preserved
+    missing, n_read, _ = read_bloom_pruned(spark, out, 10_000_019)
+    assert n_read == 0
+    assert missing.count() == 0
+    assert set(missing.columns) == {"doc_id", "source", "n_chars"}
+
+
+def test_bloom_manifest_superset_guarantee_every_key(spark, sf_dir, tmp_path):
+    """No false negatives, ever: for EVERY key in the table, the pruned
+    read must still contain that key's rows."""
+    from sparkgraft.io import read_bloom_pruned, read_table, write_bloom_manifest
+
+    out = str(tmp_path / "docs2")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    docs.repartition(4, "source").write.parquet(out)
+    write_bloom_manifest(spark, out, "doc_id", num_bits=1 << 10)  # tight: FPs likely
+    ids = [r.doc_id for r in docs.select("doc_id").collect()][:50]
+    for k in ids:
+        pruned, n_read, n_total = read_bloom_pruned(spark, out, k)
+        assert n_read >= 1
+        assert pruned.where(F.col("doc_id") == k).count() == 1, k
