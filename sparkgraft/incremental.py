@@ -43,6 +43,9 @@ __all__ = [
     "partial_histogram",
     "merge_histograms",
     "histogram_quantile",
+    "partial_cms",
+    "merge_cms",
+    "cms_estimate",
 ]
 
 # spec kinds -> (batch aggregate, state-merge aggregate)
@@ -266,4 +269,125 @@ def histogram_quantile(
     return first.select(
         *keys,
         (F.lit(lo) + F.col("__bin") * F.lit(width)).alias(out_col),
+    )
+
+
+def partial_cms(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """One batch's keyed Count-Min sketch — the state that makes
+    per-ITEM frequency estimation decomposable under fixed memory
+    (Cormode & Muthukrishnan 2005), completing the mergeable-state
+    family: count/sum/min/max (exact), HLL (count-distinct), fixed-bin
+    histograms (quantiles), and now item frequencies. Exact per-item
+    counts need a state table as large as the item domain; the sketch
+    caps state at ``depth x width`` longs per key, over-counting only
+    by hash collisions (never under — see ``cms_estimate``).
+
+    Each item increments one counter per row: ``(seed, md5-derived
+    position)`` — md5 so an external SQL engine (and any later reader)
+    reproduces positions exactly, the repo hash convention. Long form
+    ``keys + (seed int, pos int, n bigint)``: states merge by
+    ``unionByName + groupBy sum`` (map-side combinable, plain monoid),
+    and zero cells stay implicit (absent rows), so a sparse batch costs
+    rows only for the cells it touches.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError(
+            f"partial_cms: need width/depth >= 1, got width={width} depth={depth}"
+        )
+    v = F.col(col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"),
+                F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"{s}|"), v)), 1, 8),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(width),
+                )
+                .cast("int")
+                .alias("pos"),
+            )
+            for s in range(depth)
+        ]
+    )
+    return (
+        df.where(v.isNotNull())
+        .select(*keys, F.explode(cells).alias("__c"))
+        .groupBy(*keys, F.col("__c.seed").alias("seed"), F.col("__c.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_cms(states: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Fold per-batch CMS states: cellwise sum — the same plain monoid
+    as every partial state here, so folding N batches is exactly
+    equivalent to sketching their union (asserted exactly in tests,
+    not approximately: the SKETCH is deterministic; only its reading
+    is an estimate)."""
+    from functools import reduce as _reduce
+
+    merged = _reduce(lambda a, b: a.unionByName(b), states)
+    return merged.groupBy(*keys, "seed", "pos").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(
+    state: DataFrame,
+    items: DataFrame,
+    keys: Sequence[str],
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-estimate item frequencies from a (merged) CMS state:
+    ``est = min over seeds of state[seed][h_seed(item)]`` — the
+    classic one-sided guarantee: ``est >= true`` always (counters only
+    ever over-count via collisions), and ``est <= true + eps * N``
+    with probability ``1 - (1/2)^depth`` for ``eps = e / width``.
+    ``items`` supplies the probe set (per key); probing is one
+    broadcast-friendly join per cell against the state, never a scan
+    of the raw data — the whole point of keeping the sketch.
+
+    Items whose cells are absent from the state (true count 0 and no
+    collision) estimate 0 via the left join + coalesce.
+    """
+    v = F.col(item_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"),
+                F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"{s}|"), v)), 1, 8),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(width),
+                )
+                .cast("int")
+                .alias("pos"),
+            )
+            for s in range(depth)
+        ]
+    )
+    probes = items.select(
+        *keys, F.col(item_col), F.explode(cells).alias("__c")
+    ).select(
+        *keys,
+        item_col,
+        F.col("__c.seed").alias("seed"),
+        F.col("__c.pos").alias("pos"),
+    )
+    return (
+        probes.join(state, [*keys, "seed", "pos"], "left")
+        .groupBy(*keys, item_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("est"))
     )

@@ -141,3 +141,67 @@ def props_as_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.element_at(m, "k").alias("k_value"),
     )
+
+
+@register(
+    "user_event_cms_counts",
+    # NEW r6 retired tier: the Count-Min state + its estimates fully
+    # recomputed in SQL — positions (md5), cell counts, the min-over-
+    # seeds read, AND the exact counts, so the one-sided error of every
+    # estimate is part of the verified surface.
+    retired=True,
+    oracle="""
+    WITH seeds(seed) AS (VALUES (0), (1), (2), (3)),
+    cells AS (
+        SELECT seed,
+               CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '|'
+                                        || CAST(user_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 256 AS pos
+        FROM events CROSS JOIN seeds
+        WHERE user_id IS NOT NULL
+    ),
+    state AS (SELECT seed, pos, count(*) AS n FROM cells GROUP BY 1, 2),
+    probes AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+    probe_cells AS (
+        SELECT user_id, seed,
+               CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '|'
+                                        || CAST(user_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 256 AS pos
+        FROM probes CROSS JOIN seeds
+    ),
+    est AS (
+        SELECT user_id, CAST(min(coalesce(n, 0)) AS BIGINT) AS est
+        FROM probe_cells LEFT JOIN state USING (seed, pos)
+        GROUP BY user_id
+    ),
+    exact AS (
+        SELECT user_id, count(*) AS exact
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, est, exact, CAST(est - exact AS BIGINT) AS overcount
+    FROM est JOIN exact USING (user_id)
+    """,
+)
+def user_event_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event frequencies read from a Count-Min sketch
+    (incremental.partial_cms / cms_estimate, width 256 x depth 4 —
+    deliberately NARROW so real hash collisions exercise the min-over-
+    seeds read at test scale), joined against the exact counts so the
+    sketch's one-sided guarantee (est >= exact, small overcount) is
+    hash-verified row by row. At 100 TB the sketch is the point: per-
+    item frequency tracking in depth x width longs of state per key,
+    mergeable across batches by plain cell sums (fold == one-shot
+    asserted exactly in tests/test_incremental.py)."""
+    from .. import incremental as I
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    state = I.partial_cms(ev, [], "user_id", width=256, depth=4)
+    items = ev.select("user_id").distinct()
+    est = I.cms_estimate(state, items, [], "user_id", width=256, depth=4)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "est",
+        "exact",
+        (F.col("est") - F.col("exact")).cast("bigint").alias("overcount"),
+    )

@@ -166,3 +166,65 @@ def test_histogram_degenerate_range_raises(spark):
         partial_histogram(df, [], "v", lo=0.0, hi=1.0, bins=0)
     with pytest.raises(ValueError):
         histogram_quantile(df, [], 0.5, lo=2.0, hi=1.0)
+
+
+# ---- Count-Min sketch (keyed item-frequency state) -------------------------
+
+
+def test_cms_fold_equals_one_shot_exactly(spark):
+    """The sketch is deterministic: folding three batches must equal
+    sketching all history in one pass CELL FOR CELL, and the estimates
+    read off both states must be identical."""
+    from sparkgraft import incremental as I
+
+    rows = [("g", f"item{i % 17}") for i in range(300)] + [
+        ("g", "hot") for _ in range(150)
+    ]
+    df = spark.createDataFrame(rows, "k string, item string")
+    batches = [
+        df.where(F.crc32(F.col("item")) % 3 == i) for i in range(3)
+    ]
+    folded = I.merge_cms(
+        [I.partial_cms(b, ["k"], "item", width=256, depth=3) for b in batches],
+        ["k"],
+    )
+    oneshot = I.partial_cms(df, ["k"], "item", width=256, depth=3)
+    assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, oneshot.collect()))
+    items = df.select("k", "item").distinct()
+    ef = sorted(map(tuple, I.cms_estimate(folded, items, ["k"], "item", width=256, depth=3).collect()))
+    eo = sorted(map(tuple, I.cms_estimate(oneshot, items, ["k"], "item", width=256, depth=3).collect()))
+    assert ef == eo
+
+
+def test_cms_one_sided_guarantee_and_accuracy(spark):
+    """est >= true for EVERY item (counters only over-count), zero for
+    absent items, and at width 1024 over ~450 rows the over-count is
+    tiny for the heavy hitter."""
+    from sparkgraft import incremental as I
+
+    rows = [("g", f"item{i % 17}") for i in range(300)] + [
+        ("g", "hot") for _ in range(150)
+    ]
+    df = spark.createDataFrame(rows, "k string, item string")
+    state = I.partial_cms(df, ["k"], "item")
+    true = {
+        r.item: r.c
+        for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    probe = spark.createDataFrame(
+        [("g", it) for it in true] + [("g", "never-seen")], "k string, item string"
+    )
+    est = {r.item: r.est for r in I.cms_estimate(state, probe, ["k"], "item").collect()}
+    assert est["never-seen"] == 0
+    for it, t in true.items():
+        assert est[it] >= t, it
+    assert est["hot"] <= true["hot"] + 5  # eps*N at width 1024 is ~1
+
+
+def test_cms_guards(spark):
+    from sparkgraft import incremental as I
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("g", "x")], "k string, item string")
+    with _pytest.raises(ValueError, match="width/depth"):
+        I.partial_cms(df, ["k"], "item", width=0)
