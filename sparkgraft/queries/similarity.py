@@ -936,3 +936,116 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("fused_rank") <= 10)
         .select("query_id", "doc_id", "rrf_score", "n_signals", "fused_rank")
     )
+
+
+@register(
+    "rag_chunk_retrieval",
+    # NEW r6 retired tier: the full text -> vector -> retrieval path in
+    # ONE verified composite — sliding-window chunking, feature-hash
+    # embedding of every chunk AND every query document, exact cosine
+    # top-3. The oracle rebuilds each stage from scratch: chunk
+    # boundaries from the token arrays, every signed-count coordinate,
+    # both normalizations, the cosine, and the rank window.
+    retired=True,
+    oracle=r"""
+    WITH tok AS (SELECT doc_id, CASE WHEN text IS NULL OR trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN []::VARCHAR[] ELSE string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') END AS tok FROM documents),
+    starts AS (
+        SELECT doc_id, tok, unnest(range(0, len(tok), 24)) AS cs FROM tok
+    ),
+    chunks AS (
+        SELECT doc_id * 1000 + cs // 24 + 10000000 AS chunk_id,
+               tok[cs + 1 : cs + 32] AS ctok
+        FROM starts
+    ),
+    cterm AS (SELECT chunk_id AS id, unnest(ctok) AS term FROM chunks),
+    qterm AS (
+        SELECT doc_id AS id, unnest(tok) AS term FROM tok
+        WHERE doc_id % 100 = 7 AND doc_id < 1000
+    ),
+    h AS (
+        SELECT id, kind,
+               CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 64 AS pos,
+               CASE WHEN substr(md5(term), 9, 1) < '8' THEN 1 ELSE -1 END
+                   AS sign
+        FROM (SELECT id, term, 'c' AS kind FROM cterm
+              UNION ALL SELECT id, term, 'q' FROM qterm)
+    ),
+    cell AS (
+        SELECT id, kind, pos, sum(sign) AS raw FROM h GROUP BY 1, 2, 3
+    ),
+    dense AS (
+        SELECT ids.id, ids.kind, CAST(g.i AS BIGINT) AS pos,
+               coalesce(c.raw, 0) AS raw
+        FROM (SELECT DISTINCT id, kind FROM cell) ids
+        CROSS JOIN range(0, 64) g(i)
+        LEFT JOIN cell c
+          ON c.id = ids.id AND c.kind = ids.kind AND c.pos = g.i
+    ),
+    nrm AS (
+        SELECT id, kind, sqrt(sum(CAST(raw * raw AS DOUBLE))) AS n
+        FROM dense GROUP BY 1, 2
+    ),
+    vec AS (
+        SELECT dense.id, dense.kind,
+               list(round(CAST(raw AS DOUBLE) / n, 6) ORDER BY pos) AS v
+        FROM dense JOIN nrm USING (id, kind)
+        WHERE n > 0
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT q.id AS query_id, c.id AS chunk_id,
+               round(list_sum(list_transform(list_zip(c.v, q.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(c.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+        FROM (SELECT * FROM vec WHERE kind = 'q') q
+        CROSS JOIN (SELECT * FROM vec WHERE kind = 'c') c
+    )
+    SELECT query_id, rank, chunk_id, cos_sim,
+           CAST((chunk_id - 10000000) // 1000 AS BIGINT) AS src_doc,
+           CAST((chunk_id - 10000000) % 1000 AS BIGINT) AS chunk_idx
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cos_sim DESC, chunk_id ASC) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG corpus-build path, end to end: documents are chunked
+    (32-token windows, stride 24 — packing.chunk_documents, row-local),
+    every chunk is feature-hash-embedded (text.hash_embed — the
+    model-free bridge, every coordinate SQL-exact), the bounded query
+    set (doc_id % 100 == 7, id < 1000 — <= 10 docs at any scale)
+    embeds the same way, and exact cosine top-3 retrieves chunks per
+    query. Composition is the point: three independently-oracled
+    operators chained WITHOUT new glue semantics, and the composite's
+    oracle still verifies every stage from raw text to the final rank.
+
+    Scale shape: chunking and embedding are linear (two compact
+    integer shuffles each, text never shuffles); retrieval is the
+    documented broadcast-bounded-query exact tier. Self-retrieval
+    sanity (a query doc's own chunks rank top) is asserted in tests.
+    """
+    from .. import packing as P
+    from .. import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = P.chunk_documents(docs, "text", "doc_id", chunk_tokens=32, stride=24)
+    chunk_docs = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx") + 10_000_000).alias("chunk_id"),
+        F.col("chunk_text"),
+    )
+    chunk_emb = T.hash_embed(chunk_docs, text_col="chunk_text", id_col="chunk_id")
+    q_emb = T.hash_embed(
+        docs.where((F.col("doc_id") % 100 == 7) & (F.col("doc_id") < 1000))
+    ).withColumnRenamed("doc_id", "chunk_id")
+    top = S.cosine_topk(
+        chunk_emb, q_emb, id_col="chunk_id", vec_col="embedding", k=3
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        "chunk_id",
+        "cos_sim",
+        ((F.col("chunk_id") - 10_000_000) / 1000).cast("bigint").alias("src_doc"),
+        F.pmod(F.col("chunk_id") - 10_000_000, F.lit(1000)).cast("bigint").alias("chunk_idx"),
+    )

@@ -607,3 +607,20 @@ def test_covariance_cells_arrow_agrees_with_exact_tier(spark, emb):
         .toString()
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_rag_chunk_retrieval_self_retrieval_sanity(spark, sf_dir):
+    """A query document's own chunks share most of their tokens with
+    the whole-doc embedding, so its top-ranked chunk must come from
+    itself — the end-to-end sanity of chunk -> hash-embed -> retrieve."""
+    import sparkgraft.queries as Q
+
+    out = Q.RETIRED_QUERIES["rag_chunk_retrieval"](spark, sf_dir).collect()
+    assert len(out) > 0
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        top = min(rows, key=lambda r: r.rank)
+        assert top.src_doc == q, (q, top)
+        assert top.cos_sim > 0.5
