@@ -717,3 +717,50 @@ def test_sink_idempotent_under_batch_replay(spark, sf_dir, tmp_path):
         for r in got2.where(F.col("batch_id") == int(last)).collect()
     }
     assert post_replay == pre_replay
+
+
+def test_streaming_cms_maintenance_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Incremental CMS over a stream: each micro-batch's partial sketch
+    appends to a state table; the folded state must equal sketching
+    the whole table in one batch pass CELL FOR CELL (the sketch is a
+    plain monoid), so streaming arrival order / batch boundaries can
+    never change a frequency estimate."""
+    from sparkgraft import incremental as I
+    from sparkgraft.io import read_table
+    from sparkgraft.streaming import run_stream_available_now, stream_table
+
+    state_dir = str(tmp_path / "cms_state")
+    stream = stream_table(
+        spark, sf_dir, "events", max_files_per_trigger=1, split_files=4
+    )
+
+    def sink(batch_df, batch_id):
+        part = I.partial_cms(
+            batch_df.where(F.col("user_id").isNotNull()),
+            [],
+            "user_id",
+            width=256,
+            depth=3,
+        )
+        part.write.mode("append").parquet(state_dir)
+
+    n_batches = run_stream_available_now(
+        stream, sink, str(tmp_path / "ckpt"), output_mode="append"
+    )
+    assert n_batches == 4
+
+    folded = (
+        spark.read.parquet(state_dir)
+        .groupBy("seed", "pos")
+        .agg(F.sum("n").alias("n"))
+    )
+    ev = read_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    oneshot = I.partial_cms(ev, [], "user_id", width=256, depth=3)
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+    # and the estimates read from the streamed state are exact monoids too
+    items = ev.select("user_id").distinct()
+    ef = sorted(map(tuple, I.cms_estimate(folded, items, [], "user_id", width=256, depth=3).collect()))
+    eo = sorted(map(tuple, I.cms_estimate(oneshot, items, [], "user_id", width=256, depth=3).collect()))
+    assert ef == eo

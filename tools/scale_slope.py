@@ -127,6 +127,11 @@ PROBES = [
     # (id, score) join + per-cluster window; salted replicas keep pairs
     # ~linear, so expected ~linear.
     "near_dup_quality_keep",
+    # one md5 pass + two compact integer shuffles; expected ~linear.
+    "doc_hash_embedding",
+    # chunk (row-local) -> hash-embed chunks -> bounded-query cosine;
+    # every stage linear for the fixed 10-query set.
+    "rag_chunk_retrieval",
 ]
 
 
