@@ -149,12 +149,23 @@ def validate_contract(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
     )
 
 
-def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    rsd: float = 0.05,
+) -> DataFrame:
     """One-pass column profile: ``(column, n_rows, n_null, null_frac,
     n_distinct_approx, min_str, max_str)`` per profiled column — the
     snapshot report that feeds contract thresholds (yesterday's
     null_frac becomes tomorrow's rule) and catches drift between
     snapshots.
+
+    ``rsd`` is the HLL++ relative standard deviation (state grows as
+    ~1/rsd^2 — the default trades 5% typical error for tiny state;
+    callers asserting an error BOUND should size rsd well inside it:
+    the r6 full-registry sf0.1 re-check caught the default sketch
+    missing 5000 distinct ids by 6.6%, outside a 5% bound calibrated
+    at sf0.01).
 
     Scale shape: every statistic for every column lives in ONE
     aggregate over the table (map-side combinable; distinct counts are
@@ -181,7 +192,7 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFr
         aggs.extend(
             [
                 F.sum(col.isNull().cast("bigint")).alias(f"__null_{c}"),
-                F.approx_count_distinct(c).alias(f"__dist_{c}"),
+                F.approx_count_distinct(c, rsd=rsd).alias(f"__dist_{c}"),
                 F.min(col).cast("string").alias(f"__min_{c}"),
                 F.max(col).cast("string").alias(f"__max_{c}"),
             ]

@@ -213,7 +213,10 @@ def documents_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (approx_distinct_users precedent) the compared column is the
     # sketch's ACCURACY BOUND — |approx - exact| / exact <= 5% — which
     # the oracle states as literal TRUE; all other statistics compare
-    # exactly.
+    # exactly. rsd=0.02 (not the 0.05 default): the bound must hold at
+    # EVERY tested scale, and the r6 full-registry sf0.1 re-check
+    # caught the default sketch 6.6% off on 5000 distinct doc_ids —
+    # a bound asserted as TRUE needs a sketch sized well inside it.
     retired=True,
     oracle="""
     SELECT col_name, n_rows, n_null,
@@ -249,7 +252,7 @@ def documents_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     cols = ["doc_id", "lang", "n_chars"]
-    prof = profile_table(docs, cols).withColumnRenamed("column", "col_name")
+    prof = profile_table(docs, cols, rsd=0.02).withColumnRenamed("column", "col_name")
     exact = (
         docs.agg(
             *[F.count_distinct(c).alias(f"__ex_{c}") for c in cols]
