@@ -46,6 +46,7 @@ __all__ = [
     "leakage_safe_split",
     "deterministic_shuffle",
     "chunk_documents",
+    "weighted_sample_exact_k",
 ]
 
 
@@ -406,3 +407,63 @@ def leakage_safe_split(
             .alias("split"),
         )
     )
+
+
+def weighted_sample_exact_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    strata: "Sequence[str] | None" = None,
+    seed: str = "aes:",
+    round_to: int = 9,
+) -> DataFrame:
+    """EXACTLY-k weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): each row draws key ``u^(1/w)`` with u a seeded
+    uniform, and the k LARGEST keys are the sample — inclusion
+    probability proportional to weight, sample size exactly k. The
+    missing quadrant of the sampling tier: hash-threshold draws give
+    weighted-but-BINOMIAL sizes (weighted_sample), exact-N draws are
+    exactly-sized but UNWEIGHTED (exact_n_per_stratum); A-ES keys give
+    both at once.
+
+    Determinism & portability: u = (bucket + 0.5) / 65536 from the
+    seeded md5 bucket (the repo draw convention; +0.5 keeps u in (0,1)
+    so the key never collapses to 0), and the key ROUNDS to
+    ``round_to`` before ranking with the id as tiebreak — ``pow`` may
+    differ by an ulp between libm implementations, and the rounding
+    absorbs it (the cosine round-6 convention).
+
+    Scale shape: the key is a row-local expression. Global (strata =
+    None) top-k compiles to TakeOrdered — per-partition partial top-k,
+    never a global sort; per-stratum uses one window over the stratum
+    partitioning. Zero-or-negative weights draw key 0 (never sampled
+    while any positive-weight row remains), matching the A-ES limit.
+    """
+    if k < 1:
+        raise ValueError(f"weighted_sample_exact_k: need k >= 1, got {k}")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (bucket.cast("double") + 0.5) / 65536.0
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.round(F.pow(u, F.lit(1.0) / w), round_to)).otherwise(
+        F.lit(0.0)
+    )
+    staged = df.withColumn("aes_key", key)
+    if strata:
+        from pyspark.sql import Window
+
+        win = Window.partitionBy(*strata).orderBy(
+            F.desc("aes_key"), F.asc(id_col)
+        )
+        return (
+            staged.withColumn("__rn", F.row_number().over(win))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    return staged.orderBy(F.desc("aes_key"), F.asc(id_col)).limit(k)

@@ -233,3 +233,46 @@ def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return leakage_safe_split(docs)
+
+
+@register(
+    "weighted_exact_k_docs",
+    # NEW r6 retired tier: A-ES exactly-k weighted sampling — keys,
+    # ranking, and the cutoff all recomputed in SQL (pow rounded to 9
+    # on both engines so libm ulp differences cannot reorder ranks).
+    retired=True,
+    oracle="""
+    SELECT doc_id, source, n_chars, aes_key FROM (
+        SELECT doc_id, source, n_chars,
+               round(pow((CAST(CAST('0x' || substr(md5('aes:'
+                              || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+                          AS DOUBLE) + 0.5) / 65536.0,
+                         1.0 / least(1.0, CAST(n_chars AS DOUBLE) / 500.0)),
+                     9) AS aes_key
+        FROM documents
+        WHERE least(1.0, CAST(n_chars AS DOUBLE) / 500.0) > 0
+    )
+    ORDER BY aes_key DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def weighted_exact_k_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """packing.weighted_sample_exact_k over documents: EXACTLY 20 docs
+    drawn with inclusion probability proportional to the length-ramp
+    quality weight (Efraimidis-Spirakis u^(1/w) keys) — the sampler
+    that is both weighted AND exactly sized, where the hash-threshold
+    draw is weighted-but-binomial and the exact-N draw is unweighted.
+    Row-local keys; the global top-k compiles to TakeOrdered (partial
+    per-partition top-k, never a full sort)."""
+    docs = read_table(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.least(F.lit(1.0), F.col("n_chars").cast("double") / 500.0).alias("__w"),
+    )
+    from ..packing import weighted_sample_exact_k
+
+    return weighted_sample_exact_k(weighted, "__w", 20).select(
+        "doc_id", "source", "n_chars", "aes_key"
+    )

@@ -58,3 +58,51 @@ def test_weighted_draw_independent_of_split(spark):
     kept_train = sum(1 for d in kept if split[d] == "train")
     # train is ~80% of the corpus; the drawn subset stays in that band
     assert 0.6 < kept_train / len(kept) < 0.95
+
+
+def test_weighted_exact_k_properties(spark):
+    """Exactly k rows, weight-proportional inclusion (a huge-weight row
+    is always in, a near-zero-weight row never beats it), zero weights
+    never sampled, per-stratum variant sizes every stratum at k, and
+    the draw is partitioning-deterministic."""
+    from sparkgraft.packing import weighted_sample_exact_k
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 1.0) for i in range(200)]
+    rows.append((900, "a", 1e9))   # effectively certain inclusion
+    rows.append((901, "b", 0.0))   # never sampled
+    df = spark.createDataFrame(rows, "doc_id long, src string, w double")
+
+    top = weighted_sample_exact_k(df, "w", 10)
+    got = [r.doc_id for r in top.collect()]
+    assert len(got) == 10
+    assert 900 in got and 901 not in got
+
+    per = weighted_sample_exact_k(df, "w", 5, strata=["src"])
+    by = {}
+    for r in per.collect():
+        by.setdefault(r.src, []).append(r.doc_id)
+    assert sorted(len(v) for v in by.values()) == [5, 5]
+    assert 900 in by["a"] and 901 not in by["b"]
+
+    again = [r.doc_id for r in weighted_sample_exact_k(df.repartition(13), "w", 10).collect()]
+    assert sorted(got) == sorted(again)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k >= 1"):
+        weighted_sample_exact_k(df, "w", 0)
+
+
+def test_weighted_exact_k_inclusion_tracks_weight(spark):
+    """Statistical sanity across many independent seeds: a weight-9
+    row should be sampled far more often than a weight-1 row (A-ES
+    inclusion probability is proportional to weight for k=1)."""
+    from sparkgraft.packing import weighted_sample_exact_k
+
+    df = spark.createDataFrame(
+        [(1, 9.0), (2, 1.0)], "doc_id long, w double"
+    )
+    wins = {1: 0, 2: 0}
+    for s in range(40):
+        top = weighted_sample_exact_k(df, "w", 1, seed=f"s{s}:").collect()
+        wins[top[0].doc_id] += 1
+    assert wins[1] > wins[2] * 2  # expected 9:1; 2:1 is a loose floor
