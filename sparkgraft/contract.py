@@ -518,3 +518,59 @@ def psi_drift(
         F.col("tc").cast("bigint").alias("n_current"),
         "psi",
     )
+
+
+def groupwise_ols(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group least-squares trend line in ONE aggregate — the trend
+    sibling of :func:`numeric_correlations`: for each key group, fit
+    ``y = slope * x + intercept`` over pairwise-complete rows and
+    report the fit (slope, intercept, r2, n). The monitoring question
+    it answers: "is this metric drifting, per segment, and how fast" —
+    a per-group regression over a time-like x, computed without ever
+    collecting a group.
+
+    Scale shape: all five sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy²) are conditional-sum columns of one map-side-combinable keyed
+    aggregate; the closed-form OLS arithmetic runs on the |groups|-row
+    result. Sums accumulate in exact DECIMAL, the final arithmetic is
+    double rounded to ``round_to`` — identical under any partitioning
+    and reproducible by a SQL oracle. Degenerate groups (n < 2 or zero
+    x-variance) yield NULL slope/intercept/r2 via ``try_divide``.
+    """
+    dec = "decimal(38,10)"
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    both = x.isNotNull() & y.isNotNull()
+    z = F.lit(0).cast(dec)
+    stats = df.groupBy(*keys).agg(
+        F.sum(both.cast("bigint")).alias("__n"),
+        F.sum(F.when(both, x.cast(dec)).otherwise(z)).alias("__sx"),
+        F.sum(F.when(both, y.cast(dec)).otherwise(z)).alias("__sy"),
+        F.sum(F.when(both, (x * x).cast(dec)).otherwise(z)).alias("__sxx"),
+        F.sum(F.when(both, (y * y).cast(dec)).otherwise(z)).alias("__syy"),
+        F.sum(F.when(both, (x * y).cast(dec)).otherwise(z)).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = F.try_divide(cov, var_x)
+    intercept = F.try_divide(sy - slope * sx, n)
+    r2 = F.try_divide(cov * cov, var_x * var_y)
+    return stats.select(
+        *keys,
+        F.col("__n").alias("n"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(intercept, round_to).alias("intercept"),
+        F.round(r2, round_to).alias("r2"),
+    )

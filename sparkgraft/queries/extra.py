@@ -205,3 +205,57 @@ def user_event_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact",
         (F.col("est") - F.col("exact")).cast("bigint").alias("overcount"),
     )
+
+
+@register(
+    "order_trend_by_priority",
+    # NEW r6 retired tier: per-group OLS trend with every sufficient
+    # statistic, the closed form, and the rounding recomputed in SQL.
+    retired=True,
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS DOUBLE) AS x,
+               CAST(o_totalprice AS DOUBLE) AS y
+        FROM orders
+    ),
+    stats AS (
+        SELECT o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+        FROM base GROUP BY 1
+    )
+    SELECT o_orderpriority, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM stats
+    """,
+)
+def order_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contract.groupwise_ols: the per-segment drift-rate monitor —
+    least-squares slope of order value against order date (in days),
+    per priority class, in ONE keyed aggregate of decimal-exact
+    sufficient statistics (never collecting a group, never a window
+    over an unbounded partition). A priority class whose slope moves
+    is repricing; r2 says whether the trend is real or noise."""
+    from ..contract import groupwise_ols
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        # datediff, not unix_timestamp: epoch conversion of an ntz
+        # timestamp is SESSION-TZ-dependent (x would shift hours under
+        # a non-UTC session); day arithmetic on the date part is not
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        F.col("o_totalprice").cast("double").alias("y"),
+    )
+    return groupwise_ols(orders, ["o_orderpriority"], "x", "y")

@@ -266,3 +266,28 @@ def test_psi_drift_degenerate_range_raises(spark):
         psi_drift(df, df, "v", lo=1.0, hi=1.0)
     with pytest.raises(ValueError):
         psi_drift(df, df, "v", lo=0.0, hi=1.0, bins=0)
+
+
+def test_groupwise_ols_matches_numpy_and_handles_degenerates(spark):
+    import numpy as np
+
+    from sparkgraft.contract import groupwise_ols
+
+    rows = []
+    for i in range(50):
+        rows.append(("up", float(i), 2.5 * i + 7 + (i % 3 - 1) * 0.25))
+    rows += [("flatx", 1.0, float(v)) for v in (1, 2, 3)]   # zero x-variance
+    rows += [("tiny", 1.0, 2.0)]                             # n < 2
+    rows += [("up", None, 5.0), ("up", 3.0, None)]           # pairwise-incomplete
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = {r.k: r for r in groupwise_ols(df, ["k"], "x", "y").collect()}
+
+    xs = np.array([r[1] for r in rows[:50]])
+    ys = np.array([r[2] for r in rows[:50]])
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert abs(out["up"].slope - slope) < 1e-6
+    assert abs(out["up"].intercept - intercept) < 1e-6
+    assert out["up"].r2 > 0.99
+    assert out["up"].n == 50  # incomplete rows excluded
+    assert out["flatx"].slope is None and out["flatx"].r2 is None
+    assert out["tiny"].slope is None

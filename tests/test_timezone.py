@@ -30,6 +30,9 @@ _TZ_SENSITIVE = [
     "customer_monthly_spend_interpolated",
     "customer_trailing_90d_spend",
     "user_value_twa_daily",
+    # r6: per-group OLS over a day-count x derived from the DATE part
+    # (an epoch-based x would shift under a non-UTC session)
+    "order_trend_by_priority",
 ]
 
 
