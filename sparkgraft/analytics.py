@@ -163,3 +163,56 @@ def cohort_retention(
         )
         .agg(F.count_distinct("__user").cast("bigint").alias("n_active_users"))
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (current, next) event-type pair, the count and
+    the conditional probability P(next | current) — the behavioral
+    fingerprint behind "what do users do after X" questions and the
+    input to next-event prediction baselines.
+
+    Ordering is made DETERMINISTIC by (ts, id) — same-timestamp events
+    are real in event data, and an undefined tiebreak would make the
+    transition counts themselves partitioning-dependent. The row
+    probability divides each pair count by its current-state total
+    IN-PLAN (a window over the |types|^2-row aggregate — the A5
+    no-driver-scalar discipline), rounded for engine portability.
+
+    Scale shape: ONE shuffle keyed on the user (the lead window), then
+    a map-side-combinable pair aggregate down to at most |types|^2
+    rows; the probability window runs on that tiny frame. Each user's
+    final event has no successor and contributes no pair.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = (
+        df.select(
+            F.col(type_col).alias("cur"),
+            F.lead(type_col).over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    total = Window.partitionBy("cur")
+    return pairs.select(
+        "cur",
+        "nxt",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(total).cast("double"),
+            round_to,
+        ).alias("p_next"),
+    )

@@ -77,3 +77,37 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two map-side aggregations and a tiny final group-by."""
     ev = read_table(spark, sf_dir, "events")
     return cohort_retention(ev, period="week")
+
+
+@register(
+    "event_transition_matrix",
+    # NEW r6 retired tier: the Markov transition matrix with the
+    # (ts, id) ordering, pair counts, and in-plan conditional
+    # probabilities all recomputed in SQL.
+    retired=True,
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    pairs AS (
+        SELECT cur, nxt, count(*) AS n_transitions
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT cur, nxt, n_transitions,
+           round(CAST(n_transitions AS DOUBLE)
+                 / sum(n_transitions) OVER (PARTITION BY cur), 6) AS p_next
+    FROM pairs
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics.event_transitions over the events table: P(next event
+    type | current) per adjacent pair in each user's (ts, event_id)-
+    ordered stream. One user-keyed window shuffle, a |types|^2-row
+    aggregate, in-plan conditional probabilities — the next-action
+    model a product-analytics stack derives before anything fancier."""
+    from ..analytics import event_transitions
+
+    return event_transitions(read_table(spark, sf_dir, "events"))

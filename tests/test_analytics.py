@@ -96,3 +96,29 @@ def test_cohort_retention_offsets(spark):
     }
     with pytest.raises(ValueError):
         cohort_retention(ev, period="hour")
+
+
+def test_event_transitions_hand_computed(spark):
+    from sparkgraft.analytics import event_transitions
+
+    rows = [
+        # user 1: a -> b -> a -> c ; user 2: a -> b (same ts pair, id order)
+        (1, 1, "a", "2024-01-01 00:00:00"),
+        (2, 1, "b", "2024-01-01 00:01:00"),
+        (3, 1, "a", "2024-01-01 00:02:00"),
+        (4, 1, "c", "2024-01-01 00:03:00"),
+        (5, 2, "a", "2024-01-01 00:00:00"),
+        (6, 2, "b", "2024-01-01 00:00:00"),  # ties on ts -> id decides
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {(r.cur, r.nxt): r for r in event_transitions(df).collect()}
+    assert out[("a", "b")].n_transitions == 2
+    assert out[("b", "a")].n_transitions == 1
+    assert out[("a", "c")].n_transitions == 1
+    # P(next | a): b 2/3, c 1/3 — in-plan denominator
+    assert out[("a", "b")].p_next == round(2 / 3, 6)
+    assert out[("a", "c")].p_next == round(1 / 3, 6)
+    # last event per user contributes no pair
+    assert ("c", None) not in out and sum(r.n_transitions for r in out.values()) == 4
