@@ -574,3 +574,68 @@ def groupwise_ols(
         F.round(intercept, round_to).alias("intercept"),
         F.round(r2, round_to).alias("r2"),
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    keys: Sequence[str],
+    top_n: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key-column skew diagnostics: ``(key_col, n_rows, n_distinct,
+    top1_share, topn_share, entropy)`` — the measurement that decides
+    BEFORE a join whether a key needs the salted path: a key whose
+    top1_share is a few percent saturates one task under plain hash
+    partitioning (the skew_probe scenario, measured 3.75x), and
+    entropy near ln(n_distinct) certifies a uniform key that needs
+    nothing.
+
+    Per column: one exact per-value count aggregate (map-side
+    combinable), a TakeOrdered top-N over it (never a full sort), and
+    a one-row roll-up; columns union into one report. Entropy terms
+    ``-p ln p`` round then accumulate in exact DECIMAL (the
+    unigram_logprob discipline) so the report is partitioning-stable
+    and SQL-reproducible; shares divide exact integer counts.
+    """
+    from .relational import union_all
+
+    parts: list[DataFrame] = []
+    for key in keys:
+        counts = (
+            df.where(F.col(key).isNotNull())
+            .groupBy(F.col(key).cast("string").alias("__k"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        top = counts.orderBy(F.desc("__c"), F.asc("__k")).limit(top_n)
+        top_sums = top.agg(
+            F.max("__c").alias("__top1"), F.sum("__c").alias("__topn")
+        )
+        total = counts.agg(
+            F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__d")
+        )
+        ent_term = F.round(
+            -(F.col("__c") / F.col("__n"))
+            * F.log(F.col("__c") / F.col("__n")),
+            9,
+        ).cast("decimal(18,9)")
+        entropy = (
+            counts.crossJoin(F.broadcast(total))
+            .agg(F.sum(ent_term).cast("double").alias("__h"))
+        )
+        parts.append(
+            total.crossJoin(F.broadcast(top_sums))
+            .crossJoin(F.broadcast(entropy))
+            .select(
+                F.lit(key).alias("key_col"),
+                F.col("__n").alias("n_rows"),
+                F.col("__d").alias("n_distinct"),
+                F.round(F.col("__top1") / F.col("__n"), round_to).alias(
+                    "top1_share"
+                ),
+                F.round(F.col("__topn") / F.col("__n"), round_to).alias(
+                    "topn_share"
+                ),
+                F.round(F.col("__h"), round_to).alias("entropy"),
+            )
+        )
+    return union_all(parts)

@@ -259,3 +259,61 @@ def order_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("y"),
     )
     return groupwise_ols(orders, ["o_orderpriority"], "x", "y")
+
+
+@register(
+    "lineitem_key_skew_report",
+    # NEW r6 retired tier: the pre-join skew detector with counts,
+    # shares, top-N, and the rounded-decimal entropy recomputed in SQL.
+    retired=True,
+    oracle="""
+    WITH report AS (
+        SELECT 'l_suppkey' AS key_col, CAST(l_suppkey AS VARCHAR) AS k
+        FROM lineitem WHERE l_suppkey IS NOT NULL
+        UNION ALL
+        SELECT 'l_returnflag', l_returnflag
+        FROM lineitem WHERE l_returnflag IS NOT NULL
+    ),
+    counts AS (
+        SELECT key_col, k, count(*) AS c FROM report GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT key_col, sum(c) AS n, count(*) AS d FROM counts GROUP BY 1
+    ),
+    tops AS (
+        SELECT key_col, max(c) AS top1, sum(c) AS topn FROM (
+            SELECT key_col, c,
+                   row_number() OVER (
+                       PARTITION BY key_col ORDER BY c DESC, k ASC) AS rn
+            FROM counts
+        ) WHERE rn <= 10 GROUP BY 1
+    ),
+    ent AS (
+        SELECT counts.key_col,
+               CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / n)
+                                   * ln(CAST(c AS DOUBLE) / n), 9)
+                             AS DECIMAL(18,9))) AS DOUBLE) AS h
+        FROM counts JOIN totals ON counts.key_col = totals.key_col
+        GROUP BY 1
+    )
+    SELECT totals.key_col, CAST(n AS BIGINT) AS n_rows,
+           CAST(d AS BIGINT) AS n_distinct,
+           round(CAST(top1 AS DOUBLE) / n, 6) AS top1_share,
+           round(CAST(topn AS DOUBLE) / n, 6) AS topn_share,
+           round(h, 6) AS entropy
+    FROM totals
+    JOIN tops ON totals.key_col = tops.key_col
+    JOIN ent ON totals.key_col = ent.key_col
+    """,
+)
+def lineitem_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contract.key_skew_report over lineitem's join key (l_suppkey,
+    100 uniform suppliers) and its most skewed column (l_returnflag, 3
+    values — a worst-case stand-in): the measurement that routes a join
+    to relational.salted_join BEFORE it runs (the skew probe measured
+    3.75x on a 95%-hot key). Per column: one exact count aggregate, a
+    TakeOrdered top-10, a one-row roll-up; never a full sort."""
+    from ..contract import key_skew_report
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return key_skew_report(li, ["l_suppkey", "l_returnflag"])

@@ -291,3 +291,22 @@ def test_groupwise_ols_matches_numpy_and_handles_degenerates(spark):
     assert out["up"].n == 50  # incomplete rows excluded
     assert out["flatx"].slope is None and out["flatx"].r2 is None
     assert out["tiny"].slope is None
+
+
+def test_key_skew_report_flags_hot_key(spark):
+    import math
+
+    from sparkgraft.contract import key_skew_report
+
+    rows = [(0, "u") for _ in range(95)] + [(i, "u") for i in range(1, 6)]
+    rows = [(k, f"v{i % 10}") for i, (k, _) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "hot long, uniform string")
+    out = {r.key_col: r for r in key_skew_report(df, ["hot", "uniform"]).collect()}
+    # 95% hot key: top1_share flags it, entropy collapses toward 0
+    assert out["hot"].top1_share == 0.95
+    assert out["hot"].entropy < 0.3
+    # 10 uniform values: top1_share == 1/10, entropy == ln(10) (rounded)
+    assert out["uniform"].top1_share == 0.1
+    assert abs(out["uniform"].entropy - math.log(10)) < 1e-5
+    assert out["uniform"].topn_share == 1.0  # top-10 covers all 10 values
+    assert out["hot"].n_rows == out["uniform"].n_rows == 100
