@@ -1020,3 +1020,140 @@ def customer_ring_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return triangle_count(edges)
+
+
+@register(
+    "part_golden_records",
+    # NEW r6 retired tier: entity-resolution SURVIVORSHIP end to end —
+    # the fuzzy pair proposal, the transitive closure (recursive CTE),
+    # and every survivorship rule (mode with count-desc/value-asc
+    # tiebreak, max, member count) recomputed in SQL.
+    retired=True,
+    oracle="""
+    WITH RECURSIVE dirty AS (
+        SELECT p_partkey + 10000000 AS id,
+               substr(p_name, 1, length(p_name) - 2) AS name,
+               p_brand AS brand,
+               p_retailprice - 1.0 AS price
+        FROM part WHERE p_partkey % 10 = 0 AND length(p_name) > 2
+    ),
+    entities AS (
+        SELECT p_partkey AS id, p_name AS name, p_brand AS brand,
+               p_retailprice AS price
+        FROM part
+        UNION ALL SELECT * FROM dirty
+    ),
+    lp AS (
+        SELECT id, unnest(string_split(trim(lower(name)), ' ')) AS tok
+        FROM entities WHERE id < 10000000
+    ),
+    rp AS (
+        SELECT id, unnest(string_split(trim(lower(name)), ' ')) AS tok
+        FROM entities WHERE id >= 10000000
+    ),
+    np AS (
+        SELECT DISTINCT l.id AS u, r.id AS v
+        FROM lp l JOIN rp r USING (tok)
+        JOIN entities le ON le.id = l.id
+        JOIN entities re ON re.id = r.id
+        WHERE length(tok) >= 3
+          AND levenshtein(le.name, re.name) <= 2
+    ),
+    edges AS (SELECT u, v FROM np UNION SELECT v, u FROM np),
+    reach(n, m) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+    ),
+    clusters AS (SELECT n AS id, min(m) AS cluster_id FROM reach GROUP BY n),
+    labeled AS (
+        SELECT e.*, coalesce(c.cluster_id, e.id) AS cluster_id
+        FROM entities e LEFT JOIN clusters c USING (id)
+    ),
+    base AS (
+        SELECT cluster_id, count(*) AS n_members,
+               round(CAST(max(price) AS DOUBLE), 2) AS price
+        FROM labeled GROUP BY 1
+    ),
+    name_votes AS (
+        SELECT cluster_id, name FROM (
+            SELECT cluster_id, name,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY count(*) DESC, name ASC) AS rn
+            FROM labeled WHERE name IS NOT NULL
+            GROUP BY cluster_id, name
+        ) WHERE rn = 1
+    ),
+    brand_votes AS (
+        SELECT cluster_id, brand FROM (
+            SELECT cluster_id, brand,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY count(*) DESC, brand ASC) AS rn
+            FROM labeled WHERE brand IS NOT NULL
+            GROUP BY cluster_id, brand
+        ) WHERE rn = 1
+    )
+    SELECT base.cluster_id, n_members, price, name, brand
+    FROM base
+    LEFT JOIN name_votes USING (cluster_id)
+    LEFT JOIN brand_votes USING (cluster_id)
+    """,
+)
+def part_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end (relational.golden_records): the
+    parts catalog is polluted with deterministic dirty variants (every
+    10th name truncated, price docked, id offset by 10M), fuzzy
+    token-blocked matching proposes pairs (Levenshtein <= 2 verifier),
+    connected components resolve clusters, and survivorship emits ONE
+    golden record per entity — mode(name), mode(brand) (count-desc /
+    value-asc tiebreaks), max(price) (the undocked clean price wins),
+    n_members. Unmatched entities pass through as singletons, so the
+    output is the complete mastered catalog. The composite chains
+    three independently-oracled operators; its oracle still rebuilds
+    every stage.
+    """
+    from ..relational import fuzzy_join_token_blocked, golden_records
+
+    part = read_table(spark, sf_dir, "part")
+    clean = part.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").alias("price"),
+    )
+    dirty = (
+        part.where((F.col("p_partkey") % 10 == 0) & (F.length("p_name") > 2))
+        .select(
+            (F.col("p_partkey") + 10_000_000).alias("id"),
+            F.expr("substr(p_name, 1, length(p_name) - 2)").alias("name"),
+            F.col("p_brand").alias("brand"),
+            (F.col("p_retailprice") - 1.0).alias("price"),
+        )
+    )
+    entities = clean.unionByName(dirty)
+    matches = fuzzy_join_token_blocked(
+        clean.select("id", "name"),
+        dirty.select(F.col("id").alias("r_id"), F.col("name").alias("r_name")),
+        "name",
+        "r_name",
+        max_dist=2,
+    )
+    pairs = matches.select(
+        F.col("id").alias("id_a"), F.col("r_id").alias("id_b")
+    ).distinct()
+    golden = golden_records(
+        entities,
+        pairs,
+        "id",
+        mode_cols=["name", "brand"],
+        max_cols=["price"],
+    )
+    return golden.select(
+        "cluster_id",
+        "n_members",
+        F.round(F.col("price").cast("double"), 2).alias("price"),
+        "name",
+        "brand",
+    )

@@ -49,6 +49,7 @@ __all__ = [
     "sessionize",
     "pushdown_fence",
     "bloom_prune_join",
+    "golden_records",
 ]
 
 
@@ -935,3 +936,59 @@ def bloom_prune_join(
             .drop("__pos", f"__w{seed}", f"__b{seed}")
         )
     return probed.join(right, on, how)
+
+
+def golden_records(
+    records: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    mode_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Entity-resolution survivorship: collapse matched-record clusters
+    into one GOLDEN record each — the step after fuzzy_join (propose
+    pairs) and connected components (resolve clusters) that master-data
+    pipelines actually ship. Per cluster: ``mode_cols`` take the most
+    frequent value (ties -> smallest value — deterministic), ``max_cols``
+    / ``min_cols`` take extremes (max price, earliest created_at), plus
+    ``n_members``. Unmatched records form singleton clusters of
+    themselves, so the output is a COMPLETE entity table, one row per
+    real-world entity.
+
+    Scale shape: the component resolution is the iterative operator
+    (dedup.near_dup_clusters — pairs only, never records); records join
+    their cluster label once on the id; extremes are one keyed
+    aggregate; each mode column adds one (cluster, value) count
+    aggregate + a window over it and a join back on the cluster key the
+    aggregation just produced. Nothing is collected; no cross join.
+    """
+    from .dedup import near_dup_clusters
+
+    clusters = near_dup_clusters(pairs, id_a=id_a, id_b=id_b).withColumnsRenamed(
+        {"doc_id": id_col}
+    )
+    labeled = records.join(clusters, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    base = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[F.max(c).alias(c) for c in max_cols],
+        *[F.min(c).alias(c) for c in min_cols],
+    )
+    for c in mode_cols:
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc("__cnt"), F.asc(c)
+        )
+        winner = (
+            labeled.where(F.col(c).isNotNull())
+            .groupBy("cluster_id", c)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("cluster_id", c)
+        )
+        base = base.join(winner, "cluster_id", "left")
+    return base

@@ -473,3 +473,50 @@ def test_bloom_prune_join_guards_outer_variants(spark):
         R.bloom_prune_join(left, right, "k", how="left")
     with _pytest.raises(ValueError, match="power of two"):
         R.bloom_prune_join(left, right, "k", num_bits=1000)
+
+
+# ---- golden_records (entity-resolution survivorship) -----------------------
+
+
+def test_golden_records_survivorship_rules(spark):
+    records = spark.createDataFrame(
+        [
+            (1, "acme corp", "NY", 10.0),
+            (2, "acme corp", "NY", 12.0),   # cluster {1,2,3}
+            (3, "acme inc", "CA", 11.0),
+            (7, "zenith", "TX", 5.0),       # singleton
+            (8, None, "TX", 6.0),           # cluster {8,9}; NULL name ignored by mode
+            (9, "zed ltd", "WA", 4.0),
+        ],
+        "id long, name string, state string, price double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (8, 9)], "id_a long, id_b long")
+    out = {
+        r.cluster_id: r
+        for r in R.golden_records(
+            records,
+            pairs,
+            "id",
+            mode_cols=["name", "state"],
+            max_cols=["price"],
+        ).collect()
+    }
+    assert set(out) == {1, 7, 8}  # min-id canonical labels + singleton
+    g = out[1]
+    assert g.n_members == 3
+    assert g.name == "acme corp"       # mode (2 votes vs 1)
+    assert g.state == "NY"             # mode: 2 NY votes vs 1 CA
+    assert g.price == 12.0             # max rule
+    assert out[7].n_members == 1 and out[7].name == "zenith"
+    assert out[8].n_members == 2 and out[8].name == "zed ltd"  # NULL ignored
+    # deterministic under repartitioning
+    again = {
+        r.cluster_id: (r.name, r.state, r.price, r.n_members)
+        for r in R.golden_records(
+            records.repartition(5), pairs, "id",
+            mode_cols=["name", "state"], max_cols=["price"],
+        ).collect()
+    }
+    assert again == {
+        k: (v.name, v.state, v.price, v.n_members) for k, v in out.items()
+    }
