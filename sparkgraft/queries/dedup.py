@@ -799,3 +799,62 @@ def near_dup_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.quality_keep(
         pairs.select("doc_a", "doc_b"), scores, "doc_id", "n_unique_tokens"
     )
+
+
+@register(
+    "source_dedup_rates",
+    # NEW r6 retired tier: curation observability — the per-source
+    # duplication report a corpus owner reads before deciding where
+    # the cleaning budget goes; fingerprints, keeper rule, and rates
+    # recomputed in SQL.
+    retired=True,
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY fingerprint ORDER BY doc_id ASC) AS rn
+        FROM fp
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dups,
+           round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_rate
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def source_dedup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication report: for each corpus source, how
+    many documents would the keep-first exact dedup REMOVE, and what
+    share of the source is that — the observability readout that turns
+    'dedup the corpus' into 'source X is 30% duplicates, start there'.
+    One fingerprint window (the dedup_exact_keep_first shuffle) plus a
+    per-source aggregate; the removed-doc attribution is per the
+    DUPLICATE's source, so a source that copies another's documents is
+    the one charged for them."""
+    docs = read_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    from ..text import fingerprint
+
+    w = Window.partitionBy(fingerprint("text")).orderBy(F.col("doc_id").asc())
+    ranked = docs.select(
+        "source", F.row_number().over(w).alias("__rn")
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("__rn") > 1).cast("bigint")).alias("n_exact_dups"),
+        F.round(
+            F.sum((F.col("__rn") > 1).cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )
