@@ -53,6 +53,8 @@ __all__ = [
     "near_dup_committee",
     "dedup_spans",
     "near_dup_incremental",
+    "plan_lsh",
+    "quality_keep",
 ]
 
 
@@ -1412,3 +1414,49 @@ def quality_keep(
         score_col,
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+def plan_lsh(
+    threshold: float,
+    num_hashes: int = 16,
+    false_negative_weight: float = 2.0,
+) -> tuple[int, int]:
+    """Choose (num_bands, rows_per_band) for MinHash LSH given a target
+    Jaccard threshold — the S-curve math users otherwise eyeball: a
+    pair with similarity s collides in at least one band with
+    probability ``1 - (1 - s^r)^b``, and the curve's inflection sits
+    near ``(1/b)^(1/r)``. Scans every factorization b*r = num_hashes
+    and picks the one minimizing the weighted error integral of the
+    S-curve against the ideal step at ``threshold`` (missed true pairs
+    weighted ``false_negative_weight`` x over false candidates — a miss
+    is silent data corruption, a false candidate just costs one exact
+    verification).
+
+    Driver-side closed-form arithmetic over <= num_hashes
+    factorizations — a planning utility like auto_num_planes, not an
+    operator. Returns (num_bands, rows_per_band) for
+    :func:`minhash_near_dups` / :func:`lsh_bands`.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError(f"plan_lsh: threshold must be in (0,1), got {threshold}")
+    if num_hashes < 1:
+        raise ValueError(f"plan_lsh: num_hashes must be >= 1, got {num_hashes}")
+    best: tuple[float, int, int] | None = None
+    steps = 200
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        err = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s >= threshold:
+                err += false_negative_weight * (1.0 - p)  # missed true pair
+            else:
+                err += p  # false candidate
+        key = (err, b, r)
+        if best is None or key < best:
+            best = key
+    assert best is not None
+    return best[1], best[2]

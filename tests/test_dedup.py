@@ -543,3 +543,24 @@ def test_quality_keep_prefers_richer_member_over_lower_id(spark):
     assert out[7].keep and not out[8].keep  # id ASC tiebreak on equal score
     # exactly one survivor per cluster
     assert sum(r.keep for r in out.values()) == 2
+
+
+def test_plan_lsh_bands_track_threshold(spark):
+    """Higher target thresholds must plan FEWER, DEEPER bands (the
+    S-curve inflection (1/b)^(1/r) rises with r), and the planned
+    curve must separate true pairs from noise at the target."""
+    from sparkgraft.dedup import plan_lsh
+
+    plans = {t: plan_lsh(t, num_hashes=16) for t in (0.2, 0.5, 0.8, 0.9)}
+    rows = [r for _, r in plans.values()]
+    assert rows == sorted(rows), plans  # rows_per_band rises with threshold
+    for t, (b, r) in plans.items():
+        assert b * r == 16
+        p_above = 1 - (1 - min(1.0, t + 0.15) ** r) ** b
+        p_below = 1 - (1 - max(0.0, t - 0.15) ** r) ** b
+        assert p_above > p_below  # the curve is the right way up
+        assert p_above > 0.45, (t, plans[t])  # catches pairs just above target
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="threshold"):
+        plan_lsh(1.5)
