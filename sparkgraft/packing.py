@@ -47,6 +47,7 @@ __all__ = [
     "deterministic_shuffle",
     "chunk_documents",
     "weighted_sample_exact_k",
+    "quantile_normalize",
 ]
 
 
@@ -467,3 +468,135 @@ def weighted_sample_exact_k(
             .drop("__rn")
         )
     return staged.orderBy(F.desc("aes_key"), F.asc(id_col)).limit(k)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    bins: int = 32,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cross-group score CALIBRATION by quantile normalization: each
+    row's score is replaced by the GLOBAL distribution's value at the
+    row's within-group quantile — after which "top 20% by score" means
+    the same thing in every source, even when sources' scorers run at
+    different scales (the cross-source comparability problem any
+    multi-scorer curation stack hits before a single global gate).
+
+    Histogram-based like every quantile op here (quality_percentile
+    _filter / ntile_by_histogram): never a per-group sort, never
+    percent_rank over an unbounded partition. Each group bins over its
+    OWN [min, max] domain (a shared domain would collapse a
+    narrow-scaled group into one or two bins and destroy its quantile
+    resolution — the first cut did exactly that and failed its own
+    calibration test); the global histogram bins over the global
+    domain. The within-group CDF at each row's bin maps — via a
+    broadcast non-equi join of two |groups| x bins frames — to the
+    first global bin whose CDF covers it; the normalized score is that
+    global bin's upper edge. Resolution is one bin width on both axes;
+    determinism is exact integer counts + one rounded output.
+
+    Returns the input plus ``norm_score``. NULL scores pass through
+    with NULL norm_score; a constant-valued group lands entirely on
+    the global value at its (single) quantile.
+    """
+    from pyspark.sql import Window
+
+    if bins < 1:
+        raise ValueError(f"quantile_normalize: bins must be >= 1, got {bins}")
+    v = F.col(score_col).cast("double")
+
+    def bin_of(lo: Column, width: Column) -> Column:
+        return F.least(
+            F.greatest(F.floor((v - lo) / width), F.lit(0)),
+            F.lit(bins - 1),
+        ).cast("int")
+
+    gstats = df.agg(
+        F.min(v).alias("__glo"),
+        (
+            F.greatest(F.max(v) - F.min(v), F.lit(1e-300)) / bins
+        ).alias("__gwidth"),
+    )
+    sstats = df.groupBy(F.col(group_col).alias("__ssg")).agg(
+        F.min(v).alias("__slo"),
+        (
+            F.greatest(F.max(v) - F.min(v), F.lit(1e-300)) / bins
+        ).alias("__swidth"),
+    )
+    binned = (
+        df.crossJoin(F.broadcast(gstats))
+        .join(
+            F.broadcast(sstats), F.col(group_col) == F.col("__ssg")
+        )
+        .withColumn(
+            "__gbin", F.when(v.isNotNull(), bin_of(F.col("__glo"), F.col("__gwidth")))
+        )
+        .withColumn(
+            "__sbin", F.when(v.isNotNull(), bin_of(F.col("__slo"), F.col("__swidth")))
+        )
+    )
+    ghist = (
+        binned.where(F.col("__gbin").isNotNull())
+        .groupBy(F.col("__gbin").alias("__gb"))
+        .agg(F.count(F.lit(1)).alias("__gc"))
+    )
+    gw = Window.orderBy("__gb").rowsBetween(Window.unboundedPreceding, 0)
+    gtot = Window.partitionBy()
+    gcdf = ghist.select(
+        "__gb",
+        (
+            F.sum("__gc").over(gw).cast("double")
+            / F.sum("__gc").over(gtot).cast("double")
+        ).alias("__gcdf"),
+    )
+    shist = (
+        binned.where(F.col("__sbin").isNotNull())
+        .groupBy(F.col(group_col).alias("__sg"), F.col("__sbin").alias("__sb"))
+        .agg(F.count(F.lit(1)).alias("__sc"))
+    )
+    sw = (
+        Window.partitionBy("__sg").orderBy("__sb").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    stot = Window.partitionBy("__sg")
+    scdf = shist.select(
+        "__sg",
+        "__sb",
+        (
+            F.sum("__sc").over(sw).cast("double")
+            / F.sum("__sc").over(stot).cast("double")
+        ).alias("__scdf"),
+    )
+    # map each (group, bin) to the FIRST global bin whose CDF covers its
+    # group CDF: non-equi join of two tiny aggregated frames (broadcast),
+    # then min over qualifying global bins
+    mapping = (
+        scdf.join(
+            F.broadcast(gcdf),
+            F.col("__gcdf") >= F.col("__scdf") - F.lit(1e-12),
+        )
+        .groupBy("__sg", "__sb", "__scdf")
+        .agg(F.min("__gb").alias("__tgt"))
+        .select("__sg", "__sb", F.col("__tgt"))
+    )
+    return (
+        binned.join(
+            F.broadcast(mapping),
+            (F.col(group_col) == F.col("__sg")) & (F.col("__sbin") == F.col("__sb")),
+            "left",
+        )
+        .withColumn(
+            "norm_score",
+            F.round(
+                F.col("__glo") + (F.col("__tgt") + 1) * F.col("__gwidth"),
+                round_to,
+            ),
+        )
+        .drop(
+            "__sg", "__sb", "__sbin", "__gbin", "__ssg",
+            "__slo", "__swidth", "__glo", "__gwidth", "__tgt",
+        )
+    )

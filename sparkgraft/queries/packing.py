@@ -451,3 +451,78 @@ def temperature_resampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", F.col("epoch").cast("bigint").alias("epoch"))
     )
+
+
+@register(
+    "doc_quality_quantile_normalized",
+    # NEW r6 retired tier: cross-source quantile calibration with both
+    # domains, both histograms, both CDFs, the non-equi bin mapping,
+    # and the rounded output recomputed in SQL.
+    retired=True,
+    oracle="""
+    WITH v AS (
+        SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS s FROM documents
+    ),
+    g AS (
+        SELECT min(s) AS glo,
+               greatest(max(s) - min(s), 1e-300) / 16 AS gw
+        FROM v
+    ),
+    sg AS (
+        SELECT source, min(s) AS slo,
+               greatest(max(s) - min(s), 1e-300) / 16 AS sw
+        FROM v GROUP BY 1
+    ),
+    b AS (
+        SELECT v.doc_id, v.source, v.s, g.glo, g.gw,
+               CAST(least(greatest(floor((s - glo) / gw), 0), 15) AS INT)
+                   AS gbin,
+               CAST(least(greatest(floor((s - slo) / sw), 0), 15) AS INT)
+                   AS sbin
+        FROM v CROSS JOIN g JOIN sg USING (source)
+    ),
+    gh AS (SELECT gbin, count(*) AS c FROM b GROUP BY 1),
+    gc AS (
+        SELECT gbin,
+               CAST(sum(c) OVER (ORDER BY gbin) AS DOUBLE)
+                   / CAST(sum(c) OVER () AS DOUBLE) AS gcdf
+        FROM gh
+    ),
+    sh AS (SELECT source, sbin, count(*) AS c FROM b GROUP BY 1, 2),
+    sc AS (
+        SELECT source, sbin,
+               CAST(sum(c) OVER (PARTITION BY source ORDER BY sbin)
+                    AS DOUBLE)
+                   / CAST(sum(c) OVER (PARTITION BY source) AS DOUBLE)
+                   AS scdf
+        FROM sh
+    ),
+    m AS (
+        SELECT source, sbin, min(gbin) AS tgt
+        FROM sc JOIN gc ON gcdf >= scdf - 1e-12
+        GROUP BY 1, 2
+    )
+    SELECT b.doc_id, b.source,
+           CAST(b.s AS BIGINT) AS n_chars,
+           round(b.glo + (m.tgt + 1) * b.gw, 6) AS norm_score
+    FROM b JOIN m ON b.source = m.source AND b.sbin = m.sbin
+    """,
+)
+def doc_quality_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """packing.quantile_normalize over documents: each document's
+    length score is mapped to the GLOBAL length distribution's value at
+    the document's within-SOURCE quantile (16 bins) — after which one
+    corpus-wide threshold treats every source fairly even though their
+    raw length distributions differ. Histogram CDFs on both axes,
+    per-group domains (a shared domain collapses narrow-scaled groups
+    to a bin or two — the failure the unit test pins), a broadcast
+    non-equi bin mapping, never a per-group sort."""
+    from ..packing import quantile_normalize
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    scored = docs.withColumn("__s", F.col("n_chars").cast("double"))
+    return quantile_normalize(scored, "__s", "source", bins=16).select(
+        "doc_id", "source", "n_chars", "norm_score"
+    )

@@ -344,3 +344,38 @@ def test_temperature_resampled_docs_up_and_down_paths(spark, tmp_path):
     # replication realized: every small doc >= 2 epochs, big docs <= 1
     assert all(per_doc.get(100 + i, 0) >= 2 for i in range(2))
     assert all(per_doc.get(i, 0) <= 1 for i in range(8))
+
+
+def test_quantile_normalize_calibrates_across_scales(spark):
+    """Two sources scoring the same underlying ranks on wildly
+    different scales must land on comparable normalized scores; NULLs
+    pass through; deterministic under repartitioning."""
+    from sparkgraft.packing import quantile_normalize
+
+    rows = []
+    for i in range(100):
+        rows.append((i, "small", float(i)))            # scores 0..99
+        rows.append((1000 + i, "big", 1000.0 + 10 * i))  # scores 1000..1990
+    rows.append((5000, "small", None))
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = quantile_normalize(df, "score", "source", bins=40)
+    got = {r.doc_id: r.norm_score for r in out.collect()}
+    assert got[5000] is None
+    # same within-source rank -> normalized scores within one global bin
+    # width ((1990-0)/40 = 49.75) of each other, despite the 10x scale
+    for i in (10, 50, 90):
+        assert abs(got[i] - got[1000 + i]) <= 49.75 + 1e-9, (i, got[i], got[1000 + i])
+    # normalized scores are monotone in the original within-source rank
+    small = [got[i] for i in range(0, 100, 7)]
+    assert small == sorted(small)
+    again = {
+        r.doc_id: r.norm_score
+        for r in quantile_normalize(
+            df.repartition(9), "score", "source", bins=40
+        ).collect()
+    }
+    assert again == got
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bins"):
+        quantile_normalize(df, "score", "source", bins=0)
