@@ -172,35 +172,94 @@ def main() -> int:
             for k, v in read_metrics().items():
                 exec_metrics[name][k].append(v)
 
+    # Auto re-probe: any query whose pass spread exceeds 2x (max/min)
+    # gets up to 2 extra passes (5 total). Three rounds in a row burned
+    # a manual investigation on a zero-spill host-contention outlier
+    # (simhash r5, dedup_repeated_spans r5/r6, open_lineitems_per_day
+    # r6); the re-probe settles it in-artifact. A query whose extra
+    # passes land near the min with flat shuffle/spill bytes is flagged
+    # "jitter" (contention/JIT, not a plan problem).
+    jitter_flags: dict[str, str] = {}
+
+    def _outlier(ps: list[float]) -> bool:
+        # sub-second spread is JIT/GC noise, not worth probing — the
+        # floor keeps sf0.01 smoke runs from spamming flags while still
+        # catching every multi-second driver-scale outlier
+        return max(ps) / max(min(ps), 1e-9) > 2.0 and max(ps) - min(ps) >= 1.0
+
+    for name in HEADLINE:
+        ps = passes[name]
+        for _ in range(2):
+            if not _outlier(ps):
+                break
+            spark.catalog.clearCache()
+            t0 = time.time()
+            queries[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            ps.append(round(time.time() - t0, 3))
+            for k, v in read_metrics().items():
+                exec_metrics[name][k].append(v)
+        if _outlier(ps):
+            m = exec_metrics[name]
+            reads = [b for b in m["shuffle_read"] if b >= 0]
+            flat_bytes = (not reads) or (
+                max(reads) - min(reads) <= 0.1 * max(max(reads), 1)
+            )
+            no_spill = sum(m["spill_mem"]) + sum(m["spill_disk"]) == 0
+            if flat_bytes and no_spill:
+                jitter_flags[name] = "jitter"  # host contention/JIT
+            else:
+                jitter_flags[name] = "unexplained"
+
     # "queries" stays the min per query (the stable plan-cost estimate);
-    # "passes" publishes all three raw times so a driver-vs-local
-    # outlier (r4: LSH 7.96s driver vs 2.31s judge re-run) is
-    # attributable at a glance to contention (one bad pass) vs a plan
-    # change (all passes moved)
+    # full per-pass times + shuffle/spill bytes go to the local artifact
+    # file — the driver captures only a 2,000-char stdout tail, so the
+    # FINAL stdout line must be the compact summary (r5/r6 shipped
+    # "parsed": null because the oversized single line got truncated)
     timings = {name: min(ps) for name, ps in passes.items()}
     total = round(sum(timings.values()), 3)
-    # per-pass shuffle/spill bytes make driver-bench outliers
-    # attributable at a glance: a slow pass with spill_disk > 0 is
-    # memory pressure; one with identical bytes across passes is host
-    # contention/JIT, not a plan or data-volume change
     exec_out = {
         name: m
         for name, m in exec_metrics.items()
         if any(m.values()) and any(sum(v) > 0 for v in m.values())
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "passes": passes,
-                "exec_bytes_per_pass": exec_out,
-                "sf": sf,
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "passes": passes,
+        "jitter_flags": jitter_flags,
+        "exec_bytes_per_pass": exec_out,
+        "sf": sf,
+    }
+    try:
+        art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "artifacts")
+        os.makedirs(art, exist_ok=True)
+        with open(os.path.join(art, "BENCH_latest_local.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except Exception:
+        pass  # artifact write is diagnostics, never a bench failure
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if jitter_flags:
+        compact["jitter"] = jitter_flags
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # stay under the driver's 2,000-char capture
+        compact["queries"] = {
+            k: v
+            for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:30]
+        }
+        compact["queries_truncated_to_top30_by_time"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
     return 0
 

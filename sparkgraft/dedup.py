@@ -1396,17 +1396,21 @@ def quality_keep(
     produced — plus the same per-cluster window. Returns one row per
     CLUSTERED document: (id_col, cluster_id, score_col, keep);
     singletons (never proposed as near-dups) are implicitly kept, as in
-    near_dup_clusters.
+    near_dup_clusters. Scores join LEFT with NULL scores ranked last,
+    so a clustered doc missing a score row is never silently dropped
+    (the 'one row per clustered document' contract holds even with
+    partial score coverage) and can still win only when every member
+    lacks a score (id-ascending tiebreak).
     """
     from pyspark.sql.window import Window
 
     clusters = near_dup_clusters(pairs, id_a=id_a, id_b=id_b)
     members = clusters.withColumnRenamed("doc_id", id_col).join(
-        scores.select(id_col, score_col), id_col
+        scores.select(id_col, score_col), id_col, "left"
     )
     w = (
         Window.partitionBy("cluster_id")
-        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .orderBy(F.col(score_col).desc_nulls_last(), F.col(id_col).asc())
     )
     return members.select(
         id_col,

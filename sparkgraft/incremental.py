@@ -324,6 +324,11 @@ def partial_cms(
         .select(*keys, F.explode(cells).alias("__c"))
         .groupBy(*keys, F.col("__c.seed").alias("seed"), F.col("__c.pos").alias("pos"))
         .agg(F.count(F.lit(1)).alias("n"))
+        # the sketch geometry travels WITH the state (constant literal
+        # columns, zero shuffle cost) so cms_estimate can refuse a
+        # width/depth mismatch instead of silently producing arbitrary
+        # plausible-looking estimates against wrong hash positions
+        .select("*", F.lit(width).alias("width"), F.lit(depth).alias("depth"))
     )
 
 
@@ -336,7 +341,12 @@ def merge_cms(states: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
     from functools import reduce as _reduce
 
     merged = _reduce(lambda a, b: a.unionByName(b), states)
-    return merged.groupBy(*keys, "seed", "pos").agg(F.sum("n").alias("n"))
+    geom = [c for c in ("width", "depth") if c in merged.columns]
+    out = merged.groupBy(*keys, "seed", "pos", *geom).agg(
+        F.sum("n").alias("n")
+    )
+    # keep the state schema (keys, seed, pos, n[, width, depth])
+    return out.select(*keys, "seed", "pos", "n", *geom)
 
 
 def cms_estimate(
@@ -358,7 +368,31 @@ def cms_estimate(
 
     Items whose cells are absent from the state (true count 0 and no
     collision) estimate 0 via the left join + coalesce.
+
+    Geometry validation: states built by :func:`partial_cms` carry
+    (width, depth) literal columns; probing with mismatched parameters
+    would hash items to the WRONG cells and return arbitrary (still
+    plausible-looking) numbers, so a carried geometry that disagrees
+    with the arguments raises instead. The check is one bounded
+    driver-side distinct over two constant columns (1 row for any
+    well-formed state) — the accepted bounded-collect pattern. Legacy
+    states without the columns skip the check.
     """
+    geom = [c for c in ("width", "depth") if c in state.columns]
+    if geom == ["width", "depth"]:
+        carried = state.select("width", "depth").distinct().collect()
+        bad = [
+            (r.width, r.depth)
+            for r in carried
+            if r.width != width or r.depth != depth
+        ]
+        if bad:
+            raise ValueError(
+                "cms_estimate: state was built with (width, depth) in "
+                f"{sorted(set(bad))} but probe requested ({width}, {depth}) "
+                "— estimates against mismatched geometry are meaningless"
+            )
+        state = state.drop("width", "depth")
     v = F.col(item_col).cast("string")
     cells = F.array(
         *[

@@ -428,32 +428,38 @@ def weighted_sample_exact_k(
     exactly-sized but UNWEIGHTED (exact_n_per_stratum); A-ES keys give
     both at once.
 
-    Determinism & portability: u = (bucket + 0.5) / 65536 from the
-    seeded md5 bucket (the repo draw convention; +0.5 keeps u in (0,1)
-    so the key never collapses to 0), and the key ROUNDS to
-    ``round_to`` before ranking with the id as tiebreak — ``pow`` may
+    Determinism & portability: u = (bucket + 0.5) / 2^32 from the
+    seeded md5 bucket over 8 hex chars (+0.5 keeps u in (0,1) so ln(u)
+    is finite), and the rank key is the LOG form ``ln(u) / w`` —
+    monotone-equivalent to u^(1/w) (exp is increasing) but never
+    saturating: the direct power form rounds to exactly 1.000000000
+    for weights above ~2e2 at 9-decimal rounding, collapsing all
+    high-weight rows into an id-ascending tie, whereas ln(u)/w keeps
+    distinct negative keys at every weight. The key still ROUNDS to
+    ``round_to`` before ranking with the id as tiebreak — ``ln`` may
     differ by an ulp between libm implementations, and the rounding
     absorbs it (the cosine round-6 convention).
 
     Scale shape: the key is a row-local expression. Global (strata =
     None) top-k compiles to TakeOrdered — per-partition partial top-k,
     never a global sort; per-stratum uses one window over the stratum
-    partitioning. Zero-or-negative weights draw key 0 (never sampled
-    while any positive-weight row remains), matching the A-ES limit.
+    partitioning. Zero-or-negative weights draw key -Infinity (never
+    sampled while any positive-weight row remains), matching the A-ES
+    limit.
     """
     if k < 1:
         raise ValueError(f"weighted_sample_exact_k: need k >= 1, got {k}")
     bucket = F.conv(
         F.substring(
-            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 4
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8
         ),
         16,
         10,
     ).cast("long")
-    u = (bucket.cast("double") + 0.5) / 65536.0
+    u = (bucket.cast("double") + 0.5) / 4294967296.0
     w = F.col(weight_col).cast("double")
-    key = F.when(w > 0, F.round(F.pow(u, F.lit(1.0) / w), round_to)).otherwise(
-        F.lit(0.0)
+    key = F.when(w > 0, F.round(F.log(u) / w, round_to)).otherwise(
+        F.lit(float("-inf"))
     )
     staged = df.withColumn("aes_key", key)
     if strata:

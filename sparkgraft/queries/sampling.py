@@ -238,16 +238,19 @@ def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "weighted_exact_k_docs",
     # NEW r6 retired tier: A-ES exactly-k weighted sampling — keys,
-    # ranking, and the cutoff all recomputed in SQL (pow rounded to 9
-    # on both engines so libm ulp differences cannot reorder ranks).
+    # ranking, and the cutoff all recomputed in SQL. r7: key moved to
+    # the LOG form ln(u)/w over a 32-bit u (the 16-bit power form
+    # saturated at 1.000000000 for weights above ~2e2, degrading the
+    # draw to id-ascending ties); rounded to 9 on both engines so libm
+    # ulp differences cannot reorder ranks.
     retired=True,
     oracle="""
     SELECT doc_id, source, n_chars, aes_key FROM (
         SELECT doc_id, source, n_chars,
-               round(pow((CAST(CAST('0x' || substr(md5('aes:'
-                              || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
-                          AS DOUBLE) + 0.5) / 65536.0,
-                         1.0 / least(1.0, CAST(n_chars AS DOUBLE) / 500.0)),
+               round(ln((CAST(CAST('0x' || substr(md5('aes:'
+                              || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                          AS DOUBLE) + 0.5) / 4294967296.0)
+                     / least(1.0, CAST(n_chars AS DOUBLE) / 500.0),
                      9) AS aes_key
         FROM documents
         WHERE least(1.0, CAST(n_chars AS DOUBLE) / 500.0) > 0
@@ -259,7 +262,8 @@ def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def weighted_exact_k_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """packing.weighted_sample_exact_k over documents: EXACTLY 20 docs
     drawn with inclusion probability proportional to the length-ramp
-    quality weight (Efraimidis-Spirakis u^(1/w) keys) — the sampler
+    quality weight (Efraimidis-Spirakis keys in the non-saturating
+    log form ln(u)/w) — the sampler
     that is both weighted AND exactly sized, where the hash-threshold
     draw is weighted-but-binomial and the exact-N draw is unweighted.
     Row-local keys; the global top-k compiles to TakeOrdered (partial

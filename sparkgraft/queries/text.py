@@ -1415,11 +1415,15 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text.hash_embed over the corpus, exploded to (doc_id, pos, v)
     scalars for robust cross-engine comparison (the
-    embedding_standardized convention). The Spark plan is entirely
-    row-local — one md5 per token, a per-dimension fold, ZERO
-    exchanges before the explode — while the oracle takes the
-    explode/group/densify route; agreement proves the in-place fold
-    computes the textbook hashed vector. This is the model-free bridge
+    embedding_standardized convention). The Spark plan does one md5
+    pass per token then TWO COMPACT INTEGER shuffles — a (doc, dim)
+    signed-count aggregate (<= dim rows/doc, ~24 bytes/row; the text
+    never shuffles) and a per-doc map collect — with an O(dim)
+    row-local densify; the zero-shuffle HOF-fold design was measured
+    at 170+ s and deliberately replaced (see text.hash_embed). The
+    oracle takes the explode/group/densify route; agreement proves the
+    aggregate computes the textbook hashed vector. This is the
+    model-free bridge
     from text into the vector operators (cosine/LSH/SemDeDup/PCA/RRF),
     so its coordinates being oracle-exact matters downstream."""
     docs = read_table(spark, sf_dir, "documents")

@@ -1351,9 +1351,19 @@ def pca_whiten(
         cov[r.j, r.i] = r.cov
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1][:k]
+    # rank guard: a component whose eigenvalue sits below a RELATIVE
+    # tolerance of the spectrum is numerical noise (rounded-covariance
+    # residue), and 1/(sqrt(eps)+eps) would amplify it ~1e9x into the
+    # output — emit exact 0.0 for that coordinate instead, keeping the
+    # k-dim output shape stable while confining whitening to the
+    # effective rank
+    tol = float(max(vals.max(), 0.0)) * 1e-10
     comps = []
     for rank, idx in enumerate(order):
         vec = vecs[:, idx]
+        if vals[idx] <= tol:
+            comps.append([0.0] * len(vec))
+            continue
         if abs(vec.min()) > abs(vec.max()):
             vec = -vec
         scale = 1.0 / float(np.sqrt(max(vals[idx], 0.0)) + eps)

@@ -564,3 +564,27 @@ def test_plan_lsh_bands_track_threshold(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="threshold"):
         plan_lsh(1.5)
+
+
+def test_quality_keep_missing_scores_never_drop_members(spark):
+    """A clustered doc with no score row must still appear (left join,
+    NULL score ranks last) — the one-row-per-clustered-document
+    contract holds under partial score coverage, and an all-unscored
+    cluster still elects exactly one keeper by id ASC."""
+    from sparkgraft.dedup import quality_keep
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    # doc 3 (would be the argmax) has NO score row; cluster {7,8} is
+    # entirely unscored
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9)], "doc_id long, score long"
+    )
+    out = {r.doc_id: r for r in quality_keep(pairs, scores, "doc_id", "score").collect()}
+    assert set(out) == {1, 2, 3, 7, 8}  # nobody silently dropped
+    assert out[2].keep  # highest SCORED member wins; NULL ranks last
+    assert not out[1].keep and not out[3].keep
+    assert out[3].score is None
+    assert out[7].keep and not out[8].keep  # all-NULL cluster: id ASC
+    assert sum(r.keep for r in out.values()) == 2

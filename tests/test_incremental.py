@@ -228,3 +228,29 @@ def test_cms_guards(spark):
     df = spark.createDataFrame([("g", "x")], "k string, item string")
     with _pytest.raises(ValueError, match="width/depth"):
         I.partial_cms(df, ["k"], "item", width=0)
+
+
+def test_cms_estimate_rejects_geometry_mismatch(spark):
+    """The state carries its (width, depth) build parameters; probing
+    with different ones would hash items to the wrong cells and return
+    arbitrary plausible-looking numbers — it must raise instead."""
+    from sparkgraft import incremental as I
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("g", "x"), ("g", "x"), ("g", "y")], "k string, item string"
+    )
+    state = I.partial_cms(df, ["k"], "item", width=256, depth=3)
+    items = df.select("k", "item").distinct()
+    with _pytest.raises(ValueError, match="mismatched geometry"):
+        I.cms_estimate(state, items, ["k"], "item", width=512, depth=3)
+    with _pytest.raises(ValueError, match="mismatched geometry"):
+        I.cms_estimate(state, items, ["k"], "item", width=256, depth=4)
+    # matching geometry still estimates exactly (no collisions at n=2)
+    est = {
+        r.item: r.est
+        for r in I.cms_estimate(
+            state, items, ["k"], "item", width=256, depth=3
+        ).collect()
+    }
+    assert est["x"] == 2 and est["y"] == 1

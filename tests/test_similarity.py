@@ -624,3 +624,30 @@ def test_rag_chunk_retrieval_self_retrieval_sanity(spark, sf_dir):
         top = min(rows, key=lambda r: r.rank)
         assert top.src_doc == q, (q, top)
         assert top.cos_sim > 0.5
+
+
+def test_pca_whiten_rank_guard_zeroes_noise_components(spark):
+    """Requesting k beyond the effective rank must NOT multiply
+    rounded-covariance noise by ~1e9 into the output: components with
+    eigenvalues below the relative tolerance emit exact 0.0."""
+    import numpy as np
+
+    # rank-2 data embedded in 6 dims: x = a*e0 + b*e1, zeros elsewhere
+    rows = []
+    for i in range(40):
+        a, b = float((i * 7) % 11 - 5), float((i * 3) % 9 - 4)
+        rows.append((i, [a, b, 0.0, 0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    Z = np.stack(
+        S.pca_whiten(df, 6, 5)
+        .orderBy("vec_id")
+        .toPandas()["z"]
+        .map(np.asarray)
+        .values
+    )
+    assert Z.shape == (40, 5)
+    # the two real components carry unit variance; the rest are EXACT zero
+    var = Z.var(axis=0)
+    assert (np.abs(var[:2] - 1.0) < 1e-3).all(), var
+    assert (Z[:, 2:] == 0.0).all()
+    assert np.isfinite(Z).all()

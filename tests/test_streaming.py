@@ -749,11 +749,7 @@ def test_streaming_cms_maintenance_equals_batch_sketch(spark, sf_dir, tmp_path):
     )
     assert n_batches == 4
 
-    folded = (
-        spark.read.parquet(state_dir)
-        .groupBy("seed", "pos")
-        .agg(F.sum("n").alias("n"))
-    )
+    folded = I.merge_cms([spark.read.parquet(state_dir)], [])
     ev = read_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     oneshot = I.partial_cms(ev, [], "user_id", width=256, depth=3)
     assert sorted(map(tuple, folded.collect())) == sorted(
