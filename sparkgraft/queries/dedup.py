@@ -654,7 +654,8 @@ _RIGHTS_LINE = "all rights reserved by the site owner."
 
 @register(
     "boilerplate_line_removal",
-    retired=True,
+    # PROMOTED to the active driver tier r7 (rotation policy: r6 families
+    # earn a green driver row before settling into the retired tier).
     oracle=f"""
     WITH b AS (
         SELECT doc_id, {_TOK} AS tok FROM documents

@@ -148,8 +148,8 @@ def props_as_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NEW r6 retired tier: the Count-Min state + its estimates fully
     # recomputed in SQL — positions (md5), cell counts, the min-over-
     # seeds read, AND the exact counts, so the one-sided error of every
-    # estimate is part of the verified surface.
-    retired=True,
+    # estimate is part of the verified surface. PROMOTED to the active
+    # driver tier r7 (rotation policy).
     oracle="""
     WITH seeds(seed) AS (VALUES (0), (1), (2), (3)),
     cells AS (

@@ -37,7 +37,11 @@ def _revenue() -> F.Column:
 
 @register(
     "shipping_priority_top10",
-    f"""
+    # RETIRED r7 (rotation policy: three-round-stable; slot funds the
+    # bloom_pruned_urgent_revenue promotion; O1 stays covered by the
+    # retired-tier oracle checks run every pytest + sf0.1 sweep).
+    retired=True,
+    oracle=f"""
     SELECT l_orderkey,
            CAST({_REV_SQL} AS DOUBLE) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,

@@ -214,7 +214,11 @@ def perceptual_near_dup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    f"""
+    # RETIRED r7 (rotation: three-round-stable; slot funds the
+    # boilerplate_line_removal promotion; multimodal stays actively
+    # gated via multimodal_features + the perceptual-hash twin).
+    retired=True,
+    oracle=f"""
     WITH p AS (
         SELECT doc_id AS media_id, {_PAYLOAD_SQL} AS s FROM documents
     )

@@ -120,7 +120,11 @@ def domain_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quality_percentile_filter",
-    f"""
+    # RETIRED r7 (rotation: three-round-stable; slot funds the
+    # doc_hash_embedding promotion; the histogram-percentile machinery
+    # stays actively exercised by corpus_curation_pipeline).
+    retired=True,
+    oracle=f"""
     WITH base AS (
         SELECT doc_id, source,
                coalesce(round(

@@ -1027,8 +1027,8 @@ def customer_ring_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NEW r6 retired tier: entity-resolution SURVIVORSHIP end to end —
     # the fuzzy pair proposal, the transitive closure (recursive CTE),
     # and every survivorship rule (mode with count-desc/value-asc
-    # tiebreak, max, member count) recomputed in SQL.
-    retired=True,
+    # tiebreak, max, member count) recomputed in SQL. PROMOTED to the
+    # active driver tier r7 (rotation policy).
     oracle="""
     WITH RECURSIVE dirty AS (
         SELECT p_partkey + 10000000 AS id,

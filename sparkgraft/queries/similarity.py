@@ -235,7 +235,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "label_centroid_similarity",
-    f"""
+    # RETIRED r7 (rotation: three-round-stable; slot funds the
+    # part_golden_records promotion; centroid math stays actively
+    # gated via ann_ivf_top1_planted's centroid assignment).
+    retired=True,
+    oracle=f"""
     WITH exploded AS (
         SELECT label, t.i AS pos,
                CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS v

@@ -21,7 +21,11 @@ from .registry import register
 
 @register(
     "stream_windowed_counts",
-    """
+    # RETIRED r7 (rotation: three-round-stable; slot funds the
+    # user_event_cms_counts promotion; the streaming surface stays
+    # actively gated via stream_windowed_conformance).
+    retired=True,
+    oracle="""
     SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
            time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS window_end,
            event_type,

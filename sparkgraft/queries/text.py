@@ -1382,8 +1382,8 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_hash_embedding",
     # NEW r6 retired tier: the feature-hashing embedder with every
     # coordinate reproduced in SQL — md5-derived dimension and sign,
-    # exact signed integer counts, one rounded normalize.
-    retired=True,
+    # exact signed integer counts, one rounded normalize. PROMOTED to
+    # the active driver tier r7 (rotation policy).
     oracle="""
     WITH stok AS (SELECT doc_id, {tok} AS tok FROM documents),
     t AS (SELECT doc_id, unnest(tok) AS term FROM stok),
@@ -1413,22 +1413,21 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.replace("{tok}", _TOK),
 )
 def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """text.hash_embed over the corpus, exploded to (doc_id, pos, v)
-    scalars for robust cross-engine comparison (the
-    embedding_standardized convention). The Spark plan does one md5
-    pass per token then TWO COMPACT INTEGER shuffles — a (doc, dim)
-    signed-count aggregate (<= dim rows/doc, ~24 bytes/row; the text
-    never shuffles) and a per-doc map collect — with an O(dim)
-    row-local densify; the zero-shuffle HOF-fold design was measured
-    at 170+ s and deliberately replaced (see text.hash_embed). The
-    oracle takes the explode/group/densify route; agreement proves the
-    aggregate computes the textbook hashed vector. This is the
-    model-free bridge
-    from text into the vector operators (cosine/LSH/SemDeDup/PCA/RRF),
-    so its coordinates being oracle-exact matters downstream."""
+    """text.hash_embed_long over the corpus — (doc_id, pos, v) scalars
+    for robust cross-engine comparison (the embedding_standardized
+    convention). The Spark plan does one md5 pass per exploded token
+    (codegen, not a transform() lambda) then TWO COMPACT INTEGER
+    shuffles — a (doc, dim) signed-count aggregate (<= dim rows/doc,
+    ~24 bytes/row; the text never shuffles) and a per-doc map collect
+    that also computes the norm in-aggregate — and a HOF-free densify
+    (literal-sequence explode + codegen map lookup). Exploding the
+    ARRAY form instead re-evaluates interpreted lambdas under the
+    Generate (measured 7.5s vs 2.0s at sf0.1, r7); the 170+ s
+    zero-shuffle HOF-fold first cut is documented at text.hash_embed.
+    The oracle takes the explode/group/densify route; agreement (plus
+    the long==array equality test) proves both tails compute the
+    textbook hashed vector. This is the model-free bridge from text
+    into the vector operators (cosine/LSH/SemDeDup/PCA/RRF), so its
+    coordinates being oracle-exact matters downstream."""
     docs = read_table(spark, sf_dir, "documents")
-    return (
-        T.hash_embed(docs)
-        .select("doc_id", F.posexplode("embedding").alias("pos", "v"))
-        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "v")
-    )
+    return T.hash_embed_long(docs)

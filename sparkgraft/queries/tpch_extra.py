@@ -481,8 +481,8 @@ def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NEW r6 retired tier: the bloom_prune_join operator behind a plain
     # join oracle — the Bloom stage is EXACT pruning (false positives
     # removed by the verifying join), so the oracle is simply the join
-    # it accelerates.
-    retired=True,
+    # it accelerates. PROMOTED to the active driver tier r7 (rotation
+    # policy).
     oracle=f"""
     SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
            CAST({_REV_SQL} AS DOUBLE) AS revenue,

@@ -1155,6 +1155,36 @@ def bigram_logprob(
     )
 
 
+def _hash_cells(
+    df: "DataFrame",  # noqa: F821
+    text_col: str,
+    id_col: str,
+    dim: int,
+) -> "DataFrame":  # noqa: F821
+    """Shared sparse-cell builder for the feature-hashing embedder:
+    (id_col, __d dimension, __v exact signed count). Tokens explode
+    FIRST and the md5 dimension/sign land as row expressions — inside
+    whole-stage codegen — rather than inside a transform() lambda on
+    the interpreted path; the (doc, dim) aggregate is map-side
+    combinable, so the only shuffle carries <= dim ~24-byte rows per
+    doc and the text never crosses an exchange."""
+    h = F.md5(F.col("__t"))
+    return (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+        .select(
+            id_col,
+            F.pmod(
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(dim)
+            ).alias("__d"),
+            F.when(F.substring(h, 9, 1) < "8", F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("__s"),
+        )
+        .groupBy(id_col, "__d")
+        .agg(F.sum("__s").alias("__v"))
+    )
+
+
 def hash_embed(
     df: "DataFrame",  # noqa: F821
     text_col: str = "text",
@@ -1192,24 +1222,7 @@ def hash_embed(
 
     Returns (id_col, embedding: array<double> of length ``dim``).
     """
-    tok = tokens(text_col)
-    pairs = F.transform(
-        tok,
-        lambda t: F.struct(
-            F.pmod(
-                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
-                F.lit(dim),
-            ).alias("d"),
-            F.when(F.substring(F.md5(t), 9, 1) < "8", F.lit(1))
-            .otherwise(F.lit(-1))
-            .alias("s"),
-        ),
-    )
-    cells = (
-        df.select(F.col(id_col), F.explode(pairs).alias("__p"))
-        .groupBy(id_col, F.col("__p.d").alias("__d"))
-        .agg(F.sum("__p.s").alias("__v"))
-    )
+    cells = _hash_cells(df, text_col, id_col, dim)
     dense = cells.groupBy(id_col).agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("__d"), F.col("__v")))
@@ -1238,5 +1251,58 @@ def hash_embed(
                 F.col("__raw"),
                 lambda v: F.round(v.cast("double") / F.col("__n"), round_to),
             ).alias("embedding"),
+        )
+    )
+
+
+def hash_embed_long(
+    df: "DataFrame",  # noqa: F821
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    round_to: int = 6,
+) -> "DataFrame":  # noqa: F821
+    """:func:`hash_embed` in LONG form — (id_col, pos, v) scalars, one
+    row per (document, dimension) — without ever building the per-row
+    array. Same cells, same coordinates (equality asserted in tests).
+
+    Why a separate tail: exploding hash_embed's array output back to
+    scalars re-evaluates the interpreted densify/normalize lambdas
+    under the Generate (measured 7.5s vs 2.0s at sf0.1 for the same
+    rows), whereas here the norm is computed INSIDE the per-doc
+    aggregate (sqrt of the exact signed-count sum of squares — missing
+    dimensions contribute 0, so the sparse cells suffice), the dense
+    position grid comes from exploding a literal sequence, and the
+    per-row value is one codegen map lookup + divide. No higher-order
+    functions anywhere in the plan.
+    """
+    cells = _hash_cells(df, text_col, id_col, dim)
+    dense = cells.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__d"), F.col("__v")))
+        ).alias("__m"),
+        F.sqrt(
+            F.sum(F.col("__v").cast("double") * F.col("__v").cast("double"))
+        ).alias("__n"),
+    )
+    return (
+        dense.where(F.col("__n") > 0)
+        .select(
+            id_col,
+            "__m",
+            "__n",
+            F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("pos"),
+        )
+        .select(
+            id_col,
+            F.col("pos").cast("bigint").alias("pos"),
+            F.round(
+                F.coalesce(
+                    F.element_at(F.col("__m"), F.col("pos").cast("long")),
+                    F.lit(0).cast("long"),
+                ).cast("double")
+                / F.col("__n"),
+                round_to,
+            ).alias("v"),
         )
     )

@@ -72,11 +72,6 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # mixture epochs: broadcast plan + row-local explode — the only
     # Exchange is the BroadcastExchange of the 3-row plan
     "domain_mixture_epochs": (1, 1),
-    # percentile gate: 2x spread (both derivations of the score), the
-    # histogram agg exchange, the tiny-histogram window exchange, and
-    # the BroadcastExchange joining kept scores back — never a
-    # corpus-wide sort partition
-    "quality_percentile_filter": (5, 1),
     "doc_gopher_quality_gate": (1, 0),  # gate rides the scan (spread only)
     # DSIR: the persisted (doc, term, tf) subtree prints once per
     # consumer (materializes once at runtime); the two BNLJs are the
@@ -100,10 +95,26 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # the planted queries carry the same bucketed/cid-keyed plans)
     "ann_lsh_top1_planted": (6, 3),
     "ann_ivf_top1_planted": (3, 1),
-    "label_centroid_similarity": (3, 1),
     # Q21: one per-order countDistinct aggregate folds both correlated
     # quantifiers; orderkey partitioning reused by the join-back
     "suppliers_sole_returned": (7, 4),
+    # r7 rotation promotions (the retired-tier R6_OP_PINS entries for
+    # boilerplate_line_removal / bloom_pruned_urgent_revenue moved
+    # here when they joined the headline; measured shapes unchanged)
+    # bitmap build agg + 3 broadcast word probes + verify join + month agg
+    "bloom_pruned_urgent_revenue": (8, 2),
+    # per-batch sketch agg + merge agg + probe join + min-over-seeds
+    # agg + exact-count comparison join (both joins broadcast: the
+    # sketch state is depth x width bounded)
+    "user_event_cms_counts": (5, 2),
+    # line explode x2 consumers (freq + rebuild branches of one scan),
+    # md5-key distinct count, broadcast flagged-keys join-back, the
+    # doc-keyed rebuild, and the final id join; no text in the
+    # frequency shuffle
+    "boilerplate_line_removal": (8, 2),
+    # two compact integer shuffles ((doc, dim) signed-count aggregate +
+    # per-doc map collect); the explode/densify is row-local
+    "doc_hash_embedding": (2, 0),
 }
 
 # Exact tiers that legitimately broadcast a bounded side against every
@@ -223,6 +234,11 @@ ITERATIVE_LINEAGE_PINS = [
     # chars at sf0.01 — one checkpoint interval, same bound class as
     # the clusters query it supersets)
     ("near_dup_quality_keep", 120, 120_000),
+    # promoted r7: ER survivorship — fuzzy blocking + transitive
+    # closure (checkpointed every interval) + survivorship votes
+    # (measured 143 Exchanges / 102k chars at sf0.01: one checkpoint
+    # interval of the closure plus the vote aggregates)
+    ("part_golden_records", 220, 220_000),
 ]
 
 
@@ -294,11 +310,8 @@ R6_OP_PINS = [
     # gate (row-local) -> fingerprint window -> rate agg + tiny-frame
     # window + broadcast join-back; text crosses one exchange
     ("pretrain_curation_pipeline", 7, False),
-    # line explode x2 consumers (freq + rebuild branches of one scan),
-    # md5-key distinct count, broadcast flagged-keys join-back, the
-    # doc-keyed rebuild, and the final id join; no text in the
-    # frequency shuffle
-    ("boilerplate_line_removal", 8, False),
+    # (boilerplate_line_removal and bloom_pruned_urgent_revenue moved
+    # to PLAN_PINS when promoted to the bench headline, r7)
     # r6 TPC-H correlated-subquery shapes (queries/tpch_extra.py): all
     # decorrelated into key joins / one-pass aggregates — BHJ-only
     # except rich_idle_customers, whose BNLJ is the documented 1-row
@@ -310,8 +323,6 @@ R6_OP_PINS = [
     ("disjunctive_filter_revenue", 2, False),  # bcast part + 1-row combine
     ("suppliers_sole_returned", 7, False),     # one per-order agg folds both EXISTS
     ("rich_idle_customers", 5, True),          # scalar-avg BNLJ + anti join
-    # bitmap build agg + 3 broadcast word probes + verify join + month agg
-    ("bloom_pruned_urgent_revenue", 8, False),
     # lexical arm (shingle inverted index + 2 bcast size joins + window)
     # + vector arm (the documented exact broadcast-query BNLJ tier,
     # knn_cosine_bruteforce pattern) + decimal fusion agg + final window

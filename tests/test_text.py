@@ -495,3 +495,24 @@ def test_hash_embed_deterministic_under_repartitioning(spark, sf_dir):
         map(tuple, hash_embed(docs.repartition(7)).select("doc_id", "embedding").collect())
     )
     assert [(i, tuple(e)) for i, e in a] == [(i, tuple(e)) for i, e in b]
+
+
+def test_hash_embed_long_equals_exploded_array_form(spark, sf_dir):
+    """The HOF-free long form (norm in-aggregate, literal-sequence
+    densify) must emit exactly the coordinates of exploding the array
+    form — same cells, same normalize, same rounding."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.io import read_table
+    from sparkgraft.text import hash_embed, hash_embed_long
+
+    docs = read_table(spark, sf_dir, "documents")
+    arr = (
+        hash_embed(docs)
+        .select("doc_id", F.posexplode("embedding").alias("pos", "v"))
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "v")
+    )
+    lng = hash_embed_long(docs)
+    a = sorted(map(tuple, arr.collect()))
+    b = sorted(map(tuple, lng.collect()))
+    assert a == b and len(a) > 0
