@@ -798,6 +798,68 @@ def embedding_covariance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.covariance_cells(emb, 64)
 
 
+def _lexical_rank_arm(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Shared lexical arm of the hybrid-retrieval queries: per query
+    document (doc_id % 100 == 7, id < 1000 — bounded at 10 queries at
+    any corpus size), the top-``k`` corpus documents by 3-gram shingle
+    Jaccard. An inverted-index join keyed on shingle with only the
+    QUERY shingles broadcast — never all-pairs."""
+    from pyspark.sql import Window
+
+    from .. import dedup as D
+
+    is_q = (F.col("doc_id") % 100 == 7) & (F.col("doc_id") < 1000)
+    sh = docs.select(
+        "doc_id", F.explode(D.word_shingles("text", 3)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    qsh = sh.where(is_q).select(F.col("doc_id").alias("query_id"), "shingle")
+    common = (
+        sh.join(F.broadcast(qsh), "shingle")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = (
+        common.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("query_id"), F.col("n_sh").alias("q_sh"))
+            ),
+            "query_id",
+        )
+        .join(sizes, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("common") / (F.col("q_sh") + F.col("n_sh") - F.col("common")), 6
+            ).alias("score"),
+        )
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        jac.withColumn("rank", F.row_number().over(w_lex).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank")
+    )
+
+
+def _fuse_top10(lex: DataFrame, vec: DataFrame) -> DataFrame:
+    """Shared RRF fusion tail: rrf_fuse both arms, keep the fused
+    top-10 per query with the deterministic id tiebreak."""
+    from pyspark.sql import Window
+
+    fused = S.rrf_fuse([lex, vec], id_col="doc_id")
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f).cast("bigint"))
+        .where(F.col("fused_rank") <= 10)
+        .select("query_id", "doc_id", "rrf_score", "n_signals", "fused_rank")
+    )
+
+
 @register(
     "hybrid_retrieval_rrf",
     # NEW r6 retired tier: reciprocal-rank fusion of a lexical ranking
@@ -884,62 +946,50 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and fused scores accumulate rounded reciprocal terms in exact
     decimal, so every stage is engine-portable.
     """
-    from pyspark.sql import Window
-
-    from .. import dedup as D
-    from .. import text as T
-
     docs = read_table(spark, sf_dir, "documents")
     emb = read_table(spark, sf_dir, "embeddings")
-    is_q = (F.col("doc_id") % 100 == 7) & (F.col("doc_id") < 1000)
-
-    sh = docs.select(
-        "doc_id", F.explode(D.word_shingles("text", 3)).alias("shingle")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    qsh = sh.where(is_q).select(
-        F.col("doc_id").alias("query_id"), "shingle"
-    )
-    common = (
-        sh.join(F.broadcast(qsh), "shingle")
-        .where(F.col("doc_id") != F.col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    jac = (
-        common.join(
-            F.broadcast(
-                sizes.select(F.col("doc_id").alias("query_id"), F.col("n_sh").alias("q_sh"))
-            ),
-            "query_id",
-        )
-        .join(sizes, "doc_id")
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(
-                F.col("common") / (F.col("q_sh") + F.col("n_sh") - F.col("common")), 6
-            ).alias("score"),
-        )
-    )
-    w_lex = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    lex = (
-        jac.withColumn("rank", F.row_number().over(w_lex).cast("bigint"))
-        .where(F.col("rank") <= 20)
-        .select("query_id", "doc_id", "rank")
-    )
+    lex = _lexical_rank_arm(docs, k=20)
     vec = S.cosine_topk(emb, emb.where((F.col("vec_id") % 100 == 7) & (F.col("vec_id") < 1000)), k=20).select(
         "query_id", F.col("vec_id").alias("doc_id"), "rank"
     )
-    fused = S.rrf_fuse([lex, vec], id_col="doc_id")
-    w_f = Window.partitionBy("query_id").orderBy(
-        F.desc("rrf_score"), F.asc("doc_id")
-    )
-    return (
-        fused.withColumn("fused_rank", F.row_number().over(w_f).cast("bigint"))
-        .where(F.col("fused_rank") <= 10)
-        .select("query_id", "doc_id", "rrf_score", "n_signals", "fused_rank")
-    )
+    return _fuse_top10(lex, vec)
+
+
+# Rows-only by necessity: the RP-LSH bucket assignment is an
+# Arrow-batched numpy matmul over md5-derived hyperplanes —
+# deterministic, but not practically re-expressible in DuckDB SQL (the
+# ann_lsh_topk precedent). The exact-tier twin above is fully oracled,
+# and tests/test_similarity.py asserts per-query fused-rank recall of
+# this query against that twin.
+@register("hybrid_retrieval_rrf_ann", retired=True)
+def hybrid_retrieval_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``hybrid_retrieval_rrf`` with the vector arm on the SCALE TIER:
+    sign-random-projection LSH top-20 (bucket-join candidates + exact
+    cosine rerank, planes auto-sized from the corpus row hint) instead
+    of the exact broadcast-query scan. This is the composition a 100x
+    user actually runs — the lexical inverted-index join is linear in
+    the corpus for the bounded 10-query set, and the ANN arm replaces
+    the corpus-linear exact scan with one (table, bucket) hash join,
+    so NO stage touches every (query, doc) pair. Probed at 1x/4x/8x in
+    tools/scale_slope.py (SCALE_SLOPE_r07); plan pinned BNLJ-free in
+    tests/test_plan_shape.py — the exact tier's allow-listed
+    BroadcastNestedLoopJoin must NOT appear here.
+    """
+    from ..io import table_row_hint
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    lex = _lexical_rank_arm(docs, k=20)
+    planes = S.auto_num_planes(table_row_hint(sf_dir, "embeddings"))
+    vec = S.rp_lsh_topk(
+        emb,
+        emb.where((F.col("vec_id") % 100 == 7) & (F.col("vec_id") < 1000)),
+        dim=64,
+        k=20,
+        num_planes=planes,
+        num_tables=4,
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    return _fuse_top10(lex, vec)
 
 
 @register(

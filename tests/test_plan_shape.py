@@ -327,6 +327,10 @@ R6_OP_PINS = [
     # + vector arm (the documented exact broadcast-query BNLJ tier,
     # knn_cosine_bruteforce pattern) + decimal fusion agg + final window
     ("hybrid_retrieval_rrf", 10, True),
+    # r7 scale-tier composition: RP-LSH vector arm — the exact tier's
+    # allow-listed BNLJ must NOT appear here (bucket join + Arrow
+    # batches only); extra exchanges are the LSH band explode/distinct
+    ("hybrid_retrieval_rrf_ann", 13, False),
 ]
 
 

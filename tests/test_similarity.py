@@ -651,3 +651,27 @@ def test_pca_whiten_rank_guard_zeroes_noise_components(spark):
     assert (np.abs(var[:2] - 1.0) < 1e-3).all(), var
     assert (Z[:, 2:] == 0.0).all()
     assert np.isfinite(Z).all()
+
+
+def test_hybrid_retrieval_ann_tier_tracks_exact_tier(spark, sf_dir):
+    """The scale-tier hybrid (RP-LSH vector arm) must stay close to
+    the fully-oracled exact tier: same query set, <= 10 per query, and
+    majority overlap of the fused top-10 — the ANN arm trades a
+    bounded amount of recall for the bucket join, not correctness of
+    the fusion machinery."""
+    from sparkgraft.queries import RETIRED_QUERIES
+
+    exact = RETIRED_QUERIES["hybrid_retrieval_rrf"](spark, sf_dir).collect()
+    ann = RETIRED_QUERIES["hybrid_retrieval_rrf_ann"](spark, sf_dir).collect()
+    ex = {(r.query_id, r.doc_id) for r in exact}
+    an = {(r.query_id, r.doc_id) for r in ann}
+    assert {r.query_id for r in ann} == {r.query_id for r in exact}
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in ann)
+    assert max(per_q.values()) <= 10
+    recall = len(ex & an) / len(ex)
+    assert recall >= 0.5, recall
+    # the lexical arm is shared verbatim, so every fused row carries
+    # a sane signal count
+    assert all(1 <= r.n_signals <= 2 for r in ann)

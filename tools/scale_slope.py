@@ -132,6 +132,16 @@ PROBES = [
     # chunk (row-local) -> hash-embed chunks -> bounded-query cosine;
     # every stage linear for the fixed 10-query set.
     "rag_chunk_retrieval",
+    # r7: the SCALE TIERS of the two heaviest r6 exact-tier probes —
+    # the exact tiers (41.9s and 61.9s at 8x in r6) are correctness
+    # anchors, but these are the compositions a 100x user runs.
+    # Arrow partial-Gram covariance: one numpy matmul per batch, batch
+    # -count partial rows reduce to d(d+1)/2 cells; expected ~linear.
+    "covariance_cells_arrow",
+    # RP-LSH vector arm + lexical inverted index -> RRF fusion: the
+    # bucket join replaces the corpus-linear exact scan; expected
+    # ~linear with a far smaller constant than hybrid_retrieval_rrf.
+    "hybrid_retrieval_rrf_ann",
 ]
 
 
@@ -143,7 +153,20 @@ def _pagerank_synth_graph(spark, work_dir: str):
     return pagerank(edges, weight_col="w", iters=3)
 
 
-EXTRA_PROBES = {"pagerank_synth_graph": _pagerank_synth_graph}
+def _covariance_cells_arrow(spark, work_dir: str):
+    """similarity.covariance_cells_arrow over the staged embeddings —
+    the high-dimension scale tier (the registered query probes the
+    decimal-exact tier)."""
+    from sparkgraft.io import read_table
+    from sparkgraft.similarity import covariance_cells_arrow
+
+    return covariance_cells_arrow(read_table(spark, work_dir, "embeddings"), 64)
+
+
+EXTRA_PROBES = {
+    "pagerank_synth_graph": _pagerank_synth_graph,
+    "covariance_cells_arrow": _covariance_cells_arrow,
+}
 
 
 def stage(spark, sf_dir: str, out_dir: str, factor: int) -> dict[str, int]:
