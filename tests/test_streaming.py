@@ -760,3 +760,256 @@ def test_streaming_cms_maintenance_equals_batch_sketch(spark, sf_dir, tmp_path):
     ef = sorted(map(tuple, I.cms_estimate(folded, items, [], "user_id", width=256, depth=3).collect()))
     eo = sorted(map(tuple, I.cms_estimate(oneshot, items, [], "user_id", width=256, depth=3).collect()))
     assert ef == eo
+
+
+def _curation_step(spark, batch_df, batch_id, dirs):
+    """One arrival batch through the composed incremental-curation
+    pipeline: exact dedup vs the fingerprint store -> near-dup vs the
+    signature store -> drift report vs the accepted corpus — every
+    write partitioned by batch_id (dynamic partition overwrite), so a
+    REPLAYED batch overwrites its own partitions instead of
+    duplicating state. Shared verbatim between the foreachBatch sink
+    and the from-scratch batch rerun the parity assertion uses."""
+    from sparkgraft.contract import profile_drift
+    from sparkgraft.dedup import dedup_incremental, near_dup_incremental
+    from sparkgraft.io import overwrite_partitions
+
+    # the session FileStatusCache can hold a listing from BEFORE this
+    # batch's partitions landed (batch 0 lists the store while empty ->
+    # empty partition schema; batch 1's execution then sees batch_id=0
+    # files and trips ParquetFileFormat's partitionValues assertion) —
+    # refresh each store path before re-reading it
+    for d in dirs.values():
+        spark.catalog.refreshByPath(d)
+    # explicit schemas: an empty store directory (first batch) must
+    # read as an empty frame, and the batch_id partition column must
+    # never be inferred as a data column. The stores EXCLUDE the
+    # current batch's own partition: a REPLAYED batch (crash after the
+    # store write, before the checkpoint commit) would otherwise see
+    # its own first-attempt fingerprints and anti-join every one of
+    # its rows away — replay must recompute the identical decisions,
+    # not discover its own ghost
+    bid_filter = F.col("batch_id") != int(batch_id)
+    fp_store = (
+        spark.read.schema("fingerprint string, batch_id int")
+        .parquet(dirs["fp"])
+        .where(bid_filter)
+    )
+    sig_store = (
+        spark.read.schema(
+            "doc_id bigint, signature array<string>, batch_id int"
+        )
+        .parquet(dirs["sig"])
+        .where(bid_filter)
+    )
+    # decide, THEN mutate: the eager checkpoints materialize every
+    # decision BEFORE any store write, so no later job in this step
+    # re-scans a store the step itself has already appended to (a
+    # re-scan would both see the batch's own fingerprints — dropping
+    # every survivor — and race the scan's planned partition schema
+    # against the newly created partition directories)
+    exact = dedup_incremental(batch_df, fp_store).localCheckpoint(eager=True)
+    try:
+        near = near_dup_incremental(exact, sig_store, threshold=0.5)
+        kept = exact.join(
+            near.where(~F.col("is_dup")).select("doc_id", "signature"),
+            "doc_id",
+        ).localCheckpoint(eager=True)
+        bid = F.lit(int(batch_id))
+        # exact-survivor fingerprints all enter the store (an exact
+        # copy of a near-dup-rejected doc must still be rejected);
+        # signatures enter only for ACCEPTED docs
+        overwrite_partitions(
+            exact.select("fingerprint").withColumn("batch_id", bid),
+            dirs["fp"],
+            ("batch_id",),
+        )
+        overwrite_partitions(
+            kept.select("doc_id", "signature").withColumn("batch_id", bid),
+            dirs["sig"],
+            ("batch_id",),
+        )
+        accepted_cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        overwrite_partitions(
+            kept.select(*accepted_cols).withColumn("batch_id", bid),
+            dirs["out"],
+            ("batch_id",),
+        )
+        before = spark.read.schema(_ACCEPTED_SCHEMA).parquet(dirs["out"]).where(
+            F.col("batch_id") < int(batch_id)
+        )
+        if int(batch_id) > 0:
+            drift = profile_drift(
+                before.select(*accepted_cols),
+                before.select(*accepted_cols).unionByName(
+                    kept.select(*accepted_cols)
+                ),
+                columns=["text", "lang", "source", "n_chars"],
+            )
+            overwrite_partitions(
+                drift.withColumn("batch_id", bid), dirs["drift"], ("batch_id",)
+            )
+    finally:
+        # localCheckpoint blocks live under the RDD lineage; free them
+        exact.unpersist()
+        try:
+            kept.unpersist()
+        except NameError:
+            pass
+
+
+_ACCEPTED_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, "
+    "n_chars bigint, batch_id int"
+)
+
+
+def _seed_curation_dirs(base):
+    import os
+
+    dirs = {
+        "fp": str(base / "fp_store"),
+        "sig": str(base / "sig_store"),
+        "out": str(base / "accepted"),
+        "drift": str(base / "drift"),
+    }
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+    return dirs
+
+
+def _snapshot(spark, path, cols=None):
+    df = spark.read.parquet(path)
+    if cols:
+        df = df.select(*cols)
+    return sorted(
+        tuple(x if not isinstance(x, list) else tuple(x) for x in r)
+        for r in df.collect()
+    )
+
+
+def test_incremental_arrivals_curation_end_to_end(spark, sf_dir, tmp_path):
+    """VERDICT r6 task 6: the production "daily arrivals" flow —
+    dedup_incremental + near_dup_incremental + profile_drift composed
+    as ONE foreachBatch pipeline over 3 arriving batches with the
+    idempotent batch_id sink pattern. Asserts (a) planted cross-batch
+    exact and near duplicates are rejected by the right stage, (b)
+    parity with running the same chain from scratch in plain batch
+    mode, and (c) a duplicated-batch REPLAY (crash between sink write
+    and checkpoint commit) leaves every store byte-identical."""
+    import os
+
+    from sparkgraft.io import read_table
+    from sparkgraft.streaming import (
+        run_stream_available_now,
+        stream_table_from_dir,
+    )
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    # fully synthetic, vocabulary-disjoint base docs (the real corpus
+    # plants natural near-dups, which would make the "all fresh docs
+    # accepted" count data-dependent): doc i's words all carry an _i
+    # suffix, so no two base docs share a single 3-shingle
+    def doc_row(i):
+        words = " ".join(f"w{j}x{i}" for j in range(30))
+        return (i, words, "en", f"src{i % 3}", len(words))
+
+    base = [doc_row(i) for i in range(30)]
+    donor_id, donor_text = base[3][0], base[3][1]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, raw.schema)
+
+    arrivals_dir = tmp_path / "arrivals"
+    arrivals_dir.mkdir()
+    b0 = base[:10]
+    # batch 1: 10 fresh docs + an EXACT re-delivery of a batch-0 text
+    # under a new id (must die in dedup_incremental's anti join)
+    b1 = base[10:20] + [(900001, donor_text, "en", "src9", len(donor_text))]
+    # batch 2: 10 fresh docs + a NEAR dup of the batch-0 donor (one
+    # appended token -> high minhash estimate; must die in
+    # near_dup_incremental, NOT in the exact stage)
+    near_text = donor_text + " trailingtoken"
+    b2 = base[20:30] + [(900002, near_text, "en", "src9", len(near_text))]
+
+    t0 = 1_700_000_000
+    for i, rows in enumerate((b0, b1, b2)):
+        part = tmp_path / f"stage_{i}"
+        mk(rows).coalesce(1).write.mode("overwrite").parquet(str(part))
+        src = next(p for p in part.iterdir() if p.name.endswith(".parquet"))
+        dst = arrivals_dir / f"arrival_{i}.parquet"
+        src.rename(dst)
+        os.utime(dst, (t0 + 100 * i, t0 + 100 * i))
+
+    (tmp_path / "stream").mkdir()
+    stream_dirs = _seed_curation_dirs(tmp_path / "stream")
+    stream = stream_table_from_dir(
+        spark, sf_dir, "documents", str(arrivals_dir), max_files_per_trigger=1
+    )
+    ckpt = str(tmp_path / "ckpt")
+    n = run_stream_available_now(
+        stream,
+        lambda bdf, bid: _curation_step(spark, bdf, bid, stream_dirs),
+        ckpt,
+    )
+    assert n == 3
+
+    accepted = spark.read.parquet(stream_dirs["out"])
+    ids = {r.doc_id for r in accepted.select("doc_id").collect()}
+    assert 900001 not in ids  # exact re-delivery rejected
+    assert 900002 not in ids  # near-dup rejected
+    assert donor_id in ids  # the original survived
+    assert len(ids) == 30  # all fresh docs accepted
+    # the near dup died in the NEAR stage: its fingerprint entered the
+    # store (it survived exact dedup), but no accepted row exists
+    fps = spark.read.parquet(stream_dirs["fp"])
+    # 30 fresh + 900002 (survives the EXACT stage, so its fingerprint
+    # enters the store; it dies in the NEAR stage); 900001 never
+    # reaches the store (rejected by the exact anti join)
+    assert fps.count() == 31
+
+    # --- parity: same chain, plain batch mode, same arrival order ---
+    (tmp_path / "batch").mkdir()
+    batch_dirs = _seed_curation_dirs(tmp_path / "batch")
+    for i in range(3):
+        bdf = spark.read.schema(raw.schema).parquet(
+            str(arrivals_dir / f"arrival_{i}.parquet")
+        )
+        from sparkgraft.streaming import _normalized_dir_stream  # noqa: F401
+
+        # normalize like the stream does: reuse read_table's batch view
+        # by selecting through the same column set
+        _curation_step(spark, bdf, i, batch_dirs)
+    for key, cols in (
+        ("out", None),
+        ("fp", None),
+        ("sig", None),
+        ("drift", None),
+    ):
+        assert _snapshot(spark, stream_dirs[key]) == _snapshot(
+            spark, batch_dirs[key]
+        ), key
+
+    # --- duplicated-batch replay: drop the newest commit, restart ---
+    pre = {k: _snapshot(spark, d) for k, d in stream_dirs.items()}
+    commits = sorted(
+        (f for f in os.listdir(os.path.join(ckpt, "commits")) if f.isdigit()),
+        key=int,
+    )
+    last = commits[-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    n2 = run_stream_available_now(
+        stream_table_from_dir(
+            spark, sf_dir, "documents", str(arrivals_dir),
+            max_files_per_trigger=1,
+        ),
+        lambda bdf, bid: _curation_step(spark, bdf, bid, stream_dirs),
+        ckpt,
+    )
+    assert n2 == 1  # exactly the replayed batch re-executed
+    post = {k: _snapshot(spark, d) for k, d in stream_dirs.items()}
+    assert post == pre  # replay is a state no-op
