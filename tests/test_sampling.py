@@ -106,3 +106,82 @@ def test_weighted_exact_k_inclusion_tracks_weight(spark):
         top = weighted_sample_exact_k(df, "w", 1, seed=f"s{s}:").collect()
         wins[top[0].doc_id] += 1
     assert wins[1] > wins[2] * 2  # expected 9:1; 2:1 is a loose floor
+
+
+def test_quantile_normalize_calibrates_disparate_scales(spark):
+    """Property (VERDICT r6 task 7): after normalization, per-source
+    quantiles of norm_score agree across sources whose RAW scorers run
+    at wildly different scales — that is the operator's entire claim.
+    Resolution is one bin width on each axis (source + global), so the
+    tolerance is two global bin widths."""
+    from sparkgraft.packing import quantile_normalize
+
+    rows = []
+    # source A: uniform on [0, 1); source B: same SHAPE on
+    # [1000, 11000) — x5000 the scale, offset 1000; source C: uniform
+    # but negative, [-50, -40)
+    for i in range(200):
+        rows.append((3 * i, "a", i / 200.0))
+        rows.append((3 * i + 1, "b", 1000.0 + 50.0 * i))
+        rows.append((3 * i + 2, "c", -50.0 + i / 20.0))
+    df = spark.createDataFrame(rows, "doc_id long, src string, score double")
+    bins = 32
+    out = quantile_normalize(df, "score", "src", bins=bins).collect()
+    ghi = max(r[2] for r in rows)
+    glo = min(r[2] for r in rows)
+    gwidth = (ghi - glo) / bins
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.src, []).append(r.norm_score)
+    assert all(len(v) == 200 for v in by_src.values())
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        vals = []
+        for s in ("a", "b", "c"):
+            xs = sorted(by_src[s])
+            vals.append(xs[int(q * len(xs))])
+        assert max(vals) - min(vals) <= 2 * gwidth, (q, vals, gwidth)
+    # and normalized scores live on the GLOBAL domain
+    allv = [x for v in by_src.values() for x in v]
+    assert glo - gwidth <= min(allv) and max(allv) <= ghi + gwidth
+
+
+def test_weighted_exact_k_chi_square_inclusion(spark):
+    """Statistical gate (VERDICT r6 task 7): for k=1, A-ES inclusion
+    probability is exactly weight-proportional; 120 independent seeded
+    draws over weights 1:3:6 must pass a chi-square test at p=0.001
+    (the draw is deterministic per seed, so this never flakes). Also
+    covers the r6 saturation regime: weights in the hundreds — where
+    the old 16-bit power key rounded to 1.0 and degraded to
+    id-ascending selection — must stay proportional too."""
+    from sparkgraft.packing import weighted_sample_exact_k
+
+    def chi2(df, weights, n_seeds):
+        wins = {i: 0 for i in weights}
+        for s in range(n_seeds):
+            top = weighted_sample_exact_k(df, "w", 1, seed=f"cs{s}:").collect()
+            wins[top[0].doc_id] += 1
+        total_w = sum(weights.values())
+        stat = 0.0
+        for i, w in weights.items():
+            exp = n_seeds * w / total_w
+            stat += (wins[i] - exp) ** 2 / exp
+        return stat, wins
+
+    small = {1: 1.0, 2: 3.0, 3: 6.0}
+    df = spark.createDataFrame(
+        [(i, w) for i, w in small.items()], "doc_id long, w double"
+    )
+    stat, wins = chi2(df, small, 120)
+    assert stat < 13.82, (stat, wins)  # chi2(2 dof) at p=0.001
+
+    # saturation regime: same 1:3:6 ratios, x200 magnitude
+    big = {1: 200.0, 2: 600.0, 3: 1200.0}
+    dfb = spark.createDataFrame(
+        [(i, w) for i, w in big.items()], "doc_id long, w double"
+    )
+    statb, winsb = chi2(dfb, big, 120)
+    assert statb < 13.82, (statb, winsb)
+    # the high-weight keys must be DISTINCT (no tie collapse to id asc)
+    keys = weighted_sample_exact_k(dfb, "w", 3).select("aes_key").collect()
+    vals = [r.aes_key for r in keys]
+    assert len(set(vals)) == 3, vals
