@@ -270,3 +270,145 @@ def test_perceptual_planted_twins_land_and_controls_do_not(spark, sf_dir):
     # and no control pair leaked into the output as a pseudo-twin
     non_twin = out[~out.is_planted_twin]
     assert (non_twin.hamming <= 6).all()  # every kept pair passed verify
+
+
+def _png_encode(arr, color_type=0, filter_type=0):
+    """Stdlib-only PNG encoder (test helper): 8-bit gray (0) or RGB
+    (2), one filter type for every scanline — re-encoding the SAME
+    pixels with a different color type or filter produces byte-
+    distinct files with identical content, exactly the real-world
+    re-encode near-dup the perceptual tier exists to catch."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if color_type == 0:
+        px = arr[:, :, None] if arr.ndim == 2 else arr
+        channels = 1
+    else:
+        px = np.repeat(arr[:, :, None], 3, axis=2) if arr.ndim == 2 else arr
+        channels = 3
+    h, w = px.shape[:2]
+    stride = w * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = px[y].tobytes()
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw.extend(line)
+        elif filter_type == 2:  # Up
+            raw.extend(bytes((line[i] - prev[i]) & 0xFF for i in range(stride)))
+        elif filter_type == 1:  # Sub
+            raw.extend(
+                bytes(
+                    (line[i] - (line[i - channels] if i >= channels else 0))
+                    & 0xFF
+                    for i in range(stride)
+                )
+            )
+        else:
+            raise ValueError(filter_type)
+        prev = line
+
+    def chunk(ctype, data):
+        c = struct.pack(">I", len(data)) + ctype + data
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return c + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _test_image(seed, h=24, w=24):
+    """Deterministic smooth gradient + a seed-placed bright block —
+    smooth structure so dHash bits encode real content, not noise."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = ((yy * 5 + xx * 3 + seed * 17) % 200).astype(np.uint8)
+    r, c = (seed * 7) % (h - 8), (seed * 11) % (w - 8)
+    img[r : r + 6, c : c + 6] = 250
+    return img
+
+
+def test_png_decode_roundtrips_every_supported_shape(spark):
+    """png_decode must invert _png_encode for gray + RGB across the
+    None/Sub/Up filters, byte-exactly on the luminance plane."""
+    import numpy as np
+
+    img = _test_image(1)
+    for color_type in (0, 2):
+        for filt in (0, 1, 2):
+            payload = _png_encode(img, color_type=color_type, filter_type=filt)
+            lum = M.png_decode(payload)
+            assert lum.shape == img.shape
+            if color_type == 0:
+                assert (lum == img).all(), (color_type, filt)
+            else:
+                # RGB with equal channels: BT.601 luma == the gray value
+                assert (lum == img).all(), (color_type, filt)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="signature"):
+        M.png_decode(b"not a png at all" * 4)
+    # real stats flow through the extract_features seam unchanged
+    media = spark.createDataFrame(
+        [(1, bytearray(_png_encode(img))), (2, bytearray(b"corrupt"))],
+        "media_id long, payload binary",
+    )
+    feats = {
+        r.media_id: r
+        for r in M.extract_features(media, decode_fn=M.png_decode_stats).collect()
+    }
+    assert feats[1].feat_n_bytes == img.size
+    assert abs(feats[1].feat_mean_byte - float(img.mean())) < 1e-9
+    assert feats[2].feat_n_bytes is None  # corrupt file dead-lettered
+
+
+def test_perceptual_hash_real_png_re_encode_near_dup(spark):
+    """VERDICT r6 stretch: REAL PNG bytes through the existing gate
+    shape — a re-encoded duplicate (same pixels, different color type
+    + filter -> md5-distinct bytes) plus a mildly-noised copy must land
+    within Hamming 6 of the original under png_resize, while an
+    unrelated image stays far outside; corrupt bytes dead-letter."""
+    import numpy as np
+
+    img = _test_image(3)
+    noisy = img.copy()
+    noisy[::7, ::5] = np.clip(noisy[::7, ::5].astype(int) + 4, 0, 255).astype(
+        np.uint8
+    )
+    rows = [
+        (0, bytearray(_png_encode(img, color_type=0, filter_type=0))),
+        # visually identical, byte-distinct re-encode
+        (1, bytearray(_png_encode(img, color_type=2, filter_type=2))),
+        # mild pixel noise (sensor/recompress stand-in)
+        (2, bytearray(_png_encode(noisy, color_type=0, filter_type=1))),
+        # unrelated control
+        (3, bytearray(_png_encode(_test_image(9), color_type=0, filter_type=0))),
+        (4, bytearray(b"\x89PNG\r\n\x1a\ncorrupted rest")),
+    ]
+    import hashlib
+
+    assert len({hashlib.md5(bytes(p)).hexdigest() for _, p in rows}) == 5
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    ph = {
+        r.media_id: r.phash
+        for r in M.perceptual_hash(media, resize_fn=M.png_resize).collect()
+    }
+
+    def hamming(a, b):
+        return bin((ph[a] ^ ph[b]) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(0, 1) == 0  # identical pixels -> identical dHash
+    assert hamming(0, 2) <= 6  # mild noise stays within the gate
+    assert hamming(0, 3) > 6  # unrelated image far outside
+    assert ph[4] is None  # corrupt PNG dead-lettered, job alive
