@@ -528,3 +528,296 @@ def bloom_pruned_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r7: the four remaining classic correlated-subquery shapes (Q2, Q11,
+# Q16, Q20) — all need the partsupp table, which the trimmed test
+# schema lacks, so both engines DERIVE an identical synthetic partsupp
+# from part x supplier with pure integer arithmetic (the
+# part_golden_records derived-table precedent): 4 suppliers per part at
+# deterministic md5-free key strides, integer-cents supply cost and
+# integer availqty so every aggregate downstream is exact.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+    ns AS (SELECT count(*) AS n FROM supplier),
+    partsupp AS (
+        SELECT p_partkey AS ps_partkey,
+               CAST((p_partkey * 7 + k.k * 13) % ns.n + 1 AS BIGINT)
+                   AS ps_suppkey,
+               CAST((p_partkey * 3
+                     + ((p_partkey * 7 + k.k * 13) % ns.n + 1) * 5) % 1000 + 1
+                    AS BIGINT) AS ps_availqty,
+               CAST((p_partkey * 31
+                     + ((p_partkey * 7 + k.k * 13) % ns.n + 1) * 17) % 10000
+                    + 100 AS BIGINT) AS ps_cost_cents
+        FROM part, ns, (VALUES (0), (1), (2), (3)) k(k)
+    )
+"""
+
+
+def _synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp (see module comment): one row per (part, k)
+    for k in 0..3, supplier chosen by a key stride mod |supplier|.
+    Pure column arithmetic; |supplier| comes from parquet footer
+    metadata (io.table_row_hint — zero Spark jobs, the auto_num_planes
+    convention), so the modulus is a plan-time literal rather than a
+    1-row broadcast join. No randomness; byte-identical to the
+    oracle's count(*)-based CTE."""
+    from ..io import table_row_hint
+
+    n_supp = table_row_hint(sf_dir, "supplier")
+    part = read_table(spark, sf_dir, "part").select("p_partkey")
+    sk = (F.col("p_partkey") * 7 + F.col("__k") * 13) % F.lit(n_supp) + 1
+    base = (
+        part.select(
+            "p_partkey",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("__k"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            sk.cast("long").alias("ps_suppkey"),
+        )
+    )
+    return base.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 3 + F.col("ps_suppkey") * 5) % 1000 + 1)
+        .cast("long")
+        .alias("ps_availqty"),
+        ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 10000 + 100)
+        .cast("long")
+        .alias("ps_cost_cents"),
+    )
+
+
+@register(
+    "min_cost_supplier",
+    # TPC-H Q2 shape (retired tier): correlated scalar MIN subquery.
+    retired=True,
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           ps_cost_cents AS cost_cents
+    FROM part, partsupp, supplier, nation, region
+    WHERE p_partkey = ps_partkey
+      AND s_suppkey = ps_suppkey
+      AND p_size < 15
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_regionkey = 1
+      AND ps_cost_cents = (
+          SELECT min(ps2.ps_cost_cents)
+          FROM partsupp ps2, supplier s2, nation n2
+          WHERE ps2.ps_partkey = part.p_partkey
+            AND s2.s_suppkey = ps2.ps_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = 1
+      )
+    ORDER BY s_acctbal DESC, p_partkey ASC, ps_suppkey ASC
+    LIMIT 100
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: for each small part, the region-1 supplier(s) offering
+    the MINIMUM supply cost — the textbook correlated scalar-MIN
+    subquery. The oracle keeps the correlated form (min re-derived per
+    probe row); the Spark plan decorrelates it into ONE region-filtered
+    per-part min aggregate joined back on (partkey, cost) — two scans
+    and one 16-byte/row shuffle instead of a rescan per row. Dims
+    (part filter, supplier, nation, region) all broadcast; the LIMIT
+    rides a total-order sort (acctbal DESC, partkey, suppkey), so the
+    selected set is engine-stable even under account-balance ties."""
+    ps = _synth_partsupp(spark, sf_dir)
+    part = (
+        read_table(spark, sf_dir, "part")
+        .where(F.col("p_size") < 15)
+        .select("p_partkey")
+    )
+    sup = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 1)
+    eligible = (
+        ps.join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    mins = eligible.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_cost_cents").alias("m_cents")
+    )
+    return (
+        eligible.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            mins,
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_cost_cents") == F.col("m_cents")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("ps_cost_cents").alias("cost_cents"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("cost_cents")
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "important_stock_parts",
+    # TPC-H Q11 shape (retired tier): scalar-aggregate HAVING gate.
+    retired=True,
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    filtered AS (
+        SELECT ps_partkey, ps_cost_cents * ps_availqty AS v
+        FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+        WHERE s_nationkey % 5 = 2
+    )
+    SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents
+    FROM filtered
+    GROUP BY ps_partkey
+    HAVING sum(v) > (
+        SELECT 1.5 * avg(pv) FROM (
+            SELECT sum(v) AS pv FROM filtered GROUP BY ps_partkey
+        )
+    )
+    """,
+)
+def important_stock_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose stock value (cost x availqty over the
+    filtered supplier set) exceeds 1.5x the per-part average — the
+    HAVING-against-a-scalar-subquery shape, made scale-free (TPC-H's
+    fixed fraction of the total only works at one SF). Spark: the
+    per-part values aggregate ONCE and feed both the gate and the
+    1-row avg threshold (A5 in-plan scalar, broadcast back) — the
+    correlated form recomputes the whole grouped subquery for the
+    HAVING. Integer-cents values keep every sum exact; only the final
+    threshold compare is floating (identical on both engines: exact
+    integer sum / count)."""
+    ps = _synth_partsupp(spark, sf_dir)
+    sup = read_table(spark, sf_dir, "supplier").where(
+        F.col("s_nationkey") % 5 == 2
+    )
+    per_part = (
+        ps.join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_cost_cents") * F.col("ps_availqty"))
+            .cast("long")
+            .alias("value_cents")
+        )
+    )
+    thresh = per_part.agg(
+        (F.lit(1.5) * F.avg("value_cents")).alias("__t")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(thresh))
+        .where(F.col("value_cents") > F.col("__t"))
+        .select("ps_partkey", "value_cents")
+    )
+
+
+@register(
+    "supplier_count_by_part_attrs",
+    # TPC-H Q16 shape (retired tier): NOT IN exclusion + count distinct.
+    retired=True,
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p_brand, p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_size < 30
+      AND ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_size
+    """,
+)
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: distinct supplier counts per (brand, size) with a
+    NOT IN supplier blacklist (negative account balance standing in
+    for the comment-based complaint filter the trimmed schema lacks).
+    Spark: NOT IN over a non-null key column is a left anti join
+    against the (tiny, broadcast) blacklist — the correlated form
+    probes the blacklist per row. The distinct aggregate is the
+    standard two-phase count-distinct keyed on (brand, size,
+    suppkey)."""
+    ps = _synth_partsupp(spark, sf_dir)
+    part = (
+        read_table(spark, sf_dir, "part")
+        .where(F.col("p_size") < 30)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = (
+        read_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("ps_suppkey"))
+    )
+    return (
+        ps.join(F.broadcast(bad), "ps_suppkey", "left_anti")
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "restock_candidate_suppliers",
+    # TPC-H Q20 shape (retired tier): nested IN + correlated scalar.
+    retired=True,
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_partkey % 5 = 0
+        )
+        AND ps_availqty > (
+            SELECT 0.5 * sum(l_quantity) FROM lineitem
+            WHERE l_partkey = partsupp.ps_partkey
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+        )
+    )
+    """,
+)
+def restock_candidate_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers holding EXCESS stock (availqty above half a
+    year's shipped quantity) of watched parts — an IN subquery nesting
+    another IN plus a correlated scalar SUM. Spark decorrelation, inside
+    out: the correlated per-part year-quantity scalar becomes ONE
+    date-pruned lineitem aggregate joined back on partkey (parts with
+    no 1996 shipments drop in the inner join, exactly matching the
+    correlated form's NULL-comparison exclusion); the part IN-list is a
+    broadcast semi join; the outer supplier IN is a final semi join on
+    the surviving suppkeys. Three scans + compact key joins replace a
+    per-row rescan of lineitem."""
+    ps = _synth_partsupp(spark, sf_dir)
+    watched = (
+        read_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 5 == 0)
+        .select(F.col("p_partkey").alias("ps_partkey"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    year_qty = li.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        (F.lit(0.5) * F.sum("l_quantity")).alias("__half_qty")
+    )
+    excess = (
+        ps.join(F.broadcast(watched), "ps_partkey", "left_semi")
+        .join(year_qty, "ps_partkey")
+        .where(F.col("ps_availqty") > F.col("__half_qty"))
+        .select(F.col("ps_suppkey").alias("s_suppkey"))
+    )
+    return (
+        read_table(spark, sf_dir, "supplier")
+        .join(excess, "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )

@@ -331,6 +331,17 @@ R6_OP_PINS = [
     # allow-listed BNLJ must NOT appear here (bucket join + Arrow
     # batches only); extra exchanges are the LSH band explode/distinct
     ("hybrid_retrieval_rrf_ann", 13, False),
+    # r7 TPC-H correlated-subquery shapes over the derived partsupp
+    # (|supplier| is a parquet-footer literal, so the derivation adds
+    # ZERO joins): Q2's min subquery -> per-part min agg + join-back
+    # (eligible side prints twice, once per consumer); Q11's HAVING
+    # scalar is the allow-listed 1-row avg broadcast (A5); Q16's NOT IN
+    # -> broadcast anti join; Q20's nested IN + correlated SUM -> two
+    # semi joins + one date-pruned aggregate join.
+    ("min_cost_supplier", 8, False),
+    ("important_stock_parts", 6, True),
+    ("supplier_count_by_part_attrs", 4, False),
+    ("restock_candidate_suppliers", 4, False),
 ]
 
 
