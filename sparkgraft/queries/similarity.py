@@ -1103,3 +1103,65 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("chunk_id") - 10_000_000) / 1000).cast("bigint").alias("src_doc"),
         F.pmod(F.col("chunk_id") - 10_000_000, F.lit(1000)).cast("bigint").alias("chunk_idx"),
     )
+
+
+@register(
+    "bm25_doc_retrieval",
+    # NEW r7 retired tier: Okapi BM25 — the standard lexical ranker.
+    # The oracle recomputes EVERYTHING: token arrays, term/document
+    # frequencies, document lengths, the 1-row N/avgdl scalars, each
+    # per-term contribution (rounded to 12, summed in exact decimal),
+    # and the final rounded-score rank window.
+    retired=True,
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKF} AS t FROM documents),
+    tk AS (SELECT doc_id, unnest(t) AS term FROM tok),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+    dlen AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q AS (SELECT doc_id AS query_id, term FROM tf
+          WHERE doc_id % 100 = 7 AND doc_id < 1000),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(round(
+                   ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlen.dl / stats.avgdl)),
+                   12) AS DECIMAL(18,12)) AS c
+        FROM tf
+        JOIN q USING (term)
+        JOIN dft USING (term)
+        JOIN dlen ON dlen.doc_id = tf.doc_id
+        CROSS JOIN stats
+        WHERE tf.doc_id <> q.query_id
+    )
+    SELECT query_id, doc_id,
+           round(CAST(sum(c) AS DOUBLE), 6) AS bm25_score,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(CAST(sum(c) AS DOUBLE), 6) DESC, doc_id ASC
+           ) AS BIGINT) AS rank
+    FROM scored
+    GROUP BY query_id, doc_id
+    QUALIFY rank <= 10
+    """,
+)
+def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.bm25_topk over the corpus for the bounded 10-document query
+    set (doc_id % 100 == 7, id < 1000): Okapi BM25 top-10 per query —
+    the term-weighted lexical ranker the shingle-Jaccard arm lacks
+    (idf discounts stop-ish terms, tf saturates via k1, length
+    normalization via b). One tokenize pass feeds tf / document-length
+    / document-frequency aggregates; query terms broadcast against the
+    term-keyed postings (inverted-index join, never all-pairs); the
+    N/avgdl scalars ride a broadcast 1-row frame (A5). Per-term
+    contributions round to 12 and sum in exact DECIMAL so both engines
+    rank identical scores."""
+    from .. import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    qids = docs.where(
+        (F.col("doc_id") % 100 == 7) & (F.col("doc_id") < 1000)
+    ).select("doc_id")
+    return T.bm25_topk(docs, qids, k=10)

@@ -342,6 +342,10 @@ R6_OP_PINS = [
     ("important_stock_parts", 6, True),
     ("supplier_count_by_part_attrs", 4, False),
     ("restock_candidate_suppliers", 4, False),
+    # r7 BM25: one tokenize pass -> tf/dlen/df aggregates (several
+    # print per consumer), broadcast query-term postings join, the
+    # allow-listed 1-row N/avgdl scalar broadcast (A5), rank window
+    ("bm25_doc_retrieval", 14, True),
 ]
 
 

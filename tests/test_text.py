@@ -516,3 +516,38 @@ def test_hash_embed_long_equals_exploded_array_form(spark, sf_dir):
     a = sorted(map(tuple, arr.collect()))
     b = sorted(map(tuple, lng.collect()))
     assert a == b and len(a) > 0
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 semantics on a hand-built corpus: idf discounts ubiquitous
+    terms, tf saturates (k1), and length normalization (b) prefers the
+    shorter of two documents with equal term counts."""
+    from sparkgraft.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "zebra quark"),                      # query doc
+            (1, "zebra quark lion"),                 # both rare terms, short
+            (2, "zebra quark lion lion lion lion lion lion lion lion"),
+            (3, "zebra common common common"),       # one rare term
+            (4, "common lion tiger"),                # no query terms
+            (5, "common common common"),
+            (6, "common tiger zebra"),               # one rare term, short
+        ],
+        "doc_id long, text string",
+    )
+    qids = docs.where(F.col("doc_id") == 0).select("doc_id")
+    out = bm25_topk(docs, qids, k=10).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    scores = {r.doc_id: r.bm25_score for r in out}
+    # doc 4 and 5 share no query term -> absent entirely
+    assert 4 not in scores and 5 not in scores and 0 not in scores
+    # both-terms docs beat single-term docs
+    assert ranked[0] in (1, 2)
+    assert set(ranked[:2]) == {1, 2}
+    # length normalization: the short both-terms doc outranks the long one
+    assert scores[1] > scores[2]
+    # zebra appears in 5 of 7 docs, quark in 3: the rarer term's
+    # single-term docs would outrank only if idf ordering held — here
+    # both single-term docs carry zebra, so just check they trail
+    assert all(scores[d] < scores[1] for d in (3, 6))
