@@ -809,9 +809,14 @@ def _lexical_rank_arm(docs: DataFrame, k: int = 20) -> DataFrame:
     from .. import dedup as D
 
     is_q = (F.col("doc_id") % 100 == 7) & (F.col("doc_id") < 1000)
-    sh = docs.select(
-        "doc_id", F.explode(D.word_shingles("text", 3)).alias("shingle")
-    )
+    # dedup._doc_shingles, NOT a bare explode(word_shingles(...)):
+    # the staged form tokenizes once per document — a Column-level
+    # word_shingles inlined under the explode re-evaluates the
+    # normalize+split per shingle POSITION (measured r7: 5.7s vs 0.5s
+    # for the derivation alone at sf0.1, and it dominated the 8x probe
+    # at ~60s/pass) — and THREE consumers read the exploded shingles
+    # (sizes, the query slice, the index join), so persist on top
+    sh = D._doc_shingles(docs, "text", "doc_id", 3).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     qsh = sh.where(is_q).select(F.col("doc_id").alias("query_id"), "shingle")
     common = (
@@ -971,8 +976,11 @@ def hybrid_retrieval_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus for the bounded 10-query set, and the ANN arm replaces
     the corpus-linear exact scan with one (table, bucket) hash join,
     so NO stage touches every (query, doc) pair. Probed at 1x/4x/8x in
-    tools/scale_slope.py (SCALE_SLOPE_r07); plan pinned BNLJ-free in
-    tests/test_plan_shape.py — the exact tier's allow-listed
+    tools/scale_slope.py (SCALE_SLOPE_r07: tail exponent 0.87 — linear
+    — at the same constant as the exact tier, because the lexical
+    shingle index dominates both; the ANN arm removes the vector arm's
+    growth risk, not this scale's wall-clock); plan pinned BNLJ-free
+    in tests/test_plan_shape.py — the exact tier's allow-listed
     BroadcastNestedLoopJoin must NOT appear here.
     """
     from ..io import table_row_hint

@@ -1345,7 +1345,12 @@ def bm25_topk(
     from pyspark.sql.window import Window
 
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__term"))
-    tf = tok.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("__tf"))
+    # three consumers read the (doc, term, tf) aggregate (df counts,
+    # query terms, the postings join) — persist so the tokenize +
+    # aggregate runs once, making the one-tokenize-pass claim true
+    tf = tok.groupBy(id_col, "__term").agg(
+        F.count(F.lit(1)).alias("__tf")
+    ).persist()
     dlen = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
     stats = dlen.agg(
         F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")

@@ -326,11 +326,14 @@ R6_OP_PINS = [
     # lexical arm (shingle inverted index + 2 bcast size joins + window)
     # + vector arm (the documented exact broadcast-query BNLJ tier,
     # knn_cosine_bruteforce pattern) + decimal fusion agg + final window
-    ("hybrid_retrieval_rrf", 10, True),
+    # both hybrids: the persisted shingle subtree (spread + staged
+    # tokenize, r7) prints once per consumer like DSIR's — it
+    # materializes once at runtime
+    ("hybrid_retrieval_rrf", 14, True),
     # r7 scale-tier composition: RP-LSH vector arm — the exact tier's
     # allow-listed BNLJ must NOT appear here (bucket join + Arrow
     # batches only); extra exchanges are the LSH band explode/distinct
-    ("hybrid_retrieval_rrf_ann", 13, False),
+    ("hybrid_retrieval_rrf_ann", 17, False),
     # r7 TPC-H correlated-subquery shapes over the derived partsupp
     # (|supplier| is a parquet-footer literal, so the derivation adds
     # ZERO joins): Q2's min subquery -> per-part min agg + join-back

@@ -139,8 +139,12 @@ PROBES = [
     # -count partial rows reduce to d(d+1)/2 cells; expected ~linear.
     "covariance_cells_arrow",
     # RP-LSH vector arm + lexical inverted index -> RRF fusion: the
-    # bucket join replaces the corpus-linear exact scan; expected
-    # ~linear with a far smaller constant than hybrid_retrieval_rrf.
+    # bucket join replaces the corpus-linear exact scan. MEASURED r7:
+    # linear (tail 0.87) at the SAME constant as the exact tier
+    # (60.1s vs 63.2s at 8x) — the lexical shingle inverted index
+    # dominates both compositions; the ANN arm's win is removing the
+    # vector arm's scale RISK (broadcast-scan FLOPs grow with the
+    # corpus), not this scale's wall-clock.
     "hybrid_retrieval_rrf_ann",
 ]
 
@@ -238,9 +242,16 @@ def stage(spark, sf_dir: str, out_dir: str, factor: int) -> dict[str, int]:
 def main() -> int:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    # optional probe-name filter (sanity runs of a single new probe)
+    # optional probe-name filter (sanity runs of a single new probe).
+    # Names NOT in PROBES resolve from the registry too — a requested
+    # probe must run or fail loudly, never drop silently (the r7 32x
+    # run initially lost 2 of 4 requested composites to this filter)
     only = set(sys.argv[3:])
-    probes = [p for p in PROBES if not only or p in only]
+    if only:
+        unknown = only - set(PROBES)
+        probes = [p for p in PROBES if p in only] + sorted(unknown)
+    else:
+        probes = list(PROBES)
 
     import __spark_entry__ as E
     from sparkgraft.queries import RETIRED_QUERIES
