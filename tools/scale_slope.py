@@ -146,6 +146,9 @@ PROBES = [
     # vector arm's scale RISK (broadcast-scan FLOPs grow with the
     # corpus), not this scale's wall-clock.
     "hybrid_retrieval_rrf_ann",
+    # r7: BM25 — one staged tokenize pass + compact term aggregates +
+    # broadcast query-term postings join; expected ~linear.
+    "bm25_doc_retrieval",
 ]
 
 
