@@ -60,7 +60,15 @@ def _cells_equal(a, b) -> bool:
 # the retired tier in r6 once their hash-checked planted-oracle twins
 # (ann_lsh_top1_planted / ann_ivf_top1_planted) took over the ACTIVE
 # evidence. Recall-vs-brute-force is asserted in tests/test_similarity.
-ROWS_ONLY_RETIRED = {"ann_lsh_topk", "ann_ivf_topk"}
+ROWS_ONLY_RETIRED = {
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    # r7: the ANN-armed hybrid's RP-LSH bucketing is not practically
+    # re-expressible in SQL (the ann_lsh_topk precedent); its fused
+    # top-10 is recall-gated against the fully-oracled exact twin in
+    # tests/test_similarity.py::test_hybrid_retrieval_ann_tier_tracks_exact_tier
+    "hybrid_retrieval_rrf_ann",
+}
 
 
 def test_retired_tier_is_fully_oracled():
