@@ -1173,3 +1173,97 @@ def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 100 == 7) & (F.col("doc_id") < 1000)
     ).select("doc_id")
     return T.bm25_topk(docs, qids, k=10)
+
+
+@register(
+    "hybrid_bm25_cosine_rrf",
+    # NEW r7 retired tier: the first FULLY-ORACLED hybrid — both arms
+    # (BM25 lexical, exact cosine vector) are SQL-expressible, so the
+    # oracle recomputes the tokenize/tf/df/length stats, every rounded
+    # BM25 contribution, the cosine rankings, the decimal RRF fusion,
+    # and the fused top-10. Upgrades the hybrid family's evidence from
+    # exact-twin + recall-gate to a direct hash match.
+    retired=True,
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKF} AS t FROM documents),
+    tk AS (SELECT doc_id, unnest(t) AS term FROM tok),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+    dlen AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    qt AS (SELECT doc_id AS query_id, term FROM tf
+           WHERE doc_id % 100 = 7 AND doc_id < 1000),
+    bm AS (
+        SELECT qt.query_id, tf.doc_id,
+               CAST(round(
+                   ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlen.dl / stats.avgdl)),
+                   12) AS DECIMAL(18,12)) AS c
+        FROM tf
+        JOIN qt USING (term)
+        JOIN dft USING (term)
+        JOIN dlen ON dlen.doc_id = tf.doc_id
+        CROSS JOIN stats
+        WHERE tf.doc_id <> qt.query_id
+    ),
+    lex AS (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(CAST(sum(c) AS DOUBLE), 6) DESC,
+                            doc_id ASC) AS BIGINT) AS rank
+        FROM bm GROUP BY query_id, doc_id
+        QUALIFY rank <= 20
+    ),
+    qv AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id % 100 = 7 AND vec_id < 1000),
+    vec AS (
+        SELECT query_id, vec_id AS doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_cos('e.embedding', 'qv.qe')} DESC,
+                            e.vec_id ASC) AS BIGINT) AS rank
+        FROM embeddings e CROSS JOIN qv
+        WHERE e.vec_id <> qv.query_id
+        QUALIFY rank <= 20
+    ),
+    fused AS (
+        SELECT query_id, doc_id,
+               round(CAST(sum(CAST(round(1.0 / (60 + rank), 12)
+                                   AS DECIMAL(18,12))) AS DOUBLE), 8)
+                   AS rrf_score,
+               CAST(count(*) AS BIGINT) AS n_signals
+        FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+        GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, n_signals,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= 10
+    """,
+)
+def hybrid_bm25_cosine_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``hybrid_retrieval_rrf`` with BM25 as the lexical arm instead of
+    shingle Jaccard — the composition production search stacks run
+    (term-weighted lexical + dense vector, RRF-fused), and the first
+    hybrid whose EVERY stage has a SQL twin: BM25's rounded-contribution
+    decimal sums, the exact cosine rank, the rounded-reciprocal decimal
+    fusion, and the fused top-10 all hash-match DuckDB. Same scale
+    shape as both arms separately: one staged tokenize pass, term-keyed
+    postings join with broadcast query terms, broadcast query vectors,
+    fusion over signals x queries x 20 rows."""
+    from .. import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    qids = docs.where(
+        (F.col("doc_id") % 100 == 7) & (F.col("doc_id") < 1000)
+    ).select("doc_id")
+    lex = T.bm25_topk(docs, qids, k=20).select("query_id", "doc_id", "rank")
+    vec = S.cosine_topk(
+        emb, emb.where((F.col("vec_id") % 100 == 7) & (F.col("vec_id") < 1000)), k=20
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    return _fuse_top10(lex, vec)

@@ -349,6 +349,9 @@ R6_OP_PINS = [
     # print per consumer), broadcast query-term postings join, the
     # allow-listed 1-row N/avgdl scalar broadcast (A5), rank window
     ("bm25_doc_retrieval", 14, True),
+    # r7 fully-oracled hybrid: BM25 arm (one A5 scalar BNLJ) + the
+    # exact cosine arm (the knn broadcast-query BNLJ tier) + fusion
+    ("hybrid_bm25_cosine_rrf", 17, True),
 ]
 
 
