@@ -111,3 +111,107 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..analytics import event_transitions
 
     return event_transitions(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "user_next_event_pairs",
+    # NEW r7 retired tier: the training-example generator for
+    # next-event-prediction models — every (current, next) transition
+    # within a session gap, recomputed via the identical lead window
+    # in SQL.
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type, ts,
+               lead(event_type) OVER w AS next_type,
+               epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT user_id, event_id, event_type, next_type, gap_us
+    FROM ordered
+    WHERE next_type IS NOT NULL AND gap_us <= 1800000000
+    """,
+    retired=True,
+)
+def user_next_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event-prediction training pairs: per user, each event
+    paired with the NEXT event within the 30-minute session gap —
+    (user_id, event_id, event_type, next_type, gap_us). The supervised
+    examples a sequence model trains on, generated with one lead()
+    window over the (user, ts, event_id) ordering (the sessionize
+    partitioning: one shuffle keyed on user, deterministic total order
+    via the event_id tiebreak). Pairs crossing the gap — or a user's
+    last event — emit nothing, matching session boundaries."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..relational import epoch_us
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    staged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        (epoch_us(F.lead("ts").over(w)) - epoch_us("ts")).alias("gap_us"),
+    )
+    return staged.where(
+        F.col("next_type").isNotNull() & (F.col("gap_us") <= 1_800_000_000)
+    )
+
+
+@register(
+    "user_decayed_engagement",
+    # NEW r7 retired tier: exponential time-decay scoring — the
+    # recency-weighted engagement feature online systems keep. Each
+    # contribution rounds to 12 (absorbing libm exp ulps) and sums in
+    # exact decimal; the anchor is the corpus max ts (a 1-row scalar,
+    # recomputed in SQL via a subquery).
+    oracle="""
+    WITH anchor AS (SELECT max(ts) AS t_max FROM events)
+    SELECT user_id,
+           round(CAST(sum(CAST(round(
+               value * exp(-(epoch_us(t_max) - epoch_us(ts))
+                           * 0.0000000000002672), 12)
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS decayed_value,
+           count(*) AS n_events
+    FROM events CROSS JOIN anchor
+    WHERE value IS NOT NULL
+    GROUP BY user_id
+    """,
+    retired=True,
+)
+def user_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement per user: ``sum(value * exp(-dt *
+    lambda))`` with a 30-day half-life (lambda = ln(2) / 30d in
+    microseconds ~= 2.672e-13) anchored at the corpus max timestamp —
+    the standard decayed-counter feature (recent activity dominates,
+    old activity never fully vanishes). The anchor is an A5 in-plan
+    1-row broadcast; the decay is row-local; one map-side-combinable
+    aggregate per user. Each contribution rounds to 12 decimals
+    (engine libm exp may differ by an ulp) and accumulates in exact
+    DECIMAL, so the per-user sums hash-match across engines."""
+    from pyspark.sql import functions as F
+
+    from ..relational import epoch_us
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    anchor = ev.agg(F.max("ts").alias("t_max"))
+    contrib = F.round(
+        F.col("value")
+        * F.exp(
+            -(epoch_us("t_max") - epoch_us("ts")) * F.lit(2.672e-13)
+        ),
+        12,
+    ).cast("decimal(28,12)")
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(contrib).cast("double"), 6).alias("decayed_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

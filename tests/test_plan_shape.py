@@ -352,6 +352,11 @@ R6_OP_PINS = [
     # r7 fully-oracled hybrid: BM25 arm (one A5 scalar BNLJ) + the
     # exact cosine arm (the knn broadcast-query BNLJ tier) + fusion
     ("hybrid_bm25_cosine_rrf", 17, True),
+    # r7 behavior additions: one user-keyed window shuffle for the
+    # next-event pairs; decayed engagement = the allow-listed 1-row
+    # max-ts anchor broadcast (A5) + one per-user aggregate
+    ("user_next_event_pairs", 1, False),
+    ("user_decayed_engagement", 3, True),
 ]
 
 
