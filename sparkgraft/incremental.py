@@ -337,9 +337,44 @@ def merge_cms(states: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
     as every partial state here, so folding N batches is exactly
     equivalent to sketching their union (asserted exactly in tests,
     not approximately: the SKETCH is deterministic; only its reading
-    is an estimate)."""
+    is an estimate).
+
+    Geometry validation at MERGE time, not first-read time: mixing a
+    geometry-carrying state with a legacy geometry-less one would die
+    inside unionByName with an opaque column-mismatch AnalysisException,
+    and two states with DIFFERENT geometries would merge "successfully"
+    (groupBy keeps them as separate geometry rows) only to fail later at
+    cms_estimate — both now raise here with a message that names the
+    actual problem. The value check is one bounded job over the states'
+    constant (width, depth) columns (<= 1 row per state), the accepted
+    bounded-collect pattern (see cms_estimate)."""
     from functools import reduce as _reduce
 
+    carrying = [
+        "width" in s.columns and "depth" in s.columns for s in states
+    ]
+    if any(carrying) and not all(carrying):
+        raise ValueError(
+            "merge_cms: mixing geometry-carrying and legacy geometry-less "
+            "CMS states — re-sketch the legacy batches with partial_cms "
+            "(which stamps width/depth on the state) before merging"
+        )
+    if all(carrying) and len(states) > 1:
+        geoms = (
+            _reduce(
+                lambda a, b: a.unionByName(b),
+                [s.select("width", "depth") for s in states],
+            )
+            .distinct()
+            .collect()
+        )
+        if len({(r.width, r.depth) for r in geoms}) > 1:
+            raise ValueError(
+                "merge_cms: input states disagree on sketch geometry "
+                f"{sorted({(r.width, r.depth) for r in geoms})} — cells "
+                "from different (width, depth) hash to different positions "
+                "and must never be summed"
+            )
     merged = _reduce(lambda a, b: a.unionByName(b), states)
     geom = [c for c in ("width", "depth") if c in merged.columns]
     out = merged.groupBy(*keys, "seed", "pos", *geom).agg(

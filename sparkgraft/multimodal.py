@@ -373,14 +373,24 @@ def png_decode(payload: bytes):
     palette = None
     idat = bytearray()
     while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        # A truncated header/chunk raises struct.error — normalize to
+        # ValueError so the mapInPandas dead-letter handlers (which
+        # catch (NotImplementedError, ValueError)) see every corrupt
+        # payload the same way; a broken file must never kill the job.
+        try:
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        except struct.error as e:
+            raise ValueError(f"png_decode: truncated chunk header: {e}") from e
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", data)
-            )
+            try:
+                width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+            except struct.error as e:
+                raise ValueError(f"png_decode: truncated IHDR: {e}") from e
             if bit_depth != 8:
                 raise ValueError(f"png_decode: bit depth {bit_depth} unsupported")
             if interlace != 0:
@@ -396,7 +406,12 @@ def png_decode(payload: bytes):
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"png_decode: color type {color_type} unsupported")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # corrupt IDAT stream behind a valid signature — same
+        # dead-letter contract as a bad signature
+        raise ValueError(f"png_decode: corrupt IDAT: {e}") from e
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("png_decode: scanline data size mismatch")

@@ -627,8 +627,10 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part min aggregate joined back on (partkey, cost) — two scans
     and one 16-byte/row shuffle instead of a rescan per row. Dims
     (part filter, supplier, nation, region) all broadcast; the LIMIT
-    rides a total-order sort (acctbal DESC, partkey, suppkey), so the
-    selected set is engine-stable even under account-balance ties."""
+    rides a total-order sort (acctbal DESC, partkey, suppkey — matching
+    the oracle's ORDER BY, since cost_cents is constant within the
+    per-part min rows), so the selected set is engine-stable even under
+    account-balance ties."""
     ps = _synth_partsupp(spark, sf_dir)
     part = (
         read_table(spark, sf_dir, "part")
@@ -657,11 +659,18 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "p_partkey",
             F.col("ps_cost_cents").alias("cost_cents"),
+            "ps_suppkey",
         )
+        # ps_suppkey is the deciding tiebreak: cost_cents is constant
+        # among the per-part min rows this join selects, so without the
+        # suppkey two equal-acctbal min-cost suppliers of one part tie
+        # completely and the LIMIT cut goes nondeterministic at scale
+        # factors where supplier keys can collide mod |supplier|.
         .orderBy(
-            F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("cost_cents")
+            F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("ps_suppkey")
         )
         .limit(100)
+        .drop("ps_suppkey")
     )
 
 

@@ -254,3 +254,35 @@ def test_cms_estimate_rejects_geometry_mismatch(spark):
         ).collect()
     }
     assert est["x"] == 2 and est["y"] == 1
+
+
+def test_merge_cms_rejects_geometry_disagreement(spark):
+    """ADVICE r7: merging states with DIFFERENT geometries used to
+    'succeed' (groupBy kept them as separate geometry rows) and only
+    blow up later at cms_estimate; mixing a geometry-carrying state
+    with a legacy geometry-less one died inside unionByName with an
+    opaque column-mismatch error. Both must raise AT MERGE TIME with a
+    message naming the real problem."""
+    from sparkgraft import incremental as I
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("g", "x"), ("g", "y")], "k string, item string"
+    )
+    a = I.partial_cms(df, ["k"], "item", width=256, depth=3)
+    b = I.partial_cms(df, ["k"], "item", width=512, depth=3)
+    with _pytest.raises(ValueError, match="disagree on sketch geometry"):
+        I.merge_cms([a, b], ["k"])
+    legacy = a.drop("width", "depth")
+    with _pytest.raises(ValueError, match="legacy geometry-less"):
+        I.merge_cms([a, legacy], ["k"])
+    # same geometry still folds exactly
+    folded = I.merge_cms([a, a], ["k"])
+    items = df.select("k", "item").distinct()
+    est = {
+        r.item: r.est
+        for r in I.cms_estimate(
+            folded, items, ["k"], "item", width=256, depth=3
+        ).collect()
+    }
+    assert est["x"] == 2 and est["y"] == 2

@@ -373,6 +373,66 @@ def test_png_decode_roundtrips_every_supported_shape(spark):
     assert feats[2].feat_n_bytes is None  # corrupt file dead-lettered
 
 
+def test_png_decode_corrupt_chunks_dead_letter_not_crash(spark):
+    """ADVICE r7: a payload with a VALID PNG signature but corrupt
+    chunk internals used to escape the dead-letter handlers — zlib
+    raised zlib.error on a corrupt IDAT and struct raised struct.error
+    on a truncated IHDR, neither of which the (NotImplementedError,
+    ValueError) except tuples catch, killing the whole task. png_decode
+    must normalize BOTH to ValueError so every mapInPandas stage
+    dead-letters the row and the job survives."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    img = _test_image(5)
+    good = _png_encode(img, color_type=0, filter_type=0)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+    # corrupt IDAT: well-formed chunks, garbage deflate stream
+    bad_idat = (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"\x00definitely-not-deflate\xff")
+        + chunk(b"IEND", b"")
+    )
+    # truncated IHDR: 5 bytes where struct expects 13
+    bad_ihdr = sig + chunk(b"IHDR", b"\x01\x02\x03\x04\x05")
+    with _pytest.raises(ValueError, match="IDAT"):
+        M.png_decode(bad_idat)
+    with _pytest.raises(ValueError, match="IHDR"):
+        M.png_decode(bad_ihdr)
+    # end-to-end: every dead-letter site survives both payloads
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(bad_idat)),
+            (3, bytearray(bad_ihdr)),
+        ],
+        "media_id long, payload binary",
+    )
+    feats = {
+        r.media_id: r.feat_n_bytes
+        for r in M.extract_features(media, decode_fn=M.png_decode_stats).collect()
+    }
+    assert feats[1] == img.size and feats[2] is None and feats[3] is None
+    ph = {
+        r.media_id: r.phash
+        for r in M.perceptual_hash(media, resize_fn=M.png_resize).collect()
+    }
+    assert ph[1] is not None and ph[2] is None and ph[3] is None
+
+
 def test_perceptual_hash_real_png_re_encode_near_dup(spark):
     """VERDICT r6 stretch: REAL PNG bytes through the existing gate
     shape — a re-encoded duplicate (same pixels, different color type
