@@ -1,23 +1,37 @@
-"""Behavioral analytics queries (funnel conversion, cohort retention)
-over the events table — retired-tier breadth (the registry sits at its
-50-slot cap): every step timestamp, conversion verdict, cohort
-truncation, and retention count is recomputed by the DuckDB oracle.
+"""Behavioral analytics queries (funnel conversion, cohort retention,
+next-event training pairs, time-decayed engagement) over the events
+table: every step timestamp, conversion verdict, cohort truncation,
+retention count, training pair and decayed sum is recomputed by the
+DuckDB oracle. `user_next_event_pairs` and `user_decayed_engagement`
+hold active driver slots since r8; the rest are retired-tier breadth
+(the registry sits at its 50-slot cap).
 
 Library logic in sparkgraft/analytics.py.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 
-from ..analytics import cohort_retention, funnel_steps
+from ..analytics import cohort_retention, funnel_steps, time_decayed_sum
 from ..io import read_table
 from .registry import register
+
+# lambda = ln(2) / (30-day half-life in microseconds), DERIVED once
+# driver-side (analytics.time_decayed_sum does the same derivation)
+# and f-stringed into the oracle so both engines multiply by the
+# byte-identical double literal (repr round-trips doubles exactly).
+_LAMBDA_30D_US = math.log(2.0) / (30 * 86_400 * 1e6)
 
 
 @register(
     "user_funnel_view_click_purchase",
-    # PROMOTED to a driver slot r6 (rotation policy)
+    # PROMOTED to a driver slot r6; RETIRED r8 after two green rounds
+    # (rotation policy — slot funds the perceptual_near_dup_planted
+    # promotion; oracle intact, verified every pytest run)
+    retired=True,
     oracle="""
     WITH s1 AS (
         SELECT user_id, min(ts) AS t1 FROM events
@@ -115,7 +129,9 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_next_event_pairs",
-    # NEW r7 retired tier: the training-example generator for
+    # NEW r7; PROMOTED to the active driver gate r8 (VERDICT r7 #3,
+    # slot funded by retiring the three-round-stable
+    # last_order_asof_event): the training-example generator for
     # next-event-prediction models — every (current, next) transition
     # within a session gap, recomputed via the identical lead window
     # in SQL.
@@ -131,7 +147,6 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ordered
     WHERE next_type IS NOT NULL AND gap_us <= 1800000000
     """,
-    retired=True,
 )
 def user_next_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-event-prediction training pairs: per user, each event
@@ -165,53 +180,39 @@ def user_next_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_decayed_engagement",
-    # NEW r7 retired tier: exponential time-decay scoring — the
+    # NEW r7; PROMOTED to the active driver gate r8 (VERDICT r7 #3,
+    # slot funded by retiring the three-round-stable
+    # lineitem_grouping_sets): exponential time-decay scoring — the
     # recency-weighted engagement feature online systems keep. Each
     # contribution rounds to 12 (absorbing libm exp ulps) and sums in
     # exact decimal; the anchor is the corpus max ts (a 1-row scalar,
     # recomputed in SQL via a subquery).
-    oracle="""
+    oracle=f"""
     WITH anchor AS (SELECT max(ts) AS t_max FROM events)
     SELECT user_id,
            round(CAST(sum(CAST(round(
                value * exp(-(epoch_us(t_max) - epoch_us(ts))
-                           * 0.0000000000002672), 12)
+                           * {_LAMBDA_30D_US!r}), 12)
                AS DECIMAL(28,12))) AS DOUBLE), 6) AS decayed_value,
            count(*) AS n_events
     FROM events CROSS JOIN anchor
     WHERE value IS NOT NULL
     GROUP BY user_id
     """,
-    retired=True,
 )
 def user_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recency-weighted engagement per user: ``sum(value * exp(-dt *
-    lambda))`` with a 30-day half-life (lambda = ln(2) / 30d in
-    microseconds ~= 2.672e-13) anchored at the corpus max timestamp —
-    the standard decayed-counter feature (recent activity dominates,
-    old activity never fully vanishes). The anchor is an A5 in-plan
-    1-row broadcast; the decay is row-local; one map-side-combinable
+    """Recency-weighted engagement per user: ``analytics.
+    time_decayed_sum`` with a 30-day half-life (lambda = ln(2) /
+    half_life, DERIVED — r8 lifted the r7 one-off query logic into the
+    parameterized library operator; the hardcoded 2.672e-13 literal is
+    gone from both engines) anchored at the corpus max timestamp — the
+    standard decayed-counter feature (recent activity dominates, old
+    activity never fully vanishes). The anchor is an A5 in-plan 1-row
+    broadcast; the decay is row-local; one map-side-combinable
     aggregate per user. Each contribution rounds to 12 decimals
     (engine libm exp may differ by an ulp) and accumulates in exact
     DECIMAL, so the per-user sums hash-match across engines."""
-    from pyspark.sql import functions as F
-
-    from ..relational import epoch_us
-
-    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    anchor = ev.agg(F.max("ts").alias("t_max"))
-    contrib = F.round(
-        F.col("value")
-        * F.exp(
-            -(epoch_us("t_max") - epoch_us("ts")) * F.lit(2.672e-13)
-        ),
-        12,
-    ).cast("decimal(28,12)")
-    return (
-        ev.crossJoin(F.broadcast(anchor))
-        .groupBy("user_id")
-        .agg(
-            F.round(F.sum(contrib).cast("double"), 6).alias("decayed_value"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
+    ev = read_table(spark, sf_dir, "events")
+    return time_decayed_sum(
+        ev, ["user_id"], "ts", "value", half_life_s=30 * 86_400
     )

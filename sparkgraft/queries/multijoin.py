@@ -234,7 +234,10 @@ def returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "open_lineitems_per_day",
-    """
+    # RETIRED r8 (three-round-stable; slot funds the r8 promotions —
+    # rotation policy; oracle intact, verified every pytest run)
+    retired=True,
+    oracle="""
     WITH days AS (
         SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
         WHERE o_orderdate >= TIMESTAMP '1998-01-01'

@@ -76,7 +76,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "perceptual_near_dup_planted",
-    # Retired-tier BREADTH query: media near-dup via perceptual hashing
+    # PROMOTED to the active driver gate r8 (VERDICT r7 #3 — the
+    # perceptual-hash family now that png_resize is a REAL codec; slot
+    # funded by retiring the three-round-stable open_lineitems_per_day):
+    # media near-dup via perceptual hashing
     # under a REAL oracle — dHash (stride-resample to a 9x8 grid, one
     # bit per horizontal neighbor comparison, 64-bit pack) recomputed
     # from scratch in SQL, then ALL-pairs Hamming <= 6. The planted
@@ -88,7 +91,6 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow-batched perceptual_hash, then 8-bit banding for candidates
     # (complete for Hamming <= 7 by pigeonhole, so banding finds every
     # pair the all-pairs oracle keeps).
-    retired=True,
     oracle=f"""
     WITH base AS (
         SELECT doc_id AS media_id, {_PAYLOAD_SQL} AS s FROM documents

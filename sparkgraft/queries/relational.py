@@ -270,7 +270,10 @@ def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lineitem_grouping_sets",
-    """
+    # RETIRED r8 (three-round-stable; slot funds the r8 promotions —
+    # rotation policy; oracle intact, verified every pytest run)
+    retired=True,
+    oracle="""
     SELECT l_returnflag, l_linestatus,
            count(*) AS n_items,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

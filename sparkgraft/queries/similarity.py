@@ -83,7 +83,13 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_pairs_blocked(emb, threshold=0.4)
 
 
-@register("embedding_near_dup_lsh")  # engine-specific bucketing: rows-only check
+# Retired r8 (slot rotation, VERDICT r7 'Next round' #1): a rows-only
+# active row can never beat `err: no_oracle`, while the hash-checked
+# planted twin (embedding_near_dup_lsh_planted, active) carries the
+# real correctness signal — so this joins the documented rows-only
+# retired allow-list (tests/test_retired_oracles.py) and its driver
+# slot funds the fully-oracled bm25_doc_retrieval promotion.
+@register("embedding_near_dup_lsh", retired=True)  # engine-specific bucketing: rows-only check
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path for embedding near-dup: banded RP-LSH proposes
     candidate pairs (one id-only hash shuffle, hub-bucket cap), exact
@@ -182,7 +188,13 @@ def embedding_near_dup_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("semantic_dedup_embeddings")  # k-means index: rows-only check
+# Retired r8 (slot rotation, VERDICT r7 'Next round' #1): rows-only by
+# design (trained quantizer is engine-specific); the hash-checked
+# planted twin semantic_dedup_planted moved UP to active as the
+# evidence carrier, and this slot funds the hybrid_bm25_cosine_rrf
+# promotion. Locally verified every pytest run via the rows-only
+# retired allow-list + tests/test_semdedup.py.
+@register("semantic_dedup_embeddings", retired=True)  # k-means index: rows-only check
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540) over the embedding
     corpus: spherical-k-means clusters, per-cluster pairwise cosine in
@@ -519,10 +531,10 @@ def ann_ivf_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup_planted",
-    # Retired-tier: SemDeDup's verdict surface under a REAL DuckDB
-    # oracle — the last of the four rows-only evidence classes
-    # (VERDICT r4 'What's missing' #1) to earn one. Runs on every
-    # pytest via test_retired_oracles.
+    # PROMOTED r8 (was retired r6-r7): SemDeDup's verdict surface under
+    # a REAL DuckDB oracle — now the ACTIVE driver evidence for the
+    # SemDeDup path (the rows-only semantic_dedup_embeddings rotated to
+    # the retired allow-list; VERDICT r7 'Next round' #1).
     oracle="""
     WITH planted AS (
         SELECT vec_id FROM embeddings
@@ -535,7 +547,6 @@ def ann_ivf_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
            vec_id < 10000000 AS keep
     FROM planted
     """,
-    retired=True,
 )
 def semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup under a REAL DuckDB oracle, completing the planted
@@ -1115,12 +1126,13 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bm25_doc_retrieval",
-    # NEW r7 retired tier: Okapi BM25 — the standard lexical ranker.
-    # The oracle recomputes EVERYTHING: token arrays, term/document
-    # frequencies, document lengths, the 1-row N/avgdl scalars, each
-    # per-term contribution (rounded to 12, summed in exact decimal),
-    # and the final rounded-score rank window.
-    retired=True,
+    # NEW r7; PROMOTED to the active driver gate r8 (slot funded by the
+    # rows-only embedding_near_dup_lsh rotation, VERDICT r7 #1). Okapi
+    # BM25 — the standard lexical ranker. The oracle recomputes
+    # EVERYTHING: token arrays, term/document frequencies, document
+    # lengths, the 1-row N/avgdl scalars, each per-term contribution
+    # (rounded to 12, summed in exact decimal), and the final
+    # rounded-score rank window.
     oracle=f"""
     WITH tok AS (SELECT doc_id, {_TOKF} AS t FROM documents),
     tk AS (SELECT doc_id, unnest(t) AS term FROM tok),
@@ -1177,13 +1189,14 @@ def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hybrid_bm25_cosine_rrf",
-    # NEW r7 retired tier: the first FULLY-ORACLED hybrid — both arms
-    # (BM25 lexical, exact cosine vector) are SQL-expressible, so the
-    # oracle recomputes the tokenize/tf/df/length stats, every rounded
-    # BM25 contribution, the cosine rankings, the decimal RRF fusion,
-    # and the fused top-10. Upgrades the hybrid family's evidence from
-    # exact-twin + recall-gate to a direct hash match.
-    retired=True,
+    # NEW r7; PROMOTED to the active driver gate r8 (slot funded by the
+    # rows-only semantic_dedup_embeddings rotation, VERDICT r7 #1). The
+    # first FULLY-ORACLED hybrid — both arms (BM25 lexical, exact
+    # cosine vector) are SQL-expressible, so the oracle recomputes the
+    # tokenize/tf/df/length stats, every rounded BM25 contribution, the
+    # cosine rankings, the decimal RRF fusion, and the fused top-10.
+    # Upgrades the hybrid family's evidence from exact-twin +
+    # recall-gate to a direct hash match.
     oracle=f"""
     WITH tok AS (SELECT doc_id, {_TOKF} AS t FROM documents),
     tk AS (SELECT doc_id, unnest(t) AS term FROM tok),

@@ -196,7 +196,10 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "last_order_asof_event",
-    """
+    # RETIRED r8 (three-round-stable; slot funds the r8 promotions —
+    # rotation policy; oracle intact, verified every pytest run)
+    retired=True,
+    oracle="""
     SELECT e.event_id, e.user_id, e.ts,
            o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate
     FROM events e

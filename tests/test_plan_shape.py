@@ -46,10 +46,7 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "pricing_summary": (1, 0),
     "revenue_per_segment": (2, 1),
     "user_funnel_set_ops": (6, 1),
-    "lineitem_grouping_sets": (1, 0),
     "user_sessions": (1, 0),
-    "last_order_asof_event": (1, 0),
-    "open_lineitems_per_day": (4, 2),  # bucket equi-join, no nested loop
     "json_extract_events": (0, 0),
     # contract report: the wide one-scan rule aggregate (partial+final),
     # the unique-check's doc_id groupBy, and the tiny per-rule union
@@ -86,11 +83,9 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "simhash_by_doc": (1, 0),
     "knn_cosine_bruteforce": (3, 0),
     "embedding_near_dup_pairs": (9, 4),
-    "embedding_near_dup_lsh": (8, 3),
     # planted variant: same banded-LSH plan over the unioned planted
     # view (union adds no exchange — both branches scan in place)
     "embedding_near_dup_lsh_planted": (8, 3),
-    "semantic_dedup_embeddings": (1, 0),  # the ONLY shuffle: groupBy cid
     # planted ANN top-1 (the rows-only ann_*_topk twins retired r6;
     # the planted queries carry the same bucketed/cid-keyed plans)
     "ann_lsh_top1_planted": (6, 3),
@@ -115,6 +110,28 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # two compact integer shuffles ((doc, dim) signed-count aggregate +
     # per-doc map collect); the explode/densify is row-local
     "doc_hash_embedding": (2, 0),
+    # r8 rotation promotions (their retired-tier R6_OP_PINS entries
+    # moved here when they joined the headline; measured shapes
+    # unchanged). semantic_dedup_planted: same single-shuffle SemDeDup
+    # plan as the rows-only variant it replaces (groupBy cid is the
+    # only Exchange — the planted union scans in place).
+    "semantic_dedup_planted": (1, 0),
+    # BM25: one tokenize pass -> tf/dlen/df aggregates (several print
+    # per consumer), broadcast query-term postings join, the
+    # allow-listed 1-row N/avgdl scalar broadcast (A5), rank window
+    "bm25_doc_retrieval": (14, 4),
+    # fully-oracled hybrid: BM25 arm (one A5 scalar BNLJ) + the exact
+    # cosine arm (the knn broadcast-query BNLJ tier) + decimal fusion
+    "hybrid_bm25_cosine_rrf": (17, 4),
+    # one user-keyed window shuffle generates every training pair
+    "user_next_event_pairs": (1, 0),
+    # allow-listed 1-row max-ts anchor broadcast (A5) + one per-user
+    # map-side-combinable aggregate
+    "user_decayed_engagement": (3, 0),
+    # Arrow-batched dHash, 8-bit banding (band explode + distinct +
+    # candidate self-join), exact Hamming verify; the one BHJ is the
+    # hash join-back onto the banded candidates
+    "perceptual_near_dup_planted": (6, 1),
 }
 
 # Exact tiers that legitimately broadcast a bounded side against every
@@ -127,6 +144,12 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms",
     # two broadcast one-row model totals (T/V scalars, A5 discipline)
     "doc_importance_resampling",
+    # r8 promotions: BM25's 1-row N/avgdl scalar broadcast (A5); the
+    # hybrid adds the exact cosine arm's bounded-query broadcast (the
+    # knn tier); decayed engagement's 1-row max-ts anchor (A5)
+    "bm25_doc_retrieval",
+    "hybrid_bm25_cosine_rrf",
+    "user_decayed_engagement",
 }
 
 
@@ -345,18 +368,21 @@ R6_OP_PINS = [
     ("important_stock_parts", 6, True),
     ("supplier_count_by_part_attrs", 4, False),
     ("restock_candidate_suppliers", 4, False),
-    # r7 BM25: one tokenize pass -> tf/dlen/df aggregates (several
-    # print per consumer), broadcast query-term postings join, the
-    # allow-listed 1-row N/avgdl scalar broadcast (A5), rank window
-    ("bm25_doc_retrieval", 14, True),
-    # r7 fully-oracled hybrid: BM25 arm (one A5 scalar BNLJ) + the
-    # exact cosine arm (the knn broadcast-query BNLJ tier) + fusion
-    ("hybrid_bm25_cosine_rrf", 17, True),
-    # r7 behavior additions: one user-keyed window shuffle for the
-    # next-event pairs; decayed engagement = the allow-listed 1-row
-    # max-ts anchor broadcast (A5) + one per-user aggregate
-    ("user_next_event_pairs", 1, False),
-    ("user_decayed_engagement", 3, True),
+    # (bm25_doc_retrieval, hybrid_bm25_cosine_rrf, user_next_event_
+    # pairs and user_decayed_engagement moved to PLAN_PINS when
+    # promoted to the bench headline, r8)
+    # r8 rotation retirements: the shapes stay pinned here after the
+    # queries left the headline (the boilerplate_line_removal
+    # precedent, in the opposite direction)
+    ("last_order_asof_event", 1, False),
+    ("lineitem_grouping_sets", 1, False),
+    ("open_lineitems_per_day", 4, False),  # bucket equi-join, no nested loop
+    ("user_funnel_view_click_purchase", 2, False),  # one HOF funnel fold
+    # rows-only actives rotated to the retired tier r8 — plan shape
+    # remains contract: banded LSH (8 exchanges) and the
+    # single-shuffle SemDeDup (groupBy cid)
+    ("embedding_near_dup_lsh", 8, False),
+    ("semantic_dedup_embeddings", 1, False),
 ]
 
 

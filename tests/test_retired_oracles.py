@@ -68,6 +68,15 @@ ROWS_ONLY_RETIRED = {
     # top-10 is recall-gated against the fully-oracled exact twin in
     # tests/test_similarity.py::test_hybrid_retrieval_ann_tier_tracks_exact_tier
     "hybrid_retrieval_rrf_ann",
+    # r8 (VERDICT r7 #1): the two remaining born-rows-only actives
+    # rotate here — their hash-checked planted twins
+    # (embedding_near_dup_lsh_planted active since r5;
+    # semantic_dedup_planted promoted to active r8) carry the oracle
+    # evidence, and the freed slots make CORRECTNESS_r08 the first
+    # all-hash-green artifact. Recall/keep-rule/plan-shape coverage
+    # stays in tests/test_similarity.py and tests/test_semdedup.py.
+    "embedding_near_dup_lsh",
+    "semantic_dedup_embeddings",
 }
 
 
