@@ -1317,6 +1317,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 6,
+    max_df_ratio: float | None = None,
 ) -> "DataFrame":  # noqa: F821
     """Okapi BM25 top-``k`` retrieval (Robertson & Walker 1994) — the
     standard lexical ranker, completing the retrieval tier next to the
@@ -1341,6 +1342,28 @@ def bm25_topk(
     ``query_ids`` is a one-column (id_col) frame selecting the query
     documents from ``df``. Returns (query_id, id_col, bm25_score,
     rank), the query document itself excluded.
+
+    ``max_df_ratio`` is the term-skew guard for Zipfian corpora
+    (VERDICT r7 'What's missing' #2): a stopword-heavy vocabulary makes
+    the per-query postings join approach |queries| x |corpus| rows
+    through near-universal hot terms — the one place the retrieval
+    tier can go quadratic-ish. When set, terms whose document
+    frequency exceeds ``max_df_ratio * N`` are excluded from CANDIDATE
+    GENERATION only: candidates are proposed through the
+    discriminative (rare) query terms, then every survivor is scored
+    with ALL its matching query terms — including the hot ones — so
+    the scores of scored candidates are EXACTLY the unpruned scores
+    and the ranking among them is rank-neutral by construction (the
+    naive alternative, dropping hot terms from scoring, measurably
+    reorders top-10s: a df/N = 0.5 term still carries idf = ln 2 —
+    see tools/bm25_skew_probe.py, which scans thresholds on a planted
+    Zipfian corpus; the probe also quantifies the one semantic
+    difference, documents sharing ONLY above-threshold terms with the
+    query, which score far below any content-term match). Scoring
+    joins the candidate pairs back map-side (broadcast — the pair set
+    is bounded by the generation volume the prune just cut), so no
+    stage is proportional to hot-term postings. Default None: the
+    oracled queries stay bit-identical.
     """
     from pyspark.sql.window import Window
 
@@ -1373,10 +1396,39 @@ def bm25_topk(
         )
     )
     contrib = F.round(idf * tfnorm, 12).cast("decimal(18,12)")
+    if max_df_ratio is None:
+        hits = tf.join(F.broadcast(qterms), "__term").where(
+            F.col(id_col) != F.col("query_id")
+        )
+    else:
+        # term-skew guard: candidates come ONLY through discriminative
+        # terms (df <= max_df_ratio * N — the df aggregate is already
+        # computed for scoring, so the gate reuses it; N rides the
+        # 1-row stats broadcast)...
+        gen_terms = (
+            dft.crossJoin(F.broadcast(stats.select("__n")))
+            .where(F.col("__df") <= F.lit(max_df_ratio) * F.col("__n"))
+            .select("__term")
+        )
+        gen_qterms = qterms.join(gen_terms, "__term").select(
+            "query_id", "__term"
+        )
+        cand = (
+            tf.join(F.broadcast(gen_qterms), "__term")
+            .where(F.col(id_col) != F.col("query_id"))
+            .select("query_id", id_col)
+            .distinct()
+        )
+        # ...then each candidate is scored with EVERY matching query
+        # term, hot ones included: re-attach the candidate docs'
+        # term rows map-side (broadcast pair set) and keep the query
+        # matches — exact BM25, rank-neutral among survivors. Neither
+        # join is proportional to hot-term postings.
+        hits = tf.join(F.broadcast(cand), id_col).join(
+            F.broadcast(qterms), ["query_id", "__term"]
+        )
     scored = (
-        tf.join(F.broadcast(qterms), "__term")
-        .where(F.col(id_col) != F.col("query_id"))
-        .join(dft, "__term")
+        hits.join(dft, "__term")
         .join(dlen, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", id_col)

@@ -551,3 +551,47 @@ def test_bm25_ranking_properties(spark):
     # single-term docs would outrank only if idf ordering held — here
     # both single-term docs carry zebra, so just check they trail
     assert all(scores[d] < scores[1] for d in (3, 6))
+
+
+def test_bm25_max_df_prune_is_exact_on_scored_candidates(spark):
+    """The term-skew guard (max_df_ratio) prunes hot terms from
+    CANDIDATE GENERATION only; survivors are scored with every
+    matching query term, so scores and ranks of scored candidates are
+    bit-identical to the unpruned run. The one semantic difference:
+    a document sharing ONLY above-threshold terms with the query is
+    never proposed (it scores far below any content match anyway) —
+    both behaviors pinned here."""
+    from sparkgraft.text import bm25_topk
+
+    # 'stop' is in 9 of 10 docs (df/N = 0.9); content terms are rare
+    rows = [(0, "stop quark zebra")]  # query doc
+    rows += [(i, f"stop quark w{i}") for i in range(1, 4)]   # quark match
+    rows += [(i, f"stop zebra w{i} w{i}") for i in range(4, 7)]  # zebra match
+    rows += [(7, "stop stop filler"), (8, "stop filler filler")]  # stop-only
+    rows += [(9, "filler alone")]  # keeps 'stop' df below 1.0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qids = docs.where(F.col("doc_id") == 0).select("doc_id")
+
+    full = {
+        r.doc_id: (r.bm25_score, r.rank)
+        for r in bm25_topk(docs, qids, k=10).collect()
+    }
+    pruned = {
+        r.doc_id: (r.bm25_score, r.rank)
+        for r in bm25_topk(docs, qids, k=10, max_df_ratio=0.5).collect()
+    }
+    # docs 7/8 share only 'stop' with the query: scored unpruned,
+    # never proposed pruned
+    assert {7, 8} <= set(full) and not ({7, 8} & set(pruned))
+    # every surviving candidate keeps its EXACT unpruned score —
+    # including the hot term's contribution (doc 1 contains 'stop',
+    # so a scoring-side drop would change its score, not just 7/8's)
+    content = {d for d in full if d not in (7, 8)}
+    assert set(pruned) == content
+    assert all(pruned[d][0] == full[d][0] for d in content)
+    # ranks among survivors preserve the unpruned relative order
+    order_full = [d for d, _ in sorted(
+        ((d, full[d][1]) for d in content), key=lambda x: x[1]
+    )]
+    order_pruned = [d for d, _ in sorted(pruned.items(), key=lambda x: x[1][1])]
+    assert order_full == order_pruned
