@@ -122,3 +122,51 @@ def test_event_transitions_hand_computed(spark):
     assert out[("a", "c")].p_next == round(1 / 3, 6)
     # last event per user contributes no pair
     assert ("c", None) not in out and sum(r.n_transitions for r in out.values()) == 4
+
+
+def test_time_decayed_sum_half_life_properties(spark):
+    """time_decayed_sum derives lambda = ln(2)/half_life, so (a) an
+    event exactly one half-life old contributes exactly half its
+    value, and (b) doubling the half-life MONOTONICALLY raises an old
+    event's relative weight (the VERDICT r7 #7 property) — checked
+    across four doublings."""
+    import math
+
+    from sparkgraft.analytics import time_decayed_sum
+
+    day = 86_400.0
+    rows = [
+        (1, "2024-01-01 00:00:00", 100.0),  # 60 days old at the anchor
+        (1, "2024-03-01 00:00:00", 100.0),  # the anchor (max ts)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "value"
+    )
+
+    def decayed(half_life_s):
+        out = time_decayed_sum(
+            df, ["user_id"], "ts", "value", half_life_s=half_life_s
+        ).collect()
+        assert len(out) == 1 and out[0].n_events == 2
+        return out[0].decayed_value
+
+    # (a) exact-half: with a 60-day half-life, the 60-day-old event
+    # contributes 50; the anchor event contributes its full 100
+    assert decayed(60 * day) == pytest.approx(150.0, abs=1e-6)
+
+    # (b) the old event's absolute weight (decayed - 100) strictly
+    # increases with each half-life doubling, and matches the formula
+    prev = None
+    for h in (15 * day, 30 * day, 60 * day, 120 * day, 240 * day):
+        old_w = decayed(h) - 100.0
+        expected = 100.0 * math.exp(-math.log(2.0) / h * 60 * day)
+        assert old_w == pytest.approx(expected, abs=1e-6)
+        if prev is not None:
+            assert old_w > prev
+        prev = old_w
+
+    # guard: a non-positive half-life is a caller bug, not a NaN
+    with pytest.raises(ValueError, match="half_life_s"):
+        time_decayed_sum(df, ["user_id"], half_life_s=0)
