@@ -472,3 +472,144 @@ def test_perceptual_hash_real_png_re_encode_near_dup(spark):
     assert hamming(0, 2) <= 6  # mild noise stays within the gate
     assert hamming(0, 3) > 6  # unrelated image far outside
     assert ph[4] is None  # corrupt PNG dead-lettered, job alive
+
+
+def _wav_encode(samples, rate, bits=16, channels=1):
+    """Minimal RIFF/PCM writer for test fixtures (the _png_encode
+    pattern): float samples in [-1, 1] -> WAV bytes."""
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if channels > 1:
+        x = np.repeat(x[:, None], channels, axis=1).reshape(-1)
+    if bits == 16:
+        data = (np.clip(x, -1, 1) * 32767.0).round().astype("<i2").tobytes()
+    else:
+        data = (
+            (np.clip(x, -1, 1) * 127.0).round().astype(np.int8) + 128
+        ).astype(np.uint8).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,
+        channels,
+        rate,
+        rate * channels * bits // 8,
+        channels * bits // 8,
+        bits,
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def _tone(rate, seconds, freq, envelope_freq=2.0):
+    """Amplitude-modulated tone sampled from the same analytic signal
+    at any rate — so two rates yield the SAME recording, different
+    bytes."""
+    import numpy as np
+
+    t = np.arange(int(rate * seconds)) / rate
+    return 0.6 * np.sin(2 * np.pi * freq * t) * (
+        0.55 + 0.45 * np.sin(2 * np.pi * envelope_freq * t)
+    )
+
+
+def test_wav_decode_roundtrips_and_normalizes_to_mono():
+    """wav_decode must invert _wav_encode across bit depths and fold
+    stereo to mono; corrupt/unsupported payloads raise ValueError (the
+    dead-letter contract), never struct/buffer errors."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    sig = _tone(8000, 0.25, 440.0)
+    for bits in (16, 8):
+        out, rate = M.wav_decode(_wav_encode(sig, 8000, bits=bits))
+        assert rate == 8000 and out.size == sig.size
+        tol = 1.5 / (32768.0 if bits == 16 else 128.0)
+        assert float(np.max(np.abs(out - sig))) <= tol, bits
+    # stereo duplicated channels average back to the mono signal
+    out, rate = M.wav_decode(_wav_encode(sig, 8000, channels=2))
+    assert out.size == sig.size
+    assert float(np.max(np.abs(out - sig))) <= 1.5 / 32768.0
+    # corruption taxonomy -> ValueError, one case per guard
+    good = _wav_encode(sig, 8000)
+    with _pytest.raises(ValueError, match="signature"):
+        M.wav_decode(b"RIFX" + good[4:])
+    with _pytest.raises(ValueError, match="too short"):
+        M.wav_decode(good[:8])
+    with _pytest.raises(ValueError, match="truncated fmt"):
+        M.wav_decode(
+            b"RIFF" + struct.pack("<I", 16) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+        )
+    with _pytest.raises(ValueError, match="unsupported"):
+        # format code 3 = IEEE float: a real corpus file we don't parse
+        M.wav_decode(good[:20] + b"\x03" + good[21:])
+    with _pytest.raises(ValueError, match="missing fmt or data"):
+        M.wav_decode(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_wav_stats_flow_through_extract_features_seam(spark):
+    """Real WAV bytes end-to-end through the UNCHANGED extract_features
+    stage (decode_fn swap only), corrupt payloads dead-lettered as NULL
+    rows — the audio analogue of the PNG seam proof."""
+    import numpy as np
+
+    sig = _tone(8000, 0.25, 440.0)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_encode(sig, 8000))),
+            (2, bytearray(b"RIFF\x10\x00\x00\x00WAVEjunkdata")),
+            (3, bytearray(b"not audio at all")),
+        ],
+        "media_id long, payload binary",
+    )
+    feats = {
+        r.media_id: r
+        for r in M.extract_features(media, decode_fn=M.wav_decode_stats).collect()
+    }
+    assert feats[1].feat_n_bytes == sig.size
+    rms = float(np.sqrt(np.mean(sig * sig)))
+    assert abs(feats[1].feat_mean_byte - rms) < 1e-3
+    assert feats[2].feat_n_bytes is None and feats[3].feat_n_bytes is None
+
+
+def test_embed_audio_catches_planted_resampled_duplicate(spark):
+    """The planted-duplicate gate for audio: the SAME recording encoded
+    at 8 kHz and 16 kHz is md5-distinct but must embed at cosine ~1
+    under the rate-invariant windowed RMS/ZCR features, while a
+    different recording stays clearly separated and corrupt bytes
+    dead-letter as NULL."""
+    import hashlib
+
+    import numpy as np
+
+    a8 = _wav_encode(_tone(8000, 0.5, 440.0), 8000)
+    a16 = _wav_encode(_tone(16000, 0.5, 440.0), 16000)  # resampled twin
+    other = _wav_encode(_tone(8000, 0.5, 1750.0, envelope_freq=7.0), 8000)
+    assert len({hashlib.md5(p).hexdigest() for p in (a8, a16, other)}) == 3
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(a8)),
+            (1, bytearray(a16)),
+            (2, bytearray(other)),
+            (3, bytearray(b"RIFFbroken")),
+        ],
+        "media_id long, payload binary",
+    )
+    emb = {r.media_id: r.embedding for r in M.embed_audio(media).collect()}
+
+    def cos(i, j):
+        u, v = np.asarray(emb[i]), np.asarray(emb[j])
+        return float(np.dot(u, v))
+
+    assert cos(0, 1) > 0.999  # resampled duplicate lands on top
+    assert cos(0, 2) < 0.9    # different recording stays apart
+    assert emb[3] is None     # corrupt file dead-lettered, job alive
