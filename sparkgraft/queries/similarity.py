@@ -1188,6 +1188,77 @@ def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bm25_pruned_retrieval",
+    # NEW r8 retired tier: the term-skew guard itself under a REAL
+    # DuckDB oracle. This corpus is genuinely stopword-heavy (top
+    # terms sit at df/N ~ 0.78-0.80 of a 31-term vocabulary), so the
+    # 0.79 threshold BITES mid-band — the hottest ~third of the
+    # vocabulary stops generating candidates while every query keeps
+    # its rare terms (0.5 starved 4 of 5 queries entirely): the oracle
+    # reproduces the exact prune semantics — candidates proposed only
+    # through rare terms (df <= 0.5 N), every survivor then scored
+    # with ALL its matching query terms — and the hash match proves
+    # the production prune path end to end, not just the no-op case.
+    retired=True,
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKF} AS t FROM documents),
+    tk AS (SELECT doc_id, unnest(t) AS term FROM tok),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+    dlen AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q AS (SELECT doc_id AS query_id, term FROM tf
+          WHERE doc_id % 100 = 7 AND doc_id < 1000),
+    keep AS (SELECT term FROM dft CROSS JOIN stats WHERE df <= 0.79 * n),
+    cand AS (
+        SELECT DISTINCT q.query_id, tf.doc_id
+        FROM tf JOIN q USING (term) JOIN keep USING (term)
+        WHERE tf.doc_id <> q.query_id
+    ),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(round(
+                   ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlen.dl / stats.avgdl)),
+                   12) AS DECIMAL(18,12)) AS c
+        FROM tf
+        JOIN q USING (term)
+        JOIN cand ON cand.query_id = q.query_id AND cand.doc_id = tf.doc_id
+        JOIN dft USING (term)
+        JOIN dlen ON dlen.doc_id = tf.doc_id
+        CROSS JOIN stats
+    )
+    SELECT query_id, doc_id,
+           round(CAST(sum(c) AS DOUBLE), 6) AS bm25_score,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(CAST(sum(c) AS DOUBLE), 6) DESC, doc_id ASC
+           ) AS BIGINT) AS rank
+    FROM scored
+    GROUP BY query_id, doc_id
+    QUALIFY rank <= 10
+    """,
+)
+def bm25_pruned_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bm25_doc_retrieval`` with the r8 term-skew guard engaged
+    (``max_df_ratio=0.79``, splitting this tiny synthetic vocabulary's
+    0.776-0.804 df band — see text.bm25_topk and
+    tools/bm25_skew_probe.py): hot terms are excluded from candidate
+    generation only, survivors score exactly. On this stopword-heavy
+    corpus the prune genuinely drops terms and (for some queries)
+    candidates, so the DuckDB hash match verifies the pruned plan's
+    candidate semantics AND its exact scoring, at sf0.01 and sf0.1."""
+    from .. import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    qids = docs.where(
+        (F.col("doc_id") % 100 == 7) & (F.col("doc_id") < 1000)
+    ).select("doc_id")
+    return T.bm25_topk(docs, qids, k=10, max_df_ratio=0.79)
+
+
+@register(
     "hybrid_bm25_cosine_rrf",
     # NEW r7; PROMOTED to the active driver gate r8 (slot funded by the
     # rows-only semantic_dedup_embeddings rotation, VERDICT r7 #1). The

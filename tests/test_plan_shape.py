@@ -371,6 +371,12 @@ R6_OP_PINS = [
     # (bm25_doc_retrieval, hybrid_bm25_cosine_rrf, user_next_event_
     # pairs and user_decayed_engagement moved to PLAN_PINS when
     # promoted to the bench headline, r8)
+    # r8 term-skew guard under its own oracle: the persisted tf
+    # subtree prints once per consumer (materializes once — the DSIR
+    # precedent) and the candidate distinct adds one exchange; the two
+    # BNLJs are the allow-listed 1-row N scalar broadcasts (stats
+    # feeds both the df gate and the idf/avgdl terms)
+    ("bm25_pruned_retrieval", 26, True),
     # r8 rotation retirements: the shapes stay pinned here after the
     # queries left the headline (the boilerplate_line_removal
     # precedent, in the opposite direction)
