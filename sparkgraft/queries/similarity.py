@@ -1124,16 +1124,12 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bm25_doc_retrieval",
-    # NEW r7; PROMOTED to the active driver gate r8 (slot funded by the
-    # rows-only embedding_near_dup_lsh rotation, VERDICT r7 #1). Okapi
-    # BM25 — the standard lexical ranker. The oracle recomputes
-    # EVERYTHING: token arrays, term/document frequencies, document
-    # lengths, the 1-row N/avgdl scalars, each per-term contribution
-    # (rounded to 12, summed in exact decimal), and the final
-    # rounded-score rank window.
-    oracle=f"""
+# One oracle, two execution paths: bm25_doc_retrieval (one-shot
+# tokenize -> score) and bm25_from_folded_index (three per-batch
+# partial indexes folded by text.merge_bm25_index, then scored from
+# the state). The index state is a sufficient statistic, so both must
+# hash-match the SAME SQL — the fold's exactness is the claim.
+_BM25_TOP10_SQL = f"""
     WITH tok AS (SELECT doc_id, {_TOKF} AS t FROM documents),
     tk AS (SELECT doc_id, unnest(t) AS term FROM tok),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
@@ -1165,7 +1161,19 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     GROUP BY query_id, doc_id
     QUALIFY rank <= 10
-    """,
+    """
+
+
+@register(
+    "bm25_doc_retrieval",
+    # NEW r7; PROMOTED to the active driver gate r8 (slot funded by the
+    # rows-only embedding_near_dup_lsh rotation, VERDICT r7 #1). Okapi
+    # BM25 — the standard lexical ranker. The oracle recomputes
+    # EVERYTHING: token arrays, term/document frequencies, document
+    # lengths, the 1-row N/avgdl scalars, each per-term contribution
+    # (rounded to 12, summed in exact decimal), and the final
+    # rounded-score rank window.
+    oracle=_BM25_TOP10_SQL,
 )
 def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text.bm25_topk over the corpus for the bounded 10-document query
@@ -1196,7 +1204,7 @@ def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary stops generating candidates while every query keeps
     # its rare terms (0.5 starved 4 of 5 queries entirely): the oracle
     # reproduces the exact prune semantics — candidates proposed only
-    # through rare terms (df <= 0.5 N), every survivor then scored
+    # through rare terms (df <= 0.79 N), every survivor then scored
     # with ALL its matching query terms — and the hash match proves
     # the production prune path end to end, not just the no-op case.
     retired=True,
@@ -1256,6 +1264,40 @@ def bm25_pruned_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 100 == 7) & (F.col("doc_id") < 1000)
     ).select("doc_id")
     return T.bm25_topk(docs, qids, k=10, max_df_ratio=0.79)
+
+
+@register(
+    "bm25_from_folded_index",
+    # NEW r8 retired tier: INCREMENTAL INDEX MAINTENANCE for the
+    # retrieval tier — the (doc, term, tf) state is BM25's sufficient
+    # statistic and folds as a plain monoid (the count/HLL/CMS/
+    # histogram family), so three per-batch partial indexes merged by
+    # text.merge_bm25_index must score BIT-IDENTICALLY to the one-shot
+    # run. The oracle is deliberately THE SAME SQL as
+    # bm25_doc_retrieval: the hash match is the fold-exactness proof
+    # under driver-grade evidence, not just a unit test. At 100 TB
+    # this is how the index lives: arriving batches tokenize once,
+    # history never re-tokenizes.
+    retired=True,
+    oracle=_BM25_TOP10_SQL,
+)
+def bm25_from_folded_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bm25_doc_retrieval`` computed from a folded incremental index:
+    the corpus arrives as three deterministic batches (doc_id % 3),
+    each batch builds a partial ``text.bm25_index`` state touching only
+    its own text, ``merge_bm25_index`` folds them, and
+    ``bm25_topk_from_index`` scores the same bounded query set — output
+    hash-matches the one-shot oracle because the state is sufficient
+    and the fold exact."""
+    from .. import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    batches = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    index = T.merge_bm25_index([T.bm25_index(b) for b in batches])
+    qids = docs.where(
+        (F.col("doc_id") % 100 == 7) & (F.col("doc_id") < 1000)
+    ).select("doc_id")
+    return T.bm25_topk_from_index(index, qids, k=10)
 
 
 @register(

@@ -1365,16 +1365,75 @@ def bm25_topk(
     stage is proportional to hot-term postings. Default None: the
     oracled queries stay bit-identical.
     """
+    return bm25_topk_from_index(
+        bm25_index(df, text_col=text_col, id_col=id_col),
+        query_ids,
+        id_col=id_col,
+        k=k,
+        k1=k1,
+        b=b,
+        round_to=round_to,
+        max_df_ratio=max_df_ratio,
+    )
+
+
+def bm25_index(
+    df: "DataFrame",  # noqa: F821
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":  # noqa: F821
+    """The mergeable BM25 index state: long-form ``(id_col, term, tf)``
+    — the SUFFICIENT statistic for Okapi BM25 (document length is the
+    per-doc tf sum, document frequency the per-term row count, N/avgdl
+    one aggregate over those), so the retrieval tier joins the repo's
+    incremental family (count/HLL/CMS/histogram): per-batch partial
+    indexes fold by plain sums into EXACTLY the index of the unioned
+    corpus, and queries run against the folded state without
+    re-tokenizing history — index maintenance at 100 TB touches only
+    the arriving batch's text."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    return tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def merge_bm25_index(
+    states: "Sequence[DataFrame]",  # noqa: F821
+    id_col: str = "doc_id",
+) -> "DataFrame":  # noqa: F821
+    """Fold per-batch BM25 index states: per-(doc, term) tf sum — the
+    same plain monoid as every partial state here, so folding N
+    batches equals indexing their union exactly (asserted exactly in
+    tests, including a document whose TEXT is split across batches at
+    a whitespace boundary)."""
+    from functools import reduce as _reduce
+
+    merged = _reduce(lambda a, b: a.unionByName(b), states)
+    return merged.groupBy(id_col, "term").agg(F.sum("tf").alias("tf"))
+
+
+def bm25_topk_from_index(
+    index: "DataFrame",  # noqa: F821
+    query_ids: "DataFrame",  # noqa: F821
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+    max_df_ratio: float | None = None,
+) -> "DataFrame":  # noqa: F821
+    """Score and rank against a (possibly folded) :func:`bm25_index`
+    state — the scoring tail of :func:`bm25_topk` (same parameters,
+    bit-identical output: document length is derived as the per-doc tf
+    sum, which equals the token count by construction). ``query_ids``
+    selects query documents out of the indexed corpus."""
     from pyspark.sql.window import Window
 
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__term"))
-    # three consumers read the (doc, term, tf) aggregate (df counts,
-    # query terms, the postings join) — persist so the tokenize +
-    # aggregate runs once, making the one-tokenize-pass claim true
-    tf = tok.groupBy(id_col, "__term").agg(
-        F.count(F.lit(1)).alias("__tf")
+    # four consumers read the (doc, term, tf) state (doc lengths, df
+    # counts, query terms, the postings join) — persist so tokenize +
+    # aggregate (or the fold) runs once
+    tf = index.select(
+        F.col(id_col), F.col("term").alias("__term"), F.col("tf").alias("__tf")
     ).persist()
-    dlen = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    dlen = tf.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
     stats = dlen.agg(
         F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
     )

@@ -116,13 +116,20 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # plan as the rows-only variant it replaces (groupBy cid is the
     # only Exchange — the planted union scans in place).
     "semantic_dedup_planted": (1, 0),
-    # BM25: one tokenize pass -> tf/dlen/df aggregates (several print
-    # per consumer), broadcast query-term postings join, the
-    # allow-listed 1-row N/avgdl scalar broadcast (A5), rank window
-    "bm25_doc_retrieval": (14, 4),
+    # BM25: one tokenize pass -> the persisted (doc, term, tf) index
+    # state (prints once per consumer: doc lengths, df counts, query
+    # terms, postings join — materializes once), broadcast query-term
+    # postings join, the allow-listed 1-row N/avgdl scalar broadcast
+    # (A5), rank window. r8 index refactor: doc length derives from
+    # the persisted state's tf sums, so the raw token stream is
+    # aggregated ONCE instead of twice — two more PRINTED exchanges
+    # (the persisted subtree repeats per consumer), one less runtime
+    # pass over the tokens
+    "bm25_doc_retrieval": (16, 4),
     # fully-oracled hybrid: BM25 arm (one A5 scalar BNLJ) + the exact
     # cosine arm (the knn broadcast-query BNLJ tier) + decimal fusion
-    "hybrid_bm25_cosine_rrf": (17, 4),
+    # (+2 printed r8: the BM25 arm's index refactor, see above)
+    "hybrid_bm25_cosine_rrf": (19, 4),
     # one user-keyed window shuffle generates every training pair
     "user_next_event_pairs": (1, 0),
     # allow-listed 1-row max-ts anchor broadcast (A5) + one per-user
@@ -376,7 +383,11 @@ R6_OP_PINS = [
     # precedent) and the candidate distinct adds one exchange; the two
     # BNLJs are the allow-listed 1-row N scalar broadcasts (stats
     # feeds both the df gate and the idf/avgdl terms)
-    ("bm25_pruned_retrieval", 26, True),
+    ("bm25_pruned_retrieval", 29, True),
+    # r8 incremental index: the persisted folded state prints per
+    # consumer (4 consumers: dlen/df/qterms/postings); the BNLJ is the
+    # allow-listed 1-row N/avgdl scalar broadcast (A5)
+    ("bm25_from_folded_index", 26, True),
     # r8 rotation retirements: the shapes stay pinned here after the
     # queries left the headline (the boilerplate_line_removal
     # precedent, in the opposite direction)

@@ -595,3 +595,50 @@ def test_bm25_max_df_prune_is_exact_on_scored_candidates(spark):
     )]
     order_pruned = [d for d, _ in sorted(pruned.items(), key=lambda x: x[1][1])]
     assert order_full == order_pruned
+
+
+def test_bm25_index_fold_equals_one_shot_exactly(spark):
+    """The BM25 index state is a plain monoid: per-batch partial
+    indexes folded by merge_bm25_index must equal the one-shot index
+    EXACTLY (cell for cell), and retrieval from the folded state must
+    be bit-identical to bm25_topk over the unioned corpus — including
+    when one document's TEXT arrives split across two batches at a
+    whitespace boundary."""
+    from sparkgraft.text import (
+        bm25_index,
+        bm25_topk,
+        bm25_topk_from_index,
+        merge_bm25_index,
+    )
+
+    rows = [
+        (0, "zebra quark lion"),
+        (1, "zebra quark common lion lion"),
+        (2, "zebra common common"),
+        (3, "common lion tiger quark"),
+        (4, "tiger tiger zebra quark common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # batch split 1: disjoint docs; batch split 2: doc 1's text split
+    # across batches at a whitespace boundary
+    b1 = spark.createDataFrame(rows[:2], "doc_id long, text string")
+    b2 = spark.createDataFrame(rows[2:], "doc_id long, text string")
+    s1 = spark.createDataFrame(
+        [(0, "zebra quark lion"), (1, "zebra quark")],
+        "doc_id long, text string",
+    )
+    s2 = spark.createDataFrame(
+        [(1, "common lion lion"), (2, "zebra common common"),
+         (3, "common lion tiger quark"), (4, "tiger tiger zebra quark common")],
+        "doc_id long, text string",
+    )
+    oneshot = sorted(map(tuple, bm25_index(docs).collect()))
+    for batches in ([b1, b2], [s1, s2]):
+        folded = merge_bm25_index([bm25_index(b) for b in batches])
+        assert sorted(map(tuple, folded.collect())) == oneshot
+        qids = docs.where(F.col("doc_id") == 0).select("doc_id")
+        direct = sorted(map(tuple, bm25_topk(docs, qids, k=10).collect()))
+        via_state = sorted(
+            map(tuple, bm25_topk_from_index(folded, qids, k=10).collect())
+        )
+        assert via_state == direct and len(direct) > 0
