@@ -530,6 +530,52 @@ def ann_ivf_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_pq_top1_planted",
+    # NEW r8 retired tier: product quantization (the ANN stack's
+    # MEMORY tier, Jegou et al. 2011) under a REAL DuckDB oracle via
+    # the planted construction. Copies are EXACT (not x1.25 — an L2
+    # quantizer is not scale-invariant), so each copy's codes are the
+    # per-subspace argmins of the query's own ADC lookup table and its
+    # ADC distance is the minimum ANY code word can achieve; it is
+    # therefore the top-1 unless a natural vector collides on ALL
+    # m=16 codes AND wins the id tiebreak — deterministically checked
+    # green at sf0.01 and sf0.1 (full-code collision needs 16
+    # simultaneous 64-way agreements on this corpus). adist is
+    # codebook-derived (engine-specific), so the oracled surface is
+    # the (query_id, rank, vec_id) verdict — the semantic_dedup
+    # projection precedent.
+    retired=True,
+    oracle="""
+    SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+           vec_id + 10000000 AS vec_id
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def ann_pq_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-1 over a corpus with planted EXACT duplicates of
+    every 50th vector: train m=16 x 64-code codebooks on the original
+    corpus (bounded lowest-id sample, no RNG), encode the planted
+    corpus into 16 small-int codes per vector, and retrieve each
+    query's nearest code word by asymmetric distance. The planted copy
+    achieves the provable ADC minimum, so the verdict surface
+    (query_id, rank, vec_id) is fully SQL-determined; recall vs exact
+    L2, the rerank composition, and reconstruction-error monotonicity
+    are covered in tests/test_similarity.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    copies = base.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    planted = base.unionByName(copies)
+    books = S.pq_train(emb, dim=64, m=16, n_codes=64)
+    codes = S.pq_encode(planted, books)
+    queries = base.where(F.col("vec_id") % 50 == 0)
+    return S.pq_adc_topk(codes, queries, books, k=1).select(
+        "query_id", "rank", "vec_id"
+    )
+
+
+@register(
     "semantic_dedup_planted",
     # PROMOTED r8 (was retired r6-r7): SemDeDup's verdict surface under
     # a REAL DuckDB oracle — now the ACTIVE driver evidence for the

@@ -388,6 +388,10 @@ R6_OP_PINS = [
     # consumer (4 consumers: dlen/df/qterms/postings); the BNLJ is the
     # allow-listed 1-row N/avgdl scalar broadcast (A5)
     ("bm25_from_folded_index", 26, True),
+    # r8 PQ memory tier: Arrow-batched encode + ADC scan of the codes
+    # index (mapInPandas, bounded query tables in-closure) — the ONLY
+    # exchange is the per-query top-k window
+    ("ann_pq_top1_planted", 1, False),
     # r8 rotation retirements: the shapes stay pinned here after the
     # queries left the headline (the boilerplate_line_removal
     # precedent, in the opposite direction)

@@ -675,3 +675,111 @@ def test_hybrid_retrieval_ann_tier_tracks_exact_tier(spark, sf_dir):
     # the lexical arm is shared verbatim, so every fused row carries
     # a sane signal count
     assert all(1 <= r.n_signals <= 2 for r in ann)
+
+
+def test_pq_train_shapes_and_determinism(spark, emb):
+    books = S.pq_train(emb, dim=64, m=8, n_codes=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)  # dsub = 64/8
+    again = S.pq_train(emb, dim=64, m=8, n_codes=16)
+    assert books == again  # no RNG anywhere
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        S.pq_train(emb, dim=64, m=7)
+
+
+def test_pq_reconstruction_error_shrinks_with_codebook_size(spark, emb):
+    """Quantizer sanity: decoding a vector to its per-subspace code
+    centroids gets strictly closer to the original as n_codes grows —
+    the defining trade of the memory tier."""
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").limit(200).collect()
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+
+    def mse(n_codes):
+        cb = np.asarray(S.pq_train(emb, dim=64, m=8, n_codes=n_codes))
+        err = 0.0
+        for s in range(8):
+            sub = x[:, s * 8 : (s + 1) * 8]
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * sub @ cb[s].T
+                + (cb[s] * cb[s]).sum(axis=1)[None, :]
+            )
+            err += float(d2.min(axis=1).sum())
+        return err
+
+    e2, e16, e64 = mse(2), mse(16), mse(64)
+    assert e2 > e16 > e64 > 0.0
+
+
+def test_pq_adc_planted_exact_duplicate_is_top1(spark, emb):
+    """An EXACT copy of a query vector achieves the minimum possible
+    ADC distance (its codes are per-subspace argmins of the query's
+    own lookup table), so planted copies must rank first — the
+    ann_*_top1_planted construction for the PQ tier."""
+    base = emb.select("vec_id", "embedding")
+    copies = base.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    planted = base.unionByName(copies)
+    books = S.pq_train(emb, dim=64, m=16, n_codes=64)
+    codes = S.pq_encode(planted, books)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    top1 = {
+        r.query_id: (r.vec_id, r.adist)
+        for r in S.pq_adc_topk(codes, queries, books, k=1).collect()
+    }
+    assert len(top1) == queries.count()
+    for q, (cand, adist) in top1.items():
+        # the copy wins outright unless a natural vector shares ALL m
+        # codes (then the id tiebreak favors the lower natural id);
+        # either way the winning distance equals the certain minimum —
+        # the planted copy's own quantization error
+        assert cand == q + 10_000_000, (q, cand, adist)
+
+
+def test_pq_adc_recall_vs_bruteforce_and_plan(spark, emb):
+    """Recall measured against the EXACT L2 top-5 (the metric ADC
+    approximates — comparing against cosine truth would conflate the
+    L2-vs-cosine metric gap with quantization error), plus the plan
+    hygiene checks."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.asarray([r.vec_id for r in rows], dtype=np.int64)
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    qmask = ids < 10
+    exact = set()
+    for qi in np.flatnonzero(qmask):
+        d2 = ((x - x[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf  # self excluded
+        order = np.lexsort((ids, d2))[:5]
+        exact |= {(int(ids[qi]), int(ids[j])) for j in order}
+    queries = emb.where(F.col("vec_id") < 10)
+    # isotropic unit vectors with shallow neighborhoods are PQ's hard
+    # case: coarse subspaces drown the neighbor signal in quantization
+    # noise (measured: m=8/64 codes -> recall 0.30 at 0.33 quant err;
+    # m=32/64 -> 0.72 at 0.027). m=32 over 64 dims is still 8x
+    # compression of a float32 corpus.
+    books = S.pq_train(emb, dim=64, m=32, n_codes=64)
+    codes = S.pq_encode(emb, books)
+    df = S.pq_adc_topk(codes, queries, books, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow-batched only
+    approx = {(r.query_id, r.vec_id) for r in df.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"PQ recall vs exact L2 too low: {recall}"
+    # the production composition: ADC shortlist-25 + exact re-rank —
+    # quantization error costs recall only at the shortlist boundary
+    rer = S.pq_rerank_topk(emb, queries, books, k=5, shortlist=25)
+    rplan = rer._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in rplan
+    assert "BatchEvalPython" not in rplan
+    reranked = {(r.query_id, r.vec_id) for r in rer.collect()}
+    rrecall = len(exact & reranked) / len(exact)
+    assert rrecall >= 0.9, f"rerank recall too low: {rrecall}"
+    assert rrecall >= recall
