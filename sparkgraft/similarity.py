@@ -1577,8 +1577,18 @@ def pq_train(
     if not rows:
         raise ValueError("pq_train: empty corpus")
     x = np.asarray([r["__dv"] for r in rows], dtype=np.float64)
+    return _pq_lloyd(x, m, n_codes, iters)
+
+
+def _pq_lloyd(
+    x: np.ndarray, m: int, n_codes: int, iters: int
+) -> list[list[list[float]]]:
+    """Local per-subspace Lloyd over an in-driver sample (shared by
+    pq_train and ivfpq_train's residual codebooks): first-rows init,
+    empty clusters keep their previous centroid, stable argmin ties —
+    fully deterministic."""
     n_codes = min(n_codes, len(x))
-    dsub = dim // m
+    dsub = x.shape[1] // m
     books: list[list[list[float]]] = []
     for s in range(m):
         xs = x[:, s * dsub : (s + 1) * dsub]
@@ -1781,4 +1791,207 @@ def pq_rerank_topk(
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "dist2")
+    )
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 16,
+    n_codes: int = 64,
+    iters: int = 3,
+    sample_size: int = 65536,
+) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:
+    """Train the composed IVF-PQ index (the production ANN layout:
+    IVF prunes WHICH vectors a query scans, PQ shrinks WHAT each
+    scanned vector costs): the IVF coarse quantizer via
+    :func:`ivf_train`'s spherical k-means, then PQ codebooks over the
+    RESIDUALS ``x - centroid(x)`` — residual magnitudes are a fraction
+    of vector magnitudes, so the same code budget quantizes them far
+    more finely (the classic Jegou et al. 2011 §IV coarse+fine
+    construction). One bounded lowest-id sample feeds both trainers;
+    everything is deterministic (no RNG)."""
+    if dim % m != 0:
+        raise ValueError(f"ivfpq_train: dim {dim} not divisible by m {m}")
+    centroids = ivf_train(
+        corpus, dim, id_col=id_col, vec_col=vec_col,
+        n_centroids=n_centroids, iters=iters, sample_size=sample_size,
+    )
+    rows = (
+        corpus.select(F.col(id_col).alias("__id"), _d(F.col(vec_col)).alias("__dv"))
+        .orderBy("__id")
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r["__dv"] for r in rows], dtype=np.float64)
+    cmat = _centroid_matrix(centroids)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cn = (cmat / np.where(cnorm == 0.0, 1.0, cnorm)[:, None]).T
+    assign = np.argmax(x @ cn, axis=1)
+    books = _pq_lloyd(x - cmat[assign], m, n_codes, iters)
+    return centroids, books
+
+
+def ivfpq_encode_udf(
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+):
+    """Arrow-batched IVF-PQ encoding: assign each vector to its
+    nearest centroid (cosine argmax, the ivf_assign convention), then
+    PQ-encode the RESIDUAL against the shared residual codebooks.
+    Returns struct<cid bigint, codes array<int>> per vector — the
+    complete index entry, one map-side pass."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = _centroid_matrix(centroids)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cn = (cmat / np.where(cnorm == 0.0, 1.0, cnorm)[:, None]).T
+    cb = _codebook_tensor(codebooks)
+    m, n_codes, dsub = cb.shape
+
+    @pandas_udf("struct<cid: bigint, codes: array<int>>")
+    def encode(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"cid": [], "codes": []})
+        xs = _stack(vecs, dim)
+        cid = np.argmax(xs @ cn, axis=1)
+        res = xs - cmat[cid]
+        codes = np.empty((len(xs), m), dtype=np.int32)
+        for s in range(m):
+            sub = res[:, s * dsub : (s + 1) * dsub]
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * sub @ cb[s].T
+                + (cb[s] * cb[s]).sum(axis=1)[None, :]
+            )
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.DataFrame({"cid": cid.astype(np.int64), "codes": list(codes)})
+
+    return encode
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    n_codes: int = 64,
+    iters: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k over the composed IVF-PQ index: corpus
+    vectors live as (cid, 16 small-int codes); each query probes its
+    ``n_probe`` nearest centroid lists and scores ONLY those lists'
+    candidates by residual ADC — the lookup table is built per
+    (query, probed centroid) against ``q - centroid``, so the gather
+    approximates the true squared L2 ``||q - x||^2 = ||(q - c) -
+    (x - c)||^2`` within each list.
+
+    Scale shape: encoding is one Arrow pass (map-side); the candidate
+    join is keyed on cid and moves ~n_probe/n_centroids of the CODES
+    (m small ints per vector, not dim floats); scoring is numpy
+    gathers inside one Arrow stage; the only wide exchange is the
+    per-query top-k window. Ranking ascends approximate distance with
+    the id tiebreak. For exact-precision results compose with
+    :func:`pq_rerank_topk`'s shortlist pattern."""
+    from pyspark.sql import Window
+
+    from .relational import spread
+
+    centroids, books = ivfpq_train(
+        corpus, dim, id_col=id_col, vec_col=vec_col,
+        n_centroids=n_centroids, m=m, n_codes=n_codes, iters=iters,
+    )
+    cmat = _centroid_matrix(centroids)
+    cb = _codebook_tensor(books)
+    m_, n_codes_, dsub = cb.shape
+
+    enc = ivfpq_encode_udf(centroids, books, dim)
+    # coalesce(-1): provably non-null join key (the ivf_topk precedent
+    # — otherwise the pushed isnotnull filter re-evaluates the UDF)
+    inverted = spread(corpus).select(
+        F.col(id_col).alias("cand_id"),
+        enc(F.col(vec_col)).alias("__e"),
+    ).select(
+        "cand_id",
+        F.coalesce(F.col("__e.cid"), F.lit(-1)).alias("cid"),
+        F.col("__e.codes").alias("codes"),
+    )
+
+    qrows = queries.select(
+        F.col(id_col).alias("__qid"), _d(F.col(vec_col)).alias("__qv")
+    ).collect()
+    if not qrows:
+        raise ValueError("ivfpq_topk: empty query set")
+    qids = np.asarray([r["__qid"] for r in qrows], dtype=np.int64)
+    qx = np.asarray([r["__qv"] for r in qrows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cn = (cmat / np.where(cnorm == 0.0, 1.0, cnorm)[:, None]).T
+    order = np.argsort(-(qx @ cn), axis=1, kind="stable")[
+        :, : min(n_probe, cmat.shape[0])
+    ]
+    # per (query, probed cid) residual LUTs — bounded:
+    # |queries| x n_probe x m x n_codes doubles in the UDF closure
+    luts: dict[tuple[int, int], np.ndarray] = {}
+    probe_rows = []
+    for qi, qid in enumerate(qids):
+        for cid in order[qi]:
+            qres = qx[qi] - cmat[cid]
+            lut = np.empty((m_, n_codes_), dtype=np.float64)
+            for s in range(m_):
+                sub = qres[s * dsub : (s + 1) * dsub]
+                lut[s] = (
+                    (sub * sub).sum() - 2.0 * sub @ cb[s].T
+                    + (cb[s] * cb[s]).sum(axis=1)
+                )
+            luts[(int(qid), int(cid))] = lut
+            probe_rows.append((int(qid), int(cid)))
+    probes = corpus.sparkSession.createDataFrame(
+        probe_rows, "query_id long, cid long"
+    )
+
+    out_schema = "query_id long, cand_id long, adist double"
+
+    sub_idx = np.arange(m_)[:, None]
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            gathered = np.empty(len(pdf), dtype=np.float64)
+            # vectorized per (query, probed list): one gather over all
+            # of that group's candidates, not a python loop per row
+            groups = pdf.groupby(["query_id", "cid"], sort=False).indices
+            for (q, c), idx in groups.items():
+                lut = luts[(int(q), int(c))]
+                gathered[idx] = lut[sub_idx, codes[idx].T].sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "cand_id": pdf["cand_id"],
+                    "adist": np.round(gathered, round_to),
+                }
+            )
+
+    scored = (
+        inverted.join(F.broadcast(probes), "cid")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", "codes", "cid")
+        .mapInPandas(score, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("cand_id").alias(id_col), "adist")
     )

@@ -227,11 +227,10 @@ def test_perceptual_planted_twins_land_and_controls_do_not(spark, sf_dir):
     and md5-distinct control payloads must NOT pair — their hashes sit
     near the 32-bit random-pair expectation, far above the threshold."""
     from sparkgraft.io import read_table
-    from sparkgraft.queries import RETIRED_QUERIES
+    from sparkgraft.queries import QUERIES
 
-    out = RETIRED_QUERIES["perceptual_near_dup_planted"](
-        spark, sf_dir
-    ).toPandas()
+    # promoted to an active driver slot r8
+    out = QUERIES["perceptual_near_dup_planted"](spark, sf_dir).toPandas()
     doc_ids = [
         r.doc_id
         for r in read_table(spark, sf_dir, "documents")

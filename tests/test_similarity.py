@@ -783,3 +783,54 @@ def test_pq_adc_recall_vs_bruteforce_and_plan(spark, emb):
     rrecall = len(exact & reranked) / len(exact)
     assert rrecall >= 0.9, f"rerank recall too low: {rrecall}"
     assert rrecall >= recall
+
+
+def test_ivfpq_recall_and_planted_duplicate(spark, emb):
+    """The composed production index (IVF lists x residual-PQ codes):
+    recall vs exact L2 over the probed fraction, a planted EXACT
+    duplicate surfacing at rank 1 (same cosine assignment -> same
+    list; its residual codes are the query's own residual argmins, so
+    its ADC distance is the in-list minimum), and plan hygiene."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.asarray([r.vec_id for r in rows], dtype=np.int64)
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    qmask = ids < 10
+    exact = set()
+    for qi in np.flatnonzero(qmask):
+        d2 = ((x - x[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        exact |= {
+            (int(ids[qi]), int(ids[j]))
+            for j in np.lexsort((ids, d2))[:5]
+        }
+    queries = emb.where(F.col("vec_id") < 10)
+    df = S.ivfpq_topk(
+        emb, queries, dim=64, k=5, n_centroids=16, n_probe=8,
+        m=16, n_codes=64,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    approx = {(r.query_id, r.vec_id) for r in df.collect()}
+    recall = len(exact & approx) / len(exact)
+    # probing half the lists with residual-PQ codes on the isotropic
+    # corpus: both the IVF prune and the quantization cost recall, so
+    # the bar is the composition sanity floor
+    assert recall >= 0.4, f"IVF-PQ recall too low: {recall}"
+
+    # planted exact duplicates surface at rank 1 through the full path
+    base = emb.select("vec_id", "embedding")
+    copies = base.where(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    planted = base.unionByName(copies)
+    pq = S.ivfpq_topk(
+        planted, base.where(F.col("vec_id") % 100 == 0), dim=64, k=1,
+        n_centroids=16, n_probe=4, m=16, n_codes=64,
+    )
+    top1 = {r.query_id: r.vec_id for r in pq.collect()}
+    assert len(top1) == 5
+    assert all(v == q + 10_000_000 for q, v in top1.items()), top1

@@ -1013,3 +1013,43 @@ def test_incremental_arrivals_curation_end_to_end(spark, sf_dir, tmp_path):
     assert n2 == 1  # exactly the replayed batch re-executed
     post = {k: _snapshot(spark, d) for k, d in stream_dirs.items()}
     assert post == pre  # replay is a state no-op
+
+
+def test_streaming_bm25_index_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """Incremental BM25 index over a stream (the CMS-maintenance
+    pattern applied to the retrieval tier): each micro-batch tokenizes
+    ONLY its own documents and appends its partial (doc, term, tf)
+    state; the folded state must equal the one-shot index cell for
+    cell, and retrieval from it must be bit-identical to bm25_topk
+    over the whole corpus — history is never re-tokenized."""
+    from sparkgraft import text as T
+    from sparkgraft.io import read_table
+    from sparkgraft.streaming import run_stream_available_now, stream_table
+
+    state_dir = str(tmp_path / "bm25_state")
+    stream = stream_table(
+        spark, sf_dir, "documents", max_files_per_trigger=1, split_files=4
+    )
+
+    def sink(batch_df, batch_id):
+        T.bm25_index(batch_df).write.mode("append").parquet(state_dir)
+
+    n_batches = run_stream_available_now(
+        stream, sink, str(tmp_path / "ckpt"), output_mode="append"
+    )
+    assert n_batches == 4
+
+    folded = T.merge_bm25_index([spark.read.parquet(state_dir)])
+    docs = read_table(spark, sf_dir, "documents")
+    oneshot = T.bm25_index(docs)
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+    qids = docs.where(
+        (F.col("doc_id") % 100 == 7) & (F.col("doc_id") < 1000)
+    ).select("doc_id")
+    direct = sorted(map(tuple, T.bm25_topk(docs, qids, k=10).collect()))
+    streamed = sorted(
+        map(tuple, T.bm25_topk_from_index(folded, qids, k=10).collect())
+    )
+    assert streamed == direct and len(direct) > 0
