@@ -706,6 +706,48 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contrastive_training_pairs",
+    # NEW r8 retired tier: the contrastive-training DATASET — per
+    # bounded query, its top-1 same-label positive AND its 5 hardest
+    # different-label negatives, both arms ranked from one scored
+    # frame. Fully oracled: the exhaustive labeled cross join with the
+    # same two-arm rank window and per-arm cutoffs.
+    retired=True,
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, CAST(q.qlabel AS INT) AS query_label,
+               e.vec_id, CAST(e.label AS INT) AS pair_label,
+               CAST(e.label = q.qlabel AS INT) AS is_positive,
+               {_cos('e.embedding', 'q.qv')} AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, query_label, is_positive, rank, vec_id,
+           pair_label, cos_sim
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id, is_positive
+            ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= CASE WHEN is_positive = 1 THEN 1 ELSE 5 END
+    """,
+)
+def contrastive_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity.contrastive_pairs over the labeled embeddings: the
+    ready-to-train contrastive pair set (anchor, positive | hard
+    negatives) — per bounded query vector, its most-similar SAME-label
+    vector (rank window, arm is_positive=1) and the 5 most-similar
+    DIFFERENT-label vectors (the hard_negative_mining arm), produced
+    from ONE corpus pass. The oracle recomputes the labeled exhaustive
+    cross join, both arm windows and the per-arm cutoffs."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.contrastive_pairs(emb, queries, k_pos=1, k_neg=5)
+
+
+@register(
     "label_noise_audit",
     retired=True,
     oracle=f"""

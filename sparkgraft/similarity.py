@@ -1995,3 +1995,75 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", F.col("cand_id").alias(id_col), "adist")
     )
+
+
+def contrastive_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k_pos: int = 1,
+    k_neg: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Contrastive training-PAIR generation — the labeled dataset an
+    InfoNCE/triplet embedding trainer consumes, produced in one pass:
+    per query, the ``k_pos`` most-similar SAME-label vectors (the
+    anchors' positives) and the ``k_neg`` most-similar DIFFERENT-label
+    vectors (the hard negatives of :func:`hard_negatives`) — both arms
+    ranked from ONE scored frame, partitioned by (query, is_positive),
+    so the corpus is scanned once, not twice.
+
+    Same exact-tier shape as :func:`cosine_topk` (broadcast bounded
+    query set, one corpus pass, rounded-cosine + id tiebreak —
+    deterministic and engine-independent); at corpus-scale query sets
+    route candidates through ``rp_lsh_topk`` buckets first. Returns
+    ``(query_id, query_label, is_positive, rank, vec_id, pair_label,
+    cos_sim)`` with rank 1..k within each (query, arm).
+    """
+    from pyspark.sql import Window
+
+    from .relational import spread
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("query_label"),
+    )
+    c = spread(corpus.select(id_col, vec_col, label_col))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            "query_label",
+            id_col,
+            F.col(label_col).alias("pair_label"),
+            (F.col(label_col) == F.col("query_label"))
+            .cast("int")
+            .alias("is_positive"),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), round_to).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id", "is_positive").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    k_for_arm = F.when(F.col("is_positive") == 1, F.lit(k_pos)).otherwise(
+        F.lit(k_neg)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k_for_arm)
+        .select(
+            "query_id",
+            "query_label",
+            "is_positive",
+            "rank",
+            id_col,
+            "pair_label",
+            "cos_sim",
+        )
+    )

@@ -392,6 +392,10 @@ R6_OP_PINS = [
     # index (mapInPandas, bounded query tables in-closure) — the ONLY
     # exchange is the per-query top-k window
     ("ann_pq_top1_planted", 1, False),
+    # r8 contrastive dataset: one corpus pass against the broadcast
+    # bounded query set (the knn exact-tier BNLJ), spread + the
+    # two-arm rank window's exchange
+    ("contrastive_training_pairs", 3, True),
     # r8 rotation retirements: the shapes stay pinned here after the
     # queries left the headline (the boilerplate_line_removal
     # precedent, in the opposite direction)

@@ -834,3 +834,41 @@ def test_ivfpq_recall_and_planted_duplicate(spark, emb):
     top1 = {r.query_id: r.vec_id for r in pq.collect()}
     assert len(top1) == 5
     assert all(v == q + 10_000_000 for q, v in top1.items()), top1
+
+
+def test_contrastive_pairs_arm_semantics(spark, emb):
+    """Per query: exactly one top-1 SAME-label positive and five
+    hardest DIFFERENT-label negatives, both verified against a numpy
+    exhaustive twin (the positive is the same-label cosine argmax; the
+    negative set equals hard_negatives' output)."""
+    import numpy as np
+
+    queries = emb.where(F.col("vec_id") < 5)
+    out = S.contrastive_pairs(emb, queries, k_pos=1, k_neg=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    ids = np.asarray([r.vec_id for r in rows])
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    labels = np.asarray([r.label for r in rows])
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    for q, rs in by_q.items():
+        pos = [r for r in rs if r.is_positive == 1]
+        neg = [r for r in rs if r.is_positive == 0]
+        assert len(pos) == 1 and len(neg) == 5
+        qi = int(np.flatnonzero(ids == q)[0])
+        sims = np.round(xn @ xn[qi], 6)
+        # numpy twin for the positive arm: same-label argmax, id tiebreak
+        mask = (labels == labels[qi]) & (ids != q)
+        cand = np.flatnonzero(mask)
+        best = cand[np.lexsort((ids[cand], -sims[cand]))[0]]
+        assert pos[0].vec_id == ids[best] and pos[0].pair_label == labels[qi]
+        assert all(r.pair_label != r.query_label for r in neg)
+        # the negative arm IS hard_negatives' output
+        hn = {
+            (r.rank, r.vec_id)
+            for r in S.hard_negatives(emb, queries.where(
+                F.col("vec_id") == q), k=5).collect()
+        }
+        assert {(r.rank, r.vec_id) for r in neg} == hn
