@@ -48,6 +48,7 @@ __all__ = [
     "chunk_documents",
     "weighted_sample_exact_k",
     "quantile_normalize",
+    "bin_pack_documents",
 ]
 
 
@@ -606,3 +607,90 @@ def quantile_normalize(
             "__slo", "__swidth", "__glo", "__gwidth", "__tgt",
         )
     )
+
+
+def bin_pack_documents(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    shard_width: int = 2,
+) -> DataFrame:
+    """First-fit-decreasing bin packing of WHOLE documents into
+    token-budget bins — the instruction-tuning packing style, the
+    complement of :func:`pack_contiguous`: documents are never split
+    (no attention seam to mask), at the price of per-bin slack.
+
+    Scale shape: FFD is sequential by definition, so the corpus shards
+    into ``16**shard_width`` deterministic md5 buckets (the
+    :func:`hex_bucket` convention) and each shard packs independently
+    in ONE ``applyInPandas`` pass — parallel across shards, bounded
+    state per shard, and the assignment is a pure function of (shard,
+    token counts, id order), independent of cluster size or
+    partitioning. Within a shard FFD's classic guarantee applies
+    (<= 11/9 OPT + 1 bins); across shards the loss is one partial bin
+    per shard, amortized away when shards hold many bins. Bin ids are
+    globally unique as ``shard * 2**40 + local_bin``.
+
+    Documents with ``token_col > budget`` cannot be packed whole and
+    dead-letter with ``bin_id`` NULL (``overflow = true``) — a 100 TB
+    run routes them to :func:`chunk_documents` instead of dying.
+
+    Returns ``id_col, n_tokens, shard, bin_id, bin_fill, overflow``
+    where ``bin_fill`` is the bin's total AFTER packing (asserted
+    <= budget for every non-overflow row in tests).
+    """
+    import pandas as pd
+
+    if budget < 1:
+        raise ValueError(f"bin_pack_documents: budget must be >= 1, got {budget}")
+    base = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("bigint").alias("n_tokens"),
+        F.conv(hex_bucket(F.col(id_col).cast("string"), shard_width), 16, 10)
+        .cast("bigint")
+        .alias("shard"),
+    )
+    out_schema = (
+        f"{id_col} long, n_tokens long, shard long, bin_id long, "
+        "bin_fill long, overflow boolean"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        # decreasing token order, id tiebreak: deterministic FFD
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True], ignore_index=True
+        )
+        fills: list[int] = []
+        bin_of = []
+        overflow = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > budget:
+                bin_of.append(-1)
+                overflow.append(True)
+                continue
+            # first fit over open bins (linear scan: bins per shard are
+            # bounded by the shard's token mass / budget)
+            for b, fill in enumerate(fills):
+                if fill + n <= budget:
+                    fills[b] = fill + n
+                    bin_of.append(b)
+                    break
+            else:
+                fills.append(n)
+                bin_of.append(len(fills) - 1)
+            overflow.append(False)
+        pdf["bin_id"] = [
+            (shard << 40) + b if b >= 0 else None for b in bin_of
+        ]
+        pdf["bin_fill"] = [
+            fills[b] if b >= 0 else None for b in bin_of
+        ]
+        pdf["overflow"] = overflow
+        return pdf[
+            [id_col, "n_tokens", "shard", "bin_id", "bin_fill", "overflow"]
+        ]
+
+    return base.groupBy("shard").applyInPandas(pack, out_schema)

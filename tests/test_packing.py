@@ -379,3 +379,55 @@ def test_quantile_normalize_calibrates_across_scales(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="bins"):
         quantile_normalize(df, "score", "source", bins=0)
+
+
+def test_bin_pack_documents_invariants(spark):
+    """FFD whole-document packing: every bin's fill equals the sum of
+    its members and never exceeds the budget; over-budget docs
+    dead-letter (overflow, NULL bin); per-shard bin count respects
+    FFD's 11/9 OPT + 1 guarantee against the token-mass lower bound;
+    and the assignment is partitioning-independent."""
+    import math
+
+    from sparkgraft.packing import bin_pack_documents
+
+    rows = [(i, 1 + (i * 37) % 900) for i in range(400)]
+    rows += [(1000, 5000), (1001, 1024)]  # one overflow, one exact-fit
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = bin_pack_documents(df, "n_tokens", budget=1024).collect()
+    assert len(out) == len(rows)
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1000].overflow and by_id[1000].bin_id is None
+    assert not by_id[1001].overflow and by_id[1001].bin_fill == 1024
+
+    bins: dict[int, list] = {}
+    for r in out:
+        if r.overflow:
+            continue
+        bins.setdefault(r.bin_id, []).append(r)
+    for bid, members in bins.items():
+        total = sum(m.n_tokens for m in members)
+        assert total <= 1024, (bid, total)
+        assert all(m.bin_fill == total for m in members)
+        assert len({m.shard for m in members}) == 1  # bins never span shards
+
+    # FFD guarantee per shard vs the token-mass lower bound
+    shards: dict[int, list] = {}
+    for r in out:
+        if not r.overflow:
+            shards.setdefault(r.shard, []).append(r)
+    for sh, members in shards.items():
+        n_bins = len({m.bin_id for m in members})
+        lb = math.ceil(sum(m.n_tokens for m in members) / 1024)
+        assert n_bins <= math.ceil(11 / 9 * lb) + 1, (sh, n_bins, lb)
+
+    # partitioning independence
+    again = bin_pack_documents(
+        df.repartition(13), "n_tokens", budget=1024
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        bin_pack_documents(df, "n_tokens", budget=0)
