@@ -170,9 +170,29 @@ def _covariance_cells_arrow(spark, work_dir: str):
     return covariance_cells_arrow(read_table(spark, work_dir, "embeddings"), 64)
 
 
+def _ivfpq_topk_probe(spark, work_dir: str):
+    """similarity.ivfpq_topk over the staged embeddings with a FIXED
+    10-query set (vec_id < 10 exist at every factor): the composed
+    residual-coded index — expected ~linear in the corpus (encode is
+    one Arrow pass; the candidate join moves ~n_probe/n_centroids of
+    the m-byte codes)."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.io import read_table
+    from sparkgraft.similarity import ivfpq_topk
+
+    emb = read_table(spark, work_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivfpq_topk(
+        emb, queries, dim=64, k=10, n_centroids=16, n_probe=4,
+        m=16, n_codes=64,
+    )
+
+
 EXTRA_PROBES = {
     "pagerank_synth_graph": _pagerank_synth_graph,
     "covariance_cells_arrow": _covariance_cells_arrow,
+    "ivfpq_topk_fixed_queries": _ivfpq_topk_probe,
 }
 
 
