@@ -1053,3 +1053,44 @@ def test_streaming_bm25_index_maintenance_equals_batch(spark, sf_dir, tmp_path):
         map(tuple, T.bm25_topk_from_index(folded, qids, k=10).collect())
     )
     assert streamed == direct and len(direct) > 0
+
+
+def test_streaming_pq_codes_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """Incremental ANN-index maintenance: with a FROZEN trained
+    codebook (train once, index forever — the production PQ
+    lifecycle), each arriving micro-batch encodes ONLY its own vectors
+    and appends to the codes store; retrieval from the accumulated
+    store must be bit-identical to encoding the whole corpus in one
+    batch pass. Encoding is per-row, so the store is a trivial monoid
+    — the test pins that the streaming path preserves it."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sparkgraft import similarity as S
+    from sparkgraft.io import read_table
+    from sparkgraft.streaming import run_stream_available_now, stream_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = S.pq_train(emb, dim=64, m=16, n_codes=64)  # frozen
+
+    codes_dir = str(tmp_path / "pq_codes")
+    stream = stream_table(
+        spark, sf_dir, "embeddings", max_files_per_trigger=1, split_files=4
+    )
+
+    def sink(batch_df, batch_id):
+        S.pq_encode(batch_df, books).write.mode("append").parquet(codes_dir)
+
+    n_batches = run_stream_available_now(
+        stream, sink, str(tmp_path / "ckpt"), output_mode="append"
+    )
+    assert n_batches == 4
+
+    streamed = spark.read.parquet(codes_dir)
+    oneshot = S.pq_encode(emb, books)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    a = sorted(map(tuple, S.pq_adc_topk(streamed, queries, books, k=5).collect()))
+    b = sorted(map(tuple, S.pq_adc_topk(oneshot, queries, books, k=5).collect()))
+    assert a == b and len(a) > 0
