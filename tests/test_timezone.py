@@ -33,6 +33,12 @@ _TZ_SENSITIVE = [
     # r6: per-group OLS over a day-count x derived from the DATE part
     # (an epoch-based x would shift under a non-UTC session)
     "order_trend_by_priority",
+    # r8: both promoted behavior queries do epoch_us arithmetic on NTZ
+    # timestamps — a session-TZ leak would shift gaps/decay exponents
+    # across DST boundaries (events span months); read_table's UTC
+    # pinning must protect them
+    "user_next_event_pairs",
+    "user_decayed_engagement",
 ]
 
 
