@@ -1616,33 +1616,58 @@ def _codebook_tensor(codebooks: list[list[list[float]]]) -> np.ndarray:
     return np.asarray(codebooks, dtype=np.float64)
 
 
+def _pq_code_matrix(cb: np.ndarray, xs: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 nearest-code matrix: one (batch, dsub) x (dsub,
+    n_codes) matmul per subspace — never an interpreted per-row loop;
+    lowest code wins ties (stable argmin)."""
+    m, n_codes, dsub = cb.shape
+    codes = np.empty((len(xs), m), dtype=np.uint8)
+    for s in range(m):
+        sub = xs[:, s * dsub : (s + 1) * dsub]
+        d2 = (
+            (sub * sub).sum(axis=1, keepdims=True)
+            - 2.0 * sub @ cb[s].T
+            + (cb[s] * cb[s]).sum(axis=1)[None, :]
+        )
+        codes[:, s] = np.argmin(d2, axis=1)
+    return codes
+
+
 def pq_encode_udf(codebooks: list[list[list[float]]], dim: int):
-    """Arrow-batched PQ encoding: per batch, one (batch, dsub) x
-    (dsub, n_codes) matmul per subspace — never an interpreted
-    per-row loop. Returns the m nearest-code ids as array<int>
-    (lowest code wins ties: stable argmin)."""
+    """Arrow-batched PQ encoding into the PACKED layout: each vector's
+    m nearest-code ids as an m-BYTE binary value (uint8 per code —
+    hence the n_codes <= 256 guard), so the materialized index is
+    literally m bytes/vector, not an array<int> that merely stands in
+    for one."""
     from pyspark.sql.functions import pandas_udf
 
     cb = _codebook_tensor(codebooks)
     m, n_codes, dsub = cb.shape
+    if n_codes > 256:
+        raise ValueError(
+            f"pq_encode: n_codes {n_codes} > 256 cannot pack into uint8 "
+            "codes — use <= 256 codes per subspace (the standard PQ8 "
+            "layout) or add more subspaces instead"
+        )
 
-    @pandas_udf("array<int>")
+    @pandas_udf("binary")
     def encode(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="object")
-        xs = _stack(vecs, m * dsub)
-        codes = np.empty((len(xs), m), dtype=np.int32)
-        for s in range(m):
-            sub = xs[:, s * dsub : (s + 1) * dsub]
-            d2 = (
-                (sub * sub).sum(axis=1, keepdims=True)
-                - 2.0 * sub @ cb[s].T
-                + (cb[s] * cb[s]).sum(axis=1)[None, :]
-            )
-            codes[:, s] = np.argmin(d2, axis=1)
-        return pd.Series(list(codes))
+        codes = _pq_code_matrix(cb, _stack(vecs, m * dsub))
+        return pd.Series([c.tobytes() for c in codes])
 
     return encode
+
+
+def _unpack_codes(col: "pd.Series", m: int) -> np.ndarray:
+    """(n, m) uint8 matrix from a packed binary codes column — one
+    frombuffer over the concatenated batch, no per-row object churn."""
+    if not len(col):
+        return np.empty((0, m), dtype=np.uint8)
+    return np.frombuffer(
+        b"".join(bytes(c) for c in col), dtype=np.uint8
+    ).reshape(-1, m)
 
 
 def pq_encode(
@@ -1651,10 +1676,11 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Encode the corpus into PQ codes: ``(id_col, codes array<int>)``,
-    one map-side Arrow pass, no shuffle — the materialized index a
-    100 TB deployment writes once and scans forever (m bytes/vector at
-    n_codes <= 256 in a production uint8 layout)."""
+    """Encode the corpus into PQ codes: ``(id_col, codes binary)`` —
+    LITERALLY m bytes per vector (packed uint8 codes, n_codes <= 256),
+    one map-side Arrow pass, no shuffle: the materialized index a
+    100 TB deployment writes once and scans forever (64-dim float32 =
+    256 B shrinks 16-32x on disk and in memory)."""
     dim = len(codebooks) * len(codebooks[0][0])
     return corpus.select(
         F.col(id_col),
@@ -1716,9 +1742,7 @@ def pq_adc_topk(
     def scan(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            codes = np.stack(
-                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
-            ) if len(pdf) else np.empty((0, m), dtype=np.int64)
+            codes = _unpack_codes(pdf["codes"], m)
             # gather: dists[q, row] = sum_s luts[q, s, codes[row, s]]
             d = np.zeros((len(qids), len(ids)), dtype=np.float64)
             for s in range(m):
@@ -1843,8 +1867,8 @@ def ivfpq_encode_udf(
     """Arrow-batched IVF-PQ encoding: assign each vector to its
     nearest centroid (cosine argmax, the ivf_assign convention), then
     PQ-encode the RESIDUAL against the shared residual codebooks.
-    Returns struct<cid bigint, codes array<int>> per vector — the
-    complete index entry, one map-side pass."""
+    Returns struct<cid bigint, codes binary> per vector (m PACKED
+    uint8 codes) — the complete index entry, one map-side pass."""
     from pyspark.sql.functions import pandas_udf
 
     cmat = _centroid_matrix(centroids)
@@ -1853,23 +1877,22 @@ def ivfpq_encode_udf(
     cb = _codebook_tensor(codebooks)
     m, n_codes, dsub = cb.shape
 
-    @pandas_udf("struct<cid: bigint, codes: array<int>>")
+    if n_codes > 256:
+        raise ValueError(
+            f"ivfpq_encode: n_codes {n_codes} > 256 cannot pack into "
+            "uint8 codes — use <= 256 codes per subspace"
+        )
+
+    @pandas_udf("struct<cid: bigint, codes: binary>")
     def encode(vecs: pd.Series) -> pd.DataFrame:
         if len(vecs) == 0:
             return pd.DataFrame({"cid": [], "codes": []})
         xs = _stack(vecs, dim)
         cid = np.argmax(xs @ cn, axis=1)
-        res = xs - cmat[cid]
-        codes = np.empty((len(xs), m), dtype=np.int32)
-        for s in range(m):
-            sub = res[:, s * dsub : (s + 1) * dsub]
-            d2 = (
-                (sub * sub).sum(axis=1, keepdims=True)
-                - 2.0 * sub @ cb[s].T
-                + (cb[s] * cb[s]).sum(axis=1)[None, :]
-            )
-            codes[:, s] = np.argmin(d2, axis=1)
-        return pd.DataFrame({"cid": cid.astype(np.int64), "codes": list(codes)})
+        codes = _pq_code_matrix(cb, xs - cmat[cid])
+        return pd.DataFrame(
+            {"cid": cid.astype(np.int64), "codes": [c.tobytes() for c in codes]}
+        )
 
     return encode
 
@@ -1967,7 +1990,7 @@ def ivfpq_topk(
         for pdf in batches:
             if not len(pdf):
                 continue
-            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            codes = _unpack_codes(pdf["codes"], m_)
             gathered = np.empty(len(pdf), dtype=np.float64)
             # vectorized per (query, probed list): one gather over all
             # of that group's candidates, not a python loop per row
