@@ -406,6 +406,80 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_fertility_by_source",
+    # NEW r8 retired tier: tokenizer-efficiency (fertility) readout per
+    # source — chars per BPE-ish token and BPE tokens per whitespace
+    # word. Sources whose text is symbol/digit-heavy fragment into more
+    # model tokens per word; this is the per-domain budget correction a
+    # token-budgeted mixture plan needs on top of raw word counts. All
+    # sums exact BIGINTs; the two ratios are round(CAST/NULLIF, 6) on
+    # both engines.
+    oracle=rf"""
+    WITH base AS (
+        SELECT source,
+               CASE WHEN text IS NULL THEN 0 ELSE length(text) END AS n_chars,
+               CASE WHEN text IS NULL THEN 0
+                    ELSE len(regexp_extract_all(lower(text),
+                             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+               END AS n_bpe,
+               len({_TOK}) AS n_ws
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
+           round(CAST(sum(n_chars) AS DOUBLE) / nullif(sum(n_bpe), 0), 6)
+               AS chars_per_bpe_token,
+           round(CAST(sum(n_bpe) AS DOUBLE) / nullif(sum(n_ws), 0), 6)
+               AS bpe_tokens_per_word
+    FROM base GROUP BY source
+    """,
+    retired=True,
+)
+def token_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility: how many characters one BPE-ish
+    token covers and how many model tokens a whitespace word fragments
+    into — the per-domain correction that turns word budgets into
+    model-token budgets (symbol/digit-heavy domains fragment more).
+    One scan, one map-side-combinable aggregate per source; both
+    ratios NULL-guarded against empty sources."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    n_chars = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+        F.length("text")
+    ).cast("bigint")
+    n_bpe = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+        F.size(T.regex_tokens("text"))
+    ).cast("bigint")
+    n_ws = F.size(T.tokens("text")).cast("bigint")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_chars).alias("total_chars"),
+        F.sum(n_bpe).alias("total_bpe_tokens"),
+        F.sum(n_ws).alias("total_ws_tokens"),
+    )
+    nz = lambda c: F.when(c == 0, F.lit(None)).otherwise(c)  # noqa: E731
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "total_bpe_tokens",
+        "total_ws_tokens",
+        F.round(
+            F.col("total_chars").cast("double")
+            / nz(F.col("total_bpe_tokens")),
+            6,
+        ).alias("chars_per_bpe_token"),
+        F.round(
+            F.col("total_bpe_tokens").cast("double")
+            / nz(F.col("total_ws_tokens")),
+            6,
+        ).alias("bpe_tokens_per_word"),
+    )
+
+
+@register(
     "corpus_curation_pipeline",
     f"""
     WITH base AS (

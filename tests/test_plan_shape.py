@@ -396,6 +396,8 @@ R6_OP_PINS = [
     # bounded query set (the knn exact-tier BNLJ), spread + the
     # two-arm rank window's exchange
     ("contrastive_training_pairs", 3, True),
+    # r8 fertility readout: spread + one per-source aggregate
+    ("token_fertility_by_source", 2, False),
     # r8 rotation retirements: the shapes stay pinned here after the
     # queries left the headline (the boilerplate_line_removal
     # precedent, in the opposite direction)
