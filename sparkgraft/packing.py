@@ -634,7 +634,12 @@ def bin_pack_documents(
 
     Documents with ``token_col > budget`` cannot be packed whole and
     dead-letter with ``bin_id`` NULL (``overflow = true``) — a 100 TB
-    run routes them to :func:`chunk_documents` instead of dying.
+    run routes them to :func:`chunk_documents` instead of dying. Rows
+    with a NULL id or NULL token count dead-letter the same way
+    (ADVICE r8: they used to reach the packing loop and crash it — a
+    broken row must never kill the job): they are routed out BEFORE
+    the shard groupBy with ``shard``/``bin_id``/``bin_fill`` NULL and
+    ``overflow = true``, so the packer only ever sees well-typed rows.
 
     Returns ``id_col, n_tokens, shard, bin_id, bin_fill, overflow``
     where ``bin_fill`` is the bin's total AFTER packing (asserted
@@ -644,9 +649,22 @@ def bin_pack_documents(
 
     if budget < 1:
         raise ValueError(f"bin_pack_documents: budget must be >= 1, got {budget}")
-    base = df.select(
+    typed = df.select(
         F.col(id_col),
         F.col(token_col).cast("bigint").alias("n_tokens"),
+    )
+    bad = F.col(id_col).isNull() | F.col("n_tokens").isNull()
+    dead = typed.where(bad).select(
+        F.col(id_col),
+        "n_tokens",
+        F.lit(None).cast("bigint").alias("shard"),
+        F.lit(None).cast("bigint").alias("bin_id"),
+        F.lit(None).cast("bigint").alias("bin_fill"),
+        F.lit(True).alias("overflow"),
+    )
+    base = typed.where(~bad).select(
+        F.col(id_col),
+        "n_tokens",
         F.conv(hex_bucket(F.col(id_col).cast("string"), shard_width), 16, 10)
         .cast("bigint")
         .alias("shard"),
@@ -693,4 +711,6 @@ def bin_pack_documents(
             [id_col, "n_tokens", "shard", "bin_id", "bin_fill", "overflow"]
         ]
 
-    return base.groupBy("shard").applyInPandas(pack, out_schema)
+    return base.groupBy("shard").applyInPandas(pack, out_schema).unionByName(
+        dead
+    )

@@ -1584,15 +1584,33 @@ def _pq_lloyd(
     x: np.ndarray, m: int, n_codes: int, iters: int
 ) -> list[list[list[float]]]:
     """Local per-subspace Lloyd over an in-driver sample (shared by
-    pq_train and ivfpq_train's residual codebooks): first-rows init,
-    empty clusters keep their previous centroid, stable argmin ties —
-    fully deterministic."""
+    pq_train and ivfpq_train's residual codebooks): first-DISTINCT-rows
+    init, empty clusters keep their previous centroid, stable argmin
+    ties — fully deterministic (no RNG).
+
+    Init rows are deduplicated per subspace in first-occurrence order
+    (ADVICE r8): initializing two centroids from identical rows freezes
+    them forever — the stable argmin always assigns to the lower code
+    id, the empty-cluster rule preserves the twin, and codebook
+    capacity is silently wasted. If a subspace has fewer distinct
+    sample rows than requested codes, the effective ``n_codes`` drops
+    to the minimum distinct count across subspaces (the codebook
+    tensor stays rectangular; every remaining code is reachable)."""
     n_codes = min(n_codes, len(x))
     dsub = x.shape[1] // m
+    # first-occurrence-order distinct rows per subspace (np.unique
+    # sorts lexically, so re-sort the survivor indices to restore the
+    # deterministic first-rows ordering)
+    inits: list[np.ndarray] = []
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        _, first_idx = np.unique(xs, axis=0, return_index=True)
+        inits.append(xs[np.sort(first_idx)])
+    n_codes = min(n_codes, min(len(i) for i in inits))
     books: list[list[list[float]]] = []
     for s in range(m):
         xs = x[:, s * dsub : (s + 1) * dsub]
-        cents = xs[:n_codes].copy()
+        cents = inits[s][:n_codes].copy()
         for _ in range(iters):
             # squared-L2 assignment via the expansion trick; stable
             # argmin (lowest code id wins ties)
@@ -1706,10 +1724,17 @@ def pq_adc_topk(
 
     Scale shape: the bounded query set's tables broadcast inside the
     UDF closure; one Arrow-batched mapInPandas pass over the CODES
-    index emits (query_id, cand_id, adist) for all queries via a
-    single numpy gather per subspace — a linear scan of m-byte codes,
-    the same exact-tier linearity class as knn_cosine_bruteforce but
-    over 32x smaller rows and with O(m) per pair instead of O(dim).
+    index scores all queries via a single numpy gather per subspace —
+    a linear scan of m-byte codes, the same exact-tier linearity class
+    as knn_cosine_bruteforce but over 32x smaller rows and with O(m)
+    per pair instead of O(dim). Each batch emits only its PER-QUERY
+    top-k candidates (ADVICE r8: the full |Q| x N cross product
+    shuffled even though only |Q| x k rows survive the window), so
+    the exchange feeding the global rank window is bounded by
+    |Q| x k x n_batches rows — exact, because a global top-k row is
+    necessarily a top-k row of its own batch under the same
+    (adist, cand_id) total order, and self-rows are excluded BEFORE
+    the per-batch cut so they cannot displace a real candidate.
     Returns (query_id, rank, id_col, adist); ranking ascending adist
     with the id tiebreak. The planted-duplicate property: an EXACT
     copy of a query vector achieves the minimum possible ADC distance
@@ -1747,13 +1772,39 @@ def pq_adc_topk(
             d = np.zeros((len(qids), len(ids)), dtype=np.float64)
             for s in range(m):
                 d += luts[:, s, :][:, codes[:, s]]
-            qcol = np.repeat(qids, len(ids))
-            ccol = np.tile(ids, len(qids))
+            d = np.round(d, round_to)
+            # per-batch partial top-k per query under the global
+            # (adist, cand_id) total order: argpartition narrows to a
+            # k-sized pool, lexsort breaks adist ties exactly as the
+            # rank window will. Self-rows mask out first so a query's
+            # own code row never occupies one of its k batch slots.
+            out_q: list[np.ndarray] = []
+            out_c: list[np.ndarray] = []
+            out_d: list[np.ndarray] = []
+            for qi, qid in enumerate(qids):
+                keep = ids != qid
+                cand_ids, cand_d = ids[keep], d[qi, keep]
+                take = min(k, len(cand_ids))
+                if take == 0:
+                    continue
+                # exact under boundary ties: every global-top-k row has
+                # adist <= the batch's k-th smallest adist, so keep ALL
+                # rows at or under that threshold (however many tie)
+                # and lexsort only the pool — O(n) select + O(pool log
+                # pool) sort
+                thresh = np.partition(cand_d, take - 1)[take - 1]
+                pool = np.flatnonzero(cand_d <= thresh)
+                sel = pool[np.lexsort((cand_ids[pool], cand_d[pool]))][:take]
+                out_q.append(np.full(take, qid, dtype=np.int64))
+                out_c.append(cand_ids[sel])
+                out_d.append(cand_d[sel])
+            if not out_q:
+                continue
             yield pd.DataFrame(
                 {
-                    "query_id": qcol,
-                    "cand_id": ccol,
-                    "adist": np.round(d.reshape(-1), round_to),
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "adist": np.concatenate(out_d),
                 }
             )
 

@@ -1317,7 +1317,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 6,
-    max_df_ratio: float | None = None,
+    max_df_ratio: float | None = 0.5,
 ) -> "DataFrame":  # noqa: F821
     """Okapi BM25 top-``k`` retrieval (Robertson & Walker 1994) — the
     standard lexical ranker, completing the retrieval tier next to the
@@ -1362,8 +1362,21 @@ def bm25_topk(
     query, which score far below any content-term match). Scoring
     joins the candidate pairs back map-side (broadcast — the pair set
     is bounded by the generation volume the prune just cut), so no
-    stage is proportional to hot-term postings. Default None: the
-    oracled queries stay bit-identical.
+    stage is proportional to hot-term postings.
+
+    The guard defaults ON at 0.5 (VERDICT r8 #3 — the skew probe's
+    recommendation; a user pointing the old opt-in default at a real
+    Zipfian corpus got the 12x-larger postings join) with ``None`` as
+    the escape hatch for exact standard-BM25 semantics. Two safety
+    properties make the default sane: (a) a query whose EVERY term is
+    hot falls back to all its terms for candidate generation (the
+    starvation fallback — without it a degenerate tiny-vocabulary
+    corpus returns empty results, measured on this repo's 31-term
+    synthetic corpus where df/N reaches 0.80); (b) survivors always
+    score with all matching terms, so the only possible divergence
+    from unpruned BM25 is a candidate sharing ONLY above-threshold
+    terms with the query — which the `bm25_default_guard_retrieval`
+    oracle pins end to end.
     """
     return bm25_topk_from_index(
         bm25_index(df, text_col=text_col, id_col=id_col),
@@ -1375,6 +1388,12 @@ def bm25_topk(
         round_to=round_to,
         max_df_ratio=max_df_ratio,
     )
+
+
+# Bounded rotation of persisted BM25 tf states (see
+# bm25_topk_from_index): newest-4 stay warm, older handles unpersist.
+_BM25_TF_STATES: list = []
+_BM25_TF_STATES_MAX = 4
 
 
 def bm25_index(
@@ -1418,21 +1437,34 @@ def bm25_topk_from_index(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 6,
-    max_df_ratio: float | None = None,
+    max_df_ratio: float | None = 0.5,
 ) -> "DataFrame":  # noqa: F821
     """Score and rank against a (possibly folded) :func:`bm25_index`
     state — the scoring tail of :func:`bm25_topk` (same parameters,
     bit-identical output: document length is derived as the per-doc tf
     sum, which equals the token count by construction). ``query_ids``
-    selects query documents out of the indexed corpus."""
+    selects query documents out of the indexed corpus. The term-skew
+    guard defaults ON (``max_df_ratio=0.5``) with the starvation
+    fallback — see :func:`bm25_topk` for the full contract."""
     from pyspark.sql.window import Window
 
     # four consumers read the (doc, term, tf) state (doc lengths, df
     # counts, query terms, the postings join) — persist so tokenize +
-    # aggregate (or the fold) runs once
+    # aggregate (or the fold) runs once. The persisted handle enters a
+    # BOUNDED module-level rotation (ADVICE r8: with BM25 behind five
+    # registry queries plus both hybrid arms, un-rotated persists
+    # accumulated one cached state per invocation for the session's
+    # lifetime); evicting a handle an earlier lazy result still
+    # references merely recomputes it — never a correctness risk.
     tf = index.select(
         F.col(id_col), F.col("term").alias("__term"), F.col("tf").alias("__tf")
     ).persist()
+    while len(_BM25_TF_STATES) >= _BM25_TF_STATES_MAX:
+        try:
+            _BM25_TF_STATES.pop(0).unpersist(False)
+        except Exception:
+            pass  # a dead SparkSession just means nothing to free
+    _BM25_TF_STATES.append(tf)
     dlen = tf.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
     stats = dlen.agg(
         F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
@@ -1469,23 +1501,38 @@ def bm25_topk_from_index(
             .where(F.col("__df") <= F.lit(max_df_ratio) * F.col("__n"))
             .select("__term")
         )
-        gen_qterms = qterms.join(gen_terms, "__term").select(
-            "query_id", "__term"
+        q_rare = qterms.join(gen_terms, "__term").select("query_id", "__term")
+        # ...starvation fallback: a query whose EVERY term is hot
+        # cannot propose candidates through the gate and would return
+        # nothing at all (measured on a 31-term synthetic vocabulary
+        # where df/N reaches 0.80). Starved queries route through the
+        # DIRECT unpruned postings join — exactly the ungated plan, so
+        # they pay neither the candidate distinct nor the join-back —
+        # and their answers are exact standard BM25. The anti join and
+        # both broadcast sides are bounded by the query set.
+        starved = query_ids.select(F.col(id_col).alias("query_id")).join(
+            q_rare.select("query_id").distinct(), "query_id", "left_anti"
         )
+        hits_direct = tf.join(
+            F.broadcast(qterms.join(F.broadcast(starved), "query_id")),
+            "__term",
+        ).where(F.col(id_col) != F.col("query_id"))
         cand = (
-            tf.join(F.broadcast(gen_qterms), "__term")
+            tf.join(F.broadcast(q_rare), "__term")
             .where(F.col(id_col) != F.col("query_id"))
             .select("query_id", id_col)
             .distinct()
         )
-        # ...then each candidate is scored with EVERY matching query
-        # term, hot ones included: re-attach the candidate docs'
+        # ...then each gated candidate is scored with EVERY matching
+        # query term, hot ones included: re-attach the candidate docs'
         # term rows map-side (broadcast pair set) and keep the query
         # matches — exact BM25, rank-neutral among survivors. Neither
-        # join is proportional to hot-term postings.
+        # join is proportional to hot-term postings. (cand carries no
+        # starved query ids — q_rare excludes them by construction —
+        # so the union with the direct arm never double-counts.)
         hits = tf.join(F.broadcast(cand), id_col).join(
             F.broadcast(qterms), ["query_id", "__term"]
-        )
+        ).unionByName(hits_direct)
     scored = (
         hits.join(dft, "__term")
         .join(dlen, id_col)

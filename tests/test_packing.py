@@ -431,3 +431,32 @@ def test_bin_pack_documents_invariants(spark):
 
     with _pytest.raises(ValueError, match="budget"):
         bin_pack_documents(df, "n_tokens", budget=0)
+
+
+def test_bin_pack_documents_null_rows_dead_letter(spark):
+    """NULL id / NULL token-count rows dead-letter (overflow=true,
+    bin_id NULL) instead of crashing the packing loop (ADVICE r8: a
+    NULL token count became NaN in the applyInPandas batch and int(n)
+    raised; a NULL id produced a NULL shard and the shard read raised)
+    — and their presence must not perturb the good rows' assignment."""
+    from sparkgraft.packing import bin_pack_documents
+
+    good = [(i, 1 + (i * 37) % 900) for i in range(50)]
+    df_clean = spark.createDataFrame(good, "doc_id long, n_tokens long")
+    df_dirty = spark.createDataFrame(
+        good + [(None, 123), (7000, None), (None, None)],
+        "doc_id long, n_tokens long",
+    )
+    clean = sorted(
+        map(tuple, bin_pack_documents(df_clean, "n_tokens", budget=1024).collect())
+    )
+    out = bin_pack_documents(df_dirty, "n_tokens", budget=1024).collect()
+    dead = [r for r in out if r.doc_id is None or r.n_tokens is None]
+    assert len(dead) == 3
+    for r in dead:
+        assert r.overflow and r.bin_id is None and r.bin_fill is None
+        assert r.shard is None
+    survivors = sorted(
+        map(tuple, (r for r in out if r.doc_id is not None and r.n_tokens is not None))
+    )
+    assert survivors == clean

@@ -120,16 +120,18 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # state (prints once per consumer: doc lengths, df counts, query
     # terms, postings join — materializes once), broadcast query-term
     # postings join, the allow-listed 1-row N/avgdl scalar broadcast
-    # (A5), rank window. r8 index refactor: doc length derives from
-    # the persisted state's tf sums, so the raw token stream is
-    # aggregated ONCE instead of twice — two more PRINTED exchanges
-    # (the persisted subtree repeats per consumer), one less runtime
-    # pass over the tokens
-    "bm25_doc_retrieval": (16, 4),
-    # fully-oracled hybrid: BM25 arm (one A5 scalar BNLJ) + the exact
+    # (A5), rank window. r9: the term-skew guard defaults ON
+    # (max_df_ratio=0.5, VERDICT r8 #3), so the driver-facing plan is
+    # the GATED one — rare-term candidate distinct + broadcast
+    # join-back + the starved-query direct arm. The printed Exchange
+    # count nearly triples because the persisted tf subtree now prints
+    # under ~9 consumers instead of 4 (it still materializes ONCE at
+    # runtime: measured sf0.1 wall 3.0s gated vs 2.8s ungated, and the
+    # gate wins 3.6x on a real Zipfian corpus — BM25_SKEW_PROBE)
+    "bm25_doc_retrieval": (45, 4),
+    # fully-oracled hybrid: gated BM25 arm (see above) + the exact
     # cosine arm (the knn broadcast-query BNLJ tier) + decimal fusion
-    # (+2 printed r8: the BM25 arm's index refactor, see above)
-    "hybrid_bm25_cosine_rrf": (19, 4),
+    "hybrid_bm25_cosine_rrf": (48, 4),
     # one user-keyed window shuffle generates every training pair
     "user_next_event_pairs": (1, 0),
     # allow-listed 1-row max-ts anchor broadcast (A5) + one per-user
@@ -380,14 +382,17 @@ R6_OP_PINS = [
     # promoted to the bench headline, r8)
     # r8 term-skew guard under its own oracle: the persisted tf
     # subtree prints once per consumer (materializes once — the DSIR
-    # precedent) and the candidate distinct adds one exchange; the two
-    # BNLJs are the allow-listed 1-row N scalar broadcasts (stats
-    # feeds both the df gate and the idf/avgdl terms)
-    ("bm25_pruned_retrieval", 29, True),
+    # precedent); r9's starvation-fallback direct arm adds more
+    # printed consumers (runtime unchanged: the arm is empty when no
+    # query starves, as at this query's 0.79 threshold). The BNLJs
+    # are the allow-listed 1-row N scalar broadcasts (stats feeds the
+    # df gate and the idf/avgdl terms)
+    ("bm25_pruned_retrieval", 45, True),
     # r8 incremental index: the persisted folded state prints per
-    # consumer (4 consumers: dlen/df/qterms/postings); the BNLJ is the
-    # allow-listed 1-row N/avgdl scalar broadcast (A5)
-    ("bm25_from_folded_index", 26, True),
+    # consumer (r9 default gate: ~9 consumers x a 3-branch folded
+    # union); the BNLJ is the allow-listed 1-row N/avgdl scalar
+    # broadcast (A5)
+    ("bm25_from_folded_index", 73, True),
     # r8 PQ memory tier: Arrow-batched encode + ADC scan of the codes
     # index (mapInPandas, bounded query tables in-closure) — the ONLY
     # exchange is the per-query top-k window

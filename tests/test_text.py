@@ -537,7 +537,9 @@ def test_bm25_ranking_properties(spark):
         "doc_id long, text string",
     )
     qids = docs.where(F.col("doc_id") == 0).select("doc_id")
-    out = bm25_topk(docs, qids, k=10).collect()
+    # max_df_ratio=None: this test pins STANDARD unpruned BM25
+    # semantics ('zebra' sits at df/N = 5/7 > the 0.5 default gate)
+    out = bm25_topk(docs, qids, k=10, max_df_ratio=None).collect()
     ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
     scores = {r.doc_id: r.bm25_score for r in out}
     # doc 4 and 5 share no query term -> absent entirely
@@ -574,7 +576,7 @@ def test_bm25_max_df_prune_is_exact_on_scored_candidates(spark):
 
     full = {
         r.doc_id: (r.bm25_score, r.rank)
-        for r in bm25_topk(docs, qids, k=10).collect()
+        for r in bm25_topk(docs, qids, k=10, max_df_ratio=None).collect()
     }
     pruned = {
         r.doc_id: (r.bm25_score, r.rank)
@@ -595,6 +597,55 @@ def test_bm25_max_df_prune_is_exact_on_scored_candidates(spark):
     )]
     order_pruned = [d for d, _ in sorted(pruned.items(), key=lambda x: x[1][1])]
     assert order_full == order_pruned
+
+
+def test_bm25_default_guard_and_starvation_fallback(spark):
+    """The term-skew guard defaults ON (max_df_ratio=0.5, VERDICT r8
+    #3) and must never starve a query: a query whose EVERY term is hot
+    falls back to all its terms for candidate generation and returns
+    its exact standard-BM25 ranking; a query with at least one rare
+    term gates through rare terms only, with survivors scored exactly.
+    Without the fallback, the all-hot query would return ZERO rows
+    under the default — the failure mode the r8 corpus measured (4 of
+    5 oracle queries starved at 0.5 on a 31-term vocabulary)."""
+    from sparkgraft.text import bm25_topk
+
+    # 'stop'/'the' in 9 of 10 docs (hot); content terms rare
+    rows = [(0, "stop the")]  # all-hot query: would starve ungated
+    rows += [(1, "stop the quark zebra")]  # mixed query: gates on rare
+    rows += [(i, f"stop the quark w{i}") for i in range(2, 5)]
+    rows += [(i, f"stop the zebra w{i}") for i in range(5, 8)]
+    rows += [(8, "stop the filler")]
+    rows += [(9, "alone")]  # keeps hot df below 1.0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qids = docs.where(F.col("doc_id") < 2).select("doc_id")
+
+    default = bm25_topk(docs, qids, k=10).collect()
+    unpruned = bm25_topk(docs, qids, k=10, max_df_ratio=None).collect()
+    by_q_default = {
+        q: sorted((r.doc_id, r.bm25_score, r.rank) for r in default
+                  if r.query_id == q)
+        for q in (0, 1)
+    }
+    by_q_full = {
+        q: sorted((r.doc_id, r.bm25_score, r.rank) for r in unpruned
+                  if r.query_id == q)
+        for q in (0, 1)
+    }
+    # the starved query falls back: exact standard BM25, never empty
+    assert by_q_default[0] and by_q_default[0] == by_q_full[0]
+    # the gated query proposes through its rare terms; every survivor
+    # keeps its exact unpruned score and relative order
+    full_scores = {d: (s, rk) for d, s, rk in by_q_full[1]}
+    assert by_q_default[1]
+    for d, s, _ in by_q_default[1]:
+        assert s == full_scores[d][0]
+    order_kept = [d for d, _, rk in sorted(by_q_default[1], key=lambda t: t[2])]
+    order_full = [
+        d for d, _, rk in sorted(by_q_full[1], key=lambda t: t[2])
+        if d in {x[0] for x in by_q_default[1]}
+    ]
+    assert order_kept == order_full
 
 
 def test_bm25_index_fold_equals_one_shot_exactly(spark):
