@@ -35,9 +35,7 @@ HEADLINE = [
     # LLM-pipeline extensions
     "corpus_vocab_topk",
     "corpus_dup_ngram_stats",
-    "doc_embedding_profile",
     "pack_training_sequences",
-    "domain_mixture_epochs",
     "doc_gopher_quality_gate",
     "tfidf_top_terms",
     "corpus_curation_pipeline",
@@ -64,7 +62,6 @@ HEADLINE = [
     # closure), so it is pinned via ITERATIVE_LINEAGE_PINS rather than
     # benched — the near_dup_quality_keep precedent.
     "bloom_pruned_urgent_revenue",
-    "user_event_cms_counts",
     "boilerplate_line_removal",
     "doc_hash_embedding",
     # r8 rotation (VERDICT r7 #1/#3): the two rows-only actives
@@ -79,7 +76,36 @@ HEADLINE = [
     "user_next_event_pairs",
     "user_decayed_engagement",
     "perceptual_near_dup_planted",
+    # r9 rotation (VERDICT r8 #1/#6): doc_embedding_profile,
+    # domain_mixture_epochs and user_event_cms_counts retired (all
+    # multi-round stable, still oracle-verified in the retired sweeps);
+    # the three promoted hash-oracled queries take their places.
+    "ann_ivfpq_top1_planted",
+    "contrastive_training_pairs",
+    "token_fertility_by_source",
+    # r9 headline-coverage close (VERDICT r8 #4): every ACTIVE query is
+    # now benched EXCEPT the documented exclusion rule below —
+    # iterative fixpoint queries (near_dup_quality_keep,
+    # part_golden_records) are pinned via ITERATIVE_LINEAGE_PINS and
+    # not benched (their wall time measures checkpoint materialization
+    # order, not a plan — the near_dup_doc_clusters precedent), and
+    # stream_windowed_conformance executes micro-batches on
+    # construction and is parity-gated in test_streaming instead.
+    "multimodal_features",
+    "orders_segment_scd2",
+    "latest_event_per_user",
+    "filter_pushdown",
+    "customers_apply_cdc",
+    "customer_snapshot_diff",
+    "user_value_twa_daily",
 ]
+
+# Active queries deliberately not benched (the exclusion rule above):
+BENCH_EXCLUDED_ACTIVE = {
+    "near_dup_quality_keep": "iterative fixpoint (ITERATIVE_LINEAGE_PINS)",
+    "part_golden_records": "iterative fixpoint (ITERATIVE_LINEAGE_PINS)",
+    "stream_windowed_conformance": "streaming; parity-gated in test_streaming",
+}
 
 
 def _stage_metrics_reader(spark):

@@ -81,7 +81,11 @@ def corpus_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_embedding_profile",
-    """
+    # RETIRED r9 (slot rotation: funds the ann_ivfpq_top1_planted
+    # promotion — VERDICT r8 #1). Active and hash-green r4-r8; still
+    # oracle-verified on every pytest run and in the sf0.1 sweeps.
+    retired=True,
+    oracle="""
     SELECT d.source,
            CAST(e.label AS BIGINT) AS label,
            CAST(count(*) AS BIGINT) AS n_docs,

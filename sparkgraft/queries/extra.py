@@ -149,7 +149,9 @@ def props_as_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputed in SQL — positions (md5), cell counts, the min-over-
     # seeds read, AND the exact counts, so the one-sided error of every
     # estimate is part of the verified surface. PROMOTED to the active
-    # driver tier r7 (rotation policy).
+    # driver tier r7 (rotation policy); RETIRED AGAIN r9 (two-round
+    # stable, funds the contrastive_training_pairs promotion).
+    retired=True,
     oracle="""
     WITH seeds(seed) AS (VALUES (0), (1), (2), (3)),
     cells AS (

@@ -85,7 +85,11 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "domain_mixture_epochs",
-    """
+    # RETIRED r9 (slot rotation: funds the token_fertility_by_source
+    # promotion). Active and hash-green r4-r8; still oracle-verified on
+    # every pytest run and in the sf0.1 sweeps.
+    retired=True,
+    oracle="""
     WITH cfg(source, full_epochs, extra_thr) AS (
         VALUES ('src0', 1, '0000'), ('src1', 2, '8000'), ('src2', 1, '4000')
     ), base AS (

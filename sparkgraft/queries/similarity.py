@@ -576,6 +576,57 @@ def ann_pq_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_top1_planted",
+    # NEW r9, ACTIVE (VERDICT r8 #1 — the production ANN composite was
+    # the one ANN family without a hash-checked registry row; slot
+    # funded by retiring the five-round-stable doc_embedding_profile):
+    # IVF-PQ top-1 under a REAL DuckDB oracle via the established
+    # planted construction. Copies are EXACT (L2 residual quantization
+    # is not scale-invariant): an exact duplicate (a) shares the
+    # query's nearest coarse centroid under the scale-invariant cosine
+    # assignment, so it sits in the FIRST probed list; (b) its residual
+    # equals the query's residual exactly, so its codes are the
+    # per-subspace argmins of the query's own residual ADC table and
+    # its approximate distance is the in-list minimum — rank 1 unless
+    # a natural vector collides on all m=16 codes in a probed list
+    # with a strictly lower table sum AND wins the tiebreak
+    # (deterministically checked green at sf0.01 and sf0.1; the
+    # recall/probe behavior is separately pinned in
+    # tests/test_similarity.py::test_ivfpq_recall_and_planted_duplicate).
+    # adist is codebook-derived (engine-specific), so the oracled
+    # surface is the (query_id, rank, vec_id) verdict — the
+    # semantic_dedup projection rule.
+    oracle="""
+    SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+           vec_id + 10000000 AS vec_id
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def ann_ivfpq_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (coarse inverted lists x residual product quantization,
+    Jegou et al. 2011 §IV — similarity.ivfpq_topk) over a corpus with
+    planted EXACT duplicates of every 50th vector: train the composed
+    index on the planted corpus's bounded lowest-id sample (no RNG;
+    exact duplicates only add sample weight),
+    encode the planted corpus as (cid, 16 packed residual codes),
+    probe each query's 4 nearest lists, and score candidates by
+    residual ADC. The planted copy lands in the query's first probe
+    list with the provable in-list ADC minimum, so the verdict surface
+    (query_id, rank, vec_id) is fully SQL-determined."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    copies = base.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    planted = base.unionByName(copies)
+    queries = base.where(F.col("vec_id") % 50 == 0)
+    return S.ivfpq_topk(
+        planted, queries, dim=64, k=1, n_centroids=16, n_probe=4,
+        m=16, n_codes=64,
+    ).select("query_id", "rank", "vec_id")
+
+
+@register(
     "semantic_dedup_planted",
     # PROMOTED r8 (was retired r6-r7): SemDeDup's verdict surface under
     # a REAL DuckDB oracle — now the ACTIVE driver evidence for the
@@ -707,12 +758,13 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "contrastive_training_pairs",
-    # NEW r8 retired tier: the contrastive-training DATASET — per
-    # bounded query, its top-1 same-label positive AND its 5 hardest
-    # different-label negatives, both arms ranked from one scored
-    # frame. Fully oracled: the exhaustive labeled cross join with the
-    # same two-arm rank window and per-arm cutoffs.
-    retired=True,
+    # NEW r8 retired tier; PROMOTED to the active driver gate r9
+    # (rotation policy, VERDICT r8 #6 — slot funded by retiring the
+    # two-round-stable user_event_cms_counts): the contrastive-training
+    # DATASET — per bounded query, its top-1 same-label positive AND
+    # its 5 hardest different-label negatives, both arms ranked from
+    # one scored frame. Fully oracled: the exhaustive labeled cross
+    # join with the same two-arm rank window and per-arm cutoffs.
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
                FROM embeddings WHERE vec_id < 5),

@@ -407,13 +407,15 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_fertility_by_source",
-    # NEW r8 retired tier: tokenizer-efficiency (fertility) readout per
-    # source — chars per BPE-ish token and BPE tokens per whitespace
-    # word. Sources whose text is symbol/digit-heavy fragment into more
-    # model tokens per word; this is the per-domain budget correction a
-    # token-budgeted mixture plan needs on top of raw word counts. All
-    # sums exact BIGINTs; the two ratios are round(CAST/NULLIF, 6) on
-    # both engines.
+    # NEW r8 retired tier; PROMOTED to the active driver gate r9
+    # (rotation policy, VERDICT r8 #6 — slot funded by retiring the
+    # five-round-stable domain_mixture_epochs): tokenizer-efficiency
+    # (fertility) readout per source — chars per BPE-ish token and BPE
+    # tokens per whitespace word. Sources whose text is symbol/digit-
+    # heavy fragment into more model tokens per word; this is the
+    # per-domain budget correction a token-budgeted mixture plan needs
+    # on top of raw word counts. All sums exact BIGINTs; the two
+    # ratios are round(CAST/NULLIF, 6) on both engines.
     oracle=rf"""
     WITH base AS (
         SELECT source,
@@ -436,7 +438,6 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS bpe_tokens_per_word
     FROM base GROUP BY source
     """,
-    retired=True,
 )
 def token_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer fertility: how many characters one BPE-ish

@@ -2071,6 +2071,147 @@ def ivfpq_topk(
     )
 
 
+def save_quantizer(
+    spark: "SparkSession",  # noqa: F821
+    path: str,
+    codebooks: list[list[list[float]]],
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> dict:
+    """Persist a trained PQ / IVF-PQ quantizer so the
+    train-once-index-forever story survives the driver (VERDICT r8 #2:
+    ``pq_train``/``ivfpq_train`` returned driver-side Python lists that
+    died with the session, while the packed codes index they produced
+    is write-once-scan-forever).
+
+    Layout (the io.write_layout_manifest convention — a JSON manifest
+    beside self-describing parquet):
+
+    - ``codebooks.parquet``: long-form ``(sub, code, pos, v)`` — one
+      row per codebook coefficient;
+    - ``centroids.parquet`` (IVF-PQ only): long-form ``(cid, pos, v)``
+      for the coarse quantizer;
+    - ``_QUANTIZER_MANIFEST.json``: kind (``pq`` / ``ivfpq``) and the
+      geometry (m, n_codes, dsub, dim, n_centroids) that
+      :func:`load_quantizer` validates against the parquet contents.
+
+    Coefficients are float64 end to end (parquet DOUBLE), so a
+    saved-then-loaded quantizer encodes BIT-IDENTICAL codes — asserted
+    by the round-trip test. Returns the manifest dict."""
+    import json as _json
+    import os as _os
+
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    manifest = {
+        "kind": "ivfpq" if centroids is not None else "pq",
+        "m": m,
+        "n_codes": n_codes,
+        "dsub": dsub,
+        "dim": m * dsub,
+        "n_centroids": len(centroids) if centroids is not None else 0,
+    }
+    cb_rows = [
+        (s, c, p, float(v))
+        for s, book in enumerate(codebooks)
+        for c, cent in enumerate(book)
+        for p, v in enumerate(cent)
+    ]
+    spark.createDataFrame(
+        cb_rows, "sub int, code int, pos int, v double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(path, "codebooks.parquet")
+    )
+    if centroids is not None:
+        if any(len(vec) != m * dsub for _, vec in centroids):
+            raise ValueError(
+                "save_quantizer: centroid dim does not match codebook "
+                f"geometry m*dsub = {m * dsub}"
+            )
+        c_rows = [
+            (int(cid), p, float(v))
+            for cid, vec in centroids
+            for p, v in enumerate(vec)
+        ]
+        spark.createDataFrame(
+            c_rows, "cid long, pos int, v double"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(path, "centroids.parquet")
+        )
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "_QUANTIZER_MANIFEST.json"), "w") as fh:
+        _json.dump(manifest, fh, indent=1)
+    return manifest
+
+
+def load_quantizer(
+    spark: "SparkSession",  # noqa: F821
+    path: str,
+) -> dict:
+    """Load a quantizer written by :func:`save_quantizer`, validating
+    the manifest geometry against the parquet contents (a truncated or
+    mixed-up store must fail loudly at LOAD time, not as silent garbage
+    codes at encode time). Returns ``{"kind", "m", "n_codes", "dsub",
+    "dim", "codebooks", "centroids"}`` where ``codebooks`` /
+    ``centroids`` plug directly into :func:`pq_encode`,
+    :func:`pq_adc_topk`, :func:`ivfpq_encode_udf` et al."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_QUANTIZER_MANIFEST.json")) as fh:
+        manifest = _json.load(fh)
+    m, n_codes, dsub = manifest["m"], manifest["n_codes"], manifest["dsub"]
+    if m * dsub != manifest["dim"]:
+        raise ValueError(
+            f"load_quantizer: manifest geometry inconsistent — m {m} x "
+            f"dsub {dsub} != dim {manifest['dim']}"
+        )
+    rows = spark.read.parquet(_os.path.join(path, "codebooks.parquet")).collect()
+    if len(rows) != m * n_codes * dsub:
+        raise ValueError(
+            f"load_quantizer: codebooks.parquet has {len(rows)} "
+            f"coefficients, manifest geometry needs {m * n_codes * dsub}"
+        )
+    cb = np.full((m, n_codes, dsub), np.nan, dtype=np.float64)
+    for r in rows:
+        cb[r["sub"], r["code"], r["pos"]] = r["v"]
+    if np.isnan(cb).any():
+        raise ValueError(
+            "load_quantizer: codebooks.parquet is missing coefficients "
+            "(duplicate or absent (sub, code, pos) cells)"
+        )
+    codebooks = [[[float(v) for v in cent] for cent in book] for book in cb]
+    centroids: list[tuple[int, list[float]]] | None = None
+    if manifest["kind"] == "ivfpq":
+        crows = spark.read.parquet(
+            _os.path.join(path, "centroids.parquet")
+        ).collect()
+        n_cent = manifest["n_centroids"]
+        if len(crows) != n_cent * m * dsub:
+            raise ValueError(
+                f"load_quantizer: centroids.parquet has {len(crows)} "
+                f"coefficients, manifest needs {n_cent * m * dsub}"
+            )
+        cmat = np.full((n_cent, m * dsub), np.nan, dtype=np.float64)
+        cids = sorted({r["cid"] for r in crows})
+        if len(cids) != n_cent:
+            raise ValueError(
+                f"load_quantizer: {len(cids)} distinct centroid ids, "
+                f"manifest needs {n_cent}"
+            )
+        cid_pos = {cid: i for i, cid in enumerate(cids)}
+        for r in crows:
+            cmat[cid_pos[r["cid"]], r["pos"]] = r["v"]
+        if np.isnan(cmat).any():
+            raise ValueError(
+                "load_quantizer: centroids.parquet is missing coefficients"
+            )
+        centroids = [
+            (int(cid), [float(v) for v in cmat[cid_pos[cid]]]) for cid in cids
+        ]
+    return {**manifest, "codebooks": codebooks, "centroids": centroids}
+
+
 def contrastive_pairs(
     corpus: DataFrame,
     queries: DataFrame,

@@ -89,7 +89,7 @@ def test_doc_embedding_profile_hand_computed(spark, tmp_path):
     emb.write.parquet(d + "/embeddings.parquet")
     rows = {
         (r.source, r.label): r
-        for r in Q.QUERIES["doc_embedding_profile"](spark, d).collect()
+        for r in Q.RETIRED_QUERIES["doc_embedding_profile"](spark, d).collect()
     }
     s1 = rows[("s1", 0)]
     assert (s1.n_docs, s1.sum_chars, s1.avg_chars, s1.sum_pos_dims) == (2, 30, 15.0, 3)

@@ -59,16 +59,10 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # join-back (sh side), and the per-doc aggregate; the frequency
     # side's broadcast is AQE's small-SF election, not pinned
     "corpus_dup_ngram_stats": (6, 0),
-    # cross-modal join + low-cardinality aggregate; broadcast is AQE's
-    # small-SF election (bucketed sinks co-locate it at scale)
-    "doc_embedding_profile": (3, 0),
     # packing: ONE exchange total — the bucket hash partition for the
     # per-bucket cumsum window; token counts computed map-side, the
     # text never shuffles (no spread, see the query docstring)
     "pack_training_sequences": (1, 0),
-    # mixture epochs: broadcast plan + row-local explode — the only
-    # Exchange is the BroadcastExchange of the 3-row plan
-    "domain_mixture_epochs": (1, 1),
     "doc_gopher_quality_gate": (1, 0),  # gate rides the scan (spread only)
     # DSIR: the persisted (doc, term, tf) subtree prints once per
     # consumer (materializes once at runtime); the two BNLJs are the
@@ -98,10 +92,6 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # here when they joined the headline; measured shapes unchanged)
     # bitmap build agg + 3 broadcast word probes + verify join + month agg
     "bloom_pruned_urgent_revenue": (8, 2),
-    # per-batch sketch agg + merge agg + probe join + min-over-seeds
-    # agg + exact-count comparison join (both joins broadcast: the
-    # sketch state is depth x width bounded)
-    "user_event_cms_counts": (5, 2),
     # line explode x2 consumers (freq + rebuild branches of one scan),
     # md5-key distinct count, broadcast flagged-keys join-back, the
     # doc-keyed rebuild, and the final id join; no text in the
@@ -141,6 +131,32 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # candidate self-join), exact Hamming verify; the one BHJ is the
     # hash join-back onto the banded candidates
     "perceptual_near_dup_planted": (6, 1),
+    # r9 rotation promotions. IVF-PQ planted: spread + the broadcast
+    # probes join (cid-keyed, m-byte codes) + the per-query top-k
+    # window — the production ANN composite's full plan
+    "ann_ivfpq_top1_planted": (3, 1),
+    # contrastive dataset: one corpus pass against the broadcast
+    # bounded query set (the knn exact-tier BNLJ), spread + the
+    # two-arm rank window's exchange
+    "contrastive_training_pairs": (3, 0),
+    # fertility readout: spread + one per-source map-side-combinable
+    # aggregate
+    "token_fertility_by_source": (2, 0),
+    # r9 headline-coverage close (VERDICT r8 #4): the formerly
+    # unbenched actives, each already plan-floor-checked by
+    # test_active_nonheadline_no_row_udfs_or_cartesian — these pins
+    # add the exchange budgets. multimodal: one Arrow decode pass +
+    # per-source aggregate
+    "multimodal_features": (1, 0),
+    # SCD2 union-merge as-of: one key shuffle
+    "orders_segment_scd2": (1, 0),
+    "latest_event_per_user": (1, 0),
+    "filter_pushdown": (0, 0),  # pure pushed scan — zero exchanges
+    # CDC: change window + anti join + union (broadcast snapshot side)
+    "customers_apply_cdc": (3, 1),
+    "customer_snapshot_diff": (2, 0),
+    # time-weighted daily average: one user-keyed window shuffle
+    "user_value_twa_daily": (1, 0),
 }
 
 # Exact tiers that legitimately broadcast a bounded side against every
@@ -159,11 +175,28 @@ BNLJ_ALLOWED = {
     "bm25_doc_retrieval",
     "hybrid_bm25_cosine_rrf",
     "user_decayed_engagement",
+    # r9 promotion: one corpus pass against the broadcast bounded
+    # query set (the knn exact-tier pattern)
+    "contrastive_training_pairs",
 }
 
 
 def test_pins_cover_headline():
     assert set(PLAN_PINS) == set(bench.HEADLINE)
+
+
+def test_headline_plus_exclusions_cover_active_registry():
+    """VERDICT r8 #4: every ACTIVE query is either benched (HEADLINE)
+    or carries an explicit documented exclusion (iterative fixpoint /
+    streaming) — the headline can never silently under-cover the
+    active tier again."""
+    active = set(Q.QUERIES)
+    covered = set(bench.HEADLINE) | set(bench.BENCH_EXCLUDED_ACTIVE)
+    assert active <= covered, sorted(active - covered)
+    # exclusions must be real active queries (no stale names) and
+    # never double-listed
+    assert set(bench.BENCH_EXCLUDED_ACTIVE) <= active
+    assert not set(bench.BENCH_EXCLUDED_ACTIVE) & set(bench.HEADLINE)
 
 
 @pytest.mark.parametrize("name", bench.HEADLINE)
@@ -397,12 +430,16 @@ R6_OP_PINS = [
     # index (mapInPandas, bounded query tables in-closure) — the ONLY
     # exchange is the per-query top-k window
     ("ann_pq_top1_planted", 1, False),
-    # r8 contrastive dataset: one corpus pass against the broadcast
-    # bounded query set (the knn exact-tier BNLJ), spread + the
-    # two-arm rank window's exchange
-    ("contrastive_training_pairs", 3, True),
-    # r8 fertility readout: spread + one per-source aggregate
-    ("token_fertility_by_source", 2, False),
+    # (contrastive_training_pairs and token_fertility_by_source moved
+    # to PLAN_PINS when promoted to the bench headline, r9)
+    # r9 rotation retirements: shapes stay pinned after leaving the
+    # headline. profile: cross-modal join + low-cardinality aggregate
+    # (broadcast is AQE's small-SF election); epochs: broadcast 3-row
+    # plan + row-local explode; cms: per-batch sketch agg + merge agg
+    # + probe join + min-over-seeds agg + exact-count comparison join
+    ("doc_embedding_profile", 3, False),
+    ("domain_mixture_epochs", 1, False),
+    ("user_event_cms_counts", 5, False),
     # r8 rotation retirements: the shapes stay pinned here after the
     # queries left the headline (the boilerplate_line_removal
     # precedent, in the opposite direction)
