@@ -1974,7 +1974,15 @@ def ivfpq_topk(
     join is keyed on cid and moves ~n_probe/n_centroids of the CODES
     (m small ints per vector, not dim floats); scoring is numpy
     gathers inside one Arrow stage; the only wide exchange is the
-    per-query top-k window. Ranking ascends approximate distance with
+    per-query top-k window, and each Arrow batch pre-cuts to its
+    per-query top-k (the pq_adc_topk bound: |Q| x k x n_batches rows
+    reach the window, exact under boundary ties). Residual ADC lookup
+    tables are built ON THE EXECUTORS from the broadcast (query
+    vectors, centroids, codebooks) closure — O(|Q| x dim) shipped
+    state — rather than materializing |Q| x n_probe x m x n_codes
+    driver-side tables into the closure, which grows to hundreds of
+    MB once the query set scales with the corpus (the r9 growing-
+    query probe's regime). Ranking ascends approximate distance with
     the id tiebreak. For exact-precision results compose with
     :func:`pq_rerank_topk`'s shortlist pattern."""
     from pyspark.sql import Window
@@ -2013,47 +2021,80 @@ def ivfpq_topk(
     order = np.argsort(-(qx @ cn), axis=1, kind="stable")[
         :, : min(n_probe, cmat.shape[0])
     ]
-    # per (query, probed cid) residual LUTs — bounded:
-    # |queries| x n_probe x m x n_codes doubles in the UDF closure
-    luts: dict[tuple[int, int], np.ndarray] = {}
-    probe_rows = []
-    for qi, qid in enumerate(qids):
-        for cid in order[qi]:
-            qres = qx[qi] - cmat[cid]
-            lut = np.empty((m_, n_codes_), dtype=np.float64)
-            for s in range(m_):
-                sub = qres[s * dsub : (s + 1) * dsub]
-                lut[s] = (
-                    (sub * sub).sum() - 2.0 * sub @ cb[s].T
-                    + (cb[s] * cb[s]).sum(axis=1)
-                )
-            luts[(int(qid), int(cid))] = lut
-            probe_rows.append((int(qid), int(cid)))
+    # the probed (query, cid) pairs ride a broadcast frame; the LUTs
+    # themselves are computed lazily per group on the executors
+    probe_rows = [
+        (int(qid), int(cid))
+        for qi, qid in enumerate(qids)
+        for cid in order[qi]
+    ]
     probes = corpus.sparkSession.createDataFrame(
         probe_rows, "query_id long, cid long"
     )
+    qidx = {int(qid): i for i, qid in enumerate(qids)}
 
     out_schema = "query_id long, cand_id long, adist double"
 
     sub_idx = np.arange(m_)[:, None]
+    cb_sq = np.asarray([(cb[s] * cb[s]).sum(axis=1) for s in range(m_)])
 
     def score(batches):
+        # per-task LUT cache: each (query, probed cid) table is built
+        # once per task from the residual q - c (m x n_codes doubles),
+        # bounded by the probed-pair count this task actually sees
+        lut_cache: dict[tuple[int, int], np.ndarray] = {}
+
+        def lut_for(q: int, c: int) -> np.ndarray:
+            key = (q, c)
+            lut = lut_cache.get(key)
+            if lut is None:
+                qres = qx[qidx[q]] - cmat[c]
+                rsub = qres.reshape(m_, dsub)
+                lut = (
+                    (rsub * rsub).sum(axis=1, keepdims=True)
+                    - 2.0 * np.einsum("sd,skd->sk", rsub, cb)
+                    + cb_sq
+                )
+                lut_cache[key] = lut
+            return lut
+
         for pdf in batches:
             if not len(pdf):
                 continue
             codes = _unpack_codes(pdf["codes"], m_)
+            ids = pdf["cand_id"].to_numpy(dtype=np.int64)
+            qcol = pdf["query_id"].to_numpy(dtype=np.int64)
             gathered = np.empty(len(pdf), dtype=np.float64)
             # vectorized per (query, probed list): one gather over all
             # of that group's candidates, not a python loop per row
             groups = pdf.groupby(["query_id", "cid"], sort=False).indices
             for (q, c), idx in groups.items():
-                lut = luts[(int(q), int(c))]
+                lut = lut_for(int(q), int(c))
                 gathered[idx] = lut[sub_idx, codes[idx].T].sum(axis=0)
+            gathered = np.round(gathered, round_to)
+            # per-batch partial top-k per query (exact under boundary
+            # ties — the pq_adc_topk threshold-cut argument); self-rows
+            # were already excluded by the upstream filter
+            out_q: list[np.ndarray] = []
+            out_c: list[np.ndarray] = []
+            out_d: list[np.ndarray] = []
+            for q in np.unique(qcol):
+                rows = np.flatnonzero(qcol == q)
+                take = min(k, len(rows))
+                cd, ci = gathered[rows], ids[rows]
+                thresh = np.partition(cd, take - 1)[take - 1]
+                pool = np.flatnonzero(cd <= thresh)
+                sel = pool[np.lexsort((ci[pool], cd[pool]))][:take]
+                out_q.append(np.full(take, q, dtype=np.int64))
+                out_c.append(ci[sel])
+                out_d.append(cd[sel])
+            if not out_q:
+                continue
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"],
-                    "cand_id": pdf["cand_id"],
-                    "adist": np.round(gathered, round_to),
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "adist": np.concatenate(out_d),
                 }
             )
 

@@ -16,13 +16,19 @@ prune:
                   score aggregate consumes) — the quantity that blows
                   up under term skew;
 - ``cand_pairs``  distinct (query, doc) pairs scored;
-- ``sec``         end-to-end wall time (min of ``passes``);
+- ``sec``         end-to-end wall time — measured in INTERLEAVED
+                  rotated sweeps (VERDICT r8 'What's wrong' #2: the r8
+                  probe scanned thresholds sequentially, so earlier
+                  configs carried JVM/codegen warm-up and the timing
+                  column wasn't quotable; now a discarded warm-up pass
+                  runs first and each sweep times every config once in
+                  a rotated order, min over sweeps);
 - ``parity``      fraction of queries whose ORDERED top-k doc list is
                   identical with and without the prune (the
                   rank-neutrality check the threshold choice rests on).
 
 Output: one JSON line {"metric": "bm25_skew_probe", ...}; also written
-to artifacts/BM25_SKEW_PROBE_r08.json by the round-close runner.
+to artifacts/BM25_SKEW_PROBE_r{N}.json by the round-close runner.
 
 Usage: python tools/bm25_skew_probe.py [n_docs] [max_df_ratio]
 """
@@ -114,15 +120,27 @@ def main() -> int:
             hits.select("query_id", "doc_id").distinct().count(),
         )
 
-    def timed(max_df_ratio):
-        best = None
-        for _ in range(PASSES):
-            t0 = time.time()
-            T.bm25_topk(
-                docs, qids, k=K, max_df_ratio=max_df_ratio
-            ).write.mode("overwrite").format("noop").save()
-            best = min(best or 1e9, time.time() - t0)
-        return round(best, 3)
+    def run_once(max_df_ratio) -> float:
+        t0 = time.time()
+        T.bm25_topk(
+            docs, qids, k=K, max_df_ratio=max_df_ratio
+        ).write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    def timed_all(configs) -> dict:
+        """Interleaved rotated sweeps: one discarded warm-up run, then
+        PASSES sweeps each timing every config once, the start index
+        rotating per sweep — no config systematically pays (or
+        inherits) warm-up, so the timings compare fairly."""
+        run_once(configs[0])  # warm-up, discarded
+        best: dict = {}
+        for p in range(PASSES):
+            for i in range(len(configs)):
+                cfg = configs[(i + p) % len(configs)]
+                dt = run_once(cfg)
+                if cfg not in best or dt < best[cfg]:
+                    best[cfg] = dt
+        return {cfg: round(dt, 3) for cfg, dt in best.items()}
 
     def topk_lists(max_df_ratio):
         out = {}
@@ -132,8 +150,9 @@ def main() -> int:
         return {q: [d for _, d in sorted(v)] for q, v in out.items()}
 
     join_rows_full, cand_full = volume(qterms)
-    sec_full = timed(None)
     full_topk = topk_lists(None)
+    times = timed_all([None] + list(ratios))
+    sec_full = times[None]
 
     scan = []
     for ratio in ratios:
@@ -156,7 +175,7 @@ def main() -> int:
                 "query_terms_pruned": n_qterms - pruned_qterms.count(),
                 "join_rows": join_rows,
                 "cand_pairs": cand,
-                "sec": timed(ratio),
+                "sec": times[ratio],
                 "topk_parity_ordered": round(ordered_same / n_queries, 4),
                 "topk_parity_set": round(set_same / n_queries, 4),
             }

@@ -189,10 +189,78 @@ def _ivfpq_topk_probe(spark, work_dir: str):
     )
 
 
+def _ivfpq_topk_scaling_queries(spark, work_dir: str):
+    """r9 (VERDICT r8 #5): ivfpq_topk with the QUERY SET GROWING with
+    the corpus (vec_id % 50 == 0 over the staged embeddings — the
+    registered planted query's rate) at fixed n_centroids/n_probe.
+    Per-query cost is ~linear in the probed fraction (corpus /
+    n_centroids x n_probe), so TOTAL time is expected ~quadratic-ish
+    (queries x corpus both grow) — the honest serving-workload curve;
+    the 100 TB answer is n_centroids ~ sqrt(N) (below) plus the
+    rerank shortlist, not a fixed 16-list layout."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.io import read_table
+    from sparkgraft.similarity import ivfpq_topk
+
+    emb = read_table(spark, work_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return ivfpq_topk(
+        emb, queries, dim=64, k=10, n_centroids=16, n_probe=4,
+        m=16, n_codes=64,
+    )
+
+
+def _ivfpq_topk_scaling_queries_sqrtn(spark, work_dir: str):
+    """The production layout for the growing-workload regime:
+    n_centroids grows ~sqrt(corpus) (the FAISS sizing rule), so each
+    query's probed candidate pool grows only ~sqrt(f) — expected total
+    exponent ~1.5 vs the fixed-list probe's ~2."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sparkgraft.io import read_table
+    from sparkgraft.similarity import ivfpq_topk
+
+    emb = read_table(spark, work_dir, "embeddings")
+    n = emb.count()
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return ivfpq_topk(
+        emb, queries, dim=64, k=10,
+        n_centroids=max(16, int(math.sqrt(n / 8))), n_probe=4,
+        m=16, n_codes=64,
+    )
+
+
+def _ffd_bin_pack(shard_width: int):
+    """FFD whole-document packing probe (VERDICT r8 #7) over the staged
+    documents with n_chars as the token count. shard_width=2 is the
+    production default (256 shards: per-shard docs grow f/256-slowly);
+    shard_width=1 HOLDS the shard count at 16 so per-shard docs grow 8x
+    — exposing the per-shard O(docs x bins) loop's growth, which sets
+    the max-docs-per-shard guidance."""
+
+    def probe(spark, work_dir: str):
+        from sparkgraft.io import read_table
+        from sparkgraft.packing import bin_pack_documents
+
+        docs = read_table(spark, work_dir, "documents")
+        return bin_pack_documents(
+            docs, "n_chars", budget=4096, shard_width=shard_width
+        )
+
+    return probe
+
+
 EXTRA_PROBES = {
     "pagerank_synth_graph": _pagerank_synth_graph,
     "covariance_cells_arrow": _covariance_cells_arrow,
     "ivfpq_topk_fixed_queries": _ivfpq_topk_probe,
+    "ivfpq_topk_scaling_queries": _ivfpq_topk_scaling_queries,
+    "ivfpq_topk_scaling_queries_sqrtn": _ivfpq_topk_scaling_queries_sqrtn,
+    "ffd_bin_pack_shards16": _ffd_bin_pack(1),
+    "ffd_bin_pack_shards256": _ffd_bin_pack(2),
 }
 
 
