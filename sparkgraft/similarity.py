@@ -1821,6 +1821,43 @@ def pq_adc_topk(
     )
 
 
+def _exact_rerank_shortlist(
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist_pairs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_to: int,
+) -> DataFrame:
+    """Shared rerank tail of the PQ / IVF-PQ production compositions:
+    the (query_id, id_col) shortlist joins back to the raw corpus
+    (broadcast — |queries| x shortlist rows, never the corpus) and
+    exact squared-L2 ranks the top ``k`` with the id tiebreak."""
+    from pyspark.sql import Window
+
+    cand = corpus.select(F.col(id_col), _d(F.col(vec_col)).alias("__cv"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _d(F.col(vec_col)).alias("__qv")
+    )
+    diff2 = F.zip_with(
+        F.col("__cv"), F.col("__qv"), lambda a, b: (a - b) * (a - b)
+    )
+    d2 = F.round(
+        F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v), round_to
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc(id_col))
+    return (
+        F.broadcast(shortlist_pairs.select("query_id", id_col))
+        .join(cand, id_col)
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", id_col, d2.alias("dist2"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "dist2")
+    )
+
+
 def pq_rerank_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1840,32 +1877,49 @@ def pq_rerank_topk(
     recall@5 0.72 at m=32, shortlist-25 rerank 1.00 — the test pins
     it). The raw-vector read is |queries| x shortlist rows, not the
     corpus: the 100 TB scan still happens over m-byte codes."""
-    from pyspark.sql import Window
-
     codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
     sl = pq_adc_topk(
         codes, queries, codebooks, id_col=id_col, vec_col=vec_col,
         k=shortlist, round_to=round_to,
-    ).select("query_id", id_col)
-    cand = corpus.select(F.col(id_col), _d(F.col(vec_col)).alias("__cv"))
-    qv = queries.select(
-        F.col(id_col).alias("query_id"), _d(F.col(vec_col)).alias("__qv")
     )
-    diff2 = F.zip_with(
-        F.col("__cv"), F.col("__qv"), lambda a, b: (a - b) * (a - b)
+    return _exact_rerank_shortlist(
+        corpus, queries, sl, id_col, vec_col, k, round_to
     )
-    d2 = F.round(
-        F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v), round_to
+
+
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    shortlist: int = 50,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    n_codes: int = 64,
+    iters: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """The COMPLETE production ANN serving path (the composition a
+    100 TB deployment actually runs, Jegou et al. 2011 §IV-V): the
+    IVF-PQ index proposes a ``shortlist`` per query — coarse lists
+    prune WHICH vectors are scanned, packed residual codes shrink WHAT
+    each scanned vector costs — and exact squared-L2 over raw vectors
+    re-ranks the top ``k``. Quantization and list-pruning error then
+    only cost RECALL at the shortlist boundary, never precision of the
+    returned ranking; the raw-vector read is |queries| x shortlist
+    rows (broadcast join-back), so the corpus-scale scan still touches
+    only (cid, m-byte codes). Same contract as :func:`pq_rerank_topk`
+    with the IVF-PQ proposer swapped in."""
+    sl = ivfpq_topk(
+        corpus, queries, dim, id_col=id_col, vec_col=vec_col,
+        k=shortlist, n_centroids=n_centroids, n_probe=n_probe,
+        m=m, n_codes=n_codes, iters=iters, round_to=round_to,
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc(id_col))
-    return (
-        F.broadcast(sl)
-        .join(cand, id_col)
-        .join(F.broadcast(qv), "query_id")
-        .select("query_id", id_col, d2.alias("dist2"))
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", id_col, "dist2")
+    return _exact_rerank_shortlist(
+        corpus, queries, sl, id_col, vec_col, k, round_to
     )
 
 

@@ -936,3 +936,60 @@ def test_quantizer_save_load_roundtrip_ivfpq(spark, emb, tmp_path):
     json.dump({**good, "dim": 32}, open(mp, "w"))
     with pytest.raises(ValueError, match="inconsistent"):
         S.load_quantizer(spark, path)
+
+
+def test_ivfpq_rerank_recall_and_exact_distances(spark, emb):
+    """The complete production serving path (IVF-PQ shortlist -> exact
+    rerank): returned distances are the EXACT rounded squared-L2
+    values (numpy twin), recall@5 vs exhaustive search is at least the
+    ADC-only path's at the same probe settings, and a planted exact
+    duplicate returns rank 1 with dist2 = 0."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.asarray([r.vec_id for r in rows], dtype=np.int64)
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    queries = emb.where(F.col("vec_id") < 10)
+
+    exact = set()
+    for qi in np.flatnonzero(ids < 10):
+        d2 = ((x - x[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        exact |= {
+            (int(ids[qi]), int(ids[j])) for j in np.lexsort((ids, d2))[:5]
+        }
+
+    kw = dict(dim=64, n_centroids=16, n_probe=8, m=16, n_codes=64)
+    adc = {
+        (r.query_id, r.vec_id)
+        for r in S.ivfpq_topk(emb, queries, k=5, **kw).collect()
+    }
+    rer = S.ivfpq_rerank_topk(emb, queries, k=5, shortlist=25, **kw).collect()
+    rer_pairs = {(r.query_id, r.vec_id) for r in rer}
+    recall_adc = len(exact & adc) / len(exact)
+    recall_rer = len(exact & rer_pairs) / len(exact)
+    assert recall_rer >= recall_adc, (recall_rer, recall_adc)
+
+    # distances are exact (rounded) squared L2 — numpy twin per row
+    idx = {int(i): k for k, i in enumerate(ids)}
+    for r in rer:
+        true = round(float(((x[idx[r.query_id]] - x[idx[r.vec_id]]) ** 2).sum()), 6)
+        assert abs(r.dist2 - true) < 1e-9, (r, true)
+
+    # planted exact duplicates: rank 1, dist2 == 0 through the full path
+    base = emb.select("vec_id", "embedding")
+    copies = base.where(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    planted = base.unionByName(copies)
+    out = {
+        r.query_id: (r.vec_id, r.dist2)
+        for r in S.ivfpq_rerank_topk(
+            planted, base.where(F.col("vec_id") % 100 == 0), k=1,
+            shortlist=10, dim=64, n_centroids=16, n_probe=4, m=16,
+            n_codes=64,
+        ).collect()
+    }
+    assert len(out) == 5
+    for q, (v, d) in out.items():
+        assert v == q + 10_000_000 and d == 0.0, (q, v, d)
