@@ -627,6 +627,44 @@ def ann_ivfpq_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_rerank_top1_planted",
+    # NEW r9 retired tier: the COMPLETE production serving composition
+    # (IVF-PQ shortlist -> exact rerank, similarity.ivfpq_rerank_topk)
+    # under a REAL DuckDB oracle. The planted exact copy is the ADC
+    # in-list minimum (so it makes every shortlist — the
+    # ann_ivfpq_top1_planted argument) and the rerank is EXACT squared
+    # L2, where an exact duplicate scores the global minimum 0.0 — so
+    # unlike the ADC rows, the DISTANCE column itself is
+    # SQL-expressible here and rides the oracled surface: the one ANN
+    # row whose score is engine-independent by construction.
+    retired=True,
+    oracle="""
+    SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+           vec_id + 10000000 AS vec_id, CAST(0.0 AS DOUBLE) AS dist2
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def ann_ivfpq_rerank_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity.ivfpq_rerank_topk over the planted corpus: the
+    shortlist proposes through the quantized index (cid + packed
+    residual codes), exact L2 over raw vectors disposes. The planted
+    exact duplicate reaches the shortlist via the provable ADC minimum
+    and wins the rerank with distance exactly 0.0 — rank, id AND
+    distance all SQL-determined."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    copies = base.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    planted = base.unionByName(copies)
+    queries = base.where(F.col("vec_id") % 50 == 0)
+    return S.ivfpq_rerank_topk(
+        planted, queries, dim=64, k=1, shortlist=10, n_centroids=16,
+        n_probe=4, m=16, n_codes=64,
+    )
+
+
+@register(
     "semantic_dedup_planted",
     # PROMOTED r8 (was retired r6-r7): SemDeDup's verdict surface under
     # a REAL DuckDB oracle — now the ACTIVE driver evidence for the

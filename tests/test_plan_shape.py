@@ -430,6 +430,10 @@ R6_OP_PINS = [
     # index (mapInPandas, bounded query tables in-closure) — the ONLY
     # exchange is the per-query top-k window
     ("ann_pq_top1_planted", 1, False),
+    # r9 complete serving path: the IVF-PQ shortlist plan (cid-keyed
+    # probe join + top-k window) + the exact-rerank tail's two
+    # broadcast join-backs (|Q| x shortlist rows) + the final window
+    ("ann_ivfpq_rerank_top1_planted", 6, False),
     # (contrastive_training_pairs and token_fertility_by_source moved
     # to PLAN_PINS when promoted to the bench headline, r9)
     # r9 rotation retirements: shapes stay pinned after leaving the
