@@ -1592,25 +1592,24 @@ def _pq_lloyd(
     (ADVICE r8): initializing two centroids from identical rows freezes
     them forever — the stable argmin always assigns to the lower code
     id, the empty-cluster rule preserves the twin, and codebook
-    capacity is silently wasted. If a subspace has fewer distinct
-    sample rows than requested codes, the effective ``n_codes`` drops
-    to the minimum distinct count across subspaces (the codebook
-    tensor stays rectangular; every remaining code is reachable)."""
+    capacity is silently wasted where it needn't be. A subspace with
+    only ``u < n_codes`` DISTINCT sample rows pads its init by cycling
+    those u rows — the padded twins stay frozen, but that subspace
+    cannot meaningfully use more than u centroids anyway, and padding
+    locally keeps the codebook tensor rectangular WITHOUT shrinking
+    the code budget of richer subspaces."""
     n_codes = min(n_codes, len(x))
     dsub = x.shape[1] // m
-    # first-occurrence-order distinct rows per subspace (np.unique
-    # sorts lexically, so re-sort the survivor indices to restore the
-    # deterministic first-rows ordering)
-    inits: list[np.ndarray] = []
-    for s in range(m):
-        xs = x[:, s * dsub : (s + 1) * dsub]
-        _, first_idx = np.unique(xs, axis=0, return_index=True)
-        inits.append(xs[np.sort(first_idx)])
-    n_codes = min(n_codes, min(len(i) for i in inits))
     books: list[list[list[float]]] = []
     for s in range(m):
         xs = x[:, s * dsub : (s + 1) * dsub]
-        cents = inits[s][:n_codes].copy()
+        # first-occurrence-order distinct rows (np.unique sorts
+        # lexically, so re-sort the survivor indices to restore the
+        # deterministic first-rows ordering), cycle-padded if scarce
+        _, first_idx = np.unique(xs, axis=0, return_index=True)
+        distinct = xs[np.sort(first_idx)]
+        reps = -(-n_codes // len(distinct))  # ceil
+        cents = np.concatenate([distinct] * reps)[:n_codes].copy()
         for _ in range(iters):
             # squared-L2 assignment via the expansion trick; stable
             # argmin (lowest code id wins ties)

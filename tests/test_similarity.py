@@ -993,3 +993,32 @@ def test_ivfpq_rerank_recall_and_exact_distances(spark, emb):
     assert len(out) == 5
     for q, (v, d) in out.items():
         assert v == q + 10_000_000 and d == 0.0, (q, v, d)
+
+
+def test_pq_lloyd_init_dedup_and_per_subspace_padding():
+    """ADVICE r8: duplicate sample rows must not freeze twin centroids
+    — a duplicate-heavy lowest-id prefix now yields fully distinct
+    codebook entries; and a DEGENERATE subspace (fewer distinct values
+    than codes) pads locally without shrinking richer subspaces' code
+    budgets."""
+    import numpy as np
+
+    from sparkgraft.similarity import _pq_lloyd
+
+    # duplicate-heavy prefix: all 8 codes separate
+    y = np.vstack(
+        [np.ones((10, 8)), np.random.default_rng(1).normal(size=(50, 8))]
+    )
+    books = _pq_lloyd(y, m=1, n_codes=8, iters=3)
+    assert len({tuple(c) for c in books[0]}) == 8
+
+    # constant subspace 0, rich subspace 1: rectangular tensor, the
+    # rich side keeps 16 DISTINCT centroids, the constant side
+    # collapses to its single achievable centroid (padded twins)
+    x = np.hstack(
+        [np.zeros((100, 4)), np.random.default_rng(0).normal(size=(100, 4))]
+    )
+    b = _pq_lloyd(x, m=2, n_codes=16, iters=3)
+    assert len(b[0]) == len(b[1]) == 16
+    assert len({tuple(c) for c in b[1]}) == 16
+    assert len({tuple(c) for c in b[0]}) == 1
