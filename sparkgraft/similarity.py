@@ -991,6 +991,35 @@ def ivf_probe_udf(
     return probe
 
 
+def auto_n_centroids(
+    approx_rows: int,
+    lo: int = 16,
+    hi: int = 65536,
+) -> int:
+    """The SIZE-the-coarse-quantizer-TO-THE-CORPUS rule as code (the
+    :func:`auto_num_planes` convention applied to IVF/IVF-PQ): with
+    ``n_probe`` fixed, each query scans ~``n_probe * N / n_centroids``
+    candidates, so a FIXED list count goes superlinear the moment the
+    query load grows with the corpus — measured in
+    SCALE_SLOPE_r09_ivfpq_scaling.json: 16 fixed lists read tail
+    exponent 1.36 at 32x (queries growing with the corpus) while
+    ``sqrt``-scaled lists read 0.96 at 1.8x less wall. This returns
+    the sqrt rule used by that probe, ``sqrt(approx_rows / 8)``
+    (the classic Jegou/FAISS n_list ~ sqrt(N) family; the constant
+    balances this implementation's cheap vectorized assignment against
+    its gather-dominated scan), clamped to [lo, hi] — below ``lo``
+    lists pruning stops paying, above ``hi`` the per-query probe
+    bookkeeping dominates (raise n_probe instead at that point).
+    ``approx_rows`` is a caller hint (catalog stats, a prior count,
+    the manifest), never a driver job — the auto_num_planes
+    contract."""
+    import math
+
+    if approx_rows <= 0:
+        return lo
+    return max(lo, min(hi, int(round(math.sqrt(approx_rows / 8.0)))))
+
+
 def ivf_train(
     corpus: DataFrame,
     dim: int,
@@ -2037,7 +2066,10 @@ def ivfpq_topk(
     MB once the query set scales with the corpus (the r9 growing-
     query probe's regime). Ranking ascends approximate distance with
     the id tiebreak. For exact-precision results compose with
-    :func:`pq_rerank_topk`'s shortlist pattern."""
+    :func:`ivfpq_rerank_topk`'s shortlist pattern; for a query load
+    that grows with the corpus, size ``n_centroids`` with
+    :func:`auto_n_centroids` (fixed lists measured tail 1.36 at 32x
+    vs 0.96 sqrt-scaled — SCALE_SLOPE_r09_ivfpq_scaling.json)."""
     from pyspark.sql import Window
 
     from .relational import spread

@@ -1022,3 +1022,20 @@ def test_pq_lloyd_init_dedup_and_per_subspace_padding():
     assert len(b[0]) == len(b[1]) == 16
     assert len({tuple(c) for c in b[1]}) == 16
     assert len({tuple(c) for c in b[0]}) == 1
+
+
+def test_auto_n_centroids_sqrt_rule_and_clamps():
+    """The coarse-quantizer sizing rule (the auto_num_planes
+    convention): sqrt growth with the corpus hint, floor/ceiling
+    clamps, degenerate hints floor out."""
+    from sparkgraft.similarity import auto_n_centroids
+
+    assert auto_n_centroids(0) == 16
+    assert auto_n_centroids(-5) == 16
+    assert auto_n_centroids(2_000) == 16          # floor binds
+    assert auto_n_centroids(64_000) == 89          # sqrt(8000)
+    assert auto_n_centroids(8_000_000) == 1000
+    assert auto_n_centroids(10**14) == 65536       # ceiling binds
+    # monotone non-decreasing across decades
+    vals = [auto_n_centroids(10**e) for e in range(3, 13)]
+    assert vals == sorted(vals)

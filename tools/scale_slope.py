@@ -213,22 +213,21 @@ def _ivfpq_topk_scaling_queries(spark, work_dir: str):
 
 def _ivfpq_topk_scaling_queries_sqrtn(spark, work_dir: str):
     """The production layout for the growing-workload regime:
-    n_centroids grows ~sqrt(corpus) (the FAISS sizing rule), so each
-    query's probed candidate pool grows only ~sqrt(f) — expected total
-    exponent ~1.5 vs the fixed-list probe's ~2."""
-    import math
-
+    n_centroids grows ~sqrt(corpus) (similarity.auto_n_centroids — the
+    FAISS sizing rule), so each query's probed candidate pool grows
+    only ~sqrt(f) — expected total exponent ~1.5 vs the fixed-list
+    probe's ~2."""
     from pyspark.sql import functions as F
 
     from sparkgraft.io import read_table
-    from sparkgraft.similarity import ivfpq_topk
+    from sparkgraft.similarity import auto_n_centroids, ivfpq_topk
 
     emb = read_table(spark, work_dir, "embeddings")
     n = emb.count()
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return ivfpq_topk(
         emb, queries, dim=64, k=10,
-        n_centroids=max(16, int(math.sqrt(n / 8))), n_probe=4,
+        n_centroids=auto_n_centroids(n), n_probe=4,
         m=16, n_codes=64,
     )
 
