@@ -1008,6 +1008,8 @@ def jpeg_decode(payload: bytes):
             i = 0
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0x0F
+                if i + 17 > len(body):
+                    raise ValueError("jpeg_decode: truncated DHT header")
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(body[i + 17 : i + 17 + n])
@@ -1016,6 +1018,8 @@ def jpeg_decode(payload: bytes):
                 htables[(tc, th)] = _huff_decode_map(bits, vals)
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 9:
+                raise ValueError("jpeg_decode: truncated SOF0")
             try:
                 prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             except struct.error as e:
@@ -1037,10 +1041,15 @@ def jpeg_decode(payload: bytes):
                 "progressive) unsupported — dead-letter by contract"
             )
         elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", body[:2])
+            try:
+                (restart_interval,) = struct.unpack(">H", body[:2])
+            except struct.error as e:
+                raise ValueError(f"jpeg_decode: truncated DRI: {e}") from e
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg_decode: SOS before SOF0")
+            if len(body) < 6:
+                raise ValueError("jpeg_decode: truncated SOS")
             ns = body[0]
             if ns != 1:
                 raise ValueError("jpeg_decode: multi-component scan unsupported")

@@ -748,3 +748,72 @@ def test_jpeg_reencode_caught_by_perceptual_hash(spark):
     assert ham(hashes[0], hashes[1]) <= 12  # re-encode: near-identical
     assert ham(hashes[0], hashes[2]) >= 30  # different image: far
     assert hashes[3] is None                # corrupt: dead-lettered
+
+
+def test_codec_dead_letter_contract_under_fuzz():
+    """Property fuzz over all THREE real codecs: any truncation or
+    single-byte corruption of a valid payload must either decode
+    cleanly or raise ValueError — never IndexError / struct.error /
+    KeyError / zlib.error — because the mapInPandas dead-letter
+    handlers catch exactly (NotImplementedError, ValueError) and
+    anything else would kill a 100 TB job on one bad file."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    img = _jpeg_test_image(16, 16)
+    payloads = [
+        M.jpeg_encode_gray(img, quality=80),
+        _wav_encode(_tone(8000, 0.05, 440.0), 8000),
+        _png_encode(img, color_type=0, filter_type=0),
+    ]
+    decoders = [M.jpeg_decode, lambda b: M.wav_decode(b)[0], M.png_decode]
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        which=st.integers(min_value=0, max_value=len(payloads) - 1),
+        cut=st.floats(min_value=0.0, max_value=1.0),
+        flip_pos=st.floats(min_value=0.0, max_value=1.0),
+        flip_val=st.integers(min_value=0, max_value=255),
+        mode=st.sampled_from(["truncate", "flip", "both"]),
+    )
+    def fuzz(which, cut, flip_pos, flip_val, mode):
+        payload = bytearray(payloads[which])
+        if mode in ("truncate", "both"):
+            payload = payload[: max(1, int(len(payload) * cut))]
+        if mode in ("flip", "both") and payload:
+            payload[int((len(payload) - 1) * flip_pos)] = flip_val
+        try:
+            out = decoders[which](bytes(payload))
+            assert isinstance(out, np.ndarray)
+        except ValueError:
+            pass  # the dead-letter contract
+
+    fuzz()
+
+
+def test_jpeg_decoder_exhaustive_corruption_sweep():
+    """EXHAUSTIVE dead-letter sweep over the JPEG parser (the fuzz
+    test's property at full coverage — this sweep caught a truncated-
+    DHT IndexError the sampled fuzz missed): every single-byte flip
+    (4 values per position) and every truncation of a real payload
+    must decode or raise ValueError, never any other exception."""
+    import numpy as np
+
+    img = np.add.outer(
+        np.linspace(0, 180, 16), np.linspace(0, 60, 16)
+    ).astype(np.uint8)
+    payload = bytearray(M.jpeg_encode_gray(img, quality=80, restart_interval=2))
+    for pos in range(len(payload)):
+        for val in (0x00, 0xFF, payload[pos] ^ 0x80, payload[pos] ^ 0x01):
+            p = bytearray(payload)
+            p[pos] = val
+            try:
+                M.jpeg_decode(bytes(p))
+            except ValueError:
+                pass
+    for cut in range(1, len(payload)):
+        try:
+            M.jpeg_decode(bytes(payload[:cut]))
+        except ValueError:
+            pass
