@@ -2148,14 +2148,18 @@ def ivfpq_topk(
                 continue
             codes = _unpack_codes(pdf["codes"], m_)
             ids = pdf["cand_id"].to_numpy(dtype=np.int64)
-            qcol = pdf["query_id"].to_numpy(dtype=np.int64)
             gathered = np.empty(len(pdf), dtype=np.float64)
             # vectorized per (query, probed list): one gather over all
-            # of that group's candidates, not a python loop per row
+            # of that group's candidates, not a python loop per row.
+            # The same group index drives the per-query top-k cut below
+            # (O(n) total — a per-query boolean mask would re-scan the
+            # batch |Q| times, the same order as the gather itself).
             groups = pdf.groupby(["query_id", "cid"], sort=False).indices
+            per_query: dict[int, list[np.ndarray]] = {}
             for (q, c), idx in groups.items():
                 lut = lut_for(int(q), int(c))
                 gathered[idx] = lut[sub_idx, codes[idx].T].sum(axis=0)
+                per_query.setdefault(int(q), []).append(idx)
             gathered = np.round(gathered, round_to)
             # per-batch partial top-k per query (exact under boundary
             # ties — the pq_adc_topk threshold-cut argument); self-rows
@@ -2163,8 +2167,8 @@ def ivfpq_topk(
             out_q: list[np.ndarray] = []
             out_c: list[np.ndarray] = []
             out_d: list[np.ndarray] = []
-            for q in np.unique(qcol):
-                rows = np.flatnonzero(qcol == q)
+            for q, idx_list in per_query.items():
+                rows = np.concatenate(idx_list)
                 take = min(k, len(rows))
                 cd, ci = gathered[rows], ids[rows]
                 thresh = np.partition(cd, take - 1)[take - 1]
