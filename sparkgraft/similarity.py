@@ -2068,37 +2068,90 @@ def ivfpq_topk(
     the id tiebreak. For exact-precision results compose with
     :func:`ivfpq_rerank_topk`'s shortlist pattern; for a query load
     that grows with the corpus, size ``n_centroids`` with
-    :func:`auto_n_centroids` (fixed lists measured tail 1.36 at 32x
-    vs 0.96 sqrt-scaled — SCALE_SLOPE_r09_ivfpq_scaling.json)."""
-    from pyspark.sql import Window
+    :func:`auto_n_centroids` (fixed lists measured tail 1.63 at 32x
+    vs 1.08 sqrt-scaled — SCALE_SLOPE_r09_ivfpq_scaling.json).
 
-    from .relational import spread
-
+    This convenience form trains + encodes inline; the production
+    lifecycle factors through :func:`ivfpq_train` (or
+    :func:`load_quantizer`) -> :func:`ivfpq_encode` (write the codes
+    store ONCE) -> :func:`ivfpq_topk_from_codes` (serve every query
+    batch from the store without touching raw vectors) — the same
+    encode/serve split as the PQ tier's pq_encode / pq_adc_topk."""
     centroids, books = ivfpq_train(
         corpus, dim, id_col=id_col, vec_col=vec_col,
         n_centroids=n_centroids, m=m, n_codes=n_codes, iters=iters,
     )
-    cmat = _centroid_matrix(centroids)
-    cb = _codebook_tensor(books)
-    m_, n_codes_, dsub = cb.shape
+    codes = ivfpq_encode(
+        corpus, centroids, books, id_col=id_col, vec_col=vec_col
+    )
+    return ivfpq_topk_from_codes(
+        codes, queries, centroids, books, id_col=id_col, vec_col=vec_col,
+        k=k, n_probe=n_probe, round_to=round_to,
+    )
 
-    enc = ivfpq_encode_udf(centroids, books, dim)
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode the corpus into the IVF-PQ index rows ``(id_col, cid,
+    codes binary)`` — one map-side Arrow pass, no shuffle: the store a
+    100 TB deployment writes once (parquet next to the
+    :func:`save_quantizer` manifest) and serves forever through
+    :func:`ivfpq_topk_from_codes`. Appending a new batch is just
+    encoding that batch with the FROZEN quantizer (a trivial monoid —
+    the streaming-maintenance test pins it)."""
+    from .relational import spread
+
+    dim = len(codebooks) * len(codebooks[0][0])
+    enc = ivfpq_encode_udf(centroids, codebooks, dim)
     # coalesce(-1): provably non-null join key (the ivf_topk precedent
     # — otherwise the pushed isnotnull filter re-evaluates the UDF)
-    inverted = spread(corpus).select(
-        F.col(id_col).alias("cand_id"),
+    return spread(corpus).select(
+        F.col(id_col),
         enc(F.col(vec_col)).alias("__e"),
     ).select(
-        "cand_id",
+        id_col,
         F.coalesce(F.col("__e.cid"), F.lit(-1)).alias("cid"),
         F.col("__e.codes").alias("codes"),
+    )
+
+
+def ivfpq_topk_from_codes(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Serve IVF-PQ top-k from a persisted/accumulated codes store
+    (``(id_col, cid, codes)`` — :func:`ivfpq_encode`'s output, read
+    back from parquet or folded across arriving batches) with a
+    trained quantizer (in-memory or :func:`load_quantizer`): the
+    scoring tail of :func:`ivfpq_topk`, bit-identical output, raw
+    vectors never touched."""
+    from pyspark.sql import Window
+
+    cmat = _centroid_matrix(centroids)
+    cb = _codebook_tensor(codebooks)
+    m_, n_codes_, dsub = cb.shape
+
+    inverted = corpus_codes.select(
+        F.col(id_col).alias("cand_id"), "cid", "codes"
     )
 
     qrows = queries.select(
         F.col(id_col).alias("__qid"), _d(F.col(vec_col)).alias("__qv")
     ).collect()
     if not qrows:
-        raise ValueError("ivfpq_topk: empty query set")
+        raise ValueError("ivfpq_topk_from_codes: empty query set")
     qids = np.asarray([r["__qid"] for r in qrows], dtype=np.int64)
     qx = np.asarray([r["__qv"] for r in qrows], dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)
@@ -2113,7 +2166,7 @@ def ivfpq_topk(
         for qi, qid in enumerate(qids)
         for cid in order[qi]
     ]
-    probes = corpus.sparkSession.createDataFrame(
+    probes = corpus_codes.sparkSession.createDataFrame(
         probe_rows, "query_id long, cid long"
     )
     qidx = {int(qid): i for i, qid in enumerate(qids)}

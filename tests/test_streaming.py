@@ -1102,3 +1102,67 @@ def test_streaming_pq_codes_maintenance_equals_batch(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, S.pq_adc_topk(streamed, queries, books, k=5).collect()))
     b = sorted(map(tuple, S.pq_adc_topk(oneshot, queries, books, k=5).collect()))
     assert a == b and len(a) > 0
+
+
+def test_streaming_ivfpq_index_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """The PRODUCTION ANN index's full lifecycle across sessions and
+    arriving data: train once -> save_quantizer; each micro-batch
+    loads the frozen quantizer from the store, ivfpq_encode-s ONLY its
+    own vectors and appends (id, cid, codes) rows; serving via
+    ivfpq_topk_from_codes over the accumulated store must be
+    bit-identical to the one-shot inline ivfpq_topk over the whole
+    corpus — raw vectors are never re-read, history never re-encoded."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sparkgraft import similarity as S
+    from sparkgraft.io import read_table
+    from sparkgraft.streaming import run_stream_available_now, stream_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids, books = S.ivfpq_train(
+        emb, dim=64, n_centroids=16, m=16, n_codes=64
+    )
+    qdir = str(tmp_path / "quantizer")
+    S.save_quantizer(spark, qdir, books, centroids=centroids)
+    del centroids, books  # maintenance lives off the store
+
+    codes_dir = str(tmp_path / "ivfpq_codes")
+    stream = stream_table(
+        spark, sf_dir, "embeddings", max_files_per_trigger=1, split_files=4
+    )
+
+    def sink(batch_df, batch_id):
+        q = S.load_quantizer(spark, qdir)
+        S.ivfpq_encode(batch_df, q["centroids"], q["codebooks"]).write.mode(
+            "append"
+        ).parquet(codes_dir)
+
+    n_batches = run_stream_available_now(
+        stream, sink, str(tmp_path / "ckpt"), output_mode="append"
+    )
+    assert n_batches == 4
+
+    q = S.load_quantizer(spark, qdir)
+    store = spark.read.parquet(codes_dir)
+    oneshot_codes = S.ivfpq_encode(emb, q["centroids"], q["codebooks"])
+    assert sorted(map(tuple, store.collect())) == sorted(
+        map(tuple, oneshot_codes.collect())
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    served = sorted(
+        map(
+            tuple,
+            S.ivfpq_topk_from_codes(
+                store, queries, q["centroids"], q["codebooks"], k=5
+            ).collect(),
+        )
+    )
+    inline = sorted(
+        map(
+            tuple,
+            S.ivfpq_topk_from_codes(
+                oneshot_codes, queries, q["centroids"], q["codebooks"], k=5
+            ).collect(),
+        )
+    )
+    assert served == inline and len(served) > 0
