@@ -23,11 +23,14 @@ The Spark-side pattern for multimodal training data at 100 TB:
   RMS + zero-crossing features — tests catch a planted RESAMPLED
   duplicate recording via feature cosine where md5 sees an unrelated
   blob); and a baseline-sequential JPEG codec (:func:`jpeg_decode` /
-  :func:`jpeg_encode_gray` / :func:`jpeg_decode_stats` /
-  :func:`jpeg_resize` — T.81 grayscale baseline with Annex K tables,
-  Huffman + DCT in numpy, restart markers handled, progressive/color
-  dead-lettered by contract; tests catch a planted quality-55
-  RE-ENCODE via dHash where md5 sees an unrelated blob).
+  :func:`jpeg_encode_gray` / :func:`jpeg_encode_ycbcr444` /
+  :func:`jpeg_decode_stats` / :func:`jpeg_resize` — T.81 baseline with
+  Annex K tables, Huffman + DCT in numpy, restart markers handled,
+  grayscale AND 4:4:4 interleaved YCbCr color (luminance returned);
+  progressive and chroma-subsampled frames dead-letter by contract;
+  tests catch a planted quality-55 RE-ENCODE via dHash where md5 sees
+  an unrelated blob, and exhaustive byte-flip/truncation sweeps pin
+  the ValueError-only failure contract).
 """
 
 from __future__ import annotations
@@ -56,6 +59,7 @@ __all__ = [
     "audio_feature_vector",
     "embed_audio",
     "jpeg_encode_gray",
+    "jpeg_encode_ycbcr444",
     "jpeg_decode",
     "jpeg_decode_stats",
     "jpeg_resize",
@@ -842,6 +846,45 @@ class _JpegBitReader:
         self.pos += 2
 
 
+def _jpeg_encode_block(bw, t, block, qm, dc_enc, ac_enc, prev_dc, category):
+    """DCT -> quantize -> zigzag -> Huffman one 8x8 level-shifted
+    block; returns the new DC predictor (shared by the grayscale and
+    4:4:4 color encoders)."""
+    import numpy as np
+
+    coef = t @ block @ t.T
+    qz = np.round(coef / qm).astype(np.int64)
+    zz = qz.reshape(-1)[_JPEG_ZZ]
+    diff = int(zz[0]) - prev_dc
+    prev_dc = int(zz[0])
+    s = category(diff)
+    code, length = dc_enc[s]
+    bw.put(code, length)
+    if s:
+        bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    nz = np.flatnonzero(zz[1:]) + 1
+    last = int(nz[-1]) if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_enc[0xF0]  # ZRL
+            bw.put(code, length)
+            run -= 16
+        s = category(v)
+        code, length = ac_enc[(run << 4) | s]
+        bw.put(code, length)
+        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, length = ac_enc[0x00]  # EOB
+        bw.put(code, length)
+    return prev_dc
+
+
 def jpeg_encode_gray(img, quality: int = 85, restart_interval: int = 0) -> bytes:
     """Baseline-sequential JFIF encoder for a grayscale uint8 array —
     the test-bytes producer for :func:`jpeg_decode` (and the planted
@@ -896,36 +939,9 @@ def jpeg_encode_gray(img, quality: int = 85, restart_interval: int = 0) -> bytes
                 prev_dc = 0
             mcu += 1
             block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = t @ block @ t.T
-            qz = np.round(coef / qm).astype(np.int64)
-            zz = qz.reshape(-1)[_JPEG_ZZ]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            s = category(diff)
-            code, length = dc_enc[s]
-            bw.put(code, length)
-            if s:
-                bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-            run = 0
-            nz = np.flatnonzero(zz[1:]) + 1
-            last = int(nz[-1]) if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_enc[0xF0]  # ZRL
-                    bw.put(code, length)
-                    run -= 16
-                s = category(v)
-                code, length = ac_enc[(run << 4) | s]
-                bw.put(code, length)
-                bw.put(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last < 63:
-                code, length = ac_enc[0x00]  # EOB
-                bw.put(code, length)
+            prev_dc = _jpeg_encode_block(
+                bw, t, block, qm, dc_enc, ac_enc, prev_dc, category
+            )
     scan_parts.append(bw.flush())
     scan = b"".join(scan_parts)
 
@@ -950,16 +966,110 @@ def jpeg_encode_gray(img, quality: int = 85, restart_interval: int = 0) -> bytes
     return bytes(out)
 
 
+def jpeg_encode_ycbcr444(
+    y, cb=None, cr=None, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """Baseline 4:4:4 COLOR JFIF encoder (3 interleaved YCbCr
+    components, no subsampling): the color-test-bytes producer for
+    :func:`jpeg_decode`. All three components legally share quant
+    table 0 and Huffman tables 0/0 (baseline allows it), so no chroma
+    table transcription is needed; ``cb``/``cr`` default to the
+    neutral 128 plane. Per-component DC predictors, interleaved
+    Y-Cb-Cr blocks per MCU — exactly the stream shape a real 4:4:4
+    encoder emits."""
+    import struct
+
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.uint8)
+    if y.ndim != 2 or y.size == 0:
+        raise ValueError("jpeg_encode_ycbcr444: need a non-empty 2-D array")
+    h, w = y.shape
+    planes = []
+    for p in (y, cb, cr):
+        if p is None:
+            p = np.full((h, w), 128, dtype=np.uint8)
+        p = np.asarray(p, dtype=np.uint8)
+        if p.shape != (h, w):
+            raise ValueError("jpeg_encode_ycbcr444: plane shape mismatch")
+        planes.append(p)
+    if not (1 <= quality <= 100):
+        raise ValueError(f"jpeg_encode_ycbcr444: quality {quality} out of range")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.clip((np.asarray(_JPEG_QL) * scale + 50) // 100, 1, 255).astype(
+        np.int32
+    )
+    qm = q.reshape(8, 8).astype(np.float64)
+    t = _jpeg_dct_matrix()
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = []
+    for p in planes:
+        pp = np.empty((ph, pw), dtype=np.float64)
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp - 128.0)
+
+    dc_enc = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+
+    def category(v: int) -> int:
+        return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+    scan_parts: list[bytes] = []
+    prev_dc = [0, 0, 0]
+    mcu = 0
+    rst = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                scan_parts.append(bw.flush())
+                scan_parts.append(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                bw = _JpegBitWriter()
+                prev_dc = [0, 0, 0]
+            mcu += 1
+            for ci in range(3):
+                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                prev_dc[ci] = _jpeg_encode_block(
+                    bw, t, block, qm, dc_enc, ac_enc, prev_dc[ci], category
+                )
+    scan_parts.append(bw.flush())
+    scan = b"".join(scan_parts)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(int(q[z]) for z in _JPEG_ZZ))
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def jpeg_decode(payload: bytes):
     """Minimal stdlib+numpy baseline JPEG decoder -> (height, width)
-    uint8 luminance plane. Supports what the baseline grayscale
-    contract promises — SOF0, 8-bit, ONE component, restart markers —
-    and dead-letters everything else (progressive SOF2, multi-
-    component color, 12-bit, arithmetic coding) with a clean
-    ValueError, the same contract as non-PCM :func:`wav_decode`.
-    All struct/index errors on corrupt bytes normalize to ValueError
-    so the mapInPandas dead-letter handlers see every broken payload
-    the same way."""
+    uint8 luminance plane. Supports the baseline contract — SOF0,
+    8-bit, GRAYSCALE or 4:4:4 interleaved YCbCr color (the luminance
+    plane is returned; chroma blocks are entropy-decoded for stream
+    sync), restart markers — and dead-letters everything else
+    (progressive SOF2, chroma-subsampled 4:2:0/4:2:2, 12-bit,
+    arithmetic coding) with a clean ValueError, the same contract as
+    non-PCM :func:`wav_decode`. All struct/index errors on corrupt
+    bytes normalize to ValueError so the mapInPandas dead-letter
+    handlers see every broken payload the same way."""
     import struct
 
     import numpy as np
@@ -1026,15 +1136,29 @@ def jpeg_decode(payload: bytes):
                 raise ValueError(f"jpeg_decode: truncated SOF0: {e}") from e
             if prec != 8:
                 raise ValueError(f"jpeg_decode: {prec}-bit precision unsupported")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise ValueError(
-                    "jpeg_decode: multi-component (color) JPEG unsupported — "
-                    "grayscale baseline only (dead-letter by contract)"
+                    f"jpeg_decode: {ncomp}-component JPEG unsupported — "
+                    "grayscale or 4:4:4 YCbCr baseline only (dead-letter "
+                    "by contract)"
                 )
-            cid, sampling, tq = body[6], body[7], body[8]
-            if sampling != 0x11:
-                raise ValueError("jpeg_decode: subsampling unsupported")
-            frame = (h, w, cid, tq)
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("jpeg_decode: truncated SOF0 components")
+            comps = []
+            for ci in range(ncomp):
+                cid = body[6 + 3 * ci]
+                sampling = body[7 + 3 * ci]
+                tq = body[8 + 3 * ci]
+                # 4:4:4 only: every component at 1x1 sampling — real
+                # camera JPEGs are usually 4:2:0 and dead-letter here
+                # by contract (the seam swaps in PIL for those)
+                if sampling != 0x11:
+                    raise ValueError(
+                        "jpeg_decode: chroma subsampling unsupported — "
+                        "4:4:4 only (dead-letter by contract)"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
         elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise ValueError(
                 f"jpeg_decode: SOF{marker - 0xC0} (non-baseline, e.g. "
@@ -1048,72 +1172,89 @@ def jpeg_decode(payload: bytes):
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg_decode: SOS before SOF0")
-            if len(body) < 6:
+            if len(body) < 4 + 2 * body[0]:
                 raise ValueError("jpeg_decode: truncated SOS")
             ns = body[0]
-            if ns != 1:
-                raise ValueError("jpeg_decode: multi-component scan unsupported")
-            td, ta = body[2] >> 4, body[2] & 0x0F
-            scan_spec = (td, ta)
+            if frame is None or ns != len(frame[2]):
+                raise ValueError(
+                    "jpeg_decode: SOS component count does not match SOF0"
+                )
+            scan_spec = [
+                (body[2 + 2 * ci] >> 4, body[2 + 2 * ci] & 0x0F)
+                for ci in range(ns)
+            ]
             pos += seglen
             break  # entropy data follows
         pos += seglen
     if frame is None or scan_spec is None:
         raise ValueError("jpeg_decode: missing SOF0 or SOS")
-    h, w, _cid, tq = frame
-    if tq not in qtables:
-        raise ValueError(f"jpeg_decode: missing quantization table {tq}")
-    dc_tab = htables.get((0, scan_spec[0]))
-    ac_tab = htables.get((1, scan_spec[1]))
-    if dc_tab is None or ac_tab is None:
-        raise ValueError("jpeg_decode: missing Huffman table(s)")
-    qm = qtables[tq]
+    h, w, comps = frame
+    dc_tabs, ac_tabs, qms = [], [], []
+    for (cid, tq), (td, ta) in zip(comps, scan_spec):
+        if tq not in qtables:
+            raise ValueError(f"jpeg_decode: missing quantization table {tq}")
+        dc_tab = htables.get((0, td))
+        ac_tab = htables.get((1, ta))
+        if dc_tab is None or ac_tab is None:
+            raise ValueError("jpeg_decode: missing Huffman table(s)")
+        dc_tabs.append(dc_tab)
+        ac_tabs.append(ac_tab)
+        qms.append(qtables[tq])
     t = _jpeg_dct_matrix()
 
     bx_n = -(-w // 8)
     by_n = -(-h // 8)
+    ncomp = len(comps)
+    # component 0 is the luminance plane — the seam's output; chroma
+    # blocks (4:4:4 => one block per component per MCU) are entropy-
+    # decoded to keep the bit stream in sync, then discarded
     out = np.empty((by_n * 8, bx_n * 8), dtype=np.uint8)
     reader = _JpegBitReader(payload, pos)
-    prev_dc = 0
+    prev_dc = [0] * ncomp
     mcu = 0
     try:
         for by in range(by_n):
             for bx in range(bx_n):
                 if restart_interval and mcu and mcu % restart_interval == 0:
                     reader.restart()
-                    prev_dc = 0
+                    prev_dc = [0] * ncomp
                 mcu += 1
-                zz = np.zeros(64, dtype=np.float64)
-                s = reader.huff(dc_tab)
-                diff = 0
-                if s:
-                    v = reader.bits(s)
-                    diff = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-                prev_dc += diff
-                zz[0] = prev_dc
-                k = 1
-                while k < 64:
-                    sym = reader.huff(ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("jpeg_decode: bad AC symbol")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("jpeg_decode: AC index overflow")
-                    v = reader.bits(size)
-                    zz[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[_JPEG_ZZ] = zz
-                block = t.T @ (coef.reshape(8, 8) * qm) @ t
-                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.round(block + 128.0), 0, 255
-                ).astype(np.uint8)
+                for ci in range(ncomp):
+                    zz = np.zeros(64, dtype=np.float64)
+                    s = reader.huff(dc_tabs[ci])
+                    diff = 0
+                    if s:
+                        v = reader.bits(s)
+                        diff = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                    prev_dc[ci] += diff
+                    zz[0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        sym = reader.huff(ac_tabs[ci])
+                        if sym == 0x00:  # EOB
+                            break
+                        run, size = sym >> 4, sym & 0x0F
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("jpeg_decode: bad AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("jpeg_decode: AC index overflow")
+                        v = reader.bits(size)
+                        zz[k] = (
+                            v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                        )
+                        k += 1
+                    if ci > 0:
+                        continue  # chroma decoded for stream sync only
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[_JPEG_ZZ] = zz
+                    block = t.T @ (coef.reshape(8, 8) * qms[0]) @ t
+                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                        np.round(block + 128.0), 0, 255
+                    ).astype(np.uint8)
     except (IndexError, KeyError) as e:
         raise ValueError(f"jpeg_decode: corrupt entropy scan: {e}") from e
     return out[:h, :w]

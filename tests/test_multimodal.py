@@ -674,10 +674,17 @@ def test_jpeg_unsupported_and_corrupt_dead_letter():
     with pytest.raises(ValueError, match="non-baseline"):
         M.jpeg_decode(bytes(progressive))
 
-    color = bytearray(payload)
-    color[sof + 9] = 3  # ncomp byte of SOF0
-    with pytest.raises(ValueError, match="multi-component"):
-        M.jpeg_decode(bytes(color))
+    two_comp = bytearray(payload)
+    two_comp[sof + 9] = 2  # ncomp byte of SOF0: 2 components unsupported
+    with pytest.raises(ValueError, match="2-component"):
+        M.jpeg_decode(bytes(two_comp))
+
+    # a 4:2:0-subsampled color frame dead-letters by contract: claim 3
+    # components (header then under-runs -> truncated, also ValueError)
+    three_comp = bytearray(payload)
+    three_comp[sof + 9] = 3
+    with pytest.raises(ValueError, match="truncated SOF0 components"):
+        M.jpeg_decode(bytes(three_comp))
 
     with pytest.raises(ValueError, match="truncated|marker|scan"):
         M.jpeg_decode(bytes(payload[: len(payload) // 2]))
@@ -817,3 +824,39 @@ def test_jpeg_decoder_exhaustive_corruption_sweep():
             M.jpeg_decode(bytes(payload[:cut]))
         except ValueError:
             pass
+
+
+def test_jpeg_color_444_luminance_roundtrip_and_contract():
+    """Baseline 4:4:4 COLOR JPEG: the decoder entropy-decodes all
+    three interleaved YCbCr components (keeping the bit stream in
+    sync) and returns the luminance plane — with neutral AND with
+    structured non-neutral chroma, with restart markers, at the same
+    fidelity as the grayscale path. Chroma SUBSAMPLING (the 4:2:0 a
+    camera emits) dead-letters by contract."""
+    import numpy as np
+    import pytest
+
+    img = _jpeg_test_image()
+    gray_err = np.abs(
+        M.jpeg_decode(M.jpeg_encode_gray(img, quality=90)).astype(int)
+        - img.astype(int)
+    ).mean()
+
+    neutral = M.jpeg_decode(M.jpeg_encode_ycbcr444(img, quality=90))
+    assert neutral.shape == img.shape
+    assert np.abs(neutral.astype(int) - img.astype(int)).mean() <= gray_err + 0.1
+
+    cb = ((np.add.outer(np.arange(24), np.arange(40)) * 5) % 256).astype(
+        np.uint8
+    )
+    structured = M.jpeg_decode(
+        M.jpeg_encode_ycbcr444(img, cb, 255 - cb, quality=90, restart_interval=3)
+    )
+    assert np.abs(structured.astype(int) - img.astype(int)).mean() <= gray_err + 0.1
+
+    # subsampled chroma (sampling byte != 0x11) dead-letters
+    payload = bytearray(M.jpeg_encode_ycbcr444(img, quality=90))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 14] = 0x22  # component 1 sampling 2x2 (4:2:0-style)
+    with pytest.raises(ValueError, match="subsampling"):
+        M.jpeg_decode(bytes(payload))
