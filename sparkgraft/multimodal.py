@@ -1088,6 +1088,13 @@ def jpeg_decode(payload: bytes):
     while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("jpeg_decode: expected a marker")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker byte — skip them so baseline streams from encoders
+        # that pad with fill bytes don't dead-letter
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(payload):
+            break
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -1172,7 +1179,9 @@ def jpeg_decode(payload: bytes):
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg_decode: SOS before SOF0")
-            if len(body) < 4 + 2 * body[0]:
+            # an empty body (seglen == 2) must dead-letter as a clean
+            # ValueError, not an IndexError on body[0]
+            if not body or len(body) < 4 + 2 * body[0]:
                 raise ValueError("jpeg_decode: truncated SOS")
             ns = body[0]
             if frame is None or ns != len(frame[2]):

@@ -1002,8 +1002,8 @@ def auto_n_centroids(
     candidates, so a FIXED list count goes superlinear the moment the
     query load grows with the corpus — measured in
     SCALE_SLOPE_r09_ivfpq_scaling.json: 16 fixed lists read tail
-    exponent 1.36 at 32x (queries growing with the corpus) while
-    ``sqrt``-scaled lists read 0.96 at 1.8x less wall. This returns
+    exponent 1.63 at 32x (queries growing with the corpus) while
+    ``sqrt``-scaled lists read 1.08 at 1.75x less wall. This returns
     the sqrt rule used by that probe, ``sqrt(approx_rows / 8)``
     (the classic Jegou/FAISS n_list ~ sqrt(N) family; the constant
     balances this implementation's cheap vectorized assignment against

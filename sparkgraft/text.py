@@ -1392,8 +1392,13 @@ def bm25_topk(
 
 # Bounded rotation of persisted BM25 tf states (see
 # bm25_topk_from_index): newest-4 stay warm, older handles unpersist.
+# Rotation is guarded by a lock — concurrent BM25 pipelines (or >4
+# interleaved ones) may evict a handle a still-lazy earlier result
+# references; that only costs a recompute, never correctness, but the
+# list mutation itself must not race.
 _BM25_TF_STATES: list = []
 _BM25_TF_STATES_MAX = 4
+_BM25_TF_STATES_LOCK = __import__("threading").Lock()
 
 
 def bm25_index(
@@ -1459,12 +1464,13 @@ def bm25_topk_from_index(
     tf = index.select(
         F.col(id_col), F.col("term").alias("__term"), F.col("tf").alias("__tf")
     ).persist()
-    while len(_BM25_TF_STATES) >= _BM25_TF_STATES_MAX:
-        try:
-            _BM25_TF_STATES.pop(0).unpersist(False)
-        except Exception:
-            pass  # a dead SparkSession just means nothing to free
-    _BM25_TF_STATES.append(tf)
+    with _BM25_TF_STATES_LOCK:
+        while len(_BM25_TF_STATES) >= _BM25_TF_STATES_MAX:
+            try:
+                _BM25_TF_STATES.pop(0).unpersist(False)
+            except Exception:
+                pass  # a dead SparkSession just means nothing to free
+        _BM25_TF_STATES.append(tf)
     dlen = tf.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
     stats = dlen.agg(
         F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")

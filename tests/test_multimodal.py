@@ -693,6 +693,32 @@ def test_jpeg_unsupported_and_corrupt_dead_letter():
     with pytest.raises(NotImplementedError):
         M.jpeg_decode(None)
 
+    # ADVICE r9: an SOS with seglen == 2 has an EMPTY body — body[0]
+    # must not be read unguarded (was IndexError, escaping the
+    # ValueError-only dead-letter contract)
+    sos = payload.index(b"\xff\xda")
+    empty_sos = bytearray(payload)
+    empty_sos[sos + 2 : sos + 4] = b"\x00\x02"
+    with pytest.raises(ValueError, match="truncated SOS"):
+        M.jpeg_decode(bytes(empty_sos))
+
+
+def test_jpeg_fill_bytes_before_markers_are_legal():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad the stream
+    before a marker byte — baseline JPEGs from encoders that pad this
+    way must decode identically, not dead-letter (ADVICE r9)."""
+    import numpy as np
+
+    img = _jpeg_test_image()
+    payload = bytearray(M.jpeg_encode_gray(img, quality=85))
+    want = M.jpeg_decode(bytes(payload))
+    # pad fill bytes before the DQT, DHT and SOS markers
+    for marker in (b"\xff\xdb", b"\xff\xc4", b"\xff\xda"):
+        at = payload.index(marker)
+        payload[at:at] = b"\xff\xff\xff"
+    got = M.jpeg_decode(bytes(payload))
+    assert np.array_equal(got, want)
+
 
 def test_jpeg_stats_flow_through_extract_features_seam(spark):
     """Real JPEG bytes end-to-end through the UNCHANGED
@@ -811,8 +837,10 @@ def test_jpeg_decoder_exhaustive_corruption_sweep():
         np.linspace(0, 180, 16), np.linspace(0, 60, 16)
     ).astype(np.uint8)
     payload = bytearray(M.jpeg_encode_gray(img, quality=80, restart_interval=2))
+    # 0x02 covers the empty-segment class the 4-value sweep missed
+    # (ADVICE r9: SOS seglen -> 2 gives an empty body, was IndexError)
     for pos in range(len(payload)):
-        for val in (0x00, 0xFF, payload[pos] ^ 0x80, payload[pos] ^ 0x01):
+        for val in (0x00, 0x02, 0xFF, payload[pos] ^ 0x80, payload[pos] ^ 0x01):
             p = bytearray(payload)
             p[pos] = val
             try:
