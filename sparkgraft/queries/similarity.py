@@ -232,16 +232,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_ivf_topk", retired=True)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via an IVF index (spherical k-means coarse
-    quantizer, deterministic lowest-id init, 3 Lloyd passes; probe the
-    4 nearest of 16 inverted lists per query). The data-adaptive
+    quantizer, deterministic seeded-hash sample, 3 Lloyd passes; probe
+    the 4 nearest inverted lists per query). The data-adaptive
     counterpart to ``ann_lsh_topk``'s data-independent hashing — at
     corpus scale the candidate shuffle moves ~n_probe/n_centroids of
-    the vectors. Recall vs brute force asserted in
+    the vectors. ``n_centroids`` is SIZED TO THE CORPUS by default
+    (similarity.auto_n_centroids from the parquet-footer row hint —
+    the auto_num_planes convention; fixed lists are the measured 32x
+    growing-workload knee). Recall vs brute force asserted in
     tests/test_similarity.py."""
+    from ..io import table_row_hint
+
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return S.ivf_topk(
-        emb, queries, dim=64, k=10, n_centroids=16, n_probe=4, iters=3
+        emb, queries, dim=64, k=10, n_probe=4, iters=3,
+        approx_rows=table_row_hint(sf_dir, "embeddings"),
     )
 
 
@@ -505,7 +511,9 @@ def ann_ivf_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST probe list. With n_probe >= 1 the copy is therefore always a
     candidate, and as the unique global rounded-cosine argmax (1.0 vs
     the ~0.51 corpus ceiling) it is provably the top-1 whatever else
-    the probed lists contain. The quantizer's bounded lowest-id
+    the probed lists contain — for ANY list count, so the default
+    corpus-sized quantizer (auto_n_centroids from the footer row
+    hint) preserves the construction. The bounded seeded-hash
     training sample and lowest-id tie-breaking keep the index fully
     deterministic. Recall beyond rank 1 stays covered by
     tests/test_similarity.py."""
@@ -524,8 +532,11 @@ def ann_ivf_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     planted = as_double.unionByName(copies)
     queries = as_double.where(F.col("vec_id") % 50 == 0)
+    from ..io import table_row_hint
+
     return S.ivf_topk(
-        planted, queries, dim=64, k=1, n_centroids=16, n_probe=4, iters=3
+        planted, queries, dim=64, k=1, n_probe=4, iters=3,
+        approx_rows=table_row_hint(sf_dir, "embeddings"),
     )
 
 
@@ -606,8 +617,10 @@ def ann_ivfpq_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (coarse inverted lists x residual product quantization,
     Jegou et al. 2011 §IV — similarity.ivfpq_topk) over a corpus with
     planted EXACT duplicates of every 50th vector: train the composed
-    index on the planted corpus's bounded lowest-id sample (no RNG;
-    exact duplicates only add sample weight),
+    index on the planted corpus's bounded seeded-hash sample (no RNG;
+    exact duplicates only add sample weight), with the coarse
+    quantizer SIZED TO THE CORPUS by default (auto_n_centroids from
+    the footer row hint — the construction is list-count-invariant),
     encode the planted corpus as (cid, 16 packed residual codes),
     probe each query's 4 nearest lists, and score candidates by
     residual ADC. The planted copy lands in the query's first probe
@@ -620,9 +633,11 @@ def ann_ivfpq_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     planted = base.unionByName(copies)
     queries = base.where(F.col("vec_id") % 50 == 0)
+    from ..io import table_row_hint
+
     return S.ivfpq_topk(
-        planted, queries, dim=64, k=1, n_centroids=16, n_probe=4,
-        m=16, n_codes=64,
+        planted, queries, dim=64, k=1, n_probe=4, m=16, n_codes=64,
+        approx_rows=table_row_hint(sf_dir, "embeddings"),
     ).select("query_id", "rank", "vec_id")
 
 
@@ -658,9 +673,12 @@ def ann_ivfpq_rerank_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     planted = base.unionByName(copies)
     queries = base.where(F.col("vec_id") % 50 == 0)
+    from ..io import table_row_hint
+
     return S.ivfpq_rerank_topk(
-        planted, queries, dim=64, k=1, shortlist=10, n_centroids=16,
-        n_probe=4, m=16, n_codes=64,
+        planted, queries, dim=64, k=1, shortlist=10, n_probe=4,
+        m=16, n_codes=64,
+        approx_rows=table_row_hint(sf_dir, "embeddings"),
     )
 
 

@@ -1020,36 +1020,100 @@ def auto_n_centroids(
     return max(lo, min(hi, int(round(math.sqrt(approx_rows / 8.0)))))
 
 
+def _resolve_n_centroids(n_centroids: int | None, approx_rows: int | None) -> int:
+    """The IVF/IVF-PQ default-sizing rule (VERDICT r9 #1, the r5
+    ``auto_num_planes`` precedent): ``n_centroids=None`` — now every
+    trainer's DEFAULT — sizes the coarse quantizer from the caller's
+    row hint via :func:`auto_n_centroids`; with no hint the clamp's low
+    end (16 lists, the small-corpus regime) applies. Explicit ints stay
+    the escape hatch and pass through untouched."""
+    if n_centroids is not None:
+        return n_centroids
+    return auto_n_centroids(approx_rows or 0)
+
+
+def _train_sample_size(sample_size: int | None, n_centroids: int) -> int:
+    """Default training-sample sizing (VERDICT r9 #2): k-means needs
+    ~64-100 points per centroid (the Jegou/FAISS rule ivf_train's own
+    docstring cites), so a FIXED 65536-row sample starves sqrt(N)-sized
+    quantizers (1-3 points/centroid at the hi clamp). ``None`` scales
+    the sample with the codebook: ``max(65536, 64 * n_centroids)`` —
+    at the 65,536-list clamp that is a ~4.2M-row / ~2 GB (dim 64
+    float64) one-time driver collect, the documented train-once cost."""
+    if sample_size is not None:
+        return sample_size
+    return max(65536, 64 * n_centroids)
+
+
+def _train_sample(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_size: int,
+    seed: str = "qtrain:",
+    op: str = "ivf_train",
+) -> np.ndarray:
+    """Bounded deterministic quantizer-training sample, drawn UNIFORMLY
+    by seeded md5 order instead of the lowest-id prefix it replaces
+    (VERDICT r9 #2): an id prefix is biased whenever ids correlate with
+    content — the normal case for time-ordered corpora under drift,
+    where prefix training fits only the oldest cluster. ``orderBy(md5(
+    seed || id)) + limit`` compiles to TakeOrdered (per-partition
+    partial top-k, never a global sort) — the same single bounded job
+    as the prefix, same cost shape, no RNG (the
+    ``weighted_sample_exact_k`` determinism convention). Rows keep hash
+    order, so first-rows k-means init sees a pseudo-random spread of
+    the corpus rather than its lowest ids."""
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            _d(F.col(vec_col)).alias("__dv"),
+            F.md5(
+                F.concat(F.lit(seed), F.col(id_col).cast("string"))
+            ).alias("__u"),
+        )
+        .orderBy("__u", "__id")
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"{op}: empty corpus")
+    return np.asarray([r["__dv"] for r in rows], dtype=np.float64)
+
+
 def ivf_train(
     corpus: DataFrame,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     iters: int = 3,
-    sample_size: int = 65536,
+    sample_size: int | None = None,
+    approx_rows: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Train the IVF coarse quantizer: spherical k-means (cosine
     assignment, mean update) on a bounded, deterministic sample.
 
-    One Spark job pulls the ``sample_size`` lowest-id vectors
-    (TakeOrdered — per-partition top-k, no sort shuffle); Lloyd then
-    runs locally in numpy. Sample-trained quantizers are the standard
-    scale design (a coarse quantizer needs ~100x n_centroids training
-    points, not the corpus): the 100 TB pass happens once, in the
+    ``n_centroids=None`` (the default) sizes the quantizer to the
+    corpus via :func:`auto_n_centroids` from the ``approx_rows`` hint
+    (catalog stats / ``io.table_row_hint`` — never a driver count job);
+    fixed list counts are the measured 32x growing-workload knee (tail
+    1.63 vs 1.08 sqrt-scaled, SCALE_SLOPE_r09_ivfpq_scaling.json), so
+    auto-sizing is the default and explicit ints are the escape hatch.
+    ``sample_size=None`` scales the sample with the quantizer
+    (``max(65536, 64 * n_centroids)`` — the ~100x-points-per-centroid
+    rule); the draw is a seeded md5-uniform TakeOrdered
+    (:func:`_train_sample`), not an id prefix, so time-ordered corpora
+    under drift don't train on their oldest cluster only. Lloyd then
+    runs locally in numpy: the 100 TB pass happens once, in the
     *assignment* stage of :func:`ivf_topk`, never in training. Init is
-    the first ``n_centroids`` sample rows; empty clusters keep their
-    previous centroid — fully deterministic, no RNG.
+    the first ``n_centroids`` sample rows (hash order — a pseudo-random
+    spread); empty clusters keep their previous centroid — fully
+    deterministic, no RNG.
     """
-    rows = (
-        corpus.select(F.col(id_col).alias("__id"), _d(F.col(vec_col)).alias("__dv"))
-        .orderBy("__id")
-        .limit(sample_size)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("ivf_train: empty corpus")
-    x = np.asarray([r["__dv"] for r in rows], dtype=np.float64)
+    n_centroids = _resolve_n_centroids(n_centroids, approx_rows)
+    sample_size = _train_sample_size(sample_size, n_centroids)
+    x = _train_sample(corpus, id_col, vec_col, sample_size, op="ivf_train")
     n_centroids = min(n_centroids, len(x))
     xnorm = np.linalg.norm(x, axis=1, keepdims=True)
     xn = x / np.where(xnorm == 0.0, 1.0, xnorm)  # zero vectors stay zero
@@ -1073,10 +1137,11 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     iters: int = 3,
     round_to: int = 6,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF index: assign every corpus vector to
     its nearest trained centroid (the inverted lists), probe each
@@ -1097,7 +1162,7 @@ def ivf_topk(
 
     centroids = ivf_train(
         corpus, dim, id_col=id_col, vec_col=vec_col,
-        n_centroids=n_centroids, iters=iters,
+        n_centroids=n_centroids, iters=iters, approx_rows=approx_rows,
     )
 
     # coalesce(-1) makes the join key provably non-nullable: otherwise the
@@ -1592,20 +1657,15 @@ def pq_train(
     subspaces (``dim % m == 0``), each with its own ``n_codes``-entry
     Euclidean k-means codebook trained on a bounded, deterministic
     sample — the same bounded-driver-loop design as :func:`ivf_train`
-    (one TakeOrdered sample job, local numpy Lloyd, first-rows init,
-    empty clusters keep their previous centroid, no RNG). Returns
+    (one TakeOrdered seeded-md5-uniform sample job, never an id prefix
+    — :func:`_train_sample`; local numpy Lloyd, first-rows init, empty
+    clusters keep their previous centroid, no RNG). The fixed 65536
+    default sample already covers the uint8-capped ``n_codes <= 256``
+    codebooks at >250 points/code. Returns
     ``codebooks[sub][code] -> list[dsub floats]``."""
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
-    rows = (
-        corpus.select(F.col(id_col).alias("__id"), _d(F.col(vec_col)).alias("__dv"))
-        .orderBy("__id")
-        .limit(sample_size)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("pq_train: empty corpus")
-    x = np.asarray([r["__dv"] for r in rows], dtype=np.float64)
+    x = _train_sample(corpus, id_col, vec_col, sample_size, op="pq_train")
     return _pq_lloyd(x, m, n_codes, iters)
 
 
@@ -1923,12 +1983,13 @@ def ivfpq_rerank_topk(
     vec_col: str = "embedding",
     k: int = 10,
     shortlist: int = 50,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     m: int = 16,
     n_codes: int = 64,
     iters: int = 3,
     round_to: int = 6,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """The COMPLETE production ANN serving path (the composition a
     100 TB deployment actually runs, Jegou et al. 2011 §IV-V): the
@@ -1945,6 +2006,7 @@ def ivfpq_rerank_topk(
         corpus, queries, dim, id_col=id_col, vec_col=vec_col,
         k=shortlist, n_centroids=n_centroids, n_probe=n_probe,
         m=m, n_codes=n_codes, iters=iters, round_to=round_to,
+        approx_rows=approx_rows,
     )
     return _exact_rerank_shortlist(
         corpus, queries, sl, id_col, vec_col, k, round_to
@@ -1956,11 +2018,12 @@ def ivfpq_train(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     m: int = 16,
     n_codes: int = 64,
     iters: int = 3,
-    sample_size: int = 65536,
+    sample_size: int | None = None,
+    approx_rows: int | None = None,
 ) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:
     """Train the composed IVF-PQ index (the production ANN layout:
     IVF prunes WHICH vectors a query scans, PQ shrinks WHAT each
@@ -1969,21 +2032,21 @@ def ivfpq_train(
     RESIDUALS ``x - centroid(x)`` — residual magnitudes are a fraction
     of vector magnitudes, so the same code budget quantizes them far
     more finely (the classic Jegou et al. 2011 §IV coarse+fine
-    construction). One bounded lowest-id sample feeds both trainers;
-    everything is deterministic (no RNG)."""
+    construction). One bounded seeded-md5-uniform sample (the
+    :func:`_train_sample` draw — never an id prefix) feeds both
+    trainers; ``n_centroids=None`` auto-sizes from ``approx_rows`` and
+    ``sample_size=None`` scales with the quantizer, both per
+    :func:`ivf_train`'s contract; everything is deterministic (no
+    RNG)."""
     if dim % m != 0:
         raise ValueError(f"ivfpq_train: dim {dim} not divisible by m {m}")
+    n_centroids = _resolve_n_centroids(n_centroids, approx_rows)
+    sample_size = _train_sample_size(sample_size, n_centroids)
     centroids = ivf_train(
         corpus, dim, id_col=id_col, vec_col=vec_col,
         n_centroids=n_centroids, iters=iters, sample_size=sample_size,
     )
-    rows = (
-        corpus.select(F.col(id_col).alias("__id"), _d(F.col(vec_col)).alias("__dv"))
-        .orderBy("__id")
-        .limit(sample_size)
-        .collect()
-    )
-    x = np.asarray([r["__dv"] for r in rows], dtype=np.float64)
+    x = _train_sample(corpus, id_col, vec_col, sample_size, op="ivfpq_train")
     cmat = _centroid_matrix(centroids)
     cnorm = np.linalg.norm(cmat, axis=1)
     cn = (cmat / np.where(cnorm == 0.0, 1.0, cnorm)[:, None]).T
@@ -2037,12 +2100,13 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     m: int = 16,
     n_codes: int = 64,
     iters: int = 3,
     round_to: int = 6,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k over the composed IVF-PQ index: corpus
     vectors live as (cid, 16 small-int codes); each query probes its
@@ -2066,10 +2130,14 @@ def ivfpq_topk(
     MB once the query set scales with the corpus (the r9 growing-
     query probe's regime). Ranking ascends approximate distance with
     the id tiebreak. For exact-precision results compose with
-    :func:`ivfpq_rerank_topk`'s shortlist pattern; for a query load
-    that grows with the corpus, size ``n_centroids`` with
-    :func:`auto_n_centroids` (fixed lists measured tail 1.63 at 32x
-    vs 1.08 sqrt-scaled — SCALE_SLOPE_r09_ivfpq_scaling.json).
+    :func:`ivfpq_rerank_topk`'s shortlist pattern. The DEFAULT
+    ``n_centroids=None`` sizes the quantizer to the corpus via
+    :func:`auto_n_centroids` from the ``approx_rows`` hint (caller
+    stats / ``io.table_row_hint``) — fixed lists are the measured 32x
+    growing-workload knee (tail 1.63 vs 1.08 sqrt-scaled —
+    SCALE_SLOPE_r09_ivfpq_scaling.json, re-measured through this
+    default path in r10); pass an explicit int only to pin a
+    known-good geometry.
 
     This convenience form trains + encodes inline; the production
     lifecycle factors through :func:`ivfpq_train` (or
@@ -2080,6 +2148,7 @@ def ivfpq_topk(
     centroids, books = ivfpq_train(
         corpus, dim, id_col=id_col, vec_col=vec_col,
         n_centroids=n_centroids, m=m, n_codes=n_codes, iters=iters,
+        approx_rows=approx_rows,
     )
     codes = ivfpq_encode(
         corpus, centroids, books, id_col=id_col, vec_col=vec_col

@@ -1039,3 +1039,75 @@ def test_auto_n_centroids_sqrt_rule_and_clamps():
     # monotone non-decreasing across decades
     vals = [auto_n_centroids(10**e) for e in range(3, 13)]
     assert vals == sorted(vals)
+
+
+def test_default_sizing_resolution():
+    """r10 (VERDICT r9 #1/#2): n_centroids=None — every trainer's NEW
+    DEFAULT — resolves through auto_n_centroids from the approx_rows
+    hint (no hint -> the 16-list floor, the pre-r10 behavior);
+    explicit ints pass through. sample_size=None scales the training
+    sample with the quantizer (max(65536, 64 * n_centroids)) so
+    sqrt(N)-sized codebooks never starve at the old fixed 65536."""
+    from sparkgraft.similarity import (
+        _resolve_n_centroids,
+        _train_sample_size,
+        auto_n_centroids,
+    )
+
+    assert _resolve_n_centroids(None, None) == 16
+    assert _resolve_n_centroids(None, 0) == 16
+    assert _resolve_n_centroids(None, 8_000_000) == auto_n_centroids(8_000_000)
+    assert _resolve_n_centroids(32, 8_000_000) == 32  # escape hatch wins
+    assert _train_sample_size(None, 16) == 65536      # floor binds
+    assert _train_sample_size(None, 1024) == 65536    # 64*1024 == floor
+    assert _train_sample_size(None, 20_000) == 1_280_000
+    assert _train_sample_size(4096, 20_000) == 4096   # explicit wins
+
+
+def _drifted_corpus(spark, n_per_cluster=1000, dim=4):
+    """Time-ordered corpus under drift: the LOW id range is entirely
+    cluster A (axis 0), the high range entirely cluster B (axis 1) —
+    the regime where a lowest-id-prefix training sample sees only the
+    oldest cluster. Vectors are deterministic functions of the id."""
+    rows = []
+    for i in range(n_per_cluster):
+        jitter = 0.1 * (i % 7)
+        rows.append((i, [10.0, jitter, 0.0, 0.0]))
+        rows.append((n_per_cluster + i, [jitter, 10.0, 0.0, 0.0]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_train_sample_debiased_under_drift(spark):
+    """r10 (VERDICT r9 #2): the seeded-md5-uniform training draw covers
+    BOTH clusters of a drifted time-ordered corpus where the lowest-id
+    prefix it replaced sees only cluster A — so hash-sample-trained
+    quantizers keep a centroid on each cluster while prefix-trained
+    ones (reproduced by training on the prefix sub-corpus) put every
+    centroid on the old cluster."""
+    import numpy as np
+
+    from sparkgraft.similarity import _train_sample
+
+    df = _drifted_corpus(spark)
+
+    # the raw draw: 500 of 2000 rows, both clusters well represented
+    x = _train_sample(df, "vec_id", "embedding", 500)
+    a = int((x[:, 0] > x[:, 1]).sum())
+    b = int((x[:, 1] > x[:, 0]).sum())
+    assert a + b == 500
+    assert min(a, b) >= 150, f"hash draw is lopsided: A={a} B={b}"
+
+    # hash-sample-trained quantizer: >=1 centroid per cluster
+    cents = S.ivf_train(df, dim=4, n_centroids=4, sample_size=500)
+    cmat = np.asarray([v for _, v in cents])
+    hash_b = int((cmat[:, 1] > cmat[:, 0]).sum())
+    assert 1 <= hash_b <= 3, f"hash-trained centroids miss a cluster: {cmat}"
+
+    # prefix contrast (the pre-r10 draw): all 500 lowest ids are
+    # cluster A, so every centroid lands on A and cluster B is unserved
+    prefix = df.where(F.col("vec_id") < 500)
+    pcents = S.ivf_train(prefix, dim=4, n_centroids=4, sample_size=500)
+    pmat = np.asarray([v for _, v in pcents])
+    assert int((pmat[:, 1] > pmat[:, 0]).sum()) == 0

@@ -212,23 +212,23 @@ def _ivfpq_topk_scaling_queries(spark, work_dir: str):
 
 
 def _ivfpq_topk_scaling_queries_sqrtn(spark, work_dir: str):
-    """The production layout for the growing-workload regime:
-    n_centroids grows ~sqrt(corpus) (similarity.auto_n_centroids — the
-    FAISS sizing rule), so each query's probed candidate pool grows
-    only ~sqrt(f) — expected total exponent ~1.5 vs the fixed-list
-    probe's ~2."""
+    """The production layout for the growing-workload regime, run
+    THROUGH THE DEFAULT PATH (r10: n_centroids=None + approx_rows from
+    the staged parquet footer — exactly what a caller who passes only
+    a row hint gets): auto_n_centroids grows ~sqrt(corpus), so each
+    query's probed candidate pool grows only ~sqrt(f) — expected total
+    exponent ~1.5 vs the fixed-list probe's ~2."""
     from pyspark.sql import functions as F
 
-    from sparkgraft.io import read_table
-    from sparkgraft.similarity import auto_n_centroids, ivfpq_topk
+    from sparkgraft.io import read_table, table_row_hint
+    from sparkgraft.similarity import ivfpq_topk
 
     emb = read_table(spark, work_dir, "embeddings")
-    n = emb.count()
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return ivfpq_topk(
-        emb, queries, dim=64, k=10,
-        n_centroids=auto_n_centroids(n), n_probe=4,
+        emb, queries, dim=64, k=10, n_probe=4,
         m=16, n_codes=64,
+        approx_rows=table_row_hint(work_dir, "embeddings"),
     )
 
 
