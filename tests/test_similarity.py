@@ -886,7 +886,8 @@ def test_quantizer_save_load_roundtrip_pq(spark, emb, tmp_path):
     manifest = S.save_quantizer(spark, path, books)
     assert manifest == {
         "kind": "pq", "m": 16, "n_codes": 32, "dsub": 4, "dim": 64,
-        "n_centroids": 0,
+        "n_centroids": 0, "training_rows": 0,
+        "fingerprint": S.quantizer_fingerprint(books),
     }
     loaded = S.load_quantizer(spark, path)
     assert loaded["codebooks"] == books  # float64 exact through parquet
@@ -1111,3 +1112,115 @@ def test_train_sample_debiased_under_drift(spark):
     pcents = S.ivf_train(prefix, dim=4, n_centroids=4, sample_size=500)
     pmat = np.asarray([v for _, v in pcents])
     assert int((pmat[:, 1] > pmat[:, 0]).sum()) == 0
+
+
+def _lifecycle_corpus(spark, n_per_cluster=400, dim=8):
+    """Two-epoch drifted corpus with RICH deterministic jitter (every
+    vector distinct, no RNG): low ids cluster A (axis 0), high ids
+    cluster B (axis 1)."""
+    rows = []
+    for i in range(n_per_cluster):
+        ja = [0.3 * ((i * 31 + d * 17) % 11 - 5) for d in range(dim)]
+        jb = [0.3 * ((i * 29 + d * 13) % 11 - 5) for d in range(dim)]
+        va = [10.0 + ja[0]] + ja[1:]
+        vb = [jb[0]] + [10.0 + jb[1]] + jb[2:]
+        rows.append((i, va))
+        rows.append((n_per_cluster + i, vb))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_quantizer_lifecycle_stale_and_refresh(spark, tmp_path):
+    """The refresh rule (VERDICT r9 #4): a quantizer trained before the
+    corpus grew/drifted flags stale via quantizer_stale's two triggers
+    — manifest training_rows vs the current row hint, and the existing
+    centroid_drift operator — and retraining on the current corpus
+    restores cluster-B recall. Also pins the manifest fingerprint:
+    load fails loudly when the recorded content hash no longer matches
+    the parquet coefficients."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F811
+
+    n = 400
+    corpus = _lifecycle_corpus(spark, n_per_cluster=n)
+    epoch_a = corpus.where(F.col("vec_id") < n)
+
+    # --- train on epoch A only (the pre-drift store), record the hint
+    kw = dict(n_centroids=4, m=2, n_codes=16)
+    cents_a, books_a = S.ivfpq_train(epoch_a, dim=8, **kw)
+    path = str(tmp_path / "q_a")
+    manifest = S.save_quantizer(
+        spark, path, books_a, centroids=cents_a, training_rows=n
+    )
+    assert manifest["training_rows"] == n
+
+    # --- growth trigger: 2x is fine, >4x trips
+    assert S.quantizer_stale(manifest, current_rows=2 * n) == {
+        "stale": False, "reasons": [],
+    }
+    grown = S.quantizer_stale(manifest, current_rows=10 * n)
+    assert grown["stale"] and "corpus_grew" in grown["reasons"][0]
+    # pre-r10 manifest without the field never trips on growth
+    legacy = {k: v for k, v in manifest.items() if k != "training_rows"}
+    assert not S.quantizer_stale(legacy, current_rows=10**9)["stale"]
+
+    # --- drift trigger: snapshot halves via the documented parity-id
+    # union (epoch A on even ids, epoch B on odd) through the existing
+    # centroid_drift operator; control = two halves of epoch A alone
+    drifted_snap = corpus.select(
+        (F.col("vec_id") * 2 + F.when(F.col("vec_id") < n, 0).otherwise(1))
+        .alias("vec_id"),
+        "embedding",
+        F.lit("embeddings").alias("label"),
+    )
+    report = S.centroid_drift(drifted_snap, dim=8)
+    verdict = S.quantizer_stale(manifest, drift_df=report)
+    assert verdict["stale"] and "centroid_drift" in verdict["reasons"][0]
+    control = epoch_a.select(
+        "vec_id", "embedding", F.lit("embeddings").alias("label")
+    )
+    assert not S.quantizer_stale(
+        manifest, drift_df=S.centroid_drift(control, dim=8)
+    )["stale"]
+
+    # --- the refresh restores recall: serve cluster-B queries through
+    # the stale store vs a store retrained on the current corpus
+    queries = corpus.where(
+        (F.col("vec_id") >= n) & (F.col("vec_id") % 20 == 0)
+    )
+    exact = {}
+    for r in S.cosine_topk(corpus, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(cents, books):
+        codes = S.ivfpq_encode(corpus, cents, books)
+        got = {}
+        for r in S.ivfpq_topk_from_codes(
+            codes, queries, cents, books, k=5, n_probe=2
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(
+            len(exact[q] & got.get(q, set())) for q in exact
+        ) / (5 * len(exact))
+
+    cents_r, books_r = S.ivfpq_train(corpus, dim=8, **kw)
+    stale_recall, fresh_recall = recall(cents_a, books_a), recall(
+        cents_r, books_r
+    )
+    assert fresh_recall >= stale_recall + 0.1, (
+        f"refresh did not restore recall: stale={stale_recall} "
+        f"fresh={fresh_recall}"
+    )
+
+    # --- fingerprint guard: tampered manifest hash -> loud load error
+    mp = os.path.join(path, "_QUANTIZER_MANIFEST.json")
+    good = json.load(open(mp))
+    json.dump({**good, "fingerprint": "0" * 64}, open(mp, "w"))
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        S.load_quantizer(spark, path)
+    json.dump(good, open(mp, "w"))
+    assert S.load_quantizer(spark, path)["codebooks"] == books_a
