@@ -1059,17 +1059,145 @@ def jpeg_encode_ycbcr444(
     return bytes(out)
 
 
+def jpeg_encode_ycbcr420(
+    y,
+    cb=None,
+    cr=None,
+    quality: int = 85,
+    restart_interval: int = 0,
+    sampling: tuple[int, int] = (2, 2),
+) -> bytes:
+    """Baseline CHROMA-SUBSAMPLED color JFIF encoder — the
+    camera-shaped test-bytes producer for :func:`jpeg_decode`'s r10
+    sampling support. ``sampling=(h, v)`` are the LUMINANCE factors:
+    (2, 2) is 4:2:0 (16x16 MCU, 4 luma + 1 Cb + 1 Cr blocks — what
+    real encoders emit), (2, 1) is 4:2:2, (1, 2) is 4:4:0; chroma is
+    always 1x1, average-pooled from the full-resolution ``cb``/``cr``
+    planes (neutral 128 by default) over each h x v pixel group — the
+    standard box-filter downsample. Same shared-table layout,
+    per-component DC predictors and DRI/RSTn handling as
+    :func:`jpeg_encode_ycbcr444`."""
+    import struct
+
+    import numpy as np
+
+    sh, sv = sampling
+    if sh not in (1, 2) or sv not in (1, 2) or (sh, sv) == (1, 1):
+        raise ValueError(
+            f"jpeg_encode_ycbcr420: sampling {sampling} unsupported — "
+            "(2,2), (2,1) or (1,2); use jpeg_encode_ycbcr444 for 4:4:4"
+        )
+    y = np.asarray(y, dtype=np.uint8)
+    if y.ndim != 2 or y.size == 0:
+        raise ValueError("jpeg_encode_ycbcr420: need a non-empty 2-D array")
+    h, w = y.shape
+    planes = []
+    for p in (y, cb, cr):
+        if p is None:
+            p = np.full((h, w), 128, dtype=np.uint8)
+        p = np.asarray(p, dtype=np.uint8)
+        if p.shape != (h, w):
+            raise ValueError("jpeg_encode_ycbcr420: plane shape mismatch")
+        planes.append(p)
+    if not (1 <= quality <= 100):
+        raise ValueError(f"jpeg_encode_ycbcr420: quality {quality} out of range")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.clip((np.asarray(_JPEG_QL) * scale + 50) // 100, 1, 255).astype(
+        np.int32
+    )
+    qm = q.reshape(8, 8).astype(np.float64)
+    t = _jpeg_dct_matrix()
+
+    # pad every full-res plane to the MCU grid (8*sh x 8*sv pixels per
+    # MCU), edge-replicating — the chroma pool then lands on exact
+    # multiples of 8
+    ph = -(-h // (8 * sv)) * 8 * sv
+    pw = -(-w // (8 * sh)) * 8 * sh
+    padded = []
+    for p in planes:
+        pp = np.empty((ph, pw), dtype=np.float64)
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp)
+    ylev = padded[0] - 128.0
+    # box-filter chroma downsample: mean over each sh x sv pixel group
+    chroma = [
+        pp.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3)) - 128.0
+        for pp in padded[1:]
+    ]
+
+    dc_enc = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+
+    def category(v: int) -> int:
+        return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+    scan_parts: list[bytes] = []
+    prev_dc = [0, 0, 0]
+    mcu = 0
+    rst = 0
+    for my in range(ph // (8 * sv)):
+        for mx in range(pw // (8 * sh)):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                scan_parts.append(bw.flush())
+                scan_parts.append(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                bw = _JpegBitWriter()
+                prev_dc = [0, 0, 0]
+            mcu += 1
+            for byi in range(sv):
+                for bxi in range(sh):
+                    ry, rx = (my * sv + byi) * 8, (mx * sh + bxi) * 8
+                    prev_dc[0] = _jpeg_encode_block(
+                        bw, t, ylev[ry : ry + 8, rx : rx + 8], qm,
+                        dc_enc, ac_enc, prev_dc[0], category,
+                    )
+            for ci, plane in enumerate(chroma, start=1):
+                prev_dc[ci] = _jpeg_encode_block(
+                    bw, t, plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                    qm, dc_enc, ac_enc, prev_dc[ci], category,
+                )
+    scan_parts.append(bw.flush())
+    scan = b"".join(scan_parts)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(int(q[z]) for z in _JPEG_ZZ))
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (sh << 4) | sv, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def jpeg_decode(payload: bytes):
     """Minimal stdlib+numpy baseline JPEG decoder -> (height, width)
     uint8 luminance plane. Supports the baseline contract — SOF0,
-    8-bit, GRAYSCALE or 4:4:4 interleaved YCbCr color (the luminance
-    plane is returned; chroma blocks are entropy-decoded for stream
-    sync), restart markers — and dead-letters everything else
-    (progressive SOF2, chroma-subsampled 4:2:0/4:2:2, 12-bit,
-    arithmetic coding) with a clean ValueError, the same contract as
-    non-PCM :func:`wav_decode`. All struct/index errors on corrupt
-    bytes normalize to ValueError so the mapInPandas dead-letter
-    handlers see every broken payload the same way."""
+    8-bit, GRAYSCALE or interleaved YCbCr color at the real-world
+    sampling layouts: 4:4:4, 4:2:2 (2x1), 4:4:0 (1x2) and 4:2:0 (2x2
+    — what cameras and the web overwhelmingly emit; r10, VERDICT r9
+    #3). The luminance plane is returned; chroma blocks are
+    entropy-decoded for stream sync at their declared factors and
+    discarded. Restart markers (DRI/RSTn) resync per MCU. Everything
+    else dead-letters (progressive SOF2, luminance factors beyond
+    2x2, supersampled chroma, 12-bit, arithmetic coding) with a clean
+    ValueError, the same contract as non-PCM :func:`wav_decode`. All
+    struct/index errors on corrupt bytes normalize to ValueError so
+    the mapInPandas dead-letter handlers see every broken payload the
+    same way."""
     import struct
 
     import numpy as np
@@ -1156,15 +1284,30 @@ def jpeg_decode(payload: bytes):
                 cid = body[6 + 3 * ci]
                 sampling = body[7 + 3 * ci]
                 tq = body[8 + 3 * ci]
-                # 4:4:4 only: every component at 1x1 sampling — real
-                # camera JPEGs are usually 4:2:0 and dead-letter here
-                # by contract (the seam swaps in PIL for those)
-                if sampling != 0x11:
-                    raise ValueError(
-                        "jpeg_decode: chroma subsampling unsupported — "
-                        "4:4:4 only (dead-letter by contract)"
-                    )
-                comps.append((cid, tq))
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if ncomp == 1:
+                    # non-interleaved single-component scan: T.81 A.2.2
+                    # makes the MCU one data unit regardless of the
+                    # declared factors — normalize to 1x1
+                    hi = vi = 1
+                elif ci == 0:
+                    # luminance may be 1x1 (4:4:4), 2x1 (4:2:2), 1x2
+                    # (4:4:0) or 2x2 (4:2:0) — what cameras and the
+                    # web emit (r10; was 4:4:4-only)
+                    if hi not in (1, 2) or vi not in (1, 2):
+                        raise ValueError(
+                            "jpeg_decode: luminance sampling beyond 2x2 "
+                            "unsupported (dead-letter by contract)"
+                        )
+                else:
+                    # chroma above 1x1 (supersampled chroma) stays a
+                    # dead-letter — no real encoder emits it
+                    if (hi, vi) != (1, 1):
+                        raise ValueError(
+                            "jpeg_decode: chroma sampling above 1x1 "
+                            "unsupported (dead-letter by contract)"
+                        )
+                comps.append((cid, tq, hi, vi))
             frame = (h, w, comps)
         elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise ValueError(
@@ -1199,7 +1342,7 @@ def jpeg_decode(payload: bytes):
         raise ValueError("jpeg_decode: missing SOF0 or SOS")
     h, w, comps = frame
     dc_tabs, ac_tabs, qms = [], [], []
-    for (cid, tq), (td, ta) in zip(comps, scan_spec):
+    for (cid, tq, hi, vi), (td, ta) in zip(comps, scan_spec):
         if tq not in qtables:
             raise ValueError(f"jpeg_decode: missing quantization table {tq}")
         dc_tab = htables.get((0, td))
@@ -1211,59 +1354,80 @@ def jpeg_decode(payload: bytes):
         qms.append(qtables[tq])
     t = _jpeg_dct_matrix()
 
-    bx_n = -(-w // 8)
-    by_n = -(-h // 8)
     ncomp = len(comps)
-    # component 0 is the luminance plane — the seam's output; chroma
-    # blocks (4:4:4 => one block per component per MCU) are entropy-
-    # decoded to keep the bit stream in sync, then discarded
-    out = np.empty((by_n * 8, bx_n * 8), dtype=np.uint8)
+    # the MCU geometry (T.81 A.2.3): an MCU covers 8*hmax x 8*vmax
+    # pixels and carries hi x vi blocks per component in raster order —
+    # 4:4:4 is 1 block each, 4:2:0 is a 16x16 walk of 4 luma + 1 Cb +
+    # 1 Cr. Component 0 is the luminance plane — the seam's output;
+    # chroma blocks are entropy-decoded to keep the bit stream in
+    # sync, then discarded.
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    lh, lv = comps[0][2], comps[0][3]
+    out = np.empty((mcuy * lv * 8, mcux * lh * 8), dtype=np.uint8)
     reader = _JpegBitReader(payload, pos)
     prev_dc = [0] * ncomp
     mcu = 0
     try:
-        for by in range(by_n):
-            for bx in range(bx_n):
+        for my in range(mcuy):
+            for mx in range(mcux):
                 if restart_interval and mcu and mcu % restart_interval == 0:
                     reader.restart()
                     prev_dc = [0] * ncomp
                 mcu += 1
                 for ci in range(ncomp):
-                    zz = np.zeros(64, dtype=np.float64)
-                    s = reader.huff(dc_tabs[ci])
-                    diff = 0
-                    if s:
-                        v = reader.bits(s)
-                        diff = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-                    prev_dc[ci] += diff
-                    zz[0] = prev_dc[ci]
-                    k = 1
-                    while k < 64:
-                        sym = reader.huff(ac_tabs[ci])
-                        if sym == 0x00:  # EOB
-                            break
-                        run, size = sym >> 4, sym & 0x0F
-                        if size == 0:
-                            if run != 15:
-                                raise ValueError("jpeg_decode: bad AC symbol")
-                            k += 16  # ZRL
-                            continue
-                        k += run
-                        if k > 63:
-                            raise ValueError("jpeg_decode: AC index overflow")
-                        v = reader.bits(size)
-                        zz[k] = (
-                            v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-                        )
-                        k += 1
-                    if ci > 0:
-                        continue  # chroma decoded for stream sync only
-                    coef = np.zeros(64, dtype=np.float64)
-                    coef[_JPEG_ZZ] = zz
-                    block = t.T @ (coef.reshape(8, 8) * qms[0]) @ t
-                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                        np.round(block + 128.0), 0, 255
-                    ).astype(np.uint8)
+                    _, _, hi, vi = comps[ci]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            zz = np.zeros(64, dtype=np.float64)
+                            s = reader.huff(dc_tabs[ci])
+                            diff = 0
+                            if s:
+                                v = reader.bits(s)
+                                diff = (
+                                    v
+                                    if v >= (1 << (s - 1))
+                                    else v - (1 << s) + 1
+                                )
+                            prev_dc[ci] += diff
+                            zz[0] = prev_dc[ci]
+                            k = 1
+                            while k < 64:
+                                sym = reader.huff(ac_tabs[ci])
+                                if sym == 0x00:  # EOB
+                                    break
+                                run, size = sym >> 4, sym & 0x0F
+                                if size == 0:
+                                    if run != 15:
+                                        raise ValueError(
+                                            "jpeg_decode: bad AC symbol"
+                                        )
+                                    k += 16  # ZRL
+                                    continue
+                                k += run
+                                if k > 63:
+                                    raise ValueError(
+                                        "jpeg_decode: AC index overflow"
+                                    )
+                                v = reader.bits(size)
+                                zz[k] = (
+                                    v
+                                    if v >= (1 << (size - 1))
+                                    else v - (1 << size) + 1
+                                )
+                                k += 1
+                            if ci > 0:
+                                continue  # chroma: stream sync only
+                            coef = np.zeros(64, dtype=np.float64)
+                            coef[_JPEG_ZZ] = zz
+                            block = t.T @ (coef.reshape(8, 8) * qms[0]) @ t
+                            ry = (my * lv + byi) * 8
+                            rx = (mx * lh + bxi) * 8
+                            out[ry : ry + 8, rx : rx + 8] = np.clip(
+                                np.round(block + 128.0), 0, 255
+                            ).astype(np.uint8)
     except (IndexError, KeyError) as e:
         raise ValueError(f"jpeg_decode: corrupt entropy scan: {e}") from e
     return out[:h, :w]

@@ -882,9 +882,129 @@ def test_jpeg_color_444_luminance_roundtrip_and_contract():
     )
     assert np.abs(structured.astype(int) - img.astype(int)).mean() <= gray_err + 0.1
 
-    # subsampled chroma (sampling byte != 0x11) dead-letters
+    # SUPERSAMPLED chroma (a chroma component above 1x1 — no real
+    # encoder emits it) dead-letters; subsampled-LUMA layouts are the
+    # r10 supported surface (test_jpeg_chroma_subsampled_*)
     payload = bytearray(M.jpeg_encode_ycbcr444(img, quality=90))
     sof = payload.index(b"\xff\xc0")
-    payload[sof + 14] = 0x22  # component 1 sampling 2x2 (4:2:0-style)
-    with pytest.raises(ValueError, match="subsampling"):
+    payload[sof + 14] = 0x22  # component Cb sampling 2x2
+    with pytest.raises(ValueError, match="chroma sampling above 1x1"):
         M.jpeg_decode(bytes(payload))
+
+
+def test_jpeg_chroma_subsampled_roundtrip_and_contract():
+    """r10 (VERDICT r9 #3): baseline chroma-subsampled color JPEG —
+    4:2:0 (the layout cameras and the web overwhelmingly emit), 4:2:2
+    and 4:4:0 — decodes through the real MCU walk (4 luma + 1 Cb +
+    1 Cr blocks per 16x16 MCU at 4:2:0) at grayscale-path fidelity,
+    with structured chroma, restart markers and odd shapes; luminance
+    factors beyond 2x2 still dead-letter."""
+    import numpy as np
+    import pytest
+
+    img = _jpeg_test_image()
+    gray_err = np.abs(
+        M.jpeg_decode(M.jpeg_encode_gray(img, quality=90)).astype(int)
+        - img.astype(int)
+    ).mean()
+
+    cb = ((np.add.outer(np.arange(24), np.arange(40)) * 5) % 256).astype(
+        np.uint8
+    )
+    for sampling in ((2, 2), (2, 1), (1, 2)):
+        out = M.jpeg_decode(
+            M.jpeg_encode_ycbcr420(img, quality=90, sampling=sampling)
+        )
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int)).mean()
+        assert err <= gray_err + 0.1, (sampling, err, gray_err)
+
+    # structured (non-neutral) chroma + restart markers: the luminance
+    # return is unchanged and the stream stays in sync across RSTn
+    with_rst = M.jpeg_encode_ycbcr420(
+        img, cb, 255 - cb, quality=90, restart_interval=3
+    )
+    assert b"\xff\xdd" in with_rst
+    out = M.jpeg_decode(with_rst)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() <= gray_err + 0.1
+
+    # odd (non-multiple-of-16) shapes: MCU padding + crop
+    odd = _jpeg_test_image(h=17, w=23)
+    out = M.jpeg_decode(M.jpeg_encode_ycbcr420(odd, quality=90))
+    assert out.shape == (17, 23)
+    assert np.abs(out.astype(int) - odd.astype(int)).mean() < 2.5
+
+    # luminance factors beyond 2x2 dead-letter by contract
+    payload = bytearray(M.jpeg_encode_ycbcr420(img, quality=90))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 11] = 0x33  # Y sampling 3x3
+    with pytest.raises(ValueError, match="luminance sampling beyond 2x2"):
+        M.jpeg_decode(bytes(payload))
+
+    # encoder guards: 1x1 belongs to the 4:4:4 encoder; >2 rejected
+    with pytest.raises(ValueError, match="sampling"):
+        M.jpeg_encode_ycbcr420(img, sampling=(1, 1))
+    with pytest.raises(ValueError, match="sampling"):
+        M.jpeg_encode_ycbcr420(img, sampling=(4, 1))
+
+
+def test_jpeg_420_reencode_caught_by_perceptual_hash(spark):
+    """The planted-re-encode gate END TO END over a 4:2:0 payload
+    (VERDICT r9 #3's done-criterion): the same image re-encoded as
+    4:2:0 color lands within a few dHash bits of its grayscale
+    original through perceptual_hash + jpeg_resize, while a different
+    image stays far — so a camera-shaped corpus dedups through the
+    same seam the 4:4:4/gray payloads already use."""
+    import hashlib
+
+    img = _jpeg_test_image()
+    a = M.jpeg_encode_gray(img, quality=92)
+    b = M.jpeg_encode_ycbcr420(img, quality=60)  # 4:2:0 re-encode
+    other_img = 255 - img.T[:24, :24].copy()
+    c = M.jpeg_encode_ycbcr420(other_img, quality=92)
+    assert len({hashlib.md5(p).hexdigest() for p in (a, b, c)}) == 3
+
+    media = spark.createDataFrame(
+        [(0, bytearray(a)), (1, bytearray(b)), (2, bytearray(c))],
+        "media_id long, payload binary",
+    )
+    hashes = {
+        r.media_id: r.phash
+        for r in M.perceptual_hash(media, resize_fn=M.jpeg_resize).collect()
+    }
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert ham(hashes[0], hashes[1]) <= 12  # 4:2:0 re-encode: near
+    assert ham(hashes[0], hashes[2]) >= 30  # different image: far
+
+
+def test_jpeg_420_decoder_exhaustive_corruption_sweep():
+    """The exhaustive byte-flip/truncation sweep extended over a 4:2:0
+    payload (VERDICT r9 #3): every single-byte flip (5 values per
+    position, including the empty-segment 0x02 class) and every
+    truncation must decode or raise ValueError — the subsampled MCU
+    walk adds new parse states (sampling factors, per-component block
+    loops) that the grayscale sweep never reaches."""
+    import numpy as np
+
+    img = np.add.outer(
+        np.linspace(0, 180, 16), np.linspace(0, 60, 16)
+    ).astype(np.uint8)
+    payload = bytearray(
+        M.jpeg_encode_ycbcr420(img, quality=80, restart_interval=2)
+    )
+    for pos in range(len(payload)):
+        for val in (0x00, 0x02, 0xFF, payload[pos] ^ 0x80, payload[pos] ^ 0x01):
+            p = bytearray(payload)
+            p[pos] = val
+            try:
+                M.jpeg_decode(bytes(p))
+            except ValueError:
+                pass
+    for cut in range(1, len(payload)):
+        try:
+            M.jpeg_decode(bytes(payload[:cut]))
+        except ValueError:
+            pass
