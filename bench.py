@@ -45,11 +45,9 @@ HEADLINE = [
     "ngram_jaccard_near_dups",
     "minhash_lsh_near_dups",
     "simhash_by_doc",
-    "knn_cosine_bruteforce",
     "embedding_near_dup_pairs",
     "embedding_near_dup_lsh_planted",
     "ann_lsh_top1_planted",
-    "ann_ivf_top1_planted",
     # r6 second-continuation promotion (rotation policy; the other
     # promotion, near_dup_quality_keep, is iterative and so pinned via
     # ITERATIVE_LINEAGE_PINS rather than benched — the
@@ -83,6 +81,15 @@ HEADLINE = [
     "ann_ivfpq_top1_planted",
     "contrastive_training_pairs",
     "token_fertility_by_source",
+    # r10 rotation (VERDICT r9 #7): knn_cosine_bruteforce (stable since
+    # r1; its exact broadcast-query tier rides inside the hybrid and
+    # contrastive rows) and ann_ivf_top1_planted (four-round-stable;
+    # the IVF coarse stage rides inside both active IVF-PQ rows)
+    # retired to fund the two promotions: the rerank row is the only
+    # ANN query whose SCORE rides the oracle, the pruned-retrieval row
+    # is the default-on BM25 skew guard's dedicated oracle.
+    "ann_ivfpq_rerank_top1_planted",
+    "bm25_pruned_retrieval",
     # r9 headline-coverage close (VERDICT r8 #4): every ACTIVE query is
     # now benched EXCEPT the documented exclusion rule below —
     # iterative fixpoint queries (near_dup_quality_keep,

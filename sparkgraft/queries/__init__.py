@@ -6,11 +6,11 @@ oracle SQL. Submodules register on import; this package just aggregates.
 
 Coverage policy (the driver verifies at most 50 queries per round, in
 registration order after an oracled-first sort):
-- the ACTIVE registry holds <= 50 queries (currently 48 oracled + 2
-  rows-only: the banded-LSH near-dup pairs and SemDeDup — each with a
-  hash-checked planted-oracle twin), so EVERY registered query earns a
-  driver correctness row EVERY round — no query sits past the gate's
-  cap;
+- the ACTIVE registry holds <= 50 queries (all 50 hash-oracled since
+  the r8 rotation moved the two born-rows-only entries to the retired
+  allow-list, each with a hash-checked planted-oracle twin), so EVERY
+  registered query earns a driver correctness row EVERY round — no
+  query sits past the gate's cap;
 - a NEW or REWRITTEN query registers ahead of stable modules (the import
   order below) until it has re-earned a green row; the least-verified
   code must be the first thing the driver checks;

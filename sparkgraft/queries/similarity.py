@@ -34,7 +34,12 @@ def _cos(a: str, b: str) -> str:
 
 @register(
     "knn_cosine_bruteforce",
-    f"""
+    # RETIRED r10 (rotation: stable since r1; slot funds the promoted
+    # bm25_pruned_retrieval — the exact broadcast-bounded-query cosine
+    # tier this query pins stays driver-exercised inside the active
+    # hybrid_bm25_cosine_rrf and contrastive_training_pairs rows)
+    retired=True,
+    oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                FROM embeddings WHERE vec_id < 5),
     scored AS (
@@ -475,7 +480,12 @@ def ann_lsh_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_top1_planted",
-    f"""
+    # RETIRED r10 (rotation: four-round-stable, r6-r9; slot funds the
+    # promoted ann_ivfpq_rerank_top1_planted — the IVF coarse stage
+    # stays driver-exercised inside BOTH active IVF-PQ rows, and this
+    # oracle stays locally verified every pytest run + sf0.1 sweep)
+    retired=True,
+    oracle=f"""
     WITH planted AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
@@ -643,16 +653,17 @@ def ann_ivfpq_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivfpq_rerank_top1_planted",
-    # NEW r9 retired tier: the COMPLETE production serving composition
-    # (IVF-PQ shortlist -> exact rerank, similarity.ivfpq_rerank_topk)
-    # under a REAL DuckDB oracle. The planted exact copy is the ADC
-    # in-list minimum (so it makes every shortlist — the
-    # ann_ivfpq_top1_planted argument) and the rerank is EXACT squared
-    # L2, where an exact duplicate scores the global minimum 0.0 — so
-    # unlike the ADC rows, the DISTANCE column itself is
-    # SQL-expressible here and rides the oracled surface: the one ANN
-    # row whose score is engine-independent by construction.
-    retired=True,
+    # NEW r9; PROMOTED r10 (VERDICT r9 #7: the only ANN row whose
+    # SCORE rides the oracle — slot funded by retiring the
+    # four-round-stable ann_ivf_top1_planted, whose IVF coarse stage
+    # both active IVF-PQ rows exercise): the COMPLETE production
+    # serving composition (IVF-PQ shortlist -> exact rerank,
+    # similarity.ivfpq_rerank_topk) under a REAL DuckDB oracle. The
+    # planted exact copy is the ADC in-list minimum (so it makes every
+    # shortlist — the ann_ivfpq_top1_planted argument) and the rerank
+    # is EXACT squared L2, where an exact duplicate scores the global
+    # minimum 0.0 — so unlike the ADC rows, the DISTANCE column itself
+    # is SQL-expressible here and rides the oracled surface.
     oracle="""
     SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
            vec_id + 10000000 AS vec_id, CAST(0.0 AS DOUBLE) AS dist2
@@ -1403,7 +1414,11 @@ def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bm25_pruned_retrieval",
-    # NEW r8 retired tier: the term-skew guard itself under a REAL
+    # NEW r8; PROMOTED r10 (VERDICT r9 #7: the default-on skew guard's
+    # dedicated oracle joins the driver gate — slot funded by retiring
+    # the many-round-stable knn_cosine_bruteforce, whose exact
+    # broadcast-query tier rides inside the active hybrid and
+    # contrastive rows): the term-skew guard itself under a REAL
     # DuckDB oracle. This corpus is genuinely stopword-heavy (top
     # terms sit at df/N ~ 0.78-0.80 of a 31-term vocabulary), so the
     # 0.79 threshold BITES mid-band — the hottest ~third of the
@@ -1413,7 +1428,6 @@ def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through rare terms (df <= 0.79 N), every survivor then scored
     # with ALL its matching query terms — and the hash match proves
     # the production prune path end to end, not just the no-op case.
-    retired=True,
     oracle=f"""
     WITH tok AS (SELECT doc_id, {_TOKF} AS t FROM documents),
     tk AS (SELECT doc_id, unnest(t) AS term FROM tok),

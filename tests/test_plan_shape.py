@@ -5,9 +5,10 @@ prove the PLANS stay 100 TB-shaped. For every query in bench.HEADLINE
 the physical plan must have:
 
 - no CartesianProduct and no BroadcastNestedLoopJoin (quadratic row
-  pairing) — except the documented exact tier (knn_cosine_bruteforce
-  broadcasts a tiny bounded query set against the corpus: a linear
-  scan, which Spark renders as BroadcastNestedLoopJoin);
+  pairing) — except the documented exact/scalar tiers in BNLJ_ALLOWED
+  (a tiny bounded query set or a 1-row scalar broadcast against the
+  corpus: a linear scan, which Spark renders as
+  BroadcastNestedLoopJoin);
 - no BatchEvalPython (row-at-a-time Python UDFs); Python is allowed
   only Arrow-batched (ArrowEvalPython / MapInPandas / groups-variants);
 - at most the pinned number of Exchange (shuffle) operators — adding a
@@ -75,7 +76,6 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "ngram_jaccard_near_dups": (8, 3),
     "minhash_lsh_near_dups": (8, 3),
     "simhash_by_doc": (1, 0),
-    "knn_cosine_bruteforce": (3, 0),
     "embedding_near_dup_pairs": (9, 4),
     # planted variant: same banded-LSH plan over the unioned planted
     # view (union adds no exchange — both branches scan in place)
@@ -83,7 +83,6 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # planted ANN top-1 (the rows-only ann_*_topk twins retired r6;
     # the planted queries carry the same bucketed/cid-keyed plans)
     "ann_lsh_top1_planted": (6, 3),
-    "ann_ivf_top1_planted": (3, 1),
     # Q21: one per-order countDistinct aggregate folds both correlated
     # quantifiers; orderkey partitioning reused by the join-back
     "suppliers_sole_returned": (7, 4),
@@ -157,6 +156,15 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "customer_snapshot_diff": (2, 0),
     # time-weighted daily average: one user-keyed window shuffle
     "user_value_twa_daily": (1, 0),
+    # r10 rotation promotions (their retired-tier R6_OP_PINS entries
+    # moved here; measured shapes unchanged). rerank: the IVF-PQ
+    # shortlist plan (cid-keyed probe join + top-k window) + the exact
+    # rerank tail's broadcast join-backs + the final window
+    "ann_ivfpq_rerank_top1_planted": (6, 3),
+    # default-on skew guard under its own oracle: the persisted tf
+    # subtree prints once per consumer (materializes once — the DSIR
+    # precedent); BNLJs are the allow-listed 1-row N scalar broadcasts
+    "bm25_pruned_retrieval": (45, 4),
 }
 
 # Exact tiers that legitimately broadcast a bounded side against every
@@ -165,7 +173,6 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
 # tfidf cross-joins a broadcast ONE-ROW aggregate (the in-plan N
 # scalar, A5 discipline). Everything else must not nested-loop at all.
 BNLJ_ALLOWED = {
-    "knn_cosine_bruteforce",
     "tfidf_top_terms",
     # two broadcast one-row model totals (T/V scalars, A5 discipline)
     "doc_importance_resampling",
@@ -178,6 +185,10 @@ BNLJ_ALLOWED = {
     # r9 promotion: one corpus pass against the broadcast bounded
     # query set (the knn exact-tier pattern)
     "contrastive_training_pairs",
+    # r10 promotion: the allow-listed 1-row N/avgdl scalar broadcasts
+    # (A5 discipline — the bm25_doc_retrieval precedent);
+    # knn_cosine_bruteforce left the headline in the same rotation
+    "bm25_pruned_retrieval",
 }
 
 
@@ -420,7 +431,6 @@ R6_OP_PINS = [
     # query starves, as at this query's 0.79 threshold). The BNLJs
     # are the allow-listed 1-row N scalar broadcasts (stats feeds the
     # df gate and the idf/avgdl terms)
-    ("bm25_pruned_retrieval", 45, True),
     # r8 incremental index: the persisted folded state prints per
     # consumer (r9 default gate: ~9 consumers x a 3-branch folded
     # union); the BNLJ is the allow-listed 1-row N/avgdl scalar
@@ -433,7 +443,6 @@ R6_OP_PINS = [
     # r9 complete serving path: the IVF-PQ shortlist plan (cid-keyed
     # probe join + top-k window) + the exact-rerank tail's two
     # broadcast join-backs (|Q| x shortlist rows) + the final window
-    ("ann_ivfpq_rerank_top1_planted", 6, False),
     # (contrastive_training_pairs and token_fertility_by_source moved
     # to PLAN_PINS when promoted to the bench headline, r9)
     # r9 rotation retirements: shapes stay pinned after leaving the
@@ -443,6 +452,14 @@ R6_OP_PINS = [
     # + probe join + min-over-seeds agg + exact-count comparison join
     ("doc_embedding_profile", 3, False),
     ("domain_mixture_epochs", 1, False),
+    # (bm25_pruned_retrieval and ann_ivfpq_rerank_top1_planted moved
+    # to PLAN_PINS when promoted to the bench headline, r10)
+    # r10 rotation retirements: shapes stay pinned after leaving the
+    # headline. knn: one corpus pass against the broadcast bounded
+    # query set (the documented exact-tier BNLJ) + the rank window;
+    # ivf planted: spread + broadcast probes join + top-k window
+    ("knn_cosine_bruteforce", 3, True),
+    ("ann_ivf_top1_planted", 3, False),
     ("user_event_cms_counts", 5, False),
     # r8 rotation retirements: the shapes stay pinned here after the
     # queries left the headline (the boilerplate_line_removal
