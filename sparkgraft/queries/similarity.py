@@ -575,7 +575,7 @@ def ann_ivf_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_pq_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC top-1 over a corpus with planted EXACT duplicates of
     every 50th vector: train m=16 x 64-code codebooks on the original
-    corpus (bounded lowest-id sample, no RNG), encode the planted
+    corpus (bounded seeded-hash sample, no RNG), encode the planted
     corpus into 16 small-int codes per vector, and retrieve each
     query's nearest code word by asymmetric distance. The planted copy
     achieves the provable ADC minimum, so the verdict surface
