@@ -89,12 +89,20 @@ def assign_with_sim_udf(
         x = _stack(vecs, dim)
         xnorm = np.linalg.norm(x, axis=1, keepdims=True)
         xn = x / np.where(xnorm == 0.0, 1.0, xnorm)
-        scores = xn @ cn  # cosine against every centroid
-        cid = np.argmax(scores, axis=1)
-        sim = np.round(scores[np.arange(len(cid)), cid], round_to)
-        return pd.DataFrame(
-            {"cid": cid.astype(np.int64), "centroid_sim": sim}
-        )
+        # row-chunked (the similarity._cosine_argmax_chunked bound):
+        # a batch x K score block at auto_n_clusters' ceiling would be
+        # tens of GB; chunking bounds it while keeping the same argmax
+        k = cn.shape[1]
+        rows = max(1, 4_000_000 // max(1, k))
+        cid = np.empty(len(xn), dtype=np.int64)
+        sim = np.empty(len(xn), dtype=np.float64)
+        for i in range(0, len(xn), rows):
+            scores = xn[i : i + rows] @ cn  # cosine against every centroid
+            c = np.argmax(scores, axis=1)
+            cid[i : i + rows] = c
+            sim[i : i + rows] = scores[np.arange(len(c)), c]
+        sim = np.round(sim, round_to)
+        return pd.DataFrame({"cid": cid, "centroid_sim": sim})
 
     return assign
 

@@ -944,6 +944,77 @@ def _stack(vecs: pd.Series, dim: int) -> np.ndarray:
     )
 
 
+_SCORE_BLOCK_CELLS = 4_000_000  # 32 MB float64 per score block
+
+
+def _cosine_argmax_chunked(x: np.ndarray, cn: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment (cosine argmax against the
+    ``(dim, K)`` NORMALIZED centroid matrix ``cn``) with the score
+    matrix computed in row chunks so no more than ~32 MB of scores
+    ever materializes. The naive ``argmax(x @ cn)`` allocates an
+    ``n x K`` float64 block — with ``auto_n_centroids`` the DEFAULT
+    (r10), K reaches 65,536 and a scaled training sample makes that
+    block terabytes; chunking bounds it at any (n, K) while computing
+    the IDENTICAL argmax (same per-row dot products, same lowest-id
+    tie rule). Row scaling never changes a cosine argmax, so callers
+    pass raw or normalized rows interchangeably."""
+    k = cn.shape[1]
+    rows = max(1, _SCORE_BLOCK_CELLS // max(1, k))
+    out = np.empty(len(x), dtype=np.int64)
+    for i in range(0, len(x), rows):
+        out[i : i + rows] = np.argmax(x[i : i + rows] @ cn, axis=1)
+    return out
+
+
+def _cosine_topn_chunked(x: np.ndarray, cn: np.ndarray, n_take: int) -> np.ndarray:
+    """Top-``n_take`` centroid ids per row by descending cosine
+    (ties: lowest id — stable argsort), row-chunked like
+    :func:`_cosine_argmax_chunked` so probe selection survives
+    auto-sized centroid counts."""
+    k = cn.shape[1]
+    rows = max(1, _SCORE_BLOCK_CELLS // max(1, k))
+    out = np.empty((len(x), n_take), dtype=np.int64)
+    for i in range(0, len(x), rows):
+        scores = x[i : i + rows] @ cn
+        out[i : i + rows] = np.argsort(-scores, axis=1, kind="stable")[
+            :, :n_take
+        ]
+    return out
+
+
+def _l2_argmin_chunked(xs: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Squared-L2 nearest-centroid assignment via the expansion trick,
+    row-chunked (the :func:`_cosine_argmax_chunked` bound applied to
+    the PQ/Lloyd subspace assignments); stable argmin — lowest code id
+    wins ties, matching the unchunked form exactly."""
+    k = len(cents)
+    rows = max(1, _SCORE_BLOCK_CELLS // max(1, k))
+    c2 = (cents * cents).sum(axis=1)[None, :]
+    out = np.empty(len(xs), dtype=np.int64)
+    for i in range(0, len(xs), rows):
+        xb = xs[i : i + rows]
+        d2 = (xb * xb).sum(axis=1, keepdims=True) - 2.0 * xb @ cents.T + c2
+        out[i : i + rows] = np.argmin(d2, axis=1)
+    return out
+
+
+def _mean_update(
+    cents: np.ndarray, x: np.ndarray, assign: np.ndarray
+) -> None:
+    """Lloyd mean update, vectorized: scatter-add member sums and
+    bincount sizes instead of one Python-level masked scan per
+    centroid (the old ``for cid: x[assign == cid]`` loop is
+    O(K x n) comparisons — hours at the 65,536-centroid clamp the r10
+    default can reach). Empty clusters keep their previous centroid,
+    exactly the loop's rule."""
+    k = len(cents)
+    sums = np.zeros_like(cents)
+    np.add.at(sums, assign, x)
+    counts = np.bincount(assign, minlength=k)
+    ne = counts > 0
+    cents[ne] = sums[ne] / counts[ne, None]
+
+
 def ivf_assign_udf(centroids: list[tuple[int, list[float]]], dim: int):
     """Arrow-batched nearest-centroid assignment: one ``(batch, dim) @
     (dim, K)`` matmul per batch instead of K interpreted HOF folds per
@@ -961,8 +1032,9 @@ def ivf_assign_udf(centroids: list[tuple[int, list[float]]], dim: int):
     def assign(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="int64")
-        scores = _stack(vecs, dim) @ cn
-        return pd.Series(np.argmax(scores, axis=1).astype(np.int64))
+        # row-chunked: an Arrow batch x auto-sized K score block can
+        # reach gigabytes (r10 default sizing) — bound it
+        return pd.Series(_cosine_argmax_chunked(_stack(vecs, dim), cn))
 
     return assign
 
@@ -984,9 +1056,8 @@ def ivf_probe_udf(
     def probe(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="object")
-        scores = _stack(vecs, dim) @ cn
-        order = np.argsort(-scores, axis=1, kind="stable")[:, :n_take]
-        return pd.Series(list(order.astype(np.int64)))
+        order = _cosine_topn_chunked(_stack(vecs, dim), cn, n_take)
+        return pd.Series(list(order))
 
     return probe
 
@@ -1122,11 +1193,12 @@ def ivf_train(
     for _ in range(iters):
         cnorm = np.linalg.norm(cents, axis=1, keepdims=True)
         cn = cents / np.where(cnorm == 0.0, 1.0, cnorm)
-        assign = np.argmax(xn @ cn.T, axis=1)
-        for cid in range(n_centroids):
-            members = x[assign == cid]
-            if len(members):
-                cents[cid] = members.mean(axis=0)
+        # chunked assignment + scatter-add update: the naive
+        # n x n_centroids score matrix and the per-centroid Python
+        # scan both stop scaling once auto_n_centroids (the r10
+        # default) sizes K in the tens of thousands
+        assign = _cosine_argmax_chunked(xn, cn.T)
+        _mean_update(cents, x, assign)
     return [(cid, [float(v) for v in cents[cid]]) for cid in range(n_centroids)]
 
 
@@ -1700,18 +1772,12 @@ def _pq_lloyd(
         reps = -(-n_codes // len(distinct))  # ceil
         cents = np.concatenate([distinct] * reps)[:n_codes].copy()
         for _ in range(iters):
-            # squared-L2 assignment via the expansion trick; stable
-            # argmin (lowest code id wins ties)
-            d2 = (
-                (xs * xs).sum(axis=1, keepdims=True)
-                - 2.0 * xs @ cents.T
-                + (cents * cents).sum(axis=1)[None, :]
-            )
-            assign = np.argmin(d2, axis=1)
-            for cid in range(n_codes):
-                members = xs[assign == cid]
-                if len(members):
-                    cents[cid] = members.mean(axis=0)
+            # chunked squared-L2 assignment (expansion trick; stable
+            # argmin — lowest code id wins ties) + scatter-add update:
+            # the r10 scaled sample makes even the n x 256 block and
+            # the per-code Python scan worth bounding
+            assign = _l2_argmin_chunked(xs, cents)
+            _mean_update(cents, xs, assign)
         books.append([[float(v) for v in c] for c in cents])
     return books
 
@@ -2050,7 +2116,7 @@ def ivfpq_train(
     cmat = _centroid_matrix(centroids)
     cnorm = np.linalg.norm(cmat, axis=1)
     cn = (cmat / np.where(cnorm == 0.0, 1.0, cnorm)[:, None]).T
-    assign = np.argmax(x @ cn, axis=1)
+    assign = _cosine_argmax_chunked(x, cn)
     books = _pq_lloyd(x - cmat[assign], m, n_codes, iters)
     return centroids, books
 
@@ -2084,7 +2150,7 @@ def ivfpq_encode_udf(
         if len(vecs) == 0:
             return pd.DataFrame({"cid": [], "codes": []})
         xs = _stack(vecs, dim)
-        cid = np.argmax(xs @ cn, axis=1)
+        cid = _cosine_argmax_chunked(xs, cn)
         codes = _pq_code_matrix(cb, xs - cmat[cid])
         return pd.DataFrame(
             {"cid": cid.astype(np.int64), "codes": [c.tobytes() for c in codes]}

@@ -1224,3 +1224,69 @@ def test_quantizer_lifecycle_stale_and_refresh(spark, tmp_path):
         S.load_quantizer(spark, path)
     json.dump(good, open(mp, "w"))
     assert S.load_quantizer(spark, path)["codebooks"] == books_a
+
+
+def test_chunked_assignment_matches_naive_and_scales():
+    """r10 trainer-scale hardening: with auto_n_centroids the DEFAULT,
+    the trainers must survive the sizes the default can pick — the
+    naive n x K score matrix is terabytes at the 65,536-list clamp and
+    the per-centroid Python update scan is O(K x n). The chunked
+    assignment helpers must compute the IDENTICAL argmax/argsort as
+    the naive forms (same dot products, same lowest-id tie rule), the
+    scatter-add Lloyd update must match the masked-mean loop, and a
+    2048-centroid training pass over 100k sample rows must complete in
+    seconds, never materializing the full score block."""
+    import time
+
+    import numpy as np
+
+    from sparkgraft.similarity import (
+        _cosine_argmax_chunked,
+        _cosine_topn_chunked,
+        _l2_argmin_chunked,
+        _mean_update,
+    )
+
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(5_000, 8))
+    cents = rng.normal(size=(300, 8))
+    cn = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
+
+    naive = np.argmax(x @ cn, axis=1)
+    assert np.array_equal(_cosine_argmax_chunked(x, cn), naive)
+    naive_top = np.argsort(-(x @ cn), axis=1, kind="stable")[:, :5]
+    assert np.array_equal(_cosine_topn_chunked(x, cn, 5), naive_top)
+    d2 = (
+        (x * x).sum(axis=1, keepdims=True)
+        - 2.0 * x @ cents.T
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+    assert np.array_equal(_l2_argmin_chunked(x, cents), np.argmin(d2, axis=1))
+
+    # scatter-add update == masked-mean loop (incl. empty clusters
+    # keeping their previous centroid)
+    assign = naive.copy()
+    a = cents.copy()
+    _mean_update(a, x, assign)
+    b = cents.copy()
+    for cid in range(len(b)):
+        members = x[assign == cid]
+        if len(members):
+            b[cid] = members.mean(axis=0)
+    assert np.allclose(a, b, rtol=0, atol=1e-12)
+    empties = sorted(set(range(len(cents))) - set(assign))
+    if empties:
+        assert np.array_equal(a[empties], cents[empties])
+
+    # scale smoke: 100k x 2048 lists (the naive block would be 1.6 GB
+    # per Lloyd iteration plus a 2048-pass Python scan)
+    big_x = rng.normal(size=(100_000, 16))
+    big_c = big_x[:2048].copy()
+    big_cn = (big_c / np.linalg.norm(big_c, axis=1, keepdims=True)).T
+    t0 = time.time()
+    for _ in range(2):
+        assign = _cosine_argmax_chunked(big_x, big_cn)
+        _mean_update(big_c, big_x, assign)
+    wall = time.time() - t0
+    assert wall < 30.0, f"chunked Lloyd too slow: {wall:.1f}s"
+    assert len(np.unique(assign)) > 1024  # the lists actually spread
