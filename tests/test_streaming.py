@@ -1118,12 +1118,17 @@ def test_streaming_ivfpq_index_maintenance_equals_batch(spark, sf_dir, tmp_path)
     from sparkgraft.io import read_table
     from sparkgraft.streaming import run_stream_available_now, stream_table
 
+    from sparkgraft.io import table_row_hint
+
     emb = read_table(spark, sf_dir, "embeddings")
     centroids, books = S.ivfpq_train(
         emb, dim=64, n_centroids=16, m=16, n_codes=64
     )
     qdir = str(tmp_path / "quantizer")
-    S.save_quantizer(spark, qdir, books, centroids=centroids)
+    hint = table_row_hint(sf_dir, "embeddings")
+    S.save_quantizer(
+        spark, qdir, books, centroids=centroids, training_rows=hint
+    )
     del centroids, books  # maintenance lives off the store
 
     codes_dir = str(tmp_path / "ivfpq_codes")
@@ -1166,3 +1171,12 @@ def test_streaming_ivfpq_index_maintenance_equals_batch(spark, sf_dir, tmp_path)
         )
     )
     assert served == inline and len(served) > 0
+
+    # the refresh rule rides the SAME manifest the maintenance loop
+    # loads (r10): at today's corpus size the store serves on; once
+    # the accumulated corpus passes 4x the recorded training_rows the
+    # operational answer flips to retrain + re-encode
+    assert q["training_rows"] == hint
+    assert not S.quantizer_stale(q, current_rows=hint)["stale"]
+    grown = S.quantizer_stale(q, current_rows=5 * hint)
+    assert grown["stale"] and "corpus_grew" in grown["reasons"][0]
