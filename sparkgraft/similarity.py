@@ -347,6 +347,46 @@ def label_noise_candidates(
     )
 
 
+def snapshot_drift(
+    snapshot_a: DataFrame,
+    snapshot_b: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+    min_cos: float = 0.8,
+) -> DataFrame:
+    """Embedding drift between TWO explicit snapshots — the parity-id
+    union :func:`centroid_drift`'s docstring describes, as code (r10:
+    the ergonomic front door of the quantizer refresh rule): snapshot
+    A rides even synthetic ids, snapshot B odd, so centroid_drift's
+    even/odd halves become exactly A-vs-B. Feed the result straight to
+    :func:`quantizer_stale` — ``quantizer_stale(manifest, drift_df=
+    snapshot_drift(trained_on, arriving, dim))`` is the complete
+    retrain-on-drift decision. With ``label_col=None`` the whole
+    snapshot is one ``'all'`` label (one report row); pass a label
+    column for per-label verdicts. Plan shape: centroid_drift's single
+    posexplode aggregate over the union — each snapshot is read
+    once."""
+    def tag(df: DataFrame, parity: int) -> DataFrame:
+        label = (
+            F.col(label_col).cast("string")
+            if label_col is not None
+            else F.lit("all")
+        )
+        return df.select(
+            (F.col(id_col).cast("long") * 2 + parity).alias(id_col),
+            F.col(vec_col).alias(vec_col),
+            label.alias("__drift_label"),
+        )
+
+    merged = tag(snapshot_a, 0).unionByName(tag(snapshot_b, 1))
+    return centroid_drift(
+        merged, dim, id_col=id_col, vec_col=vec_col,
+        label_col="__drift_label", min_cos=min_cos,
+    )
+
+
 def centroid_drift(
     df: DataFrame,
     dim: int,

@@ -1290,3 +1290,31 @@ def test_chunked_assignment_matches_naive_and_scales():
     wall = time.time() - t0
     assert wall < 30.0, f"chunked Lloyd too slow: {wall:.1f}s"
     assert len(np.unique(assign)) > 1024  # the lists actually spread
+
+
+def test_snapshot_drift_two_frame_front_door(spark):
+    """snapshot_drift = centroid_drift over explicit A/B snapshots
+    (r10): orthogonal snapshots read drifted, a snapshot vs itself
+    reads centroid_cos 1.0, and the report plugs straight into
+    quantizer_stale as the retrain-on-drift decision."""
+    from sparkgraft.similarity import quantizer_stale, snapshot_drift
+
+    n = 200
+    corpus = _lifecycle_corpus(spark, n_per_cluster=n)
+    a = corpus.where(F.col("vec_id") < n)
+    b = corpus.where(F.col("vec_id") >= n)
+
+    drifted = snapshot_drift(a, b, dim=8).collect()
+    assert len(drifted) == 1 and drifted[0]["label"] == "all"
+    assert drifted[0]["drifted"] and drifted[0]["centroid_cos"] < 0.8
+    assert drifted[0]["n_a"] == n and drifted[0]["n_b"] == n
+
+    same = snapshot_drift(a, a, dim=8).collect()[0]
+    assert not same["drifted"] and float(same["centroid_cos"]) == 1.0
+
+    manifest = {"training_rows": n}
+    verdict = quantizer_stale(manifest, drift_df=snapshot_drift(a, b, dim=8))
+    assert verdict["stale"] and "centroid_drift" in verdict["reasons"][0]
+    assert not quantizer_stale(
+        manifest, drift_df=snapshot_drift(a, a, dim=8)
+    )["stale"]
