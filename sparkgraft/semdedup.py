@@ -131,11 +131,12 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     eps: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     iters: int = 3,
     round_to: int = 6,
-    sample_size: int = 65536,
+    sample_size: int | None = None,
     max_cluster: int | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup over ``corpus``: every input row comes back with its
     cluster id, centroid cosine, duplicate-group id (the group's
@@ -148,6 +149,15 @@ def semantic_dedup(
     before the keep-ranking, so verdicts are bit-stable across
     partitionings and re-runs.
 
+    ``n_clusters=None`` (the r10 default, completing the IVF-tier
+    sizing convention): sized to the corpus via :func:`auto_n_clusters`
+    from the ``approx_rows`` hint — per-cluster pairwise work is
+    quadratic in cluster size, so a fixed K is a scale knee exactly
+    like fixed IVF lists; without a hint the pre-r10 16 applies.
+    ``sample_size=None`` likewise defers to ``ivf_train``'s
+    quantizer-scaled default. Registered queries pin explicit values
+    (the escape hatch) so their oracle hashes are geometry-stable.
+
     ``max_cluster``: skew backstop. When set, clusters larger than the
     cap are deterministically sub-sharded (md5 of the id) so no task
     ever materializes more than ``max_cluster`` rows; duplicate pairs
@@ -155,6 +165,11 @@ def semantic_dedup(
     cluster boundary already makes, applied to pathological clusters
     only. The size lookup is a K-row aggregate joined back broadcast.
     """
+    if n_clusters is None:
+        n_clusters = (
+            auto_n_clusters(approx_rows) if approx_rows and approx_rows > 0
+            else 16
+        )
     centroids = ivf_train(
         corpus,
         dim,

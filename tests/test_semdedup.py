@@ -201,3 +201,25 @@ def test_auto_n_clusters_scale_rule():
     sizes = [10**3, 10**5, 10**7, 10**9]
     ks = [auto_n_clusters(n) for n in sizes]
     assert ks == sorted(ks)
+
+
+def test_semantic_dedup_auto_sizes_from_hint(spark, sf_dir):
+    """r10: n_clusters=None sizes K from the approx_rows hint via
+    auto_n_clusters (the IVF-tier default convention); without a hint
+    the pre-r10 16 applies, and explicit ints stay the escape hatch
+    the registered queries pin."""
+    from sparkgraft.semdedup import auto_n_clusters, semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    # hint-sized: 20k rows / 2000 target -> 10 clusters
+    assert auto_n_clusters(20_000) == 10
+    out = semantic_dedup(emb, dim=64, eps=0.4, approx_rows=20_000)
+    cids = {r.cid for r in out.select("cid").distinct().collect()}
+    assert cids <= set(range(10)) and len(cids) > 1
+
+    # no hint: the 16-cluster pre-r10 default
+    base = semantic_dedup(emb, dim=64, eps=0.4)
+    assert {r.cid for r in base.select("cid").distinct().collect()} <= set(
+        range(16)
+    )
