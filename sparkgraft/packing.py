@@ -609,12 +609,38 @@ def quantile_normalize(
     )
 
 
+def auto_shard_width(
+    approx_docs: int,
+    target_docs_per_shard: int = 10_000,
+    lo: int = 1,
+    hi: int = 8,
+) -> int:
+    """The r9 FFD probe's docs-per-shard guidance as code (BENCH_NOTES
+    r9: the per-shard O(docs x bins) Python loop stays seconds-per-
+    shard while docs-per-shard <= ~10k; tail 0.83 measured at 2.5k
+    with shard count HELD): the smallest hex ``shard_width`` whose
+    ``16**width`` shards keep expected shard occupancy at or under
+    ``target_docs_per_shard``. ``approx_docs`` is a caller hint
+    (catalog stats / ``io.table_row_hint`` — never a driver count job,
+    the auto_num_planes contract); a non-positive hint returns the
+    pre-r10 default width 2 (256 shards). Clamped to [lo, hi]: width 8
+    is 4.3e9 shards — beyond any corpus this loop should see."""
+    import math
+
+    if approx_docs <= 0:
+        return 2
+    shards_needed = max(1, -(-approx_docs // max(target_docs_per_shard, 1)))
+    width = max(1, math.ceil(math.log(shards_needed, 16)))
+    return max(lo, min(hi, width))
+
+
 def bin_pack_documents(
     df: DataFrame,
     token_col: str,
     budget: int,
     id_col: str = "doc_id",
-    shard_width: int = 2,
+    shard_width: int | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """First-fit-decreasing bin packing of WHOLE documents into
     token-budget bins — the instruction-tuning packing style, the
@@ -644,11 +670,19 @@ def bin_pack_documents(
     Returns ``id_col, n_tokens, shard, bin_id, bin_fill, overflow``
     where ``bin_fill`` is the bin's total AFTER packing (asserted
     <= budget for every non-overflow row in tests).
+
+    ``shard_width=None`` (the r10 default): sized from the
+    ``approx_rows`` hint via :func:`auto_shard_width` so docs-per-
+    shard stays at or under the measured ~10k comfort zone at any
+    corpus size; without a hint the pre-r10 width 2 applies, and
+    explicit widths stay the escape hatch (the probes pin them).
     """
     import pandas as pd
 
     if budget < 1:
         raise ValueError(f"bin_pack_documents: budget must be >= 1, got {budget}")
+    if shard_width is None:
+        shard_width = auto_shard_width(approx_rows or 0)
     typed = df.select(
         F.col(id_col),
         F.col(token_col).cast("bigint").alias("n_tokens"),

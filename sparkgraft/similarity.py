@@ -766,11 +766,12 @@ def cosine_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    num_planes: int = 8,
+    num_planes: int | None = None,
     num_tables: int = 8,
     max_bucket: int = 4096,
     round_to: int = 6,
     persist_intermediates: bool = True,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup PAIRS via banded RP-LSH: candidates = pairs
     sharing a bucket in ANY table; exact cosine (identical staged
@@ -818,11 +819,21 @@ def cosine_pairs_lsh(
     the same fold/round as ``cosine_pairs``, so the result is always a
     SUBSET of the exact result at the same threshold. NULL embeddings
     are dropped up front (a NULL side can never reach the threshold).
+
+    ``num_planes=None`` (the r10 default, closing the library-default
+    gap the registered queries already closed in r5): sized via
+    :func:`auto_num_planes` from the ``approx_rows`` hint; without a
+    hint the pre-r10 8 applies. Explicit ints stay the escape hatch.
     """
     from pyspark.sql import Window
 
     from .relational import spread
 
+    if num_planes is None:
+        num_planes = (
+            auto_num_planes(approx_rows) if approx_rows and approx_rows > 0
+            else 8
+        )
     vecs = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col)
     )
@@ -896,9 +907,10 @@ def rp_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    num_planes: int = 6,
+    num_planes: int | None = None,
     num_tables: int = 4,
     round_to: int = 6,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing an LSH
     bucket with the query in ANY of ``num_tables`` independent plane
@@ -910,9 +922,20 @@ def rp_lsh_topk(
     higher recall, more compute).
 
     All ``num_tables * num_planes`` projections are ONE Arrow-batched
-    numpy matmul per batch — see :func:`rp_bucket_udf`."""
+    numpy matmul per batch — see :func:`rp_bucket_udf`.
+
+    ``num_planes=None`` (the r10 default): sized via
+    :func:`auto_num_planes` from the ``approx_rows`` corpus hint —
+    fixed planes leave bucket occupancy (hence per-query candidates)
+    growing linearly with the corpus; without a hint the pre-r10 6
+    applies, and explicit ints stay the escape hatch."""
     from pyspark.sql import Window
 
+    if num_planes is None:
+        num_planes = (
+            auto_num_planes(approx_rows) if approx_rows and approx_rows > 0
+            else 6
+        )
     _buckets = rp_bucket_udf(dim, num_planes, num_tables)
 
     def bucketed_ids(df: DataFrame, id_alias: str) -> DataFrame:

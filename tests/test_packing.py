@@ -460,3 +460,32 @@ def test_bin_pack_documents_null_rows_dead_letter(spark):
         map(tuple, (r for r in out if r.doc_id is not None and r.n_tokens is not None))
     )
     assert survivors == clean
+
+
+def test_auto_shard_width_guidance_rule(spark):
+    """r10: the r9 FFD probe's docs-per-shard guidance as the default
+    — shard_width=None sizes 16**width shards to keep expected
+    occupancy <= ~10k docs; no hint -> the pre-r10 width 2; explicit
+    widths pass through."""
+    from sparkgraft.packing import auto_shard_width, bin_pack_documents
+
+    assert auto_shard_width(0) == 2          # no hint: old default
+    assert auto_shard_width(-1) == 2
+    assert auto_shard_width(5_000) == 1      # 16 shards cover it
+    assert auto_shard_width(100_000) == 1    # 6.3k/shard <= 10k
+    assert auto_shard_width(1_000_000) == 2  # 256 shards -> 3.9k/shard
+    # 50M/10k = 5000 shards needed -> log16(5000) = 3.07 -> width 4
+    assert auto_shard_width(50_000_000) == 4
+    widths = [auto_shard_width(10**e) for e in range(3, 12)]
+    assert widths == sorted(widths)          # monotone
+    assert auto_shard_width(10**14) == 8     # ceiling binds
+
+    # wired: hint-sized packing still satisfies every invariant
+    rows = [(i, 100 + (i % 7) * 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = bin_pack_documents(df, "n_tokens", budget=1024, approx_rows=500)
+    got = out.collect()
+    assert len(got) == 500
+    assert all(not r.overflow for r in got)
+    # width 1 -> shards in [0, 16)
+    assert {r.shard for r in got} <= set(range(16))

@@ -1318,3 +1318,58 @@ def test_snapshot_drift_two_frame_front_door(spark):
     assert not quantizer_stale(
         manifest, drift_df=snapshot_drift(a, a, dim=8)
     )["stale"]
+
+
+def test_lsh_defaults_auto_size_from_hint(spark, emb):
+    """r10: num_planes=None — now the library default for both LSH
+    entry points — sizes via auto_num_planes from the approx_rows
+    hint; without a hint the pre-r10 values (8 pairs / 6 topk) apply,
+    asserted by bit-identical results to the explicit forms."""
+    queries = emb.where(F.col("vec_id") < 5)
+
+    # no hint == the old explicit defaults, bit-identical
+    a = sorted(map(tuple, S.rp_lsh_topk(emb, queries, dim=64, k=5).collect()))
+    b = sorted(
+        map(
+            tuple,
+            S.rp_lsh_topk(
+                emb, queries, dim=64, k=5, num_planes=6
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+    p = sorted(
+        map(tuple, S.cosine_pairs_lsh(emb, dim=64, threshold=0.45).collect())
+    )
+    q = sorted(
+        map(
+            tuple,
+            S.cosine_pairs_lsh(
+                emb, dim=64, threshold=0.45, num_planes=8
+            ).collect(),
+        )
+    )
+    assert p == q
+
+    # hint-sized == the explicit auto_num_planes value, bit-identical
+    hint = 100_000
+    planes = S.auto_num_planes(hint)
+    assert planes > 6
+    c = sorted(
+        map(
+            tuple,
+            S.rp_lsh_topk(
+                emb, queries, dim=64, k=5, approx_rows=hint
+            ).collect(),
+        )
+    )
+    d = sorted(
+        map(
+            tuple,
+            S.rp_lsh_topk(
+                emb, queries, dim=64, k=5, num_planes=planes
+            ).collect(),
+        )
+    )
+    assert c == d
