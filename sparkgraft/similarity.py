@@ -2265,8 +2265,14 @@ def ivfpq_topk(
     stats / ``io.table_row_hint``) — fixed lists are the measured 32x
     growing-workload knee (tail 1.63 vs 1.08 sqrt-scaled —
     SCALE_SLOPE_r09_ivfpq_scaling.json, re-measured through this
-    default path in r10); pass an explicit int only to pin a
-    known-good geometry.
+    default path in r10: tail 1.03); pass an explicit int only to pin
+    a known-good geometry. ``n_probe`` stays an explicit recall/
+    latency dial: measured under the auto default, FIXED n_probe=4
+    does NOT lose recall when lists grow (tighter lists shrink
+    residuals and the ADC-precision gain outweighs coverage —
+    NPROBE_PROBE_r10.json: auto-K at p=4 reads 0.237 recall / 1.38s
+    vs fixed-16's 0.213 / 2.78s); raise it or compose with
+    :func:`ivfpq_rerank_topk` when an application needs recall.
 
     This convenience form trains + encodes inline; the production
     lifecycle factors through :func:`ivfpq_train` (or
