@@ -2545,6 +2545,42 @@ def quantizer_stale(
     return {"stale": bool(reasons), "reasons": reasons}
 
 
+def refresh_quantizer(
+    spark: "SparkSession",  # noqa: F821
+    path: str,
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    n_codes: int = 64,
+    iters: int = 3,
+    approx_rows: int | None = None,
+) -> dict:
+    """Execute the refresh :func:`quantizer_stale` calls for — the
+    other half of the lifecycle API (r10): retrain the IVF-PQ
+    quantizer on the CURRENT corpus (through the r10 defaults:
+    auto-sized ``n_centroids`` and a scaled seeded-hash sample, both
+    from ``approx_rows``) and overwrite the store at ``path`` with the
+    new manifest (``training_rows`` = the hint, fresh fingerprint).
+    Returns ``{"manifest", "centroids", "codebooks"}`` so the caller
+    can immediately :func:`ivfpq_encode` the re-encode pass. The old
+    store keeps serving until this overwrite lands — writers of the
+    codes store own the swap ordering (re-encode THEN flip serving to
+    the new codes; a codes store and quantizer must share a
+    fingerprint vintage, which :func:`load_quantizer`'s fingerprint
+    check enforces at load)."""
+    centroids, books = ivfpq_train(
+        corpus, dim, id_col=id_col, vec_col=vec_col,
+        m=m, n_codes=n_codes, iters=iters, approx_rows=approx_rows,
+    )
+    manifest = save_quantizer(
+        spark, path, books, centroids=centroids,
+        training_rows=approx_rows or 0,
+    )
+    return {"manifest": manifest, "centroids": centroids, "codebooks": books}
+
+
 def save_quantizer(
     spark: "SparkSession",  # noqa: F821
     path: str,
@@ -2646,12 +2682,30 @@ def load_quantizer(
     import os as _os
 
     with open(_os.path.join(path, "_QUANTIZER_MANIFEST.json")) as fh:
-        manifest = _json.load(fh)
-    m, n_codes, dsub = manifest["m"], manifest["n_codes"], manifest["dsub"]
-    if m * dsub != manifest["dim"]:
+        manifest = _json.load(fh)  # JSONDecodeError IS a ValueError
+    # every manifest defect normalizes to ValueError (the codec
+    # dead-letter convention applied to the store): a corrupted JSON
+    # that still parses must not escape as KeyError/TypeError
+    try:
+        m, n_codes, dsub = (
+            int(manifest["m"]), int(manifest["n_codes"]), int(manifest["dsub"])
+        )
+        dim_v = int(manifest["dim"])
+        kind = manifest["kind"]
+        n_cent_v = int(manifest.get("n_centroids", 0))
+    except (KeyError, TypeError, ValueError) as e:
+        raise ValueError(
+            f"load_quantizer: manifest malformed or missing fields: {e}"
+        ) from e
+    if min(m, n_codes, dsub) < 1 or kind not in ("pq", "ivfpq"):
+        raise ValueError(
+            f"load_quantizer: manifest malformed — m {m}, n_codes "
+            f"{n_codes}, dsub {dsub}, kind {kind!r}"
+        )
+    if m * dsub != dim_v:
         raise ValueError(
             f"load_quantizer: manifest geometry inconsistent — m {m} x "
-            f"dsub {dsub} != dim {manifest['dim']}"
+            f"dsub {dsub} != dim {dim_v}"
         )
     rows = spark.read.parquet(_os.path.join(path, "codebooks.parquet")).collect()
     if len(rows) != m * n_codes * dsub:
@@ -2669,11 +2723,11 @@ def load_quantizer(
         )
     codebooks = [[[float(v) for v in cent] for cent in book] for book in cb]
     centroids: list[tuple[int, list[float]]] | None = None
-    if manifest["kind"] == "ivfpq":
+    if kind == "ivfpq":
         crows = spark.read.parquet(
             _os.path.join(path, "centroids.parquet")
         ).collect()
-        n_cent = manifest["n_centroids"]
+        n_cent = n_cent_v
         if len(crows) != n_cent * m * dsub:
             raise ValueError(
                 f"load_quantizer: centroids.parquet has {len(crows)} "

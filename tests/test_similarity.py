@@ -1373,3 +1373,108 @@ def test_lsh_defaults_auto_size_from_hint(spark, emb):
         )
     )
     assert c == d
+
+
+def test_refresh_quantizer_executes_the_stale_verdict(spark, tmp_path):
+    """refresh_quantizer = the retrain+save half of the lifecycle API:
+    a stale (drift-epoch-trained) store overwritten through it serves
+    the current corpus with recall at least the stale store's, the new
+    manifest records the current hint and a NEW fingerprint, and a
+    quantizer/codes vintage mismatch is caught by the fingerprint
+    check at load."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    n = 400
+    corpus = _lifecycle_corpus(spark, n_per_cluster=n)
+    path = str(tmp_path / "q")
+
+    # epoch-A-only store (the stale vintage), recorded at its hint
+    cents_a, books_a = S.ivfpq_train(
+        corpus.where(F.col("vec_id") < n), dim=8, n_centroids=4, m=2,
+        n_codes=16,
+    )
+    stale_manifest = S.save_quantizer(
+        spark, path, books_a, centroids=cents_a, training_rows=n
+    )
+    assert S.quantizer_stale(stale_manifest, current_rows=2 * n * 5)["stale"]
+
+    fresh = S.refresh_quantizer(
+        spark, path, corpus, dim=8, m=2, n_codes=16, approx_rows=2 * n
+    )
+    assert fresh["manifest"]["training_rows"] == 2 * n
+    assert fresh["manifest"]["fingerprint"] != stale_manifest["fingerprint"]
+    assert not S.quantizer_stale(fresh["manifest"], current_rows=2 * n)[
+        "stale"
+    ]
+
+    # the overwritten store loads to the refreshed quantizer exactly
+    loaded = S.load_quantizer(spark, path)
+    assert loaded["fingerprint"] == fresh["manifest"]["fingerprint"]
+    assert loaded["codebooks"] == fresh["codebooks"]
+
+    # refreshed serving recall >= stale serving recall on cluster B
+    queries = corpus.where(
+        (F.col("vec_id") >= n) & (F.col("vec_id") % 20 == 0)
+    )
+    exact = {}
+    for r in S.cosine_topk(corpus, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(cents, books):
+        codes = S.ivfpq_encode(corpus, cents, books)
+        got = {}
+        for r in S.ivfpq_topk_from_codes(
+            codes, queries, cents, books, k=5, n_probe=2
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(len(exact[q] & got.get(q, set())) for q in exact) / (
+            5 * len(exact)
+        )
+
+    assert recall(loaded["centroids"], loaded["codebooks"]) >= recall(
+        cents_a, books_a
+    )
+
+
+def test_load_quantizer_manifest_defects_normalize_to_valueerror(
+    spark, tmp_path
+):
+    """The store's dead-letter contract (the codec convention applied
+    to load_quantizer): every manifest defect — missing field, wrong
+    type, bad kind, non-positive geometry, truncated JSON — raises
+    ValueError, never KeyError/TypeError, so lifecycle automation can
+    catch one exception class."""
+    import json
+    import os
+
+    import pytest
+
+    cents, books = S.ivfpq_train(
+        _lifecycle_corpus(spark, n_per_cluster=50), dim=8,
+        n_centroids=2, m=2, n_codes=4,
+    )
+    path = str(tmp_path / "q")
+    S.save_quantizer(spark, path, books, centroids=cents)
+    mp = os.path.join(path, "_QUANTIZER_MANIFEST.json")
+    good = json.load(open(mp))
+
+    defects = [
+        {k: v for k, v in good.items() if k != "m"},          # missing
+        {**good, "m": "sixteen"},                             # bad type
+        {**good, "m": None},
+        {**good, "kind": "faiss"},                            # bad kind
+        {**good, "n_codes": 0},                               # degenerate
+        {**good, "dsub": -1},
+        {**good, "dim": good["dim"] + 1},                     # inconsistent
+        {**good, "n_centroids": "two"},
+    ]
+    for bad in defects:
+        json.dump(bad, open(mp, "w"))
+        with pytest.raises(ValueError):
+            S.load_quantizer(spark, path)
+    # truncated JSON: JSONDecodeError is a ValueError subclass
+    open(mp, "w").write(json.dumps(good)[:20])
+    with pytest.raises(ValueError):
+        S.load_quantizer(spark, path)
+    json.dump(good, open(mp, "w"))
+    assert S.load_quantizer(spark, path)["codebooks"] == books
