@@ -155,8 +155,12 @@ def semantic_dedup(
     quadratic in cluster size, so a fixed K is a scale knee exactly
     like fixed IVF lists; without a hint the pre-r10 16 applies.
     ``sample_size=None`` likewise defers to ``ivf_train``'s
-    quantizer-scaled default. Registered queries pin explicit values
-    (the escape hatch) so their oracle hashes are geometry-stable.
+    quantizer-scaled default, whose 4,194,304-row hard cap (ADVICE
+    r10 #2) keeps the one-time training collect inside the documented
+    ~2 GB driver bound even at ``auto_n_clusters``' 1e6 ceiling —
+    K = 1e6 trains on a thinner 4.2 points/cluster sample rather than
+    a 64M-row collect. Registered queries pin explicit values (the
+    escape hatch) so their oracle hashes are geometry-stable.
 
     ``max_cluster``: skew backstop. When set, clusters larger than the
     cap are deterministically sub-sharded (md5 of the id) so no task

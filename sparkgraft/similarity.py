@@ -367,7 +367,15 @@ def snapshot_drift(
     snapshot is one ``'all'`` label (one report row); pass a label
     column for per-label verdicts. Plan shape: centroid_drift's single
     posexplode aggregate over the union — each snapshot is read
-    once."""
+    once.
+
+    Parity is tagged as a LITERAL (snapshot A rides id 0, B id 1),
+    never derived from the caller's id column (ADVICE r10: the old
+    ``cast('long') * 2 + parity`` silently NULLed UUID-string ids and
+    dropped negative ids out of both halves — a false ``stale=false``
+    in the refresh decision). Ids of ANY type — strings, negatives,
+    overlapping between snapshots — therefore work; the original id
+    plays no role in the report."""
     def tag(df: DataFrame, parity: int) -> DataFrame:
         label = (
             F.col(label_col).cast("string")
@@ -375,7 +383,7 @@ def snapshot_drift(
             else F.lit("all")
         )
         return df.select(
-            (F.col(id_col).cast("long") * 2 + parity).alias(id_col),
+            F.lit(parity).cast("long").alias(id_col),
             F.col(vec_col).alias(vec_col),
             label.alias("__drift_label"),
         )
@@ -408,10 +416,19 @@ def centroid_drift(
     is partitioning-independent and SQL-reproducible. Scale shape: one
     posexplode aggregation keyed (label, dim) — |labels| x dim rows —
     then a |labels|-row fold; the corpus is read once.
+
+    The id must be NUMERIC (parity is the split key); negative ids are
+    handled via ``pmod`` (ADVICE r10: Spark's ``%`` keeps the
+    dividend's sign, so ``-3 % 2 = -1`` landed outside both halves and
+    silently emptied a snapshot). Non-numeric ids are a contract
+    violation — route string-id snapshots through
+    :func:`snapshot_drift`, which tags parity itself and accepts any
+    id type; :func:`quantizer_stale` fails loudly on the indeterminate
+    report an empty half produces.
     """
     from pyspark.sql import functions as F  # noqa: F811
 
-    half = (F.col(id_col) % 2).alias("__half")
+    half = F.pmod(F.col(id_col), F.lit(2)).alias("__half")
     exploded = df.select(
         F.col(label_col).alias("label"),
         half,
@@ -433,10 +450,10 @@ def centroid_drift(
         F.sum(F.col("__mb") * F.col("__mb")).cast("double").alias("__dbb"),
     )
     counts = df.groupBy(F.col(label_col).alias("label")).agg(
-        F.sum(F.when(F.col(id_col) % 2 == 0, 1).otherwise(0))
+        F.sum(F.when(F.pmod(F.col(id_col), F.lit(2)) == 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_a"),
-        F.sum(F.when(F.col(id_col) % 2 == 1, 1).otherwise(0))
+        F.sum(F.when(F.pmod(F.col(id_col), F.lit(2)) == 1, 1).otherwise(0))
         .cast("bigint")
         .alias("n_b"),
     )
@@ -1166,17 +1183,27 @@ def _resolve_n_centroids(n_centroids: int | None, approx_rows: int | None) -> in
     return auto_n_centroids(approx_rows or 0)
 
 
+_TRAIN_SAMPLE_CAP = 4_194_304  # 64 x the 65,536-list IVF clamp
+
+
 def _train_sample_size(sample_size: int | None, n_centroids: int) -> int:
     """Default training-sample sizing (VERDICT r9 #2): k-means needs
     ~64-100 points per centroid (the Jegou/FAISS rule ivf_train's own
     docstring cites), so a FIXED 65536-row sample starves sqrt(N)-sized
     quantizers (1-3 points/centroid at the hi clamp). ``None`` scales
-    the sample with the codebook: ``max(65536, 64 * n_centroids)`` —
-    at the 65,536-list clamp that is a ~4.2M-row / ~2 GB (dim 64
-    float64) one-time driver collect, the documented train-once cost."""
+    the sample with the codebook: ``max(65536, 64 * n_centroids)``,
+    HARD-CAPPED at ``_TRAIN_SAMPLE_CAP`` = 4,194,304 rows — the ~2 GB
+    (dim 64 float64) bound the bounded-driver-collect contract
+    documents. The cap exists because callers above the IVF clamp
+    (semdedup's ``auto_n_clusters`` reaches K = 1e6 at 2e9 rows) would
+    otherwise scale the DEFAULT into a 64M-row / ~30 GB driver collect
+    (ADVICE r10 #2); past the cap the points-per-centroid ratio thins
+    (4.2 at K = 1e6) rather than the driver OOMing — callers who want
+    more pass an explicit ``sample_size``, which passes through
+    untouched (explicit = caller owns the memory)."""
     if sample_size is not None:
         return sample_size
-    return max(65536, 64 * n_centroids)
+    return min(max(65536, 64 * n_centroids), _TRAIN_SAMPLE_CAP)
 
 
 def _train_sample(
@@ -1235,8 +1262,9 @@ def ivf_train(
     1.63 vs 1.08 sqrt-scaled, SCALE_SLOPE_r09_ivfpq_scaling.json), so
     auto-sizing is the default and explicit ints are the escape hatch.
     ``sample_size=None`` scales the sample with the quantizer
-    (``max(65536, 64 * n_centroids)`` — the ~100x-points-per-centroid
-    rule); the draw is a seeded md5-uniform TakeOrdered
+    (``max(65536, 64 * n_centroids)``, capped at 4,194,304 rows — the
+    ~100x-points-per-centroid rule under the ~2 GB driver-collect
+    bound); the draw is a seeded md5-uniform TakeOrdered
     (:func:`_train_sample`), not an id prefix, so time-ordered corpora
     under drift don't train on their oldest cluster only. Lloyd then
     runs locally in numpy: the 100 TB pass happens once, in the
@@ -2334,14 +2362,36 @@ def ivfpq_topk_from_codes(
     k: int = 10,
     n_probe: int = 4,
     round_to: int = 6,
+    codes_fingerprint: str | None = None,
 ) -> DataFrame:
     """Serve IVF-PQ top-k from a persisted/accumulated codes store
     (``(id_col, cid, codes)`` — :func:`ivfpq_encode`'s output, read
     back from parquet or folded across arriving batches) with a
     trained quantizer (in-memory or :func:`load_quantizer`): the
     scoring tail of :func:`ivfpq_topk`, bit-identical output, raw
-    vectors never touched."""
+    vectors never touched.
+
+    ``codes_fingerprint`` is the vintage guard (VERDICT r10 #1): pass
+    the quantizer fingerprint the codes store was ENCODED with (the
+    :func:`write_codes_store` manifest records it) and serving fails
+    loudly when the quantizer handed in here is a different vintage —
+    codes are meaningless under any codebook other than the one that
+    produced them, and with a versioned store old codes + a refreshed
+    quantizer can otherwise coexist silently. The check is a local
+    sha256 over the (small) coefficient lists — no Spark job."""
     from pyspark.sql import Window
+
+    if codes_fingerprint is not None:
+        serving = quantizer_fingerprint(codebooks, centroids)
+        if serving != codes_fingerprint:
+            raise ValueError(
+                "ivfpq_topk_from_codes: quantizer/codes vintage "
+                f"mismatch — the codes store was encoded under "
+                f"{codes_fingerprint[:12]}… but the quantizer passed "
+                f"for serving fingerprints {serving[:12]}…; re-encode "
+                "the corpus with the current quantizer (or serve with "
+                "the vintage that produced these codes)"
+            )
 
     cmat = _centroid_matrix(centroids)
     cb = _codebook_tensor(codebooks)
@@ -2532,10 +2582,29 @@ def quantizer_stale(
             f"{trained} recorded at training"
         )
     if drift_df is not None:
+        rows = drift_df.collect()
+        # indeterminate report rows fail LOUDLY (ADVICE r10): an empty
+        # snapshot half or a NULL cosine means the drift verdict is
+        # undefined — treating it as "not drifted" is a silent false
+        # negative in the retrain decision this function owns
+        broken = [
+            r["label"]
+            for r in rows
+            if r["centroid_cos"] is None
+            or int(r["n_a"] or 0) == 0
+            or int(r["n_b"] or 0) == 0
+        ]
+        if broken:
+            raise ValueError(
+                "quantizer_stale: drift report is indeterminate for "
+                f"labels {sorted(broken)!r} (empty snapshot half or "
+                "NULL centroid cosine — non-numeric ids fed to "
+                "centroid_drift? route snapshots through snapshot_drift)"
+            )
         drifted = [
             (r["label"], float(r["centroid_cos"]))
-            for r in drift_df.collect()
-            if r["centroid_cos"] is not None and r["centroid_cos"] < min_cos
+            for r in rows
+            if r["centroid_cos"] < min_cos
         ]
         for label, cos in sorted(drifted):
             reasons.append(
@@ -2558,23 +2627,38 @@ def refresh_quantizer(
     approx_rows: int | None = None,
 ) -> dict:
     """Execute the refresh :func:`quantizer_stale` calls for — the
-    other half of the lifecycle API (r10): retrain the IVF-PQ
-    quantizer on the CURRENT corpus (through the r10 defaults:
-    auto-sized ``n_centroids`` and a scaled seeded-hash sample, both
-    from ``approx_rows``) and overwrite the store at ``path`` with the
-    new manifest (``training_rows`` = the hint, fresh fingerprint).
-    Returns ``{"manifest", "centroids", "codebooks"}`` so the caller
-    can immediately :func:`ivfpq_encode` the re-encode pass. The old
-    store keeps serving until this overwrite lands — writers of the
-    codes store own the swap ordering (re-encode THEN flip serving to
-    the new codes; a codes store and quantizer must share a
-    fingerprint vintage, which :func:`load_quantizer`'s fingerprint
-    check enforces at load)."""
+    other half of the lifecycle API: retrain the IVF-PQ quantizer on
+    the CURRENT corpus (through the r10 defaults: auto-sized
+    ``n_centroids`` and a scaled seeded-hash sample, both from
+    ``approx_rows``) and publish it at ``path`` as a NEW VINTAGE with
+    an atomic pointer flip (r11, VERDICT r10 #1 — the pre-r11 version
+    overwrote the store in place, leaving concurrent readers a
+    load-error window and the swap ordering to caller prose):
+
+    1. the new quantizer lands in ``path/v=<fingerprint16>/`` via
+       :func:`save_quantizer_version` — the live store is never
+       touched;
+    2. ``path/_CURRENT.json`` is flipped LAST via ``os.replace``
+       (atomic on POSIX), so a concurrent :func:`load_quantizer`
+       observes either the old vintage or the new one, complete —
+       never a partial store;
+    3. old vintages stay on disk serving in-flight readers until
+       :func:`gc_quantizer_vintages` collects them.
+
+    A flat pre-r11 store at ``path`` migrates transparently: its files
+    are left untouched (they ARE the old vintage for readers mid-
+    refresh) and the pointer, which load prefers, appears beside them.
+    Returns ``{"manifest", "centroids", "codebooks"}`` (the manifest
+    carries ``vintage``) so the caller can immediately
+    :func:`ivfpq_encode` the re-encode pass; pair the codes store with
+    this vintage via :func:`write_codes_store`, and serving enforces
+    the pairing (:func:`ivfpq_topk_from_codes` ``codes_fingerprint``).
+    """
     centroids, books = ivfpq_train(
         corpus, dim, id_col=id_col, vec_col=vec_col,
         m=m, n_codes=n_codes, iters=iters, approx_rows=approx_rows,
     )
-    manifest = save_quantizer(
+    manifest = save_quantizer_version(
         spark, path, books, centroids=centroids,
         training_rows=approx_rows or 0,
     )
@@ -2667,19 +2751,206 @@ def save_quantizer(
     return manifest
 
 
+def save_quantizer_version(
+    spark: "SparkSession",  # noqa: F821
+    store: str,
+    codebooks: list[list[list[float]]],
+    centroids: list[tuple[int, list[float]]] | None = None,
+    training_rows: int = 0,
+) -> dict:
+    """Versioned :func:`save_quantizer` (r11, VERDICT r10 #1): the
+    quantizer lands in its own vintage directory
+    ``store/v=<fingerprint[:16]>/`` (the content hash names the
+    vintage, so a re-save of identical coefficients is idempotent and
+    two distinct quantizers can never collide), and ONLY THEN the
+    one-line pointer ``store/_CURRENT.json`` is flipped via
+    ``os.replace`` — atomic on POSIX, so a concurrent
+    :func:`load_quantizer` sees either the previous vintage or the
+    new one complete, never a torn store. The pointer records the
+    fingerprint too; load cross-checks it against the vintage's
+    manifest so a hand-edited or mis-paired pointer fails loudly.
+    Returns the manifest dict with ``vintage`` added."""
+    import json as _json
+    import os as _os
+
+    fp = quantizer_fingerprint(codebooks, centroids)
+    vintage = f"v={fp[:16]}"
+    manifest = save_quantizer(
+        spark,
+        _os.path.join(store, vintage),
+        codebooks,
+        centroids=centroids,
+        training_rows=training_rows,
+    )
+    pointer = {"vintage": vintage, "fingerprint": fp}
+    tmp = _os.path.join(store, "_CURRENT.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(pointer, fh, indent=1)
+        fh.flush()
+        _os.fsync(fh.fileno())
+    _os.replace(tmp, _os.path.join(store, "_CURRENT.json"))
+    return {**manifest, "vintage": vintage}
+
+
+def gc_quantizer_vintages(store: str, keep: int = 1) -> list[str]:
+    """Garbage-collect superseded quantizer vintages under a versioned
+    ``store``: the CURRENT vintage (the ``_CURRENT.json`` pointer's
+    target) is never touched; of the remaining ``v=*`` directories the
+    ``keep`` most recently modified survive (grace for in-flight
+    readers that resolved the pointer just before a flip) and the rest
+    are deleted. Returns the deleted vintage names. Raises if the
+    store has no pointer — a flat store has no vintages to collect."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    pointer_path = _os.path.join(store, "_CURRENT.json")
+    try:
+        with open(pointer_path) as fh:
+            current = _json.load(fh)["vintage"]
+    except (OSError, KeyError, ValueError) as e:
+        raise ValueError(
+            f"gc_quantizer_vintages: {store!r} has no readable "
+            f"_CURRENT.json pointer — not a versioned store ({e})"
+        ) from e
+    vintages = [
+        d
+        for d in _os.listdir(store)
+        if d.startswith("v=")
+        and d != current
+        and _os.path.isdir(_os.path.join(store, d))
+    ]
+    vintages.sort(
+        key=lambda d: _os.path.getmtime(_os.path.join(store, d)),
+        reverse=True,
+    )
+    removed = []
+    for d in vintages[max(keep, 0):]:
+        _shutil.rmtree(_os.path.join(store, d))
+        removed.append(d)
+    return removed
+
+
+def write_codes_store(
+    codes: DataFrame,
+    path: str,
+    quantizer_manifest: dict,
+    mode: str = "overwrite",
+) -> dict:
+    """Persist an :func:`ivfpq_encode` codes store WITH its quantizer
+    pairing (r11): the parquet lands first, then
+    ``_CODES_MANIFEST.json`` records the fingerprint (and vintage, if
+    versioned) of the quantizer that encoded it — manifest-beside-data,
+    written last, the ``io.write_layout_manifest`` convention. Codes
+    are meaningless under any other codebook, so the manifest is what
+    lets :func:`read_codes_store` / :func:`ivfpq_topk_from_codes`
+    refuse a mixed-vintage serve instead of returning garbage
+    distances. ``mode='append'`` folds a new encoded batch into the
+    store (the frozen-quantizer monoid) — the manifest must already
+    match, enforced here."""
+    import json as _json
+    import os as _os
+
+    fp = quantizer_manifest.get("fingerprint")
+    if not fp:
+        raise ValueError(
+            "write_codes_store: quantizer manifest has no fingerprint "
+            "— save/load the quantizer through the store API first"
+        )
+    manifest_path = _os.path.join(path, "_CODES_MANIFEST.json")
+    if mode == "append" and _os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            existing = _json.load(fh).get("quantizer_fingerprint")
+        if existing != fp:
+            raise ValueError(
+                "write_codes_store: appending codes encoded under "
+                f"{fp[:12]}… to a store encoded under "
+                f"{str(existing)[:12]}… — mixed vintages; re-encode "
+                "the full corpus instead"
+            )
+    codes.write.mode(mode).parquet(_os.path.join(path, "codes.parquet"))
+    manifest = {
+        "quantizer_fingerprint": fp,
+        "quantizer_vintage": quantizer_manifest.get("vintage"),
+    }
+    with open(manifest_path, "w") as fh:
+        _json.dump(manifest, fh, indent=1)
+    return manifest
+
+
+def read_codes_store(
+    spark: "SparkSession",  # noqa: F821
+    path: str,
+    quantizer_manifest: dict | None = None,
+) -> DataFrame:
+    """Read a :func:`write_codes_store` store back for serving. Pass
+    the quantizer manifest you intend to serve with and the vintage
+    pairing is enforced here (mismatch → ValueError before any job
+    runs); without it the caller owns the check — pass the recorded
+    ``quantizer_fingerprint`` to :func:`ivfpq_topk_from_codes` as
+    ``codes_fingerprint`` instead."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_CODES_MANIFEST.json")) as fh:
+        manifest = _json.load(fh)
+    recorded = manifest.get("quantizer_fingerprint")
+    if quantizer_manifest is not None:
+        serving = quantizer_manifest.get("fingerprint")
+        if serving != recorded:
+            raise ValueError(
+                "read_codes_store: quantizer/codes vintage mismatch — "
+                f"store encoded under {str(recorded)[:12]}…, serving "
+                f"quantizer fingerprints {str(serving)[:12]}…; refresh "
+                "left this codes store behind (re-encode, or load the "
+                "matching vintage)"
+            )
+    return spark.read.parquet(_os.path.join(path, "codes.parquet"))
+
+
 def load_quantizer(
     spark: "SparkSession",  # noqa: F821
     path: str,
 ) -> dict:
-    """Load a quantizer written by :func:`save_quantizer`, validating
-    the manifest geometry against the parquet contents (a truncated or
-    mixed-up store must fail loudly at LOAD time, not as silent garbage
-    codes at encode time). Returns ``{"kind", "m", "n_codes", "dsub",
-    "dim", "codebooks", "centroids"}`` where ``codebooks`` /
-    ``centroids`` plug directly into :func:`pq_encode`,
-    :func:`pq_adc_topk`, :func:`ivfpq_encode_udf` et al."""
+    """Load a quantizer written by :func:`save_quantizer` (flat store)
+    or :func:`save_quantizer_version` (versioned store — a
+    ``_CURRENT.json`` pointer beside ``v=<fingerprint>/`` vintage
+    directories), validating the manifest geometry against the parquet
+    contents (a truncated or mixed-up store must fail loudly at LOAD
+    time, not as silent garbage codes at encode time). When the
+    pointer exists it WINS over any flat files beside it (a migrated
+    store keeps its pre-versioning files as the old vintage); the
+    pointer's fingerprint must match the vintage manifest's, so a
+    hand-edited or torn pointer cannot silently serve the wrong
+    vintage. Returns ``{"kind", "m", "n_codes", "dsub", "dim",
+    "codebooks", "centroids"}`` (plus ``vintage`` for versioned
+    stores) where ``codebooks`` / ``centroids`` plug directly into
+    :func:`pq_encode`, :func:`pq_adc_topk`, :func:`ivfpq_encode_udf`
+    et al."""
     import json as _json
     import os as _os
+
+    vintage: str | None = None
+    pointer_path = _os.path.join(path, "_CURRENT.json")
+    if _os.path.exists(pointer_path):
+        with open(pointer_path) as fh:
+            pointer = _json.load(fh)  # JSONDecodeError IS a ValueError
+        try:
+            vintage = str(pointer["vintage"])
+            pointed_fp = str(pointer["fingerprint"])
+        except (KeyError, TypeError) as e:
+            raise ValueError(
+                f"load_quantizer: _CURRENT.json pointer malformed: {e}"
+            ) from e
+        loaded = load_quantizer(spark, _os.path.join(path, vintage))
+        if loaded.get("fingerprint") != pointed_fp:
+            raise ValueError(
+                "load_quantizer: pointer/vintage fingerprint mismatch "
+                f"— _CURRENT.json says {pointed_fp[:12]}…, vintage "
+                f"{vintage} holds "
+                f"{str(loaded.get('fingerprint'))[:12]}…"
+            )
+        return {**loaded, "vintage": vintage}
 
     with open(_os.path.join(path, "_QUANTIZER_MANIFEST.json")) as fh:
         manifest = _json.load(fh)  # JSONDecodeError IS a ValueError

@@ -1478,3 +1478,226 @@ def test_load_quantizer_manifest_defects_normalize_to_valueerror(
         S.load_quantizer(spark, path)
     json.dump(good, open(mp, "w"))
     assert S.load_quantizer(spark, path)["codebooks"] == books
+
+
+def test_snapshot_drift_is_id_agnostic(spark):
+    """ADVICE r10 #1: parity is now a tagged literal, never derived
+    from the caller's id — string (UUID-ish) ids and negative ids both
+    produce full halves and a real verdict where the old
+    cast('long')*2+parity silently emptied a half (NULL cast / signed
+    %) and read stale=false."""
+    from sparkgraft.similarity import quantizer_stale, snapshot_drift
+
+    n = 200
+    corpus = _lifecycle_corpus(spark, n_per_cluster=n)
+
+    # string ids: every cast-to-long would be NULL
+    as_str = corpus.select(
+        F.concat(F.lit("uuid-"), F.col("vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    a = as_str.where(F.substring("vec_id", 6, 10).cast("long") < n)
+    b = as_str.where(F.substring("vec_id", 6, 10).cast("long") >= n)
+    r = snapshot_drift(a, b, dim=8).collect()
+    assert len(r) == 1 and r[0]["n_a"] == n and r[0]["n_b"] == n
+    assert r[0]["drifted"] and r[0]["centroid_cos"] < 0.8
+
+    # negative ids: Spark % keeps the dividend's sign
+    neg = corpus.select((-F.col("vec_id") - 1).alias("vec_id"), "embedding")
+    na = neg.where(F.col("vec_id") > -(n + 1))
+    nb = neg.where(F.col("vec_id") <= -(n + 1))
+    rn = snapshot_drift(na, nb, dim=8).collect()[0]
+    assert rn["n_a"] == n and rn["n_b"] == n and rn["drifted"]
+
+    # and the verdict plugs into quantizer_stale as before
+    assert quantizer_stale(
+        {"training_rows": n}, drift_df=snapshot_drift(a, b, dim=8)
+    )["stale"]
+
+
+def test_centroid_drift_negative_ids_use_pmod(spark):
+    """Direct centroid_drift callers with negative (numeric) ids: pmod
+    keeps both halves populated (-3 % 2 = -1 used to fall out of the
+    0/1 split)."""
+    rows = [(-(i + 1), [float(i % 7), 1.0], "all") for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    r = S.centroid_drift(df, dim=2).collect()[0]
+    assert r["n_a"] == 50 and r["n_b"] == 50
+    assert r["centroid_cos"] is not None
+
+
+def test_quantizer_stale_fails_loudly_on_indeterminate_drift(spark):
+    """ADVICE r10 #1 (loud-fail half): an empty snapshot half or a
+    NULL centroid cosine makes the drift verdict undefined — the old
+    behavior coalesced to 'not drifted', a silent false negative in
+    the retrain decision; now it raises."""
+    bad = spark.createDataFrame(
+        [("all", 0, 100, None)],
+        "label string, n_a bigint, n_b bigint, centroid_cos double",
+    )
+    with pytest.raises(ValueError, match="indeterminate"):
+        S.quantizer_stale({"training_rows": 10}, drift_df=bad)
+    null_cos = spark.createDataFrame(
+        [("all", 50, 50, None)],
+        "label string, n_a bigint, n_b bigint, centroid_cos double",
+    )
+    with pytest.raises(ValueError, match="indeterminate"):
+        S.quantizer_stale({"training_rows": 10}, drift_df=null_cos)
+
+
+def test_train_sample_size_hard_cap():
+    """ADVICE r10 #2: the SCALED default caps at 4,194,304 rows (~2 GB
+    at dim 64 float64) so semdedup's auto_n_clusters ceiling (K = 1e6
+    at 2e9 rows) cannot scale the default into a 64M-row driver
+    collect; explicit sample_size stays the caller-owned escape
+    hatch."""
+    from sparkgraft.similarity import _TRAIN_SAMPLE_CAP, _train_sample_size
+
+    assert _train_sample_size(None, 16) == 65536
+    assert _train_sample_size(None, 65536) == 64 * 65536 == _TRAIN_SAMPLE_CAP
+    assert _train_sample_size(None, 1_000_000) == _TRAIN_SAMPLE_CAP
+    assert _train_sample_size(10_000_000, 1_000_000) == 10_000_000
+
+
+def test_versioned_store_atomic_swap_and_gc(spark, tmp_path):
+    """VERDICT r10 #1: refresh publishes a NEW vintage and flips the
+    _CURRENT.json pointer last — a reader during an interrupted
+    refresh (vintage written, pointer not flipped; or vintage torn)
+    serves the OLD store, never a partial one; gc never touches the
+    current vintage."""
+    import json
+    import os
+
+    n = 200
+    corpus = _lifecycle_corpus(spark, n_per_cluster=n)
+    epoch_a = corpus.where(F.col("vec_id") < n)
+    store = str(tmp_path / "vq")
+
+    cents_a, books_a = S.ivfpq_train(epoch_a, dim=8, n_centroids=2, m=2,
+                                     n_codes=8)
+    m_a = S.save_quantizer_version(
+        spark, store, books_a, centroids=cents_a, training_rows=n
+    )
+    assert m_a["vintage"] == f"v={m_a['fingerprint'][:16]}"
+    loaded = S.load_quantizer(spark, store)
+    assert loaded["codebooks"] == books_a and loaded["vintage"] == m_a[
+        "vintage"
+    ]
+
+    # --- interrupted refresh: a second vintage is half-written (no
+    # pointer flip) -> readers still get vintage A, complete
+    cents_b, books_b = S.ivfpq_train(corpus, dim=8, n_centroids=4, m=2,
+                                     n_codes=8)
+    fp_b = S.quantizer_fingerprint(books_b, cents_b)
+    partial = os.path.join(store, f"v={fp_b[:16]}")
+    S.save_quantizer(spark, partial, books_b, centroids=cents_b)
+    os.remove(os.path.join(partial, "_QUANTIZER_MANIFEST.json"))  # torn
+    mid = S.load_quantizer(spark, store)
+    assert mid["codebooks"] == books_a  # old vintage serves on
+
+    # --- completed refresh: new vintage + atomic pointer flip
+    fresh = S.refresh_quantizer(
+        spark, store, corpus, dim=8, m=2, n_codes=8, approx_rows=2 * n
+    )
+    assert fresh["manifest"]["vintage"] != m_a["vintage"]
+    after = S.load_quantizer(spark, store)
+    assert after["codebooks"] == fresh["codebooks"]
+    assert after["vintage"] == fresh["manifest"]["vintage"]
+    # old vintage still on disk for in-flight readers
+    assert os.path.isdir(os.path.join(store, m_a["vintage"]))
+    assert S.load_quantizer(
+        spark, os.path.join(store, m_a["vintage"])
+    )["codebooks"] == books_a
+
+    # --- a hand-edited pointer cannot silently serve the wrong vintage
+    pp = os.path.join(store, "_CURRENT.json")
+    good = json.load(open(pp))
+    json.dump({**good, "vintage": m_a["vintage"]}, open(pp, "w"))
+    with pytest.raises(ValueError, match="mismatch"):
+        S.load_quantizer(spark, store)
+    json.dump(good, open(pp, "w"))
+
+    # --- gc: keep=0 removes everything but the current vintage
+    removed = S.gc_quantizer_vintages(store, keep=0)
+    assert m_a["vintage"] in removed
+    assert not os.path.isdir(os.path.join(store, m_a["vintage"]))
+    assert S.load_quantizer(spark, store)["codebooks"] == fresh["codebooks"]
+    with pytest.raises(ValueError, match="pointer"):
+        S.gc_quantizer_vintages(str(tmp_path / "flat_nowhere"))
+
+
+def test_flat_store_migrates_to_versioned_on_refresh(spark, tmp_path):
+    """A pre-r11 flat store refreshed in place: the flat files stay
+    (they ARE the old vintage for concurrent readers) and the pointer,
+    which load prefers, appears beside them."""
+    import os
+
+    n = 200
+    corpus = _lifecycle_corpus(spark, n_per_cluster=n)
+    epoch_a = corpus.where(F.col("vec_id") < n)
+    path = str(tmp_path / "flatq")
+
+    cents_a, books_a = S.ivfpq_train(epoch_a, dim=8, n_centroids=2, m=2,
+                                     n_codes=8)
+    S.save_quantizer(spark, path, books_a, centroids=cents_a,
+                     training_rows=n)
+    fresh = S.refresh_quantizer(
+        spark, path, corpus, dim=8, m=2, n_codes=8, approx_rows=2 * n
+    )
+    # pointer wins; flat files untouched beside it
+    assert S.load_quantizer(spark, path)["codebooks"] == fresh["codebooks"]
+    assert os.path.exists(os.path.join(path, "_QUANTIZER_MANIFEST.json"))
+
+
+def test_codes_store_vintage_pairing(spark, tmp_path):
+    """The codes/quantizer pairing (VERDICT r10 #1, last clause): a
+    codes store written under vintage A refuses to serve under
+    vintage B — at read_codes_store, at ivfpq_topk_from_codes via
+    codes_fingerprint, and on append; the matching vintage serves
+    bit-identically to the unguarded path."""
+    n = 200
+    corpus = _lifecycle_corpus(spark, n_per_cluster=n)
+    store = str(tmp_path / "vq")
+    cstore = str(tmp_path / "codes")
+
+    cents_a, books_a = S.ivfpq_train(
+        corpus.where(F.col("vec_id") < n), dim=8, n_centroids=2, m=2,
+        n_codes=8,
+    )
+    m_a = S.save_quantizer_version(spark, store, books_a,
+                                   centroids=cents_a, training_rows=n)
+    codes = S.ivfpq_encode(corpus, cents_a, books_a)
+    cm = S.write_codes_store(codes, cstore, m_a)
+    assert cm["quantizer_fingerprint"] == m_a["fingerprint"]
+    assert cm["quantizer_vintage"] == m_a["vintage"]
+
+    queries = corpus.where(F.col("vec_id") % 40 == 0)
+    stored = S.read_codes_store(spark, cstore, m_a)
+    guarded = sorted(map(tuple, S.ivfpq_topk_from_codes(
+        stored, queries, cents_a, books_a, k=3, n_probe=2,
+        codes_fingerprint=cm["quantizer_fingerprint"],
+    ).collect()))
+    plain = sorted(map(tuple, S.ivfpq_topk_from_codes(
+        codes, queries, cents_a, books_a, k=3, n_probe=2,
+    ).collect()))
+    assert guarded == plain and len(guarded) > 0
+
+    # refresh -> new vintage; the old codes store must refuse it
+    fresh = S.refresh_quantizer(spark, store, corpus, dim=8, m=2,
+                                n_codes=8, approx_rows=2 * n)
+    with pytest.raises(ValueError, match="vintage mismatch"):
+        S.read_codes_store(spark, cstore, fresh["manifest"])
+    with pytest.raises(ValueError, match="vintage mismatch"):
+        S.ivfpq_topk_from_codes(
+            stored, queries, fresh["centroids"], fresh["codebooks"],
+            k=3, n_probe=2, codes_fingerprint=cm["quantizer_fingerprint"],
+        ).collect()
+    # appending a new-vintage batch to the old store: refused
+    batch = S.ivfpq_encode(corpus, fresh["centroids"], fresh["codebooks"])
+    with pytest.raises(ValueError, match="mixed vintages"):
+        S.write_codes_store(batch, cstore, fresh["manifest"], mode="append")
+    # manifest without a fingerprint: refused up front
+    with pytest.raises(ValueError, match="fingerprint"):
+        S.write_codes_store(codes, str(tmp_path / "c2"), {"kind": "ivfpq"})
