@@ -825,9 +825,12 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "contrastive_training_pairs",
-    # NEW r8 retired tier; PROMOTED to the active driver gate r9
-    # (rotation policy, VERDICT r8 #6 — slot funded by retiring the
-    # two-round-stable user_event_cms_counts): the contrastive-training
+    # NEW r8 retired tier; PROMOTED to the active driver gate r9;
+    # RETIRED again r11 (rotation policy: hash-stable across r9/r10;
+    # its exact-cosine two-arm window machinery stays driver-exercised
+    # inside hybrid_bm25_cosine_rrf, and this oracle keeps running in
+    # the retired sweeps — slot funds bm25_from_folded_index):
+    # the contrastive-training
     # DATASET — per bounded query, its top-1 same-label positive AND
     # its 5 hardest different-label negatives, both arms ranked from
     # one scored frame. Fully oracled: the exhaustive labeled cross
@@ -852,6 +855,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored
     ) WHERE rank <= CASE WHEN is_positive = 1 THEN 1 ELSE 5 END
     """,
+    retired=True,
 )
 def contrastive_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity.contrastive_pairs over the labeled embeddings: the
@@ -1497,8 +1501,10 @@ def bm25_pruned_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bm25_doc_retrieval: the hash match is the fold-exactness proof
     # under driver-grade evidence, not just a unit test. At 100 TB
     # this is how the index lives: arriving batches tokenize once,
-    # history never re-tokenizes.
-    retired=True,
+    # history never re-tokenizes. PROMOTED to the active driver gate
+    # r11 (rotation policy, VERDICT r10 #5 — incremental index
+    # maintenance under driver-grade evidence; slot funded by retiring
+    # the two-round-stable contrastive_training_pairs).
     oracle=_BM25_TOP10_SQL,
 )
 def bm25_from_folded_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1613,3 +1619,87 @@ def hybrid_bm25_cosine_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where((F.col("vec_id") % 100 == 7) & (F.col("vec_id") < 1000)), k=20
     ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
     return _fuse_top10(lex, vec)
+
+
+@register(
+    "embedding_snapshot_drift",
+    # NEW r11 retired tier (VERDICT r10 #7): snapshot_drift — the
+    # two-frame front door of the quantizer refresh rule — was the only
+    # r10 API surface with no oracle row. Snapshot A = vec_id < 250,
+    # snapshot B = vec_id >= 250 with labels divisible by 3 PLANTED
+    # drifted (element-wise negated vectors -> centroid cosine ~ -1);
+    # the oracle recomputes the literal parity tag, the decimal-exact
+    # per-dimension means of both frames, the dot products, and every
+    # per-label drift verdict — planted labels must read drifted=true,
+    # the rest false.
+    retired=True,
+    oracle="""
+    WITH tagged AS (
+        SELECT 0 AS half, CAST(label AS VARCHAR) AS label, embedding
+        FROM embeddings WHERE vec_id < 250
+        UNION ALL
+        SELECT 1, CAST(label AS VARCHAR),
+               CASE WHEN label % 3 = 0
+                    THEN list_transform(embedding, x -> -x)
+                    ELSE embedding END
+        FROM embeddings WHERE vec_id >= 250
+    ),
+    exploded AS (
+        SELECT half, label, CAST(t.i - 1 AS BIGINT) AS pos,
+               CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS v
+        FROM tagged, range(1, 65) t(i)
+    ),
+    dimstats AS (
+        SELECT label, pos,
+               CAST(round(CAST(sum(CASE WHEN half = 0
+                       THEN CAST(v AS DECIMAL(38,28)) END) AS DOUBLE)
+                     / nullif(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END), 0),
+                   6) AS DECIMAL(18,6)) AS ma,
+               CAST(round(CAST(sum(CASE WHEN half = 1
+                       THEN CAST(v AS DECIMAL(38,28)) END) AS DOUBLE)
+                     / nullif(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END), 0),
+                   6) AS DECIMAL(18,6)) AS mb
+        FROM exploded GROUP BY label, pos
+    ),
+    dots AS (
+        SELECT label,
+               CAST(sum(ma * mb) AS DOUBLE) AS dab,
+               CAST(sum(ma * ma) AS DOUBLE) AS daa,
+               CAST(sum(mb * mb) AS DOUBLE) AS dbb
+        FROM dimstats GROUP BY label
+    ),
+    counts AS (
+        SELECT label,
+               CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM tagged GROUP BY label
+    )
+    SELECT c.label, c.n_a, c.n_b,
+           round(dab / nullif(sqrt(daa) * sqrt(dbb), 0), 6) AS centroid_cos,
+           coalesce(round(dab / nullif(sqrt(daa) * sqrt(dbb), 0), 6) < 0.8,
+                    false) AS drifted
+    FROM counts c JOIN dots USING (label)
+    """,
+)
+def embedding_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity.snapshot_drift over two explicit frames of the
+    embeddings table (A = vec_id < 250, B = the rest with a planted
+    per-label drift: labels % 3 = 0 arrive element-wise negated): the
+    two-frame front door of the quantizer refresh rule, per-label
+    verdicts. The oracle recomputes the literal parity tag (r11: ids
+    play NO role in the report — the ADVICE r10 fix), both frames'
+    decimal-exact rounded dimension means, the exact-decimal dot
+    products, and the drift flag; negated labels must read
+    drifted=true, unchanged ones false."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") < 250)
+    b = emb.where(F.col("vec_id") >= 250).withColumn(
+        "embedding",
+        F.when(
+            F.col("label") % 3 == 0,
+            F.transform(F.col("embedding"), lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    )
+    return S.snapshot_drift(a, b, dim=64, label_col="label", min_cos=0.8)
