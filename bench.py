@@ -79,8 +79,6 @@ HEADLINE = [
     # multi-round stable, still oracle-verified in the retired sweeps);
     # the three promoted hash-oracled queries take their places.
     "ann_ivfpq_top1_planted",
-    "contrastive_training_pairs",
-    "token_fertility_by_source",
     # r10 rotation (VERDICT r9 #7): knn_cosine_bruteforce (stable since
     # r1; its exact broadcast-query tier rides inside the hybrid and
     # contrastive rows) and ann_ivf_top1_planted (four-round-stable;
@@ -90,6 +88,14 @@ HEADLINE = [
     # is the default-on BM25 skew guard's dedicated oracle.
     "ann_ivfpq_rerank_top1_planted",
     "bm25_pruned_retrieval",
+    # r11 rotation (VERDICT r10 #5): contrastive_training_pairs and
+    # token_fertility_by_source retired (both two-round-stable; their
+    # machinery stays driver-exercised in hybrid_bm25_cosine_rrf and
+    # the tfidf/BM25/corpus rows); promoted: the fold-exactness proof
+    # (incremental BM25 index maintenance whose oracle is deliberately
+    # identical to bm25_doc_retrieval) and the TPC-H Q18 breadth shape.
+    "bm25_from_folded_index",
+    "large_order_customers",
     # r9 headline-coverage close (VERDICT r8 #4): every ACTIVE query is
     # now benched EXCEPT the documented exclusion rule below —
     # iterative fixpoint queries (near_dup_quality_keep,

@@ -305,6 +305,11 @@ def open_lineitems_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "large_order_customers",
+    # PROMOTED to the active driver gate r11 (rotation policy, VERDICT
+    # r10 #5: a never-slotted breadth query takes a driver slot; funded
+    # by retiring the two-round-stable token_fertility_by_source) —
+    # TPC-H Q18 is the canonical agg-HAVING-over-3-table-chain shape
+    # and had never ridden the driver gate.
     """
     SELECT c.c_custkey, c.c_name, o.o_orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
@@ -315,7 +320,6 @@ def open_lineitems_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2, 3, 4
     HAVING sum(CAST(l.l_quantity AS DECIMAL(18,2))) > 140
     """,
-    retired=True,
 )
 def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: aggregate-HAVING over a 3-table chain — which

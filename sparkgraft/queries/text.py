@@ -407,9 +407,12 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_fertility_by_source",
-    # NEW r8 retired tier; PROMOTED to the active driver gate r9
-    # (rotation policy, VERDICT r8 #6 — slot funded by retiring the
-    # five-round-stable domain_mixture_epochs): tokenizer-efficiency
+    # NEW r8 retired tier; PROMOTED to the active driver gate r9;
+    # RETIRED again r11 (rotation policy: hash-stable across r9/r10;
+    # the shared tokenize pass stays driver-exercised in the tfidf/
+    # BM25/corpus active rows and this oracle keeps running in the
+    # retired sweeps — slot funds large_order_customers):
+    # tokenizer-efficiency
     # (fertility) readout per source — chars per BPE-ish token and BPE
     # tokens per whitespace word. Sources whose text is symbol/digit-
     # heavy fragment into more model tokens per word; this is the
@@ -438,6 +441,7 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS bpe_tokens_per_word
     FROM base GROUP BY source
     """,
+    retired=True,
 )
 def token_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer fertility: how many characters one BPE-ish

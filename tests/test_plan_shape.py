@@ -134,13 +134,8 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # probes join (cid-keyed, m-byte codes) + the per-query top-k
     # window — the production ANN composite's full plan
     "ann_ivfpq_top1_planted": (3, 1),
-    # contrastive dataset: one corpus pass against the broadcast
-    # bounded query set (the knn exact-tier BNLJ), spread + the
-    # two-arm rank window's exchange
-    "contrastive_training_pairs": (3, 0),
-    # fertility readout: spread + one per-source map-side-combinable
-    # aggregate
-    "token_fertility_by_source": (2, 0),
+    # (contrastive_training_pairs and token_fertility_by_source moved
+    # back to R6_OP_PINS when retired, r11)
     # r9 headline-coverage close (VERDICT r8 #4): the formerly
     # unbenched actives, each already plan-floor-checked by
     # test_active_nonheadline_no_row_udfs_or_cartesian — these pins
@@ -165,6 +160,16 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # subtree prints once per consumer (materializes once — the DSIR
     # precedent); BNLJs are the allow-listed 1-row N scalar broadcasts
     "bm25_pruned_retrieval": (45, 4),
+    # r11 rotation promotions (their retired-tier R6_OP_PINS entries
+    # moved here; measured shapes unchanged). folded index: the
+    # persisted folded state prints per consumer (~9 consumers x a
+    # 3-branch folded union — materializes once, the DSIR precedent);
+    # BNLJs are the allow-listed 1-row N/avgdl scalar broadcasts (A5)
+    "bm25_from_folded_index": (73, 4),
+    # TPC-H Q18 shape: two key-shuffle joins feeding one exact-decimal
+    # aggregate with the HAVING on top (AQE may elect broadcast for
+    # the customer side at bench SF)
+    "large_order_customers": (4, 0),
 }
 
 # Exact tiers that legitimately broadcast a bounded side against every
@@ -182,13 +187,13 @@ BNLJ_ALLOWED = {
     "bm25_doc_retrieval",
     "hybrid_bm25_cosine_rrf",
     "user_decayed_engagement",
-    # r9 promotion: one corpus pass against the broadcast bounded
-    # query set (the knn exact-tier pattern)
-    "contrastive_training_pairs",
     # r10 promotion: the allow-listed 1-row N/avgdl scalar broadcasts
     # (A5 discipline — the bm25_doc_retrieval precedent);
     # knn_cosine_bruteforce left the headline in the same rotation
     "bm25_pruned_retrieval",
+    # r11 promotion: the folded-index BM25 carries the same 1-row
+    # N/avgdl scalar broadcasts as the one-shot arm it must equal
+    "bm25_from_folded_index",
 }
 
 
@@ -431,11 +436,8 @@ R6_OP_PINS = [
     # query starves, as at this query's 0.79 threshold). The BNLJs
     # are the allow-listed 1-row N scalar broadcasts (stats feeds the
     # df gate and the idf/avgdl terms)
-    # r8 incremental index: the persisted folded state prints per
-    # consumer (r9 default gate: ~9 consumers x a 3-branch folded
-    # union); the BNLJ is the allow-listed 1-row N/avgdl scalar
-    # broadcast (A5)
-    ("bm25_from_folded_index", 73, True),
+    # (bm25_from_folded_index moved to PLAN_PINS when promoted to the
+    # bench headline, r11)
     # r8 PQ memory tier: Arrow-batched encode + ADC scan of the codes
     # index (mapInPandas, bounded query tables in-closure) — the ONLY
     # exchange is the per-query top-k window
@@ -460,6 +462,12 @@ R6_OP_PINS = [
     # ivf planted: spread + broadcast probes join + top-k window
     ("knn_cosine_bruteforce", 3, True),
     ("ann_ivf_top1_planted", 3, False),
+    # r11 rotation retirements: shapes stay pinned after leaving the
+    # headline. contrastive: one corpus pass against the broadcast
+    # bounded query set (the documented exact-tier BNLJ) + the two-arm
+    # rank window; fertility: spread + one per-source aggregate
+    ("contrastive_training_pairs", 3, True),
+    ("token_fertility_by_source", 2, False),
     ("user_event_cms_counts", 5, False),
     # r8 rotation retirements: the shapes stay pinned here after the
     # queries left the headline (the boilerplate_line_removal
