@@ -659,20 +659,29 @@ def test_jpeg_encode_decode_roundtrip_and_restart_markers():
 
 
 def test_jpeg_unsupported_and_corrupt_dead_letter():
-    """The codec seam's dead-letter contract: progressive (SOF2),
-    multi-component (color), truncated and garbage payloads all raise
-    ValueError (never a crash class the mapInPandas handlers don't
-    catch)."""
+    """The codec seam's dead-letter contract: non-baseline SOFs,
+    malformed progressive streams, truncated and garbage payloads all
+    raise ValueError (never a crash class the mapInPandas handlers
+    don't catch)."""
     import pytest
 
     img = _jpeg_test_image()
     payload = bytearray(M.jpeg_encode_gray(img, quality=85))
 
     sof = payload.index(b"\xff\xc0")
+    # SOF0 relabeled SOF2 (r11: progressive now DECODES, so this byte
+    # flip yields a MALFORMED progressive stream — the baseline scan
+    # header's full 0..63 band is illegal for a progressive DC scan)
     progressive = bytearray(payload)
-    progressive[sof + 1] = 0xC2  # SOF0 -> SOF2
-    with pytest.raises(ValueError, match="non-baseline"):
+    progressive[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se != 0"):
         M.jpeg_decode(bytes(progressive))
+
+    # still-unsupported SOFs keep the dead-letter contract
+    lossless = bytearray(payload)
+    lossless[sof + 1] = 0xC3  # SOF3: lossless sequential
+    with pytest.raises(ValueError, match="non-baseline"):
+        M.jpeg_decode(bytes(lossless))
 
     two_comp = bytearray(payload)
     two_comp[sof + 9] = 2  # ncomp byte of SOF0: 2 components unsupported
@@ -1008,3 +1017,154 @@ def test_jpeg_420_decoder_exhaustive_corruption_sweep():
             M.jpeg_decode(bytes(payload[:cut]))
         except ValueError:
             pass
+
+def test_jpeg_progressive_matches_baseline_reconstruction_exactly():
+    """Progressive (SOF2) decode — VERDICT r10 #3: every scan script
+    must reconstruct the SAME quantized coefficients the one-scan
+    baseline stream carries, so the decoded plane is BIT-IDENTICAL to
+    the baseline decode of the same image at the same quality — across
+    grayscale, 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 color, restart markers
+    inside progressive scans, and odd (non-multiple-of-8) shapes.
+    This pins the whole Annex G surface at once: DC first/refine, AC
+    first per spectral band, AC refinement with correction bits, ZRL,
+    EOB-run accumulation, per-scan DHT redefinition."""
+    import numpy as np
+
+    img = _jpeg_test_image()
+    cb = ((np.add.outer(np.arange(img.shape[0]), np.arange(img.shape[1])) * 5)
+          % 256).astype(np.uint8)
+
+    base = M.jpeg_decode(M.jpeg_encode_gray(img, quality=85))
+    assert np.array_equal(
+        base, M.jpeg_decode(M.jpeg_encode_progressive_gray(img, quality=85))
+    )
+    assert np.array_equal(
+        base,
+        M.jpeg_decode(
+            M.jpeg_encode_progressive_gray(img, quality=85, restart_interval=3)
+        ),
+    )
+
+    for sampling in ((1, 1), (2, 1), (1, 2), (2, 2)):
+        if sampling == (1, 1):
+            ref = M.jpeg_decode(
+                M.jpeg_encode_ycbcr444(img, cb, 255 - cb, quality=85)
+            )
+        else:
+            ref = M.jpeg_decode(
+                M.jpeg_encode_ycbcr420(
+                    img, cb, 255 - cb, quality=85, sampling=sampling
+                )
+            )
+        prog = M.jpeg_decode(
+            M.jpeg_encode_progressive_ycbcr(
+                img, cb, 255 - cb, quality=85, sampling=sampling
+            )
+        )
+        assert np.array_equal(ref, prog), sampling
+
+    # restarts inside a subsampled progressive stream
+    assert np.array_equal(
+        M.jpeg_decode(
+            M.jpeg_encode_ycbcr420(img, cb, 255 - cb, quality=80,
+                                   restart_interval=2)
+        ),
+        M.jpeg_decode(
+            M.jpeg_encode_progressive_ycbcr(img, cb, 255 - cb, quality=80,
+                                            restart_interval=2)
+        ),
+    )
+
+    for shape in ((8, 8), (9, 17), (31, 33)):
+        odd = _jpeg_test_image(h=shape[0], w=shape[1])
+        assert np.array_equal(
+            M.jpeg_decode(M.jpeg_encode_gray(odd, quality=70)),
+            M.jpeg_decode(M.jpeg_encode_progressive_gray(odd, quality=70)),
+        ), shape
+
+
+def test_jpeg_progressive_reencode_caught_by_perceptual_hash(spark):
+    """The planted-re-encode gate END TO END over a PROGRESSIVE payload
+    (VERDICT r10 #3's done-criterion): the same image re-encoded as a
+    progressive 4:2:0 color JPEG lands within a few dHash bits of its
+    baseline grayscale original through perceptual_hash + jpeg_resize,
+    while a different progressive image stays far — a web-crawl corpus
+    full of progressive JPEGs dedups through the same seam."""
+    import hashlib
+
+    img = _jpeg_test_image()
+    a = M.jpeg_encode_gray(img, quality=92)
+    b = M.jpeg_encode_progressive_ycbcr(img, quality=60)  # progressive 4:2:0
+    other_img = 255 - img.T[:24, :24].copy()
+    c = M.jpeg_encode_progressive_gray(other_img, quality=92)
+    assert len({hashlib.md5(p).hexdigest() for p in (a, b, c)}) == 3
+
+    media = spark.createDataFrame(
+        [(0, bytearray(a)), (1, bytearray(b)), (2, bytearray(c))],
+        "media_id long, payload binary",
+    )
+    hashes = {
+        r.media_id: r.phash
+        for r in M.perceptual_hash(media, resize_fn=M.jpeg_resize).collect()
+    }
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert ham(hashes[0], hashes[1]) <= 12  # progressive re-encode: near
+    assert ham(hashes[0], hashes[2]) >= 30  # different image: far
+
+
+def test_jpeg_progressive_decoder_exhaustive_corruption_sweep():
+    """The exhaustive byte-flip/truncation sweep over a PROGRESSIVE
+    payload (VERDICT r10 #3): every single-byte flip (5 values per
+    position, including the empty-segment 0x02 class) and every
+    truncation must decode or raise ValueError — the multi-scan loop
+    adds parse states (per-scan SOS/DHT, spectral bands, successive-
+    approximation fields, EOB runs, refinement bits) the baseline
+    sweeps never reach."""
+    import numpy as np
+
+    img = np.add.outer(
+        np.linspace(0, 180, 16), np.linspace(0, 60, 16)
+    ).astype(np.uint8)
+    payload = bytearray(
+        M.jpeg_encode_progressive_gray(img, quality=80, restart_interval=2)
+    )
+    for pos in range(len(payload)):
+        for val in (0x00, 0x02, 0xFF, payload[pos] ^ 0x80, payload[pos] ^ 0x01):
+            p = bytearray(payload)
+            p[pos] = val
+            try:
+                M.jpeg_decode(bytes(p))
+            except ValueError:
+                pass
+    for cut in range(1, len(payload)):
+        try:
+            M.jpeg_decode(bytes(payload[:cut]))
+        except ValueError:
+            pass
+
+
+def test_jpeg_progressive_stats_flow_through_extract_features_seam(spark):
+    """Progressive bytes end-to-end through the UNCHANGED
+    extract_features stage (the seam dispatches on the SOF marker, so
+    no decode_fn change), corrupt progressive payloads dead-lettered
+    as NULL rows."""
+    img = _jpeg_test_image()
+    good = M.jpeg_encode_progressive_gray(img, quality=92)
+    broken = bytearray(good)
+    broken[len(broken) // 2] ^= 0x80  # usually corrupts a scan
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"\xff\xd8\xff\xc2 junk"))],
+        "media_id long, payload binary",
+    )
+    feats = {
+        r.media_id: r
+        for r in M.extract_features(
+            media, decode_fn=M.jpeg_decode_stats
+        ).collect()
+    }
+    assert feats[1].feat_n_bytes == img.size
+    assert abs(feats[1].feat_mean_byte - float(img.mean())) < 4.0
+    assert feats[2].feat_n_bytes is None
