@@ -24,7 +24,15 @@ Output: one JSON line {"metric": "drift_probe", ...} with recall@k for
 both training draws on both query epochs; recorded as
 artifacts/DRIFT_PROBE_r{N}.json and adjudicated in BENCH_NOTES.md.
 
-Usage: python tools/drift_probe.py [n_per_cluster] [train_budget]
+``--pq`` (r11, VERDICT r10 #8) extends the measurement to the PURE-PQ
+path (pq_train -> pq_encode -> pq_adc_topk, no coarse quantizer) at
+m=4 AND m=8 with the same hash-vs-prefix draws at the same budget:
+pq_train kept a fixed 65536-row sample default when ivf_train's went
+scaled, so this measures whether PQ codebook quality on a drifted
+corpus demands a scaling rule of its own — the adjudication lives in
+BENCH_NOTES (rule only if the measurement demands one).
+
+Usage: python tools/drift_probe.py [n_per_cluster] [train_budget] [--pq]
 """
 
 from __future__ import annotations
@@ -76,8 +84,10 @@ def _recall(spark, corpus, queries, centroids, books, exact_sets) -> float:
 
 
 def main() -> None:
-    n_per_cluster = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
-    train_budget = int(sys.argv[2]) if len(sys.argv) > 2 else 2_048
+    args = [a for a in sys.argv[1:] if a != "--pq"]
+    with_pq = "--pq" in sys.argv[1:]
+    n_per_cluster = int(args[0]) if len(args) > 0 else 10_000
+    train_budget = int(args[1]) if len(args) > 1 else 2_048
     assert train_budget < n_per_cluster, (
         "the probe needs the training budget smaller than cluster A so "
         "the prefix draw sees zero post-drift vectors"
@@ -117,6 +127,24 @@ def main() -> None:
         ),
     }
 
+    pq_trained: dict = {}
+    pq_codes: dict = {}
+    if with_pq:
+        out["pq_recall"] = {}
+        prefix = corpus.where(F.col("vec_id") < train_budget)
+        for m_pq in (4, 8):
+            pq_trained[(m_pq, "hash_sample")] = S.pq_train(
+                corpus, DIM, m=m_pq, n_codes=N_CODES,
+                sample_size=train_budget,
+            )
+            pq_trained[(m_pq, "prefix_sample")] = S.pq_train(
+                prefix, DIM, m=m_pq, n_codes=N_CODES,
+                sample_size=train_budget,
+            )
+        for key, books in pq_trained.items():
+            pq_codes[key] = S.pq_encode(corpus, books).persist()
+            pq_codes[key].count()
+
     for epoch, lo, hi in (
         ("cluster_b_queries", n_per_cluster, 2 * n_per_cluster),
         ("cluster_a_queries", 0, n_per_cluster),
@@ -134,6 +162,23 @@ def main() -> None:
             out["recall"].setdefault(epoch, {})[draw] = round(rec, 4)
             print(
                 f"{epoch:>20} {draw:>14}: recall@{K} = {rec:.4f}",
+                file=sys.stderr,
+            )
+        for (m_pq, draw), books in pq_trained.items():
+            got: dict[int, set] = {}
+            for r in S.pq_adc_topk(
+                pq_codes[(m_pq, draw)], queries, books, k=K
+            ).collect():
+                got.setdefault(r.query_id, set()).add(r.vec_id)
+            rec = sum(
+                len(exact_sets[q] & got.get(q, set())) for q in exact_sets
+            ) / (len(exact_sets) * K)
+            out["pq_recall"].setdefault(epoch, {}).setdefault(
+                f"m{m_pq}", {}
+            )[draw] = round(rec, 4)
+            print(
+                f"{epoch:>20} pq m={m_pq} {draw:>14}: recall@{K} = "
+                f"{rec:.4f}",
                 file=sys.stderr,
             )
 
