@@ -808,8 +808,16 @@ def test_codec_dead_letter_contract_under_fuzz():
         M.jpeg_encode_gray(img, quality=80),
         _wav_encode(_tone(8000, 0.05, 440.0), 8000),
         _png_encode(img, color_type=0, filter_type=0),
+        # r11: a progressive color payload joins the fuzz pool — its
+        # multi-scan loop has parse states the baseline payload lacks
+        M.jpeg_encode_progressive_ycbcr(img, quality=80),
     ]
-    decoders = [M.jpeg_decode, lambda b: M.wav_decode(b)[0], M.png_decode]
+    decoders = [
+        M.jpeg_decode,
+        lambda b: M.wav_decode(b)[0],
+        M.png_decode,
+        M.jpeg_decode,
+    ]
 
     @settings(max_examples=120, deadline=None)
     @given(
