@@ -1701,3 +1701,37 @@ def test_codes_store_vintage_pairing(spark, tmp_path):
     # manifest without a fingerprint: refused up front
     with pytest.raises(ValueError, match="fingerprint"):
         S.write_codes_store(codes, str(tmp_path / "c2"), {"kind": "ivfpq"})
+
+
+def test_codes_store_append_folds_same_vintage_batches(spark, tmp_path):
+    """write_codes_store(mode='append') is the frozen-quantizer monoid
+    with the vintage guard on: two batches encoded under the SAME
+    vintage fold into one store that serves bit-identically to the
+    one-shot encode of the full corpus; the mixed-vintage refusal is
+    pinned by test_codes_store_vintage_pairing."""
+    n = 200
+    corpus = _lifecycle_corpus(spark, n_per_cluster=n)
+    store = str(tmp_path / "vq")
+    cstore = str(tmp_path / "codes")
+
+    cents, books = S.ivfpq_train(corpus, dim=8, n_centroids=2, m=2,
+                                 n_codes=8)
+    m = S.save_quantizer_version(spark, store, books, centroids=cents,
+                                 training_rows=2 * n)
+    first = corpus.where(F.col("vec_id") < n)
+    second = corpus.where(F.col("vec_id") >= n)
+    S.write_codes_store(S.ivfpq_encode(first, cents, books), cstore, m)
+    S.write_codes_store(
+        S.ivfpq_encode(second, cents, books), cstore, m, mode="append"
+    )
+
+    queries = corpus.where(F.col("vec_id") % 40 == 0)
+    folded = sorted(map(tuple, S.ivfpq_topk_from_codes(
+        S.read_codes_store(spark, cstore, m), queries, cents, books,
+        k=3, n_probe=2, codes_fingerprint=m["fingerprint"],
+    ).collect()))
+    oneshot = sorted(map(tuple, S.ivfpq_topk_from_codes(
+        S.ivfpq_encode(corpus, cents, books), queries, cents, books,
+        k=3, n_probe=2,
+    ).collect()))
+    assert folded == oneshot and len(folded) > 0
