@@ -360,6 +360,56 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Adam7 pass grid: (x_origin, y_origin, x_step, y_step) per pass
+# (RFC 2083 §2.6 — note passes 4 and 6 START at y=0: the pass pattern's
+# first row is 1 6 4 6 2 6 4 6)
+_PNG_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_defilter(raw: bytes, off: int, height: int, width: int, channels: int):
+    """Reverse the five RFC 2083 scanline filters over one filtered
+    sub-image (the whole image, or one Adam7 pass — each pass filters
+    against its OWN previous scanline, zeros at pass start). Returns a
+    (height, width * channels) uint8 array."""
+    import numpy as np
+
+    stride = width * channels
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for y in range(height):
+        row_start = off + y * (stride + 1)
+        f = raw[row_start]
+        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"png_decode: filter type {f} invalid")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = line
+    return out
+
+
 def png_decode(payload: bytes):
     """Minimal stdlib-only PNG decoder -> (H, W) uint8 LUMINANCE array.
 
@@ -368,8 +418,10 @@ def png_decode(payload: bytes):
     the five PNG scanline filters (None/Sub/Up/Average/Paeth, RFC 2083
     §6) reversed row by row, then ITU-R BT.601 luminance for color
     images. Supports 8-bit depth, color types 0 (gray), 2 (RGB),
-    3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced — i.e. what
-    the overwhelming majority of training-corpus PNGs are.
+    3 (palette), 4 (gray+alpha), 6 (RGBA), both sequential AND Adam7
+    INTERLACED streams (r11 — seven independently-filtered passes
+    scattered onto the pixel grid), i.e. what the overwhelming
+    majority of training-corpus PNGs are.
 
     This is a CORRECTNESS codec for the multimodal seam, not a
     throughput one: defiltering is a Python loop per scanline (Sub /
@@ -415,8 +467,10 @@ def png_decode(payload: bytes):
                 raise ValueError(f"png_decode: truncated IHDR: {e}") from e
             if bit_depth != 8:
                 raise ValueError(f"png_decode: bit depth {bit_depth} unsupported")
-            if interlace != 0:
-                raise ValueError("png_decode: interlaced PNG unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(
+                    f"png_decode: interlace method {interlace} invalid"
+                )
         elif ctype == b"PLTE":
             palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -434,35 +488,36 @@ def png_decode(payload: bytes):
         # corrupt IDAT stream behind a valid signature — same
         # dead-letter contract as a bad signature
         raise ValueError(f"png_decode: corrupt IDAT: {e}") from e
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
-        raise ValueError("png_decode: scanline data size mismatch")
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = bytearray(stride)
-    for y in range(height):
-        row_start = y * (stride + 1)
-        f = raw[row_start]
-        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
-        if f == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                ul = prev[i - channels] if i >= channels else 0
-                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif f != 0:
-            raise ValueError(f"png_decode: filter type {f} invalid")
-        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
-        prev = line
-    px = out.reshape(height, width, channels)
+    if interlace == 0:
+        stride = width * channels
+        if len(raw) != height * (stride + 1):
+            raise ValueError("png_decode: scanline data size mismatch")
+        out = _png_defilter(raw, 0, height, width, channels)
+        px = out.reshape(height, width, channels)
+    else:
+        # Adam7 (r11): the IDAT stream is SEVEN independently-filtered
+        # sub-images; each pass defilters against its own previous
+        # scanline and scatters onto the (y0 + i*dy, x0 + j*dx) grid.
+        # The size accounting runs BEFORE any allocation so a flipped
+        # dimension byte (width 4 billion) dead-letters instead of
+        # attempting a 100 GiB array
+        passes = []
+        expected = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = max(0, -(-(width - x0) // dx))
+            ph = max(0, -(-(height - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue  # an absent pass contributes zero bytes
+            passes.append((x0, y0, dx, dy, pw, ph))
+            expected += ph * (pw * channels + 1)
+        if expected != len(raw):
+            raise ValueError("png_decode: scanline data size mismatch")
+        px = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            sub = _png_defilter(raw, off, ph, pw, channels)
+            off += ph * (pw * channels + 1)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
     if color_type == 3:
         if palette is None:
             raise ValueError("png_decode: palette image without PLTE")

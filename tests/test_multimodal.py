@@ -1176,3 +1176,109 @@ def test_jpeg_progressive_stats_flow_through_extract_features_seam(spark):
     assert feats[1].feat_n_bytes == img.size
     assert abs(feats[1].feat_mean_byte - float(img.mean())) < 4.0
     assert feats[2].feat_n_bytes is None
+
+def _png_encode_adam7(arr, color_type=0, filter_type=0):
+    """Stdlib-only Adam7 INTERLACED PNG encoder (test helper): the
+    seven pass sub-images are sliced off the pixel grid, each filtered
+    independently scanline by scanline (its own prev-row state), and
+    concatenated into one IDAT — the wire layout png_decode's r11
+    interlace support reverses."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if color_type == 0:
+        px = arr[:, :, None] if arr.ndim == 2 else arr
+        channels = 1
+    else:
+        px = np.repeat(arr[:, :, None], 3, axis=2) if arr.ndim == 2 else arr
+        channels = 3
+    h, w = px.shape[:2]
+    raw = bytearray()
+    for x0, y0, dx, dy in (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ):
+        sub = px[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        stride = pw * channels
+        prev = bytes(stride)
+        for y in range(ph):
+            line = sub[y].tobytes()
+            raw.append(filter_type)
+            if filter_type == 0:
+                raw.extend(line)
+            elif filter_type == 2:  # Up, against the PASS's prev row
+                raw.extend(
+                    bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+                )
+            elif filter_type == 1:  # Sub
+                raw.extend(
+                    bytes(
+                        (line[i] - (line[i - channels] if i >= channels
+                                    else 0)) & 0xFF
+                        for i in range(stride)
+                    )
+                )
+            else:
+                raise ValueError(filter_type)
+            prev = line
+
+    def chunk(ctype, data):
+        c = struct.pack(">I", len(data)) + ctype + data
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return c + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_interlaced_decodes_identically():
+    """Adam7 interlaced PNGs (r11): the same pixels encoded interlaced
+    must decode IDENTICALLY to the sequential encoding — per color
+    type, per filter type, and at odd shapes where some passes are
+    empty (a 1-pixel image has exactly one pass; a 7x5 image drops the
+    8-stride passes' columns)."""
+    import numpy as np
+
+    for h, w in ((24, 24), (9, 13), (7, 5), (1, 1), (8, 3), (3, 8)):
+        img = _test_image(3, h=max(h, 9), w=max(w, 9))[:h, :w].copy()
+        for color_type in (0, 2):
+            want = M.png_decode(_png_encode(img, color_type=color_type))
+            for filt in (0, 1, 2):
+                got = M.png_decode(
+                    _png_encode_adam7(
+                        img, color_type=color_type, filter_type=filt
+                    )
+                )
+                assert np.array_equal(got, want), (h, w, color_type, filt)
+
+
+def test_png_adam7_corruption_dead_letters():
+    """The exhaustive byte-flip/truncation sweep over an interlaced
+    payload: the per-pass size accounting must dead-letter short or
+    oversized pass data as ValueError, never an index crash."""
+    img = _test_image(5, h=12, w=14)
+    payload = bytearray(_png_encode_adam7(img, color_type=2, filter_type=1))
+    for pos in range(len(payload)):
+        for val in (0x00, 0x02, 0xFF, payload[pos] ^ 0x80, payload[pos] ^ 0x01):
+            p = bytearray(payload)
+            p[pos] = val
+            try:
+                M.png_decode(bytes(p))
+            except ValueError:
+                pass
+    for cut in range(1, len(payload)):
+        try:
+            M.png_decode(bytes(payload[:cut]))
+        except ValueError:
+            pass
