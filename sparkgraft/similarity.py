@@ -2769,7 +2769,14 @@ def save_quantizer_version(
     new one complete, never a torn store. The pointer records the
     fingerprint too; load cross-checks it against the vintage's
     manifest so a hand-edited or mis-paired pointer fails loudly.
-    Returns the manifest dict with ``vintage`` added."""
+    Returns the manifest dict with ``vintage`` added.
+
+    Atomicity scope: ``os.replace`` is atomic on POSIX filesystems
+    (local disk, NFS with standard semantics) — the store layout this
+    repo tests. On an object store (S3-style), replace a conditional
+    PUT of ``_CURRENT.json`` for the flip; the vintage layout needs no
+    other change because vintage directories are immutable once
+    written and the pointer is the only mutated object."""
     import json as _json
     import os as _os
 
