@@ -103,3 +103,105 @@ def web_url_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return planted.select(
         "doc_id", "url", *[g[c].alias(c) for c in cols]
     )
+
+
+@register(
+    "web_url_canonical_dedup",
+    # NEW r11 retired tier: URL-keyed dedup via web.canonical_url —
+    # the cheapest dedup tier of a web-scale pipeline. The corpus has
+    # no URL column, so each document plants THREE-WAY-colliding URL
+    # variants (case/www/default-port/slash/tracking-param/order/
+    # fragment noise by doc_id residue); the oracle rebuilds the
+    # construction AND every canonicalization rule (lowercase, www +
+    # default-port + trailing-dot strip, slash collapse, tracking-param
+    # drop, parameter sort) and the keep-min-id-per-canonical verdict.
+    retired=True,
+    oracle=r"""
+    WITH u AS (
+        SELECT doc_id, source,
+               (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://www.' ELSE 'http://' END)
+               || 'crawl.example.com'
+               || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+               || '/bucket' || CAST(CAST(doc_id AS BIGINT) // 3 AS VARCHAR)
+               || (CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN '//item/?utm_source=x&b=2&a=1'
+                       WHEN 1 THEN '/item?a=1&b=2&utm_campaign=y#frag'
+                       ELSE '/item/?b=2&gclid=z&a=1' END)
+                 AS url
+        FROM documents
+    ), parsed AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url,
+                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host0,
+               regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+               regexp_extract(url, '\?([^#]*)', 1) AS q0
+        FROM u
+    ), canon AS (
+        SELECT doc_id,
+               scheme || '://'
+               || regexp_replace(
+                      CASE WHEN scheme = 'http'
+                           THEN regexp_replace(
+                               regexp_replace(host0, '^www\.', ''),
+                               ':80$', '')
+                           WHEN scheme = 'https'
+                           THEN regexp_replace(
+                               regexp_replace(host0, '^www\.', ''),
+                               ':443$', '')
+                           ELSE regexp_replace(host0, '^www\.', '') END,
+                      '\.$', '')
+               || regexp_replace(
+                      regexp_replace(path0, '/+', '/', 'g'), '/$', '')
+               || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+        FROM (
+            SELECT *,
+                   array_to_string(list_sort(list_filter(
+                       string_split(q0, '&'),
+                       x -> x != '' AND NOT regexp_matches(
+                           x, '^(utm_|gclid=|fbclid=|ref=)'))), '&') AS q
+            FROM parsed
+        )
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM canon
+    GROUP BY 1
+    """,
+)
+def web_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup through ``web.canonical_url``: every planted
+    3-document bucket carries the same page behind case / www /
+    default-port / duplicate-and-trailing-slash / tracking-parameter /
+    parameter-order / fragment noise; the canonical key must collapse
+    each bucket to one group with ``keep_doc_id`` = its min doc_id.
+    One row-local canonicalization pass + one groupBy — the same scale
+    shape as exact-hash dedup, because that is what this IS, with a
+    content-identity-aware key."""
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 3 == 0, F.lit("HTTP://www.")).otherwise(
+            F.lit("http://")
+        ),
+        F.lit("crawl.example.com"),
+        F.when(did % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/bucket"),
+        F.floor(did / 3).cast("bigint").cast("string"),
+        F.when(did % 3 == 0, F.lit("//item/?utm_source=x&b=2&a=1"))
+        .when(did % 3 == 1, F.lit("/item?a=1&b=2&utm_campaign=y#frag"))
+        .otherwise(F.lit("/item/?b=2&gclid=z&a=1")),
+    )
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            F.col("doc_id"), W.canonical_url(url).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+    )

@@ -101,3 +101,65 @@ def url_filter(
     for r in rules.values():
         keep = keep & r
     return {**p, **rules, "keep": keep}
+
+
+# Query parameters that carry tracking state, not content identity —
+# the standard strip set for URL-keyed dedup (utm_* per Google's UTM
+# convention, click ids, referrer tags). Prefix-or-exact-name match on
+# the "name=" head of each parameter.
+TRACKING_PARAM_PATTERN = r"^(utm_|gclid=|fbclid=|ref=)"
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form of a URL for URL-KEYED DEDUP (r11): the cheapest
+    dedup tier of a web-scale corpus — two crawls of the same page
+    routinely differ only in case, www, default port, duplicate or
+    trailing slashes, tracking parameters, parameter order, or a
+    fragment, and every one of those byte-level differences defeats an
+    exact-hash key while meaning nothing to content identity.
+
+    Deterministic, documented rules (all row-local codegen regexps —
+    rides the scan like the rest of this module; a DuckDB oracle
+    reproduces each step):
+
+    - scheme and host lowercased; a leading ``www.`` and a trailing
+      dot dropped from the host; the scheme's default port (``:80``
+      for http, ``:443`` for https) stripped;
+    - path: duplicate slashes collapsed, one trailing slash dropped
+      (so ``/a//b/`` and ``/a/b`` collide, and a bare ``/`` collapses
+      to the empty path);
+    - query: parameters split on ``&``, empties and tracking
+      parameters (:data:`TRACKING_PARAM_PATTERN`) dropped, the rest
+      SORTED and rejoined — parameter order never distinguishes
+      content;
+    - the fragment never participates (the component extracts exclude
+      it).
+
+    NOT applied (they change content identity or need network truth):
+    percent-decoding, IDN/punycode, public-suffix awareness beyond the
+    ``domain`` helper, scheme upgrades. Returns one string column."""
+    p = parse_url(url)
+    scheme = p["scheme"]
+    host = F.regexp_replace(p["host"], r"^www\.", "")
+    # port strip BEFORE the trailing-dot strip: 'ex.com.:443' must
+    # reach the dot rule as 'ex.com.'
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    host = F.regexp_replace(host, r"\.$", "")
+    path = F.regexp_replace(p["path"], r"/+", "/")
+    path = F.regexp_replace(path, r"/$", "")
+    params = F.filter(
+        F.split(p["query"], "&"),
+        lambda s: (s != "") & (~s.rlike(TRACKING_PARAM_PATTERN)),
+    )
+    q = F.array_join(F.sort_array(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )

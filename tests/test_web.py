@@ -55,3 +55,42 @@ def test_url_filter_each_rule_bites(spark):
     assert out[6].keep is False and out[6].r_params is False
     # malformed rows dead-letter through the booleans, no NULL keep
     assert out[7].keep is False and out[7].r_host is False
+
+
+def test_canonical_url_rules(spark):
+    """canonical_url's documented rule set, edge by edge: case, www,
+    default vs explicit ports, trailing host dot, duplicate/trailing
+    slashes, tracking-parameter drop, parameter sort, fragment drop —
+    and the non-rules (non-default port kept, https :80 kept)."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft import web as W
+
+    cases = [
+        # three spellings of one page -> one canonical
+        (1, "HTTP://www.Ex.COM:80/a//b/?utm_source=x&b=2&a=1",
+         "http://ex.com/a/b?a=1&b=2"),
+        (2, "http://ex.com/a/b?a=1&b=2&utm_campaign=y#frag",
+         "http://ex.com/a/b?a=1&b=2"),
+        (3, "https://www.ex.com.:443//a/b/?b=2&a=1&gclid=z",
+         "https://ex.com/a/b?a=1&b=2"),
+        # bare '/' collapses to the empty path
+        (4, "https://ex.com/", "https://ex.com"),
+        # NON-default port survives; ref= is tracking
+        (5, "http://ex.com:8080/x?ref=abc", "http://ex.com:8080/x"),
+        # :80 is only default for http — https keeps it
+        (6, "https://ex.com:80/x", "https://ex.com:80/x"),
+        # empty params dropped, the rest sorted
+        (7, "http://ex.com/x?b=2&&a=1&fbclid=q", "http://ex.com/x?a=1&b=2"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "id int, url string"
+    )
+    got = {
+        r.id: r.c
+        for r in df.select(
+            "id", W.canonical_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
