@@ -61,7 +61,7 @@ HEADLINE = [
     # benched — the near_dup_quality_keep precedent.
     "bloom_pruned_urgent_revenue",
     "boilerplate_line_removal",
-    "doc_hash_embedding",
+    # (doc_hash_embedding retired r12 — see the r12 rotation note)
     # r8 rotation (VERDICT r7 #1/#3): the two rows-only actives
     # (embedding_near_dup_lsh, semantic_dedup_embeddings) rotated to
     # the retired tier with four three-round-stable queries
@@ -96,6 +96,15 @@ HEADLINE = [
     # identical to bm25_doc_retrieval) and the TPC-H Q18 breadth shape.
     "bm25_from_folded_index",
     "large_order_customers",
+    # r12 rotation (VERDICT r11 #4): customer_snapshot_diff (six-round-
+    # stable; the CDC family stays benched via customers_apply_cdc and
+    # orders_segment_scd2) and doc_hash_embedding (five-round-stable;
+    # hashing-trick machinery rides the tfidf/BM25 rows) retired;
+    # promoted: the r12-extended URL-keyed dedup tier (userinfo /
+    # percent-escape / dot-port / valueless-tracking rules) and the
+    # quantizer-refresh front door (two-frame snapshot drift).
+    "web_url_canonical_dedup",
+    "embedding_snapshot_drift",
     # r9 headline-coverage close (VERDICT r8 #4): every ACTIVE query is
     # now benched EXCEPT the documented exclusion rule below —
     # iterative fixpoint queries (near_dup_quality_keep,
@@ -109,7 +118,7 @@ HEADLINE = [
     "latest_event_per_user",
     "filter_pushdown",
     "customers_apply_cdc",
-    "customer_snapshot_diff",
+    # (customer_snapshot_diff retired r12 — see the r12 rotation note)
     "user_value_twa_daily",
 ]
 

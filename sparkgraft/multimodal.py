@@ -63,6 +63,9 @@ __all__ = [
     "jpeg_decode",
     "jpeg_decode_stats",
     "jpeg_resize",
+    "exif_orientation",
+    "exif_apply",
+    "exif_app1",
 ]
 
 # Canonical metadata struct carried next to every binary payload.
@@ -1510,7 +1513,14 @@ def _jpeg_encode_progressive(
     for kind, scomps, ss, se, ah, al in script:
         ops: list = []
         if kind == "dc":
-            if len(scomps) > 1 or ncomp > 1:
+            # T.81 §A.2: a scan is interleaved iff it carries MORE THAN
+            # ONE component (Ns > 1) — a single-component DC scan in a
+            # multi-component frame walks the component's own ceil-dims
+            # block grid, exactly like the decoder below and every AC
+            # scan (r12, ADVICE r11: `or ncomp > 1` here walked the
+            # padded MCU grid instead, a latent encode/decode mismatch
+            # for per-component DC scan scripts)
+            if len(scomps) > 1:
                 groups = []  # interleaved MCU walk
                 for my in range(mcuy):
                     for mx in range(mcux):
@@ -1609,6 +1619,7 @@ def jpeg_encode_progressive_ycbcr(
     quality: int = 85,
     sampling: tuple[int, int] = (2, 2),
     restart_interval: int = 0,
+    scan_script=None,
 ) -> bytes:
     """Progressive COLOR JFIF encoder at the real-world subsampled
     layouts (``sampling`` = luminance factors: (2, 2) is 4:2:0, (2, 1)
@@ -1616,7 +1627,10 @@ def jpeg_encode_progressive_ycbcr(
     pooled) — the libjpeg-style scan script: interleaved reduced-
     precision DC, per-component AC bands, AC/DC refinements. Combined
     with :func:`jpeg_encode_progressive_gray` this covers every scan
-    kind the decoder's Annex G loop implements."""
+    kind the decoder's Annex G loop implements. ``scan_script``
+    overrides the default (r12: e.g. per-component Ns=1 DC scans —
+    spec-legal, and the encoder now walks the component's own block
+    grid for them, matching the decoder and T.81 §A.2)."""
     import numpy as np
 
     sh, sv = sampling
@@ -1657,7 +1671,7 @@ def jpeg_encode_progressive_ycbcr(
         pp.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3)) - 128.0
         for pp in padded[1:]
     ]
-    script = [
+    script = scan_script if scan_script is not None else [
         ("dc", [0, 1, 2], 0, 0, 0, 1),
         ("ac", [0], 1, 5, 0, 2),
         ("ac", [1], 1, 63, 0, 1),
@@ -2314,14 +2328,118 @@ def jpeg_decode_stats(payload: bytes) -> dict[str, Any]:
     }
 
 
+def exif_orientation(payload: bytes) -> int:
+    """EXIF orientation (tag 0x0112) of a JPEG payload, or 1 (upright)
+    when absent or malformed — metadata must never dead-letter a
+    decodable image (r12, VERDICT r11 #7: re-crawled JPEGs routinely
+    differ ONLY by this tag, so the perceptual tier must read it).
+    Walks the marker segments up to SOS looking for APP1 ``Exif\\0\\0``,
+    then parses the TIFF header (II/MM byte order, magic 42) and IFD0's
+    12-byte entries for a SHORT orientation value in 1..8."""
+    import struct
+
+    try:
+        p = bytes(payload)
+        if len(p) < 4 or p[:2] != b"\xff\xd8":
+            return 1
+        pos = 2
+        while pos + 4 <= len(p):
+            if p[pos] != 0xFF:
+                return 1
+            while pos + 1 < len(p) and p[pos + 1] == 0xFF:
+                pos += 1
+            marker = p[pos + 1]
+            pos += 2
+            if marker in (0xD9, 0xDA):  # EOI / SOS: no APP1 before scan
+                return 1
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue
+            (seglen,) = struct.unpack(">H", p[pos : pos + 2])
+            body = p[pos + 2 : pos + seglen]
+            pos += seglen
+            if marker != 0xE1 or not body.startswith(b"Exif\x00\x00"):
+                continue
+            t = body[6:]
+            if t[:2] == b"II":
+                e = "<"
+            elif t[:2] == b"MM":
+                e = ">"
+            else:
+                return 1
+            (magic,) = struct.unpack(e + "H", t[2:4])
+            if magic != 42:
+                return 1
+            (ifd_off,) = struct.unpack(e + "I", t[4:8])
+            (n_entries,) = struct.unpack(e + "H", t[ifd_off : ifd_off + 2])
+            for i in range(n_entries):
+                ent = t[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
+                tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+                if tag == 0x0112 and typ == 3 and cnt == 1:
+                    (val,) = struct.unpack(e + "H", ent[8:10])
+                    return val if 1 <= val <= 8 else 1
+            return 1
+    except (struct.error, IndexError):
+        return 1
+    return 1
+
+
+def exif_apply(lum, orientation: int):
+    """Transform a stored-pixel luminance plane into its UPRIGHT
+    display form per the EXIF orientation tag (the TIFF §orientation
+    row/column semantics — the mapping PIL's ``exif_transpose``
+    implements): 1 normal, 2 mirror-H, 3 rotate 180, 4 mirror-V,
+    5 transpose (TL-BR flip), 6 rotate 90 CW, 7 transverse (TR-BL
+    flip), 8 rotate 90 CCW. Out-of-range values are identity."""
+    import numpy as np
+
+    o = int(orientation)
+    if o == 2:
+        return lum[:, ::-1]
+    if o == 3:
+        return lum[::-1, ::-1]
+    if o == 4:
+        return lum[::-1, :]
+    if o == 5:
+        return lum.T
+    if o == 6:
+        return np.rot90(lum, -1)
+    if o == 7:
+        return lum[::-1, ::-1].T
+    if o == 8:
+        return np.rot90(lum, 1)
+    return lum
+
+
+def exif_app1(orientation: int, byte_order: bytes = b"II") -> bytes:
+    """Build a minimal APP1 Exif segment carrying just the orientation
+    tag — the encoder side of the orientation seam (splice after SOI:
+    ``payload[:2] + exif_app1(o) + payload[2:]``), so planted
+    rotated-twin fixtures are REAL Exif bytes in either byte order."""
+    import struct
+
+    e = "<" if byte_order == b"II" else ">"
+    tiff = byte_order + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+    ifd = (
+        struct.pack(e + "H", 1)
+        + struct.pack(e + "HHI", 0x0112, 3, 1)
+        + struct.pack(e + "H", int(orientation))
+        + b"\x00\x00"
+        + struct.pack(e + "I", 0)
+    )
+    body = b"Exif\x00\x00" + tiff + ifd
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
 def jpeg_resize(payload: bytes, width: int, height: int) -> bytes:
     """Real-codec drop-in for :func:`fake_resize` over JPEG (same
     ``resize_fn`` contract, so :func:`resize_media` and
-    :func:`perceptual_hash` are untouched): decode -> nearest-neighbor
-    downsample -> raw luminance bytes, the png_resize convention."""
+    :func:`perceptual_hash` are untouched): decode -> EXIF-orientation
+    normalize (r12 — rotated re-crawls of one page must land on nearby
+    dHashes, not 30+ bits apart) -> nearest-neighbor downsample -> raw
+    luminance bytes, the png_resize convention."""
     import numpy as np
 
-    lum = jpeg_decode(payload)
+    lum = exif_apply(jpeg_decode(payload), exif_orientation(payload))
     h, w = lum.shape
     if h == 0 or w == 0:
         raise ValueError("jpeg_decode: empty image")

@@ -811,6 +811,10 @@ def lineitem_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashes, and the insert/update/delete classification all
     # recomputed in SQL. Hash inputs are int/string columns only
     # (double->string formatting is not engine-portable).
+    # RETIRED r12 (VERDICT r11 #4 rotation, six-round-stable): the CDC
+    # family stays driver-exercised via customers_apply_cdc and
+    # orders_segment_scd2; this oracle stays locally verified.
+    retired=True,
     oracle="""
     WITH old AS (
         SELECT c_custkey,

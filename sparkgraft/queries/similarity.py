@@ -1631,8 +1631,8 @@ def hybrid_bm25_cosine_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle recomputes the literal parity tag, the decimal-exact
     # per-dimension means of both frames, the dot products, and every
     # per-label drift verdict — planted labels must read drifted=true,
-    # the rest false.
-    retired=True,
+    # the rest false. PROMOTED to the active driver tier r12 (VERDICT
+    # r11 #4: the retrain decision's front door earns a driver slot).
     oracle="""
     WITH tagged AS (
         SELECT 0 AS half, CAST(label AS VARCHAR) AS label, embedding

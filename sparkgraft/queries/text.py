@@ -1462,7 +1462,11 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NEW r6 retired tier: the feature-hashing embedder with every
     # coordinate reproduced in SQL — md5-derived dimension and sign,
     # exact signed integer counts, one rounded normalize. PROMOTED to
-    # the active driver tier r7 (rotation policy).
+    # the active driver tier r7 (rotation policy). RETIRED again r12
+    # (VERDICT r11 #4 rotation, five-round-stable): the hashing-trick
+    # machinery stays exercised by the tfidf/BM25 rows; oracle stays
+    # locally verified.
+    retired=True,
     oracle="""
     WITH stok AS (SELECT doc_id, {tok} AS tok FROM documents),
     t AS (SELECT doc_id, unnest(tok) AS term FROM stok),

@@ -2701,9 +2701,23 @@ def save_quantizer(
     drifted corpus needs retrain + re-encode, and
     :func:`load_quantizer` re-derives the latter from the loaded
     parquet to fail loudly on bit-rot or partial overwrite. Returns
-    the manifest dict."""
+    the manifest dict.
+
+    Write path (r12, VERDICT r11 #6): the coefficients are
+    DRIVER-SIDE Python lists (O(K·m·dsub) floats — kilobytes), so the
+    parquet lands via direct Arrow writes, not Spark jobs: the
+    pre-r12 two ``coalesce(1).write`` jobs cost ~10 s of fixed
+    session/job overhead per save (the lifecycle probe's dominant
+    ``save`` stage) to move data a single file write moves in
+    milliseconds. ``spark.read.parquet`` reads the single-file layout
+    identically, so :func:`load_quantizer` is unchanged; ``spark``
+    stays in the signature for the load path and API stability."""
     import json as _json
     import os as _os
+    import shutil as _shutil
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
 
     m = len(codebooks)
     n_codes = len(codebooks[0])
@@ -2718,16 +2732,28 @@ def save_quantizer(
         "training_rows": int(training_rows),
         "fingerprint": quantizer_fingerprint(codebooks, centroids),
     }
-    cb_rows = [
-        (s, c, p, float(v))
-        for s, book in enumerate(codebooks)
-        for c, cent in enumerate(book)
-        for p, v in enumerate(cent)
-    ]
-    spark.createDataFrame(
-        cb_rows, "sub int, code int, pos int, v double"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        _os.path.join(path, "codebooks.parquet")
+    _os.makedirs(path, exist_ok=True)
+
+    def _write(name: str, cols: dict, schema: _pa.Schema) -> None:
+        target = _os.path.join(path, name)
+        if _os.path.isdir(target):  # pre-r12 Spark-directory layout
+            _shutil.rmtree(target)
+        _pq.write_table(_pa.table(cols, schema=schema), target)
+
+    _write(
+        "codebooks.parquet",
+        {
+            "sub": [s for s, book in enumerate(codebooks)
+                    for cent in book for _ in cent],
+            "code": [c for book in codebooks
+                     for c, cent in enumerate(book) for _ in cent],
+            "pos": [p for book in codebooks
+                    for cent in book for p in range(len(cent))],
+            "v": [float(v) for book in codebooks
+                  for cent in book for v in cent],
+        },
+        _pa.schema([("sub", _pa.int32()), ("code", _pa.int32()),
+                    ("pos", _pa.int32()), ("v", _pa.float64())]),
     )
     if centroids is not None:
         if any(len(vec) != m * dsub for _, vec in centroids):
@@ -2735,20 +2761,41 @@ def save_quantizer(
                 "save_quantizer: centroid dim does not match codebook "
                 f"geometry m*dsub = {m * dsub}"
             )
-        c_rows = [
-            (int(cid), p, float(v))
-            for cid, vec in centroids
-            for p, v in enumerate(vec)
-        ]
-        spark.createDataFrame(
-            c_rows, "cid long, pos int, v double"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            _os.path.join(path, "centroids.parquet")
+        _write(
+            "centroids.parquet",
+            {
+                "cid": [int(cid) for cid, vec in centroids for _ in vec],
+                "pos": [p for _, vec in centroids for p in range(len(vec))],
+                "v": [float(v) for _, vec in centroids for v in vec],
+            },
+            _pa.schema([("cid", _pa.int64()), ("pos", _pa.int32()),
+                        ("v", _pa.float64())]),
         )
-    _os.makedirs(path, exist_ok=True)
     with open(_os.path.join(path, "_QUANTIZER_MANIFEST.json"), "w") as fh:
         _json.dump(manifest, fh, indent=1)
     return manifest
+
+
+def posix_pointer_commit(store: str, payload: dict) -> None:
+    """Default pointer-commit for :func:`save_quantizer_version`: write
+    ``_CURRENT.json`` beside the vintages via tmp + fsync +
+    ``os.replace`` — atomic on POSIX filesystems, readers see the old
+    pointer or the new one, never a torn file. This is the ONE
+    filesystem-specific mechanism in the vintage lifecycle (r12,
+    VERDICT r11 #2): an object-store deployment swaps in a
+    conditional-PUT commit (S3 If-Match / GCS generation precondition
+    on the pointer object) through the ``pointer_commit`` seam and the
+    vintage logic is untouched — vintage directories are immutable
+    once written and the pointer is the only mutated object."""
+    import json as _json
+    import os as _os
+
+    tmp = _os.path.join(store, "_CURRENT.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(payload, fh, indent=1)
+        fh.flush()
+        _os.fsync(fh.fileno())
+    _os.replace(tmp, _os.path.join(store, "_CURRENT.json"))
 
 
 def save_quantizer_version(
@@ -2757,6 +2804,7 @@ def save_quantizer_version(
     codebooks: list[list[list[float]]],
     centroids: list[tuple[int, list[float]]] | None = None,
     training_rows: int = 0,
+    pointer_commit=posix_pointer_commit,
 ) -> dict:
     """Versioned :func:`save_quantizer` (r11, VERDICT r10 #1): the
     quantizer lands in its own vintage directory
@@ -2771,13 +2819,19 @@ def save_quantizer_version(
     manifest so a hand-edited or mis-paired pointer fails loudly.
     Returns the manifest dict with ``vintage`` added.
 
-    Atomicity scope: ``os.replace`` is atomic on POSIX filesystems
-    (local disk, NFS with standard semantics) — the store layout this
-    repo tests. On an object store (S3-style), replace a conditional
-    PUT of ``_CURRENT.json`` for the flip; the vintage layout needs no
-    other change because vintage directories are immutable once
-    written and the pointer is the only mutated object."""
-    import json as _json
+    Atomicity scope (r12, VERDICT r11 #2 — the commit mechanism is now
+    a SEAM): ``pointer_commit(store, payload)`` owns the one mutating
+    write of the flip. The default :func:`posix_pointer_commit` is
+    tmp + fsync + ``os.replace`` (atomic on POSIX filesystems — local
+    disk, NFS with standard semantics — the layout this repo tests).
+    An S3-class deployment passes a conditional-PUT commit instead
+    (If-Match on the pointer's etag / generation precondition); the
+    vintage layout needs no other change because vintage directories
+    are immutable once written and the pointer is the only mutated
+    object. A commit that RAISES (lost a compare-and-swap race, torn
+    upload rejected) leaves the store serving the previous vintage —
+    the new vintage directory is complete on disk and a retry is just
+    another pointer commit."""
     import os as _os
 
     fp = quantizer_fingerprint(codebooks, centroids)
@@ -2789,27 +2843,35 @@ def save_quantizer_version(
         centroids=centroids,
         training_rows=training_rows,
     )
-    pointer = {"vintage": vintage, "fingerprint": fp}
-    tmp = _os.path.join(store, "_CURRENT.json.tmp")
-    with open(tmp, "w") as fh:
-        _json.dump(pointer, fh, indent=1)
-        fh.flush()
-        _os.fsync(fh.fileno())
-    _os.replace(tmp, _os.path.join(store, "_CURRENT.json"))
+    pointer_commit(store, {"vintage": vintage, "fingerprint": fp})
     return {**manifest, "vintage": vintage}
 
 
-def gc_quantizer_vintages(store: str, keep: int = 1) -> list[str]:
+def gc_quantizer_vintages(
+    store: str, keep: int = 1, grace_sec: float = 0.0
+) -> list[str]:
     """Garbage-collect superseded quantizer vintages under a versioned
     ``store``: the CURRENT vintage (the ``_CURRENT.json`` pointer's
     target) is never touched; of the remaining ``v=*`` directories the
     ``keep`` most recently modified survive (grace for in-flight
     readers that resolved the pointer just before a flip) and the rest
     are deleted. Returns the deleted vintage names. Raises if the
-    store has no pointer — a flat store has no vintages to collect."""
+    store has no pointer — a flat store has no vintages to collect.
+
+    Concurrency contract (r12, ADVICE r11): ``keep=0`` with
+    ``grace_sec=0`` must NOT race a concurrent
+    :func:`save_quantizer_version` — a fully-written new vintage whose
+    pointer flip has not landed yet is neither "current" nor otherwise
+    protected, so an unlucky gc can delete it and leave the subsequent
+    flip dangling. Either run gc from the refresh driver itself
+    (after the flip — the lifecycle-probe pattern), keep
+    ``keep >= 1``, or pass ``grace_sec`` so vintages modified within
+    the window are skipped regardless of ``keep`` — any one of the
+    three closes the race."""
     import json as _json
     import os as _os
     import shutil as _shutil
+    import time as _time
 
     pointer_path = _os.path.join(store, "_CURRENT.json")
     try:
@@ -2831,9 +2893,13 @@ def gc_quantizer_vintages(store: str, keep: int = 1) -> list[str]:
         key=lambda d: _os.path.getmtime(_os.path.join(store, d)),
         reverse=True,
     )
+    now = _time.time()
     removed = []
     for d in vintages[max(keep, 0):]:
-        _shutil.rmtree(_os.path.join(store, d))
+        full = _os.path.join(store, d)
+        if grace_sec > 0 and now - _os.path.getmtime(full) < grace_sec:
+            continue  # possibly a flip-in-flight vintage — see docstring
+        _shutil.rmtree(full)
         removed.append(d)
     return removed
 
@@ -2854,7 +2920,19 @@ def write_codes_store(
     refuse a mixed-vintage serve instead of returning garbage
     distances. ``mode='append'`` folds a new encoded batch into the
     store (the frozen-quantizer monoid) — the manifest must already
-    match, enforced here."""
+    match, enforced here.
+
+    Crash ordering (r12, ADVICE r11): in ``mode='overwrite'`` the OLD
+    manifest is DELETED before the parquet overwrite begins and the
+    new manifest lands only after the overwrite completes — the
+    manifest is the commit point. A crash mid-overwrite therefore
+    leaves a manifest-less store that :func:`read_codes_store` fails
+    LOUDLY on, never new-vintage codes validated by an old-vintage
+    manifest (the silent mixed-vintage serve the fingerprint guard
+    exists to prevent). Append mode needs no invalidation: a torn
+    append leaves old-vintage codes plus a same-vintage partial file,
+    wrong rows but never wrong-codebook distances — and the manifest
+    it leaves behind still names the correct quantizer."""
     import json as _json
     import os as _os
 
@@ -2875,6 +2953,8 @@ def write_codes_store(
                 f"{str(existing)[:12]}… — mixed vintages; re-encode "
                 "the full corpus instead"
             )
+    if mode == "overwrite" and _os.path.exists(manifest_path):
+        _os.remove(manifest_path)  # invalidate FIRST — see docstring
     codes.write.mode(mode).parquet(_os.path.join(path, "codes.parquet"))
     manifest = {
         "quantizer_fingerprint": fp,

@@ -1282,3 +1282,154 @@ def test_png_adam7_corruption_dead_letters():
             M.png_decode(bytes(payload[:cut]))
         except ValueError:
             pass
+
+
+def test_jpeg_progressive_per_component_dc_scans():
+    """ADVICE r11: a single-component (Ns=1) DC scan in a
+    multi-component frame is NON-interleaved per T.81 §A.2 — the
+    encoder must walk the component's own ceil-dims block grid, not
+    the padded MCU grid (the decoder already did). A fully
+    per-component scan script (DC first + AC band + DC refine, one
+    component at a time) must reconstruct bit-identically to the
+    baseline encode, including under 4:2:0 subsampling where the MCU
+    and block grids genuinely differ."""
+    import numpy as np
+
+    img = _jpeg_test_image()
+    cb = ((np.add.outer(np.arange(img.shape[0]), np.arange(img.shape[1])) * 5)
+          % 256).astype(np.uint8)
+    script = [
+        ("dc", [0], 0, 0, 0, 1),
+        ("dc", [1], 0, 0, 0, 1),
+        ("dc", [2], 0, 0, 0, 1),
+        ("ac", [0], 1, 63, 0, 0),
+        ("ac", [1], 1, 63, 0, 0),
+        ("ac", [2], 1, 63, 0, 0),
+        ("dc", [0], 0, 0, 1, 0),
+        ("dc", [1], 0, 0, 1, 0),
+        ("dc", [2], 0, 0, 1, 0),
+    ]
+    for sampling in ((1, 1), (2, 2)):
+        if sampling == (1, 1):
+            ref = M.jpeg_decode(
+                M.jpeg_encode_ycbcr444(img, cb, 255 - cb, quality=85)
+            )
+        else:
+            ref = M.jpeg_decode(
+                M.jpeg_encode_ycbcr420(
+                    img, cb, 255 - cb, quality=85, sampling=sampling
+                )
+            )
+        prog = M.jpeg_decode(
+            M.jpeg_encode_progressive_ycbcr(
+                img, cb, 255 - cb, quality=85, sampling=sampling,
+                scan_script=script,
+            )
+        )
+        assert np.array_equal(ref, prog), sampling
+
+
+def test_exif_orientation_parser_and_apply():
+    """The EXIF orientation surface, both halves: the parser reads tag
+    0x0112 from real APP1 bytes in either byte order (and returns 1 —
+    never raises — on missing/malformed metadata), and exif_apply's
+    eight transforms invert the corresponding storage transforms
+    exactly (stored = inverse(o)(upright) -> apply(o) == upright)."""
+    import numpy as np
+
+    img = _jpeg_test_image()
+    base = M.jpeg_encode_gray(img, quality=85)
+
+    # no APP1 -> upright
+    assert M.exif_orientation(base) == 1
+    # both byte orders round-trip every legal value through real bytes
+    for bo in (b"II", b"MM"):
+        for o in range(1, 9):
+            tagged = base[:2] + M.exif_app1(o, byte_order=bo) + base[2:]
+            assert M.exif_orientation(tagged) == o, (bo, o)
+            # the tagged stream still decodes (APP1 is skipped cleanly)
+            assert np.array_equal(M.jpeg_decode(tagged), M.jpeg_decode(base))
+    # malformed metadata never raises: truncated TIFF, bad magic,
+    # out-of-range value, non-Exif APP1
+    bad_app1 = b"\xff\xe1\x00\x08Exif\x00\x00"
+    assert M.exif_orientation(base[:2] + bad_app1 + base[2:]) == 1
+    xmp = b"\xff\xe1\x00\x0fhttp://ns.adobe"
+    assert M.exif_orientation(base[:2] + xmp + base[2:]) == 1
+    assert M.exif_orientation(b"\xff\xd8\x00") == 1
+    assert (
+        M.exif_orientation(base[:2] + M.exif_app1(9) + base[2:]) == 1
+    )  # out of range
+
+    # apply(o) inverts the storage transform for all 8 orientations
+    up = np.arange(24 * 40, dtype=np.uint8).reshape(24, 40)
+    stored = {
+        1: up,
+        2: up[:, ::-1],
+        3: up[::-1, ::-1],
+        4: up[::-1, :],
+        5: up.T,                    # transpose is self-inverse
+        6: np.rot90(up, 1),         # displayed by rotating 90 CW
+        7: up[::-1, ::-1].T,        # transverse is self-inverse
+        8: np.rot90(up, -1),        # displayed by rotating 90 CCW
+    }
+    for o, s in stored.items():
+        assert np.array_equal(M.exif_apply(s, o), up), o
+
+
+def test_perceptual_hash_catches_exif_rotated_twin(spark):
+    """VERDICT r11 #7: re-crawls of one image that differ ONLY by an
+    EXIF orientation tag (the camera stored the sensor rotation, the
+    CDN stripped-or-kept the tag) must land on NEARBY dHashes. The
+    planted twin stores the image rotated 90° CCW with orientation=6;
+    normalized, its hash sits within a few bits of the upright
+    original — while ignoring the tag (raw decode) leaves them ~half
+    the bits apart, un-pairable by any Hamming tier."""
+    import numpy as np
+
+    # a strongly DIRECTIONAL image (horizontal ramp): its dHash is
+    # all horizontal-gradient bits, so a 90° rotation flips
+    # essentially every bit unless the orientation tag is honored
+    img = np.broadcast_to(
+        (np.arange(48) * 4).astype(np.uint8), (48, 48)
+    ).copy()
+    upright = M.jpeg_encode_gray(img, quality=92)
+    rotated = M.jpeg_encode_gray(
+        np.ascontiguousarray(np.rot90(img, 1)), quality=92
+    )
+    twin = rotated[:2] + M.exif_app1(6) + rotated[2:]
+
+    media = spark.createDataFrame(
+        [(1, "image", "jpeg", len(upright), bytearray(upright)),
+         (2, "image", "jpeg", len(twin), bytearray(twin))],
+        M.MEDIA_SCHEMA,
+    )
+    got = {
+        r.media_id: r.phash
+        for r in M.perceptual_hash(media, resize_fn=M.jpeg_resize).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    d_norm = ham(got[1], got[2])
+    assert d_norm <= 6, d_norm  # same page, perceptual-near
+
+    # counterfactual: WITHOUT orientation normalization the twins are
+    # perceptually unrelated (the pre-r12 miss this test pins)
+    raw = {
+        r.media_id: r.phash
+        for r in M.perceptual_hash(
+            media,
+            resize_fn=lambda p, w, h: (
+                lambda lum: lum[
+                    np.ix_(
+                        np.minimum(np.arange(h) * lum.shape[0] // h,
+                                   lum.shape[0] - 1),
+                        np.minimum(np.arange(w) * lum.shape[1] // w,
+                                   lum.shape[1] - 1),
+                    )
+                ].tobytes()
+            )(M.jpeg_decode(p)),
+        ).collect()
+    }
+    assert ham(raw[1], raw[2]) > 16

@@ -96,9 +96,8 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # doc-keyed rebuild, and the final id join; no text in the
     # frequency shuffle
     "boilerplate_line_removal": (8, 2),
-    # two compact integer shuffles ((doc, dim) signed-count aggregate +
-    # per-doc map collect); the explode/densify is row-local
-    "doc_hash_embedding": (2, 0),
+    # (doc_hash_embedding's (2, 0) pin moved back to R6_OP_PINS when
+    # retired, r12)
     # r8 rotation promotions (their retired-tier R6_OP_PINS entries
     # moved here when they joined the headline; measured shapes
     # unchanged). semantic_dedup_planted: same single-shuffle SemDeDup
@@ -148,7 +147,8 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "filter_pushdown": (0, 0),  # pure pushed scan — zero exchanges
     # CDC: change window + anti join + union (broadcast snapshot side)
     "customers_apply_cdc": (3, 1),
-    "customer_snapshot_diff": (2, 0),
+    # (customer_snapshot_diff's (2, 0) pin moved back to R6_OP_PINS
+    # when retired, r12)
     # time-weighted daily average: one user-keyed window shuffle
     "user_value_twa_daily": (1, 0),
     # r10 rotation promotions (their retired-tier R6_OP_PINS entries
@@ -170,6 +170,15 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # aggregate with the HAVING on top (AQE may elect broadcast for
     # the customer side at bench SF)
     "large_order_customers": (4, 0),
+    # r12 rotation promotions (both r11-born, never R6-pinned — first
+    # pins measured at promotion). canonical dedup: spread + one
+    # canonical-key groupBy — the exact-hash-dedup shape with a
+    # content-identity key, everything else row-local codegen
+    "web_url_canonical_dedup": (2, 0),
+    # snapshot drift: two-frame union is scan-side; (label, pos)
+    # dimension-mean aggregate + per-label dot aggregate + the counts
+    # aggregate and its label join (AQE broadcasts the tiny side)
+    "embedding_snapshot_drift": (4, 0),
 }
 
 # Exact tiers that legitimately broadcast a bounded side against every
@@ -481,6 +490,16 @@ R6_OP_PINS = [
     # single-shuffle SemDeDup (groupBy cid)
     ("embedding_near_dup_lsh", 8, False),
     ("semantic_dedup_embeddings", 1, False),
+    # r12 rotation retirements: shapes stay pinned after leaving the
+    # headline. snapshot diff: derived-frame union + one key join;
+    # hash embedding: (doc, dim) signed-count aggregate + per-doc map
+    # collect, explode/densify row-local
+    ("customer_snapshot_diff", 2, False),
+    ("doc_hash_embedding", 2, False),
+    # NEW r12 retired tier: PSL registrable-domain grouping — spread +
+    # the group aggregate + countDistinct's second phase; the whole
+    # PSL match is row-local array expressions over plan literals
+    ("web_registrable_domain_groups", 3, False),
 ]
 
 

@@ -1735,3 +1735,186 @@ def test_codes_store_append_folds_same_vintage_batches(spark, tmp_path):
         k=3, n_probe=2,
     ).collect()))
     assert folded == oneshot and len(folded) > 0
+
+
+class _FakeObjectStore:
+    """Conditional-PUT object-store double (r12, VERDICT r11 #2): a
+    dict of key -> (etag, bytes) whose put enforces If-Match — the S3
+    conditional-PUT / GCS generation-precondition contract. Reads
+    write through to the local pointer file, standing in for
+    load_quantizer fetching the pointer object from the store."""
+
+    def __init__(self):
+        self.objects = {}
+
+    def get_etag(self, key):
+        return self.objects.get(key, (None, None))[0]
+
+    def put(self, key, body, if_match):
+        cur = self.get_etag(key)
+        if if_match != cur:
+            raise RuntimeError(
+                f"conditional PUT rejected: if_match={if_match!r} "
+                f"but current etag is {cur!r}"
+            )
+        new_etag = f"etag-{len(self.objects.get(key, (0, b''))[1] or b'')}-{cur}"
+        self.objects[key] = (new_etag, body)
+
+    def commit_fn(self, if_match_provider):
+        """pointer_commit adapter: serialize the payload, conditional
+        PUT it, then materialize the committed object locally (the
+        read path)."""
+        import json
+        import os
+
+        def commit(store, payload):
+            key = "_CURRENT.json"
+            body = json.dumps(payload).encode()
+            self.put(key, body, if_match_provider())
+            with open(os.path.join(store, key), "wb") as fh:
+                fh.write(self.objects[key][1])
+
+        return commit
+
+
+def test_pointer_commit_seam_conditional_put(spark, tmp_path):
+    """VERDICT r11 #2: the vintage flip survives an object-store
+    adapter. A conditional-PUT commit publishes vintage A; a commit
+    that LOSES the compare-and-swap race (stale etag) raises and
+    leaves the store serving A complete — the new vintage directory is
+    on disk, unpointed; retrying the commit with the fresh etag
+    completes the flip with NO re-save of the vintage. The vintage
+    logic itself (immutable v=<fp>/ dirs, fingerprint cross-check) is
+    untouched by the adapter swap."""
+    import os
+
+    store = str(tmp_path / "vq")
+    os.makedirs(store)
+    obj = _FakeObjectStore()
+
+    n = 200
+    corpus = _lifecycle_corpus(spark, n_per_cluster=n)
+    cents_a, books_a = S.ivfpq_train(
+        corpus.where(F.col("vec_id") < n), dim=8, n_centroids=2, m=2,
+        n_codes=8,
+    )
+    m_a = S.save_quantizer_version(
+        spark, store, books_a, centroids=cents_a, training_rows=n,
+        pointer_commit=obj.commit_fn(lambda: obj.get_etag("_CURRENT.json")),
+    )
+    assert S.load_quantizer(spark, store)["vintage"] == m_a["vintage"]
+
+    # --- refresh loses the CAS race: stale etag -> commit raises,
+    # pointer (and every reader) still serves vintage A
+    cents_b, books_b = S.ivfpq_train(corpus, dim=8, n_centroids=4, m=2,
+                                     n_codes=8)
+    with pytest.raises(RuntimeError, match="conditional PUT rejected"):
+        S.save_quantizer_version(
+            spark, store, books_b, centroids=cents_b, training_rows=2 * n,
+            pointer_commit=obj.commit_fn(lambda: "stale-etag"),
+        )
+    assert S.load_quantizer(spark, store)["vintage"] == m_a["vintage"]
+    fp_b = S.quantizer_fingerprint(books_b, cents_b)
+    assert os.path.isdir(os.path.join(store, f"v={fp_b[:16]}"))  # complete
+
+    # --- retry with the fresh etag: the flip is just another pointer
+    # commit (idempotent vintage dir re-save, content-addressed)
+    m_b = S.save_quantizer_version(
+        spark, store, books_b, centroids=cents_b, training_rows=2 * n,
+        pointer_commit=obj.commit_fn(lambda: obj.get_etag("_CURRENT.json")),
+    )
+    assert m_b["vintage"] == f"v={fp_b[:16]}"
+    assert S.load_quantizer(spark, store)["codebooks"] == books_b
+
+
+class _ExplodingWrite:
+    """A codes-DataFrame double whose write raises mid-overwrite,
+    after asserting the old manifest was already invalidated."""
+
+    def __init__(self, manifest_path):
+        self.manifest_path = manifest_path
+
+    @property
+    def write(self):
+        return self
+
+    def mode(self, _m):
+        return self
+
+    def parquet(self, _p):
+        import os
+
+        assert not os.path.exists(self.manifest_path), (
+            "overwrite started while the OLD manifest still validated "
+            "the store — the ADVICE r11 torn-store window"
+        )
+        raise RuntimeError("simulated crash mid-overwrite")
+
+
+def test_codes_store_overwrite_invalidates_manifest_first(spark, tmp_path):
+    """ADVICE r11 (medium): re-keying a codes store to a new vintage
+    must not leave new codes validated by the OLD manifest. The old
+    manifest is deleted BEFORE the parquet overwrite begins (asserted
+    inside the write double), so a crash mid-overwrite leaves a
+    manifest-less store that read_codes_store fails LOUDLY on — never
+    a silent mixed-vintage serve."""
+    import os
+
+    cstore = str(tmp_path / "codes")
+    manifest_path = os.path.join(cstore, "_CODES_MANIFEST.json")
+    codes = spark.createDataFrame(
+        [(1, 0, [1, 2]), (2, 1, [3, 4])], "vec_id long, cid long, code array<int>"
+    )
+    m_a = {"fingerprint": "a" * 64, "vintage": "v=" + "a" * 16}
+    S.write_codes_store(codes, cstore, m_a)
+    assert os.path.exists(manifest_path)
+
+    m_b = {"fingerprint": "b" * 64, "vintage": "v=" + "b" * 16}
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        S.write_codes_store(
+            _ExplodingWrite(manifest_path), cstore, m_b, mode="overwrite"
+        )
+    # torn store: no manifest -> the reader refuses instead of serving
+    # the old pairing over unknown bytes
+    with pytest.raises(FileNotFoundError):
+        S.read_codes_store(spark, cstore, m_a)
+    # recovery = completing the overwrite (idempotent)
+    S.write_codes_store(codes, cstore, m_b)
+    assert S.read_codes_store(spark, cstore, m_b).count() == 2
+
+
+def test_gc_grace_interval_protects_young_vintages(spark, tmp_path):
+    """ADVICE r11: gc(keep=0) racing a concurrent refresh could rmtree
+    a fully-written vintage whose pointer flip hasn't landed.
+    grace_sec closes the race: vintages modified within the window are
+    skipped regardless of keep; backdated (genuinely old) ones are
+    still collected."""
+    import os
+
+    n = 200
+    corpus = _lifecycle_corpus(spark, n_per_cluster=n)
+    store = str(tmp_path / "vq")
+    cents_a, books_a = S.ivfpq_train(
+        corpus.where(F.col("vec_id") < n), dim=8, n_centroids=2, m=2,
+        n_codes=8,
+    )
+    m_a = S.save_quantizer_version(spark, store, books_a, centroids=cents_a)
+    cents_b, books_b = S.ivfpq_train(corpus, dim=8, n_centroids=4, m=2,
+                                     n_codes=8)
+    m_b = S.save_quantizer_version(spark, store, books_b, centroids=cents_b)
+    assert m_a["vintage"] != m_b["vintage"]
+
+    # both vintages are seconds old: a graced gc removes NOTHING
+    assert S.gc_quantizer_vintages(store, keep=0, grace_sec=3600.0) == []
+    assert os.path.isdir(os.path.join(store, m_a["vintage"]))
+
+    # backdate the superseded vintage past the grace window -> collected
+    old = os.path.join(store, m_a["vintage"])
+    past = os.path.getmtime(old) - 7200
+    os.utime(old, (past, past))
+    assert S.gc_quantizer_vintages(store, keep=0, grace_sec=3600.0) == [
+        m_a["vintage"]
+    ]
+    assert not os.path.isdir(old)
+    # current vintage untouched throughout
+    assert S.load_quantizer(spark, store)["codebooks"] == books_b

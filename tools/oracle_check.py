@@ -147,23 +147,30 @@ def main() -> int:
             print(f"[FAIL] {name}: spark error: {exc}")
             failures += 1
             continue
+        spark_sec = time.time() - t0
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            print(f"[rows-only] {name}: {len(sdf)} rows (spark {spark_sec:.1f}s)")
             continue
+        t1 = time.time()
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             print(f"[FAIL] {name}: oracle error: {exc}")
             failures += 1
             continue
+        oracle_sec = time.time() - t1
+        # split timing per side (VERDICT r11 #5): a slow sweep row must
+        # name its owner — a Spark plan cost and a DuckDB oracle
+        # reproduction cost read very differently in adjudication
+        timing = f"spark {spark_sec:.1f}s, oracle {oracle_sec:.1f}s"
         problems = compare(name, sdf, odf)
         if problems:
             failures += 1
-            print(f"[FAIL] {name} ({time.time()-t0:.1f}s)")
+            print(f"[FAIL] {name} ({timing})")
             for p in problems:
                 print(f"       {p}")
         else:
-            print(f"[ok]   {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            print(f"[ok]   {name}: {len(sdf)} rows ({timing})")
     spark.stop()
     print("FAILURES:", failures)
     return 1 if failures else 0
