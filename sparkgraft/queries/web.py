@@ -354,3 +354,104 @@ def web_registrable_domain_groups(
             F.countDistinct("host").cast("bigint").alias("n_distinct_hosts"),
         )
     )
+
+
+@register(
+    "web_domain_cap_sample",
+    # NEW r12 retired tier: the host-diversity cap — keep at most 3
+    # docs per REGISTRABLE domain over the mixed ccTLD/wildcard/
+    # exception plant (the curation rule the PSL tier exists for). The
+    # Spark side runs the skew-safe salted two-level ranking; the
+    # oracle proves it EQUALS the plain one-window answer (row_number
+    # over md5(id) per domain, PSL algorithm recomputed inline).
+    retired=True,
+    oracle=f"""
+    WITH hosts AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN 'www.ck'
+                    WHEN doc_id % 13 = 0 THEN 'co.uk'
+                    ELSE (CASE CAST(doc_id % 3 AS INT)
+                              WHEN 1 THEN 'www.' WHEN 2 THEN 'a.b.'
+                              ELSE '' END)
+                         || 'site' || CAST(CAST(doc_id % 7 AS INT) AS VARCHAR)
+                         || (CASE CAST(doc_id % 5 AS INT)
+                                 WHEN 0 THEN '.com'
+                                 WHEN 1 THEN '.co.uk'
+                                 WHEN 2 THEN '.kawasaki.jp'
+                                 WHEN 3 THEN '.ck'
+                                 ELSE '.org' END)
+               END AS host
+        FROM documents
+    ), lab AS (
+        SELECT doc_id, host, string_split(host, '.') AS L,
+               CAST(len(string_split(host, '.')) AS BIGINT) AS n
+        FROM hosts
+    ), cand AS (
+        SELECT doc_id, host, n,
+               list_transform(range(1, n + 1),
+                   i -> array_to_string(list_slice(L, n - i + 1, n), '.'))
+                 AS cands
+        FROM lab
+    ), m AS (
+        SELECT doc_id, host, n, cands,
+               list_max(list_filter(range(1, n + 1), i ->
+                   list_contains({_PSL_RULES_SQL}, cands[i])
+                   OR (i >= 2 AND list_contains({_PSL_RULES_SQL},
+                                                '*.' || cands[i-1]))))
+                 AS match_len,
+               list_max(list_filter(range(1, n + 1), i ->
+                   list_contains({_PSL_EXC_SQL}, cands[i]))) AS exc_len
+        FROM cand
+    ), rd AS (
+        SELECT doc_id, host,
+               CASE WHEN n > ps_len THEN cands[ps_len + 1] END
+                 AS registrable_domain
+        FROM (SELECT doc_id, host, n, cands,
+                     CASE WHEN exc_len IS NOT NULL THEN exc_len - 1
+                          WHEN match_len IS NOT NULL THEN match_len
+                          ELSE 1 END AS ps_len
+              FROM m)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, host, registrable_domain
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY registrable_domain
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM rd
+    )
+    WHERE rk <= 3
+    """,
+)
+def web_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``web.domain_cap_sample`` at cap=3 over the mixed-TLD plant:
+    the per-registrable-domain diversity cap, computed as the
+    skew-safe salted two-level ranking (each salted bucket pre-keeps
+    its local top-3, the final rank sees at most ``salt_buckets * 3``
+    rows per domain however large the domain) — and proved EXACTLY
+    equal to the naive one-window answer by the oracle. The kept set
+    is the 3 smallest md5(doc_id) per domain, deterministic across
+    engines and reruns."""
+    did = F.col("doc_id")
+    host = (
+        F.when(did % 11 == 0, F.lit("www.ck"))
+        .when(did % 13 == 0, F.lit("co.uk"))
+        .otherwise(
+            F.concat(
+                F.when(did % 3 == 1, F.lit("www."))
+                .when(did % 3 == 2, F.lit("a.b."))
+                .otherwise(F.lit("")),
+                F.lit("site"),
+                (did % 7).cast("int").cast("string"),
+                F.when(did % 5 == 0, F.lit(".com"))
+                .when(did % 5 == 1, F.lit(".co.uk"))
+                .when(did % 5 == 2, F.lit(".kawasaki.jp"))
+                .when(did % 5 == 3, F.lit(".ck"))
+                .otherwise(F.lit(".org")),
+            )
+        )
+    )
+    docs = spread(read_table(spark, sf_dir, "documents")).select(
+        did.cast("bigint").alias("doc_id"), host.alias("host")
+    )
+    return W.domain_cap_sample(docs, "host", cap=3, id_col="doc_id")

@@ -398,3 +398,57 @@ def registrable_domain(
     return F.when(
         (h != "") & (n > ps_len), F.element_at(cands, ps_len + 1)
     ).otherwise(F.lit(None).cast("string"))
+
+
+def domain_cap_sample(
+    df,
+    host_col: Column | str,
+    cap: int,
+    id_col: str = "doc_id",
+    rules: tuple[str, ...] = PSL_SNAPSHOT,
+    out_col: str = "registrable_domain",
+    salt_buckets: int = 16,
+):
+    """Host-diversity cap — keep at most ``cap`` documents per
+    REGISTRABLE DOMAIN (the RefinedWeb/C4-style rule the PSL tier
+    exists for: without it one mega-site floods the corpus; keyed on
+    the two-label `domain` it would also merge all of ccTLD space
+    into one cap bucket). Deterministic: the kept rows are the ``cap``
+    smallest ``md5(id)`` values per domain, tie-broken by id — both
+    engines and every rerun agree.
+
+    Scale shape (the 100 TB point): a naive single window partitioned
+    by domain puts EVERY row of a mega-domain (wikipedia.org at ~1e8
+    pages) on one reducer — the classic window skew AQE cannot split.
+    This runs the EXACT same selection as two bounded rankings:
+
+    1. pre-rank within ``(domain, salt)`` where salt = pmod(hash(id),
+       ``salt_buckets``): each salted partition holds ~1/S of the
+       domain, keep its local top-``cap`` by the same order;
+    2. final rank over the survivors — at most ``S * cap`` rows per
+       domain reach the skewed key, regardless of domain size.
+
+    Top-``cap``-of-union-of-bucket-top-``cap``s equals the global
+    top-``cap`` (every globally-kept row is kept in its own bucket),
+    so the result is EXACTLY the one-window answer — an oracle
+    recomputes it with one plain ``row_number``. NULL registrable
+    domains (bare public suffixes, unparseable hosts) form their own
+    capped group; drop them upstream with ``url_filter`` if they
+    should not spend budget. Returns the input rows + ``out_col``,
+    capped."""
+    from pyspark.sql import Window
+
+    rd = registrable_domain(host_col, rules=rules)
+    order_key = F.md5(F.col(id_col).cast("string"))
+    salted = Window.partitionBy(
+        out_col, F.pmod(F.hash(F.col(id_col)), F.lit(salt_buckets))
+    ).orderBy(order_key, F.col(id_col))
+    final = Window.partitionBy(out_col).orderBy(order_key, F.col(id_col))
+    return (
+        df.withColumn(out_col, rd)
+        .withColumn("__bucket_rank", F.row_number().over(salted))
+        .where(F.col("__bucket_rank") <= cap)
+        .withColumn("__rank", F.row_number().over(final))
+        .where(F.col("__rank") <= cap)
+        .drop("__bucket_rank", "__rank")
+    )

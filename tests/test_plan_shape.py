@@ -500,6 +500,10 @@ R6_OP_PINS = [
     # the group aggregate + countDistinct's second phase; the whole
     # PSL match is row-local array expressions over plan literals
     ("web_registrable_domain_groups", 3, False),
+    # NEW r12 retired tier: host-diversity cap — spread + the salted
+    # pre-rank window + the final (bounded-per-domain) rank window;
+    # registrable_domain itself is row-local
+    ("web_domain_cap_sample", 3, False),
 ]
 
 

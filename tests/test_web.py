@@ -193,3 +193,57 @@ def test_registrable_domain_psl(spark):
     }
     for h, want in cases:
         assert got[h] == want, (h, got[h], want)
+
+
+def test_domain_cap_sample_exact_and_skew_safe(spark):
+    """domain_cap_sample's salted two-level ranking must EQUAL the
+    naive one-window top-cap (cap smallest md5(id) per registrable
+    domain) on a fixture with one mega-domain (the skew case the
+    salting exists for), cap NULL-domain rows as their own group, and
+    be deterministic across salt_buckets settings."""
+    from pyspark.sql import Window, functions as F
+
+    rows = (
+        # mega-domain: 200 pages on one registrable domain
+        [(i, f"p{i % 7}.big.co.uk") for i in range(200)]
+        # small sites
+        + [(1000 + i, f"site{i}.example.com") for i in range(5)]
+        # bare public suffixes -> NULL registrable domain, own group
+        + [(2000 + i, "co.uk") for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+
+    got = W.domain_cap_sample(df, "host", cap=3, id_col="doc_id")
+    naive = (
+        df.withColumn(
+            "registrable_domain", W.registrable_domain("host")
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("registrable_domain").orderBy(
+                    F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+                )
+            ),
+        )
+        .where(F.col("rk") <= 3)
+        .drop("rk")
+    )
+    key = lambda r: (r.registrable_domain or "", r.doc_id)  # noqa: E731
+    got_rows = sorted(map(key, got.collect()))
+    assert got_rows == sorted(map(key, naive.collect()))
+    # every bucket variant of the salted ranking agrees (exactness is
+    # independent of the salt fan-out)
+    for s in (1, 4, 64):
+        alt = W.domain_cap_sample(
+            df, "host", cap=3, id_col="doc_id", salt_buckets=s
+        )
+        assert sorted(map(key, alt.collect())) == got_rows, s
+    # the mega-domain contributed exactly cap rows; the 5 one-page
+    # sites all survive; the NULL group is capped like any other
+    by_rd = {}
+    for rd, did in got_rows:
+        by_rd.setdefault(rd or None, []).append(did)
+    assert len(by_rd["big.co.uk"]) == 3
+    assert len(by_rd["example.com"]) == 3
+    assert len(by_rd[None]) == 3
