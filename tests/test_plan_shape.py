@@ -504,6 +504,10 @@ R6_OP_PINS = [
     # pre-rank window + the final (bounded-per-domain) rank window;
     # registrable_domain itself is row-local
     ("web_domain_cap_sample", 3, False),
+    # NEW r12 retired tier: WARC build+crack round trip — spread only;
+    # the build and crack stages are two Arrow MapInPandas passes
+    # (never BatchEvalPython), no shuffle after the spread
+    ("warc_http_responses", 1, False),
 ]
 
 
