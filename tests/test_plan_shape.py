@@ -508,6 +508,10 @@ R6_OP_PINS = [
     # the build and crack stages are two Arrow MapInPandas passes
     # (never BatchEvalPython), no shuffle after the spread
     ("warc_http_responses", 1, False),
+    # NEW r12 retired tier: HTML build-extract round trip — spread
+    # only; the page build is row-local codegen and the extractor is
+    # one Arrow MapInPandas pass
+    ("html_text_extraction", 1, False),
 ]
 
 
