@@ -1,0 +1,229 @@
+"""robots.txt (RFC 9309) — crawl politeness as data: parse each
+host's robots file into rule rows, then gate candidate URLs with the
+standard's exact semantics (agent group selection, longest-match
+precedence, Allow wins ties, no-match means allowed). The missing
+piece between the URL gate (web.py) and a crawl frontier: a pipeline
+that re-crawls or expands outlinks (html.html_links) must not fetch
+what the host forbids.
+
+The reference (`/root/reference/event_verify.py`) has no crawl
+surface; extension module per the brief's training-data-pipeline
+mandate, stdlib-only.
+
+Scale shape: robots files arrive as ``(host, content)`` rows — one
+small text file per host, millions of hosts — so parsing is one
+Arrow-batched pass (``robots_rules``), and the gate collapses each
+host's rules to ONE array row, broadcast-joins it onto the URLs, and
+folds the RFC argmax row-locally — the URL side (the 100 TB side)
+takes zero shuffles and there is never a per-rule or per-URL stage.
+
+RFC 9309 semantics implemented:
+
+- groups: consecutive ``User-agent`` lines share the group that
+  follows; a crawler obeys the group matching its product token
+  (case-insensitive exact match here) and falls back to the ``*``
+  group ONLY when no specific group exists;
+- rules: ``Allow`` / ``Disallow`` path patterns; an empty pattern is
+  a no-op; ``*`` matches any char run and ``$`` anchors the end (the
+  RFC's two metacharacters);
+- precedence per URL: the MOST SPECIFIC match wins = longest pattern
+  in octets; on a tie Allow wins; no matching rule -> allowed.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "parse_robots",
+    "pattern_to_regex",
+    "robots_rules",
+    "robots_gate",
+    "ROBOTS_RULE_SCHEMA",
+]
+
+
+def parse_robots(content: str) -> list[tuple[str, bool, str]]:
+    """Parse one robots.txt into ``(agent_lower, allow, pattern)``
+    rows. Comments (``#``) stripped, unknown directives ignored,
+    consecutive ``User-agent`` lines share the following rule block,
+    empty patterns dropped (an empty Disallow is the RFC's explicit
+    allow-everything no-op). Tolerant: a malformed line is skipped,
+    never an error — the public web's robots files are ~40% soup."""
+    rules: list[tuple[str, bool, str]] = []
+    agents: list[str] = []
+    collecting_agents = True
+    for raw in (content or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not collecting_agents:
+                agents = []  # a new group starts
+                collecting_agents = True
+            if val:
+                agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            collecting_agents = False
+            if val:
+                for a in agents:
+                    rules.append((a, key == "allow", val))
+        else:
+            # sitemap, crawl-delay, soup: rule-block context continues
+            collecting_agents = False
+    return rules
+
+
+def pattern_to_regex(pattern: str) -> str:
+    """RFC 9309 path pattern -> anchored regex usable by Java regex,
+    RE2, and Python alike: every char escaped except ``*`` (-> ``.*``)
+    and a FINAL ``$`` (end anchor); an unanchored pattern is a prefix
+    match (``^...``, no trailing anchor)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    out = "".join(".*" if c == "*" else re.escape(c) for c in body)
+    return "^" + out + ("$" if anchored else "")
+
+
+ROBOTS_RULE_SCHEMA = (
+    "host string, agent string, rule_allow boolean, pattern string, "
+    "pattern_len int, pattern_re string"
+)
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    content_col: str = "content",
+) -> DataFrame:
+    """Arrow-batched parse of ``(host, content)`` robots files into
+    one rule row per (host, agent, rule): ``(host, agent, rule_allow,
+    pattern, pattern_len, pattern_re)`` — ``pattern_len`` is the
+    RFC's specificity key (octets of the raw pattern) and
+    ``pattern_re`` the precompiled-to-regex form the gate matches
+    with. A NULL/empty content yields no rows (no rules = everything
+    allowed, the RFC default for a missing file)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for host, content in zip(pdf[host_col], pdf[content_col]):
+                if content is None:
+                    continue
+                for agent, allow, pattern in parse_robots(str(content)):
+                    rows.append(
+                        (
+                            host,
+                            agent,
+                            allow,
+                            pattern,
+                            len(pattern.encode("utf-8")),
+                            pattern_to_regex(pattern),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "host", "agent", "rule_allow", "pattern",
+                    "pattern_len", "pattern_re",
+                ],
+            )
+
+    return robots.select(host_col, content_col).mapInPandas(
+        run, ROBOTS_RULE_SCHEMA
+    )
+
+
+def robots_gate(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: Column | str = "url",
+    out_col: str = "robots_allowed",
+) -> DataFrame:
+    """Gate candidate URLs against parsed robots rules for one
+    crawler ``agent``: parse host+path off each URL (web.parse_url),
+    select the effective agent group per host (the exact group when
+    the host HAS one, else ``*`` — RFC 9309 group selection), collapse
+    each host's effective rules into ONE array row, BROADCAST-join it
+    onto the URLs, and fold the argmax row-locally — the longest
+    pattern wins, Allow breaks ties; URLs with no matching rule (or no
+    rules at all) are allowed. Adds ``out_col`` to the input rows.
+
+    Scale shape — the deliberate one: the URL side (the 100 TB side)
+    takes ZERO shuffles. All shuffling happens on the rules side (a
+    per-host aggregate of a few rows each); the verdict is a broadcast
+    hash join plus a row-local ``F.aggregate`` fold over the host's
+    rule array, the regex evaluated only against same-host rules.
+    (The first cut used a per-URL argmax WINDOW — a full-width shuffle
+    of every candidate URL per gate call; the fold removes it.) When
+    the host universe outgrows a broadcast, drop to a shuffle join —
+    still one exchange per side, never per-rule or per-URL."""
+    from . import web as W
+
+    p = W.parse_url(url_col)
+    al = agent.lower()
+    # effective group per host: exact if present, else '*'
+    has_exact = rules.where(F.col("agent") == al).select(
+        F.col("host").alias("__eh")
+    ).distinct()
+    eff = (
+        rules.join(has_exact, rules["host"] == F.col("__eh"), "left")
+        .where(
+            (F.col("agent") == al)
+            | ((F.col("agent") == "*") & F.col("__eh").isNull())
+        )
+        .groupBy(F.col("host").alias("__rhost"))
+        .agg(
+            F.collect_list(
+                F.struct("rule_allow", "pattern_len", "pattern_re")
+            ).alias("__rules")
+        )
+    )
+    in_cols = urls.columns
+    tagged = urls.withColumn("__host", p["host"]).withColumn(
+        "__path", F.when(p["path"] == "", F.lit("/")).otherwise(p["path"])
+    )
+    joined = tagged.join(
+        F.broadcast(eff), tagged["__host"] == eff["__rhost"], "left"
+    )
+    path = F.col("__path")
+    matches = F.filter(
+        F.coalesce(
+            F.col("__rules"),
+            F.array().cast(
+                "array<struct<rule_allow:boolean,pattern_len:int,"
+                "pattern_re:string>>"
+            ),
+        ),
+        lambda r: F.regexp_like(path, r["pattern_re"]),
+    )
+    # row-local argmax fold: (pattern_len, rule_allow) lexicographic
+    # max over the matching rules; sentinel len -1 = no match -> True
+    best = F.aggregate(
+        matches,
+        F.struct(
+            F.lit(-1).alias("pattern_len"), F.lit(True).alias("rule_allow")
+        ),
+        lambda acc, r: F.when(
+            (r["pattern_len"] > acc["pattern_len"])
+            | ((r["pattern_len"] == acc["pattern_len"]) & r["rule_allow"]),
+            F.struct(
+                r["pattern_len"].alias("pattern_len"),
+                r["rule_allow"].alias("rule_allow"),
+            ),
+        ).otherwise(acc),
+    )
+    return joined.withColumn(out_col, best["rule_allow"]).select(
+        *in_cols, out_col
+    )

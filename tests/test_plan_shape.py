@@ -512,6 +512,12 @@ R6_OP_PINS = [
     # only; the page build is row-local codegen and the extractor is
     # one Arrow MapInPandas pass
     ("html_text_extraction", 1, False),
+    # NEW r12 retired tier: RFC 9309 robots gate, twice (two agents).
+    # Every exchange is on the RULES side (Arrow parse, the has-exact
+    # distinct, the per-host array aggregate, the broadcast) — the URL
+    # side takes zero shuffles beyond the spread; the verdict is a
+    # broadcast hash join + a row-local argmax fold
+    ("robots_url_gate", 9, False),
 ]
 
 
