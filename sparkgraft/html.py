@@ -51,11 +51,23 @@ _VOID_ELEMENTS = frozenset(
      "meta", "param", "source", "track", "wbr"}
 )
 
-# ASCII whitespace only — deliberately NOT Python's unicode-aware \s:
-# the normal form must be reproducible by Java regex and RE2/DuckDB
-# (both default \s to ASCII), and HTML's own "ASCII whitespace" set is
-# exactly this (the spec's space/tab/LF/FF/CR)
-_WS = re.compile(r"[ \t\n\r\f\v]+")
+# HTML's "ASCII whitespace" set EXACTLY — space/tab/LF/FF/CR, NOT \v
+# (ADVICE r12: \v is in neither the HTML spec's set nor RE2/DuckDB's
+# \s, so including it made a \x0b document normalize differently in
+# Spark vs the DuckDB oracle's regexp_replace('\s+')), and NOT
+# Python's unicode-aware \s. A \v or unicode space passes through
+# verbatim on every engine.
+_WS = re.compile(r"[ \t\n\r\f]+")
+
+
+def _norm(s: str) -> str:
+    """The documented whitespace normal form: ASCII-whitespace runs ->
+    one space, then edge SPACES stripped. ``.strip(" ")``, not bare
+    ``.strip()`` — after the run-collapse the only ASCII whitespace
+    left at the edges IS a space, and bare strip() would also eat a
+    leading/trailing \\v or unicode space that DuckDB's ``trim`` (and
+    Spark's) keeps."""
+    return _WS.sub(" ", s).strip(" ")
 
 
 class _Extractor(HTMLParser):
@@ -114,13 +126,13 @@ def html_to_text(html: str) -> str:
     entities decoded, whitespace normalized to the single-space form
     (see module docstring). Tolerates the real web's tag soup — the
     stdlib parser never raises on imbalance, it just keeps going."""
-    return _WS.sub(" ", " ".join(_parse(html).chunks)).strip()
+    return _norm(" ".join(_parse(html).chunks))
 
 
 def html_title(html: str) -> str | None:
     """The <title> content (whitespace-normalized), or None."""
     t = _parse(html).title
-    return _WS.sub(" ", t).strip() if t is not None else None
+    return _norm(t) if t is not None else None
 
 
 def html_links(html: str) -> list[str]:
@@ -159,10 +171,9 @@ def extract_html(
                     links.append(None)
                     continue
                 p = _parse(str(html))
-                texts.append(_WS.sub(" ", " ".join(p.chunks)).strip())
+                texts.append(_norm(" ".join(p.chunks)))
                 titles.append(
-                    _WS.sub(" ", p.title).strip() if p.title is not None
-                    else None
+                    _norm(p.title) if p.title is not None else None
                 )
                 links.append(p.links)
             yield pd.DataFrame(

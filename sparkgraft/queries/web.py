@@ -109,9 +109,11 @@ def web_url_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_decode_unreserved(e: str) -> str:
     """DuckDB SQL twin of web.percent_decode_unreserved over the
     expression ``e``: split on '%', hex-position lookup per tail
-    segment, decode only RFC 3986 unreserved code points, re-prefix
-    everything else. Generated here so the Spark operator and every
-    oracle consume one rule set."""
+    segment, decode only RFC 3986 unreserved code points, uppercase
+    the hex digits of escapes that stay encoded (§6.2.2.1 case
+    normalization, r13), re-prefix malformed tails verbatim. Generated
+    here so the Spark operator and every oracle consume one rule
+    set."""
     code = (
         "CAST((strpos('0123456789abcdef', lower(seg[1:1])) - 1) * 16"
         " + (strpos('0123456789abcdef', lower(seg[2:2])) - 1) AS INT)"
@@ -125,6 +127,8 @@ def _sql_decode_unreserved(e: str) -> str:
                            OR {code} BETWEEN 97 AND 122
                            OR {code} IN (45, 46, 95, 126))
                  THEN chr({code}) || seg[3:]
+                 WHEN regexp_matches(seg, '^[0-9A-Fa-f]{{2}}')
+                 THEN '%' || upper(seg[1:2]) || seg[3:]
                  ELSE '%' || seg END), ''), '')
     )"""
 
@@ -150,10 +154,10 @@ def _sql_decode_unreserved(e: str) -> str:
                     ELSE 'http://crawl.example.com' END)
                || '/bucket' || CAST(CAST(doc_id AS BIGINT) // 4 AS VARCHAR)
                || (CASE CAST(doc_id % 4 AS INT)
-                       WHEN 0 THEN '//item/?utm_source=x&b=2&a=1'
-                       WHEN 1 THEN '/item?a=1&b=2&utm_campaign=y#frag'
-                       WHEN 2 THEN '/item/?b=2&gclid&a=1'
-                       ELSE '/%69tem?a=%31&b=2' END)
+                       WHEN 0 THEN '//item/?utm_source=x&b=2&a=1&c=%2F'
+                       WHEN 1 THEN '/item?a=1&b=2&c=%2F&utm_campaign=y#frag'
+                       WHEN 2 THEN '/item/?b=2&gclid&a=1&c=%2F'
+                       ELSE '/%69tem?a=%31&b=2&c=%2f' END)
                  AS url
         FROM documents
     ), parsed AS (
@@ -207,6 +211,7 @@ def web_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     default-port / userinfo / trailing-host-dot-before-port /
     duplicate-and-trailing-slash / tracking-parameter (valued AND
     valueless) / parameter-order / fragment / unreserved-percent-escape
+    / reserved-escape-hex-case (r13: ``%2f`` vs ``%2F``)
     noise; the canonical key must collapse each bucket to one group
     with ``keep_doc_id`` = its min doc_id. One row-local
     canonicalization pass + one groupBy — the same scale shape as
@@ -220,10 +225,10 @@ def web_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("http://crawl.example.com")),
         F.lit("/bucket"),
         F.floor(did / 4).cast("bigint").cast("string"),
-        F.when(did % 4 == 0, F.lit("//item/?utm_source=x&b=2&a=1"))
-        .when(did % 4 == 1, F.lit("/item?a=1&b=2&utm_campaign=y#frag"))
-        .when(did % 4 == 2, F.lit("/item/?b=2&gclid&a=1"))
-        .otherwise(F.lit("/%69tem?a=%31&b=2")),
+        F.when(did % 4 == 0, F.lit("//item/?utm_source=x&b=2&a=1&c=%2F"))
+        .when(did % 4 == 1, F.lit("/item?a=1&b=2&c=%2F&utm_campaign=y#frag"))
+        .when(did % 4 == 2, F.lit("/item/?b=2&gclid&a=1&c=%2F"))
+        .otherwise(F.lit("/%69tem?a=%31&b=2&c=%2f")),
     )
     docs = spread(read_table(spark, sf_dir, "documents"))
     return (

@@ -73,13 +73,17 @@ def parse_robots(content: str) -> list[tuple[str, bool, str]]:
             if val:
                 agents.append(val.lower())
         elif key in ("allow", "disallow"):
+            # ONLY group-member rules end the agent-collection phase:
+            # RFC 9309 §2.2.2 requires unrecognized lines not to
+            # interfere with group parsing, so a Sitemap/Crawl-delay
+            # line BETWEEN consecutive User-agent lines must not split
+            # the group (ADVICE r12 — it used to).
             collecting_agents = False
             if val:
                 for a in agents:
                     rules.append((a, key == "allow", val))
-        else:
-            # sitemap, crawl-delay, soup: rule-block context continues
-            collecting_agents = False
+        # sitemap, crawl-delay, soup: ignored entirely — neither a rule
+        # nor a group boundary
     return rules
 
 
@@ -152,13 +156,26 @@ def robots_gate(
     out_col: str = "robots_allowed",
 ) -> DataFrame:
     """Gate candidate URLs against parsed robots rules for one
-    crawler ``agent``: parse host+path off each URL (web.parse_url),
-    select the effective agent group per host (the exact group when
-    the host HAS one, else ``*`` — RFC 9309 group selection), collapse
-    each host's effective rules into ONE array row, BROADCAST-join it
-    onto the URLs, and fold the argmax row-locally — the longest
-    pattern wins, Allow breaks ties; URLs with no matching rule (or no
-    rules at all) are allowed. Adds ``out_col`` to the input rows.
+    crawler ``agent``: parse host+path+query off each URL
+    (web.parse_url), select the effective agent group per host (the
+    exact group when the host HAS one, else ``*`` — RFC 9309 group
+    selection), collapse each host's effective rules into ONE array
+    row, BROADCAST-join it onto the URLs, and fold the argmax
+    row-locally — the longest pattern wins, Allow breaks ties; URLs
+    with no matching rule (or no rules at all) are allowed. Adds
+    ``out_col`` to the input rows.
+
+    Match target (ADVICE r12 — both were fail-OPEN before): RFC 9309
+    §2.2.3 matches rules against the path PLUS the query (``?q=...``)
+    when one is present — real-world rules like ``Disallow: /*?`` or
+    ``Disallow: /search?q=`` depend on it; the FRAGMENT is excluded
+    (it never reaches the server, and parse_url's component extracts
+    already drop it). The join key is the URL's host with any
+    explicit ``:port`` stripped — robots_rules rows are naturally
+    keyed by bare host (one robots.txt per authority), so a
+    port-bearing URL must still find its host's rules; callers who
+    genuinely serve different robots files per port should key rules
+    by ``host:port`` and pre-strip nothing.
 
     Scale shape — the deliberate one: the URL side (the 100 TB side)
     takes ZERO shuffles. All shuffling happens on the rules side (a
@@ -191,13 +208,28 @@ def robots_gate(
         )
     )
     in_cols = urls.columns
-    tagged = urls.withColumn("__host", p["host"]).withColumn(
-        "__path", F.when(p["path"] == "", F.lit("/")).otherwise(p["path"])
+    # bare host for the rules join (':port' stripped — the trailing
+    # [0-9]+ anchor cannot fire inside an IPv6 '[::1]' literal, whose
+    # last char is ']'); path defaults to '/' and the query is
+    # appended '?'-prefixed when present (the RFC's match target)
+    tagged = (
+        urls.withColumn(
+            "__host", F.regexp_replace(p["host"], r":[0-9]+$", "")
+        )
+        .withColumn(
+            "__target",
+            F.concat(
+                F.when(p["path"] == "", F.lit("/")).otherwise(p["path"]),
+                F.when(
+                    p["query"] == "", F.lit("")
+                ).otherwise(F.concat(F.lit("?"), p["query"])),
+            ),
+        )
     )
     joined = tagged.join(
         F.broadcast(eff), tagged["__host"] == eff["__rhost"], "left"
     )
-    path = F.col("__path")
+    path = F.col("__target")
     matches = F.filter(
         F.coalesce(
             F.col("__rules"),

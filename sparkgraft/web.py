@@ -139,9 +139,10 @@ def percent_decode_unreserved(s: Column | str) -> Column:
     via a position lookup (``position`` over a 16-char literal — both
     engines lack a scalar hex-parse, both have ``position``/``strpos``
     and ``char``/``chr``); unreserved codes are replaced by their
-    character, everything else is re-prefixed with the ``%`` the split
-    consumed — malformed or reserved escapes pass through
-    byte-identical."""
+    character; reserved escapes stay encoded with their two hex digits
+    UPPERCASED (RFC 3986 §6.2.2.1 case normalization — ``%2f`` ==
+    ``%2F``, r13/ADVICE r12); malformed escapes (not two hex digits)
+    pass through byte-identical behind the re-prefixed ``%``."""
     c = _col(s)
     parts = F.split(c, "%")
     tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
@@ -169,16 +170,33 @@ def percent_decode_unreserved(s: Column | str) -> Column:
 
     def seg_out(x: Column) -> Column:
         seg, code = x["seg"], x["code"]
-        unreserved = seg.rlike("^[0-9A-Fa-f]{2}") & (
+        is_hex = seg.rlike("^[0-9A-Fa-f]{2}")
+        unreserved = is_hex & (
             code.between(48, 57)   # 0-9
             | code.between(65, 90)   # A-Z
             | code.between(97, 122)  # a-z
             | code.isin(45, 46, 95, 126)  # - . _ ~
         )
-        return F.when(
-            unreserved,
-            F.concat(F.char(code), F.substring(seg, 3, 2147483647)),
-        ).otherwise(F.concat(F.lit("%"), seg))
+        return (
+            F.when(
+                unreserved,
+                F.concat(F.char(code), F.substring(seg, 3, 2147483647)),
+            )
+            # reserved/other escapes stay ENCODED but get their hex
+            # digits uppercased — RFC 3986 §6.2.2.1 case normalization
+            # ('%2f' and '%2F' are the same URI; without this they got
+            # different canonical keys — ADVICE r12)
+            .when(
+                is_hex,
+                F.concat(
+                    F.lit("%"),
+                    F.upper(F.substring(seg, 1, 2)),
+                    F.substring(seg, 3, 2147483647),
+                ),
+            )
+            # malformed escape (not two hex digits): byte-identical
+            .otherwise(F.concat(F.lit("%"), seg))
+        )
 
     return F.concat(
         F.element_at(parts, 1), F.array_join(F.transform(staged, seg_out), "")
@@ -205,8 +223,10 @@ def canonical_url(url: Column | str) -> Column:
       ``ex.com:8080`` — capture-and-reinsert ``\\.(:[0-9]*)?$`` →
       ``$1``, since RE2 has no lookahead); the scheme's default port
       (``:80`` for http, ``:443`` for https) stripped;
-    - path: unreserved percent-escapes decoded
-      (:func:`percent_decode_unreserved` — ``%69tem`` == ``item``),
+    - path: unreserved percent-escapes decoded and the hex digits of
+      remaining escapes uppercased
+      (:func:`percent_decode_unreserved` — ``%69tem`` == ``item``,
+      ``%2f`` == ``%2F`` per RFC 3986 §6.2.2.1),
       duplicate slashes collapsed, one trailing slash dropped (so
       ``/a//b/`` and ``/a/b`` collide, and a bare ``/`` collapses to
       the empty path);

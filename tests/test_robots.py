@@ -101,3 +101,60 @@ def test_robots_gate_semantics(spark):
     assert graft[3] is False         # /bot-only/ disallowed
     assert graft[4] is True          # Allow /bot-only/docs$ longer + anchored
     assert graft[5] is True
+
+
+def test_parse_robots_unknown_directive_between_agents():
+    """RFC 9309 §2.2.2: unrecognized lines must not interfere with
+    group parsing — a Sitemap/Crawl-delay line BETWEEN consecutive
+    User-agent lines must not split the group (ADVICE r12)."""
+    rules = R.parse_robots(
+        "User-agent: a\n"
+        "Sitemap: http://x.example.com/sitemap.xml\n"
+        "User-agent: b\n"
+        "Disallow: /x\n"
+    )
+    assert ("a", False, "/x") in rules
+    assert ("b", False, "/x") in rules
+    # ...but a rule line still ends collection: the next User-agent
+    # starts a fresh group
+    rules2 = R.parse_robots(
+        "User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n"
+    )
+    assert ("a", False, "/y") not in rules2
+    assert ("b", False, "/x") not in rules2
+
+
+def test_robots_gate_query_target_and_port(spark):
+    """ADVICE r12's two fail-open paths: (1) rules match path+query —
+    'Disallow: /*?' and 'Disallow: /search?q=' must fire on query
+    URLs; (2) an explicit :port on the URL still finds the bare-host
+    rules. Fragments are excluded from the match target."""
+    robots = spark.createDataFrame(
+        [
+            ("q.example.com",
+             "User-agent: *\nDisallow: /search?q=\nDisallow: /app/*?\n"),
+        ],
+        "host string, content string",
+    )
+    rules = R.robots_rules(robots)
+    urls = spark.createDataFrame(
+        [
+            (1, "http://q.example.com/search?q=cats"),      # query rule
+            (2, "http://q.example.com/search"),             # no query
+            (3, "http://q.example.com/app/page?x=1"),       # /*? wildcard
+            (4, "http://q.example.com/app/page"),           # no query
+            (5, "http://q.example.com:8080/search?q=dogs"), # port-bearing
+            (6, "http://q.example.com/other?y=2"),          # unmatched
+        ],
+        "id long, url string",
+    )
+    got = {
+        r.id: r.robots_allowed
+        for r in R.robots_gate(urls, rules, agent="anybot").collect()
+    }
+    assert got[1] is False
+    assert got[2] is True
+    assert got[3] is False
+    assert got[4] is True
+    assert got[5] is False   # bare-host rules govern host:port URLs
+    assert got[6] is True

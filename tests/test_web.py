@@ -100,6 +100,9 @@ def test_canonical_url_rules(spark):
         (13, "http://ex.com/a%2Fb", "http://ex.com/a%2Fb"),
         # malformed escapes pass through byte-identical
         (14, "http://ex.com/x%zz%7", "http://ex.com/x%zz%7"),
+        # r13 (ADVICE r12): hex case of a RESERVED escape normalizes
+        # (RFC 3986 §6.2.2.1 — '%2f' and '%2F' are the same URI)
+        (15, "http://ex.com/a%2fb?k=%3d", "http://ex.com/a%2Fb?k=%3D"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, u, _ in cases], "id int, url string"
@@ -138,8 +141,9 @@ def test_parse_url_userinfo_split(spark):
 
 def test_percent_decode_unreserved(spark):
     """The RFC 3986 §6.2.2 unreserved decode, alone: every unreserved
-    class decodes (upper/lower hex both), every reserved or malformed
-    escape passes through byte-identical."""
+    class decodes (upper/lower hex both), reserved escapes stay
+    encoded with UPPERCASED hex (§6.2.2.1 case normalization, r13),
+    malformed escapes pass through byte-identical."""
     from pyspark.sql import functions as F
 
     cases = [
@@ -149,6 +153,7 @@ def test_percent_decode_unreserved(spark):
         (4, "%zz%7%", "%zz%7%"),  # malformed: kept
         (5, "plain", "plain"),
         (6, "", ""),
+        (7, "%2f%3f%26%3d", "%2F%3F%26%3D"),  # reserved: hex uppercased
     ]
     df = spark.createDataFrame([(i, s) for i, s, _ in cases], "id int, s string")
     got = {
