@@ -80,38 +80,62 @@ def test_extract_html_operator_dead_letters_null(spark):
 
 def test_warc_to_html_to_text_composition(spark):
     """The full crawl-to-corpus chain: WARC file -> cracked response
-    -> decoded body -> extracted text + frontier links -> URL gate.
-    Every stage is an operator from this engine; this is the pipeline
-    the ingestion tier exists for."""
+    -> decoded body (all three wire encodings: identity, gzip
+    Content-Encoding, chunked Transfer-Encoding + ISO-8859-1 charset —
+    r13, VERDICT r12 #1) -> extracted text + frontier links -> URL
+    gate. Every stage is an operator from this engine; this is the
+    pipeline the ingestion tier exists for."""
     from pyspark.sql import functions as F
 
     from sparkgraft import warc as WC
     from sparkgraft import web as W
 
-    page = (
-        "<html><head><title>Page</title></head><body><p>hello crawl</p>"
-        '<a href="https://next.example.com/b?utm_source=x">more</a>'
-        "</body></html>"
-    ).encode()
-    f = WC.build_warc_file(
-        [WC.build_warc_record(
-            "response", WC.build_http_response(body=page),
-            url="https://site.example.com/a",
-        )],
-        gzip_members=True,
-    )
+    def page(n: int, body_text: str) -> str:
+        return (
+            f"<html><head><title>Page {n}</title></head>"
+            f"<body><p>{body_text}</p>"
+            f'<a href="https://next.example.com/{n}?utm_source=x">more</a>'
+            "</body></html>"
+        )
+
+    records = [
+        WC.build_warc_record(
+            "response",
+            WC.build_http_response(body=page(1, "hello crawl").encode()),
+            url="https://site.example.com/1",
+        ),
+        WC.build_warc_record(
+            "response",
+            WC.build_http_response(
+                body=page(2, "gzipped crawl").encode(),
+                content_encoding="gzip",
+            ),
+            url="https://site.example.com/2",
+        ),
+        WC.build_warc_record(
+            "response",
+            WC.build_http_response(
+                body=page(3, "café crawl").encode("iso-8859-1"),
+                content_type="text/html; charset=ISO-8859-1",
+                chunked=True, chunk_size=13,
+            ),
+            url="https://site.example.com/3",
+        ),
+    ]
+    f = WC.build_warc_file(records, gzip_members=True)
     files = spark.createDataFrame(
         [(1, bytearray(f))], "file_id long, payload binary"
     )
     responses = WC.warc_responses(files).where(F.col("warc_error").isNull())
     pages = responses.select(
-        F.col("file_id").alias("doc_id"),
-        F.decode(F.col("body"), "UTF-8").alias("html"),
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("text_body").alias("html"),
     )
     out = H.extract_html(pages)
-    row = out.collect()[0]
-    assert row.text == "hello crawl more"
-    assert row.title == "Page"
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].text == "hello crawl more" and rows[1].title == "Page 1"
+    assert rows[2].text == "gzipped crawl more" and rows[2].title == "Page 2"
+    assert rows[3].text == "café crawl more" and rows[3].title == "Page 3"
     frontier = (
         out.select(F.explode("links").alias("url"))
         .select(
@@ -119,7 +143,78 @@ def test_warc_to_html_to_text_composition(spark):
             W.url_filter("url")["keep"].alias("keep"),
             W.canonical_url("url").alias("canonical_url"),
         )
+        .orderBy("canonical_url")
         .collect()
     )
-    assert frontier[0].keep is True
-    assert frontier[0].canonical_url == "https://next.example.com/b"
+    assert all(r.keep is True for r in frontier)
+    assert [r.canonical_url for r in frontier] == [
+        f"https://next.example.com/{n}" for n in (1, 2, 3)
+    ]
+
+
+def test_html_base_href_and_resolve_links():
+    """<base href> capture (first wins, per the HTML spec) and the
+    frontier resolution helper: base href is itself resolved against
+    the record URL before the links resolve against it."""
+    page = (
+        '<html><head><base href="/base/dir/"><base href="/second/">'
+        '</head><body><a href="rel/x">r</a><a href="../up">u</a>'
+        '<a href="https://abs.example.com/a">a</a></body></html>'
+    )
+    assert H.html_base_href(page) == "/base/dir/"
+    assert H.html_base_href("<p>no base</p>") is None
+    got = H.resolve_links(
+        "http://site.example.com/a/b/page.html",
+        H.html_links(page),
+        H.html_base_href(page),
+    )
+    assert got == [
+        "http://site.example.com/base/dir/rel/x",
+        "http://site.example.com/base/up",
+        "https://abs.example.com/a",
+    ]
+    # relative base href resolves against the record URL first
+    assert H.resolve_links(
+        "http://s.example.com/d1/d2/p.html", ["x"], "sub/"
+    ) == ["http://s.example.com/d1/d2/sub/x"]
+    # no base element: the record URL is the base
+    assert H.resolve_links(
+        "http://s.example.com/d1/p.html", ["x", "/y", "//h.example.com/z"]
+    ) == [
+        "http://s.example.com/d1/x",
+        "http://s.example.com/y",
+        "http://h.example.com/z",
+    ]
+    # no record URL: nothing to resolve against
+    assert H.resolve_links(None, ["a/b"], "/base/") == ["a/b"]
+
+
+def test_extract_html_resolved_operator(spark):
+    """extract_html(url_col=...): the same Arrow pass emits the
+    record URL, base_href, and RFC-3986-resolved frontier; NULL html
+    and NULL url dead-letter per the codec convention."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "http://a.example.com/d/p.html",
+         '<a href="x">1</a><a href="../y?q=1#f">2</a>'),
+        (2, "http://b.example.com/d/p.html",
+         '<head><base href="http://cdn.example.com/lib/"></head>'
+         '<a href="x">1</a>'),
+        (3, "http://c.example.com/p.html", None),
+        (4, None, '<a href="rel">r</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    out = {r.doc_id: r for r in H.extract_html(df, url_col="url").collect()}
+    assert list(out[1].resolved_links) == [
+        "http://a.example.com/d/x", "http://a.example.com/y?q=1#f",
+    ]
+    assert out[2].base_href == "http://cdn.example.com/lib/"
+    assert list(out[2].resolved_links) == ["http://cdn.example.com/lib/x"]
+    assert out[3].resolved_links is None and out[3].text is None
+    assert list(out[4].resolved_links) == ["rel"]  # unresolvable: raw
+    # the unresolved shape still carries base_href
+    out5 = H.extract_html(
+        df.where(F.col("html").isNotNull()).drop("url")
+    ).collect()
+    assert {tuple(r.links or []) for r in out5} == {("x", "../y?q=1#f"), ("x",), ("rel",)}

@@ -252,3 +252,37 @@ def test_domain_cap_sample_exact_and_skew_safe(spark):
     assert len(by_rd["big.co.uk"]) == 3
     assert len(by_rd["example.com"]) == 3
     assert len(by_rd[None]) == 3
+
+
+def test_resolve_url_rfc3986_examples():
+    """The RFC's own §5.4.1 (normal) and §5.4.2 (abnormal) reference
+    resolution matrix, verbatim, against base http://a/b/c/d;p?q —
+    plus the strict-parser case ('http:g' stays 'http:g')."""
+    base = "http://a/b/c/d;p?q"
+    cases = {
+        "g:h": "g:h", "g": "http://a/b/c/g", "./g": "http://a/b/c/g",
+        "g/": "http://a/b/c/g/", "/g": "http://a/g", "//g": "http://g",
+        "?y": "http://a/b/c/d;p?y", "g?y": "http://a/b/c/g?y",
+        "#s": "http://a/b/c/d;p?q#s", "g#s": "http://a/b/c/g#s",
+        "g?y#s": "http://a/b/c/g?y#s", ";x": "http://a/b/c/;x",
+        "g;x": "http://a/b/c/g;x", "g;x?y#s": "http://a/b/c/g;x?y#s",
+        "": "http://a/b/c/d;p?q", ".": "http://a/b/c/",
+        "./": "http://a/b/c/", "..": "http://a/b/", "../": "http://a/b/",
+        "../g": "http://a/b/g", "../..": "http://a/", "../../": "http://a/",
+        "../../g": "http://a/g",
+        "../../../g": "http://a/g", "../../../../g": "http://a/g",
+        "/./g": "http://a/g", "/../g": "http://a/g",
+        "g.": "http://a/b/c/g.", ".g": "http://a/b/c/.g",
+        "g..": "http://a/b/c/g..", "..g": "http://a/b/c/..g",
+        "./../g": "http://a/b/g", "./g/.": "http://a/b/c/g/",
+        "g/./h": "http://a/b/c/g/h", "g/../h": "http://a/b/c/h",
+        "g;x=1/./y": "http://a/b/c/g;x=1/y", "g;x=1/../y": "http://a/b/c/y",
+        "g?y/./x": "http://a/b/c/g?y/./x", "g?y/../x": "http://a/b/c/g?y/../x",
+        "g#s/./x": "http://a/b/c/g#s/./x", "g#s/../x": "http://a/b/c/g#s/../x",
+        "http:g": "http:g",
+    }
+    for ref, want in cases.items():
+        got = W.resolve_url(base, ref)
+        assert got == want, (ref, got, want)
+    # empty base path + relative ref: merge hangs a '/' (§5.2.3)
+    assert W.resolve_url("http://h", "x") == "http://h/x"
