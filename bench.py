@@ -45,7 +45,7 @@ HEADLINE = [
     "ngram_jaccard_near_dups",
     "minhash_lsh_near_dups",
     "simhash_by_doc",
-    "embedding_near_dup_pairs",
+    # (embedding_near_dup_pairs retired r13 — see the r13 rotation note)
     "embedding_near_dup_lsh_planted",
     "ann_lsh_top1_planted",
     # r6 second-continuation promotion (rotation policy; the other
@@ -71,7 +71,7 @@ HEADLINE = [
     "semantic_dedup_planted",
     "bm25_doc_retrieval",
     "hybrid_bm25_cosine_rrf",
-    "user_next_event_pairs",
+    # (user_next_event_pairs retired r13 — see the r13 rotation note)
     "user_decayed_engagement",
     "perceptual_near_dup_planted",
     # r9 rotation (VERDICT r8 #1/#6): doc_embedding_profile,
@@ -105,6 +105,18 @@ HEADLINE = [
     # quantizer-refresh front door (two-frame snapshot drift).
     "web_url_canonical_dedup",
     "embedding_snapshot_drift",
+    # r13 rotation (VERDICT r12 #5): embedding_near_dup_pairs (active
+    # since r1; exact-cosine machinery stays benched via the planted
+    # LSH, semantic-dedup and hybrid rows) and user_next_event_pairs
+    # (five-round-stable; lead-window machinery rides user_sessions /
+    # user_value_twa_daily) retired; promoted: the end-to-end
+    # crawl-to-corpus flagship (VERDICT r12 #4 — WARC crack -> body
+    # decode -> HTML extract -> robots gate -> URL gate -> canonical
+    # dedup -> domain cap -> quality gate as ONE plan) and the RFC
+    # 9309 robots gate (its r12 12.2s addendum row adjudicated via the
+    # headline's warm passes — VERDICT r12 #3).
+    "crawl_to_corpus",
+    "robots_url_gate",
     # r9 headline-coverage close (VERDICT r8 #4): every ACTIVE query is
     # now benched EXCEPT the documented exclusion rule below —
     # iterative fixpoint queries (near_dup_quality_keep,
@@ -377,12 +389,42 @@ def main() -> int:
         "canary": canary,
         "sf": sf,
     }
+    # Artifact discipline (r13, VERDICT r12 #6): every run writes its
+    # OWN timestamped detail file, and the canonical
+    # BENCH_latest_local.json — the committed quiet-host control the
+    # round-over-round comparisons divide by — is only updated when
+    # this run's canary is NOT >20% slower than the control's (a
+    # contended run can add a new artifact but can never mutate the
+    # quiet control in place; a quieter-or-equal run refreshes it).
+    control_updated = False
     try:
         art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "artifacts")
         os.makedirs(art, exist_ok=True)
-        with open(os.path.join(art, "BENCH_latest_local.json"), "w") as f:
+        runid = time.strftime("%Y%m%d-%H%M%S")
+        with open(
+            os.path.join(art, f"BENCH_latest_local.{runid}.json"), "w"
+        ) as f:
             json.dump(detail, f, indent=1)
+        canonical = os.path.join(art, "BENCH_latest_local.json")
+        update = True
+        if os.path.exists(canonical):
+            with open(canonical) as f:
+                old = json.load(f) or {}
+            old_canary = old.get("canary", {})
+            old_spark = min(
+                old_canary.get("spark_pre", float("inf")),
+                old_canary.get("spark_post", float("inf")),
+            )
+            new_spark = min(canary["spark_pre"], canary["spark_post"])
+            if old.get("sf") != sf:
+                update = False  # a smoke run at another SF is no control
+            elif old_spark != float("inf") and new_spark > 1.2 * old_spark:
+                update = False  # contended: keep the quiet control
+        if update:
+            with open(canonical, "w") as f:
+                json.dump(detail, f, indent=1)
+            control_updated = True
     except Exception:
         pass  # artifact write is diagnostics, never a bench failure
     compact = {
@@ -392,6 +434,7 @@ def main() -> int:
         "queries": timings,
         "canary": canary,
         "sf": sf,
+        "ctl": int(control_updated),  # 0 = contended run, quiet control kept
     }
     if jitter_flags:
         # compact form: "jitter/p5" per query (the full objects ride the

@@ -135,6 +135,11 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # next-event-prediction models — every (current, next) transition
     # within a session gap, recomputed via the identical lead window
     # in SQL.
+    # Retired r13 (slot rotation, VERDICT r12 #5): five-round-stable;
+    # the lead-window machinery stays driver-exercised by
+    # user_sessions and user_value_twa_daily. Slot funds the
+    # robots_url_gate promotion.
+    retired=True,
     oracle="""
     WITH ordered AS (
         SELECT user_id, event_id, event_type, ts,

@@ -33,13 +33,14 @@ _ROBOTS = (
 
 @register(
     "robots_url_gate",
-    # NEW r12 retired tier: RFC 9309 politeness as data. Verdict
+    # NEW r12 retired tier; PROMOTED to the active driver gate r13
+    # (VERDICT r12 #5, slot funded by retiring the five-round-stable
+    # user_next_event_pairs). RFC 9309 politeness as data. Verdict
     # matrix stated directly by the oracle: for the UNLISTED agent the
     # '*' group blocks /private/ but its longer Allow re-admits
     # /private/public/ (longest-match precedence), /bot-only/ is
     # untouched; for graftbot the exact group governs alone — only
     # /bot-only/ blocked, the '*' rules must not leak.
-    retired=True,
     oracle="""
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            'http://h' || CAST(CAST(doc_id % 5 AS INT) AS VARCHAR)

@@ -66,7 +66,13 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_near_dup_pairs",
-    f"""
+    # Retired r13 (slot rotation, VERDICT r12 #5): active since r1 and
+    # hash-green every round; the exact-cosine machinery stays
+    # driver-exercised by embedding_near_dup_lsh_planted,
+    # semantic_dedup_planted, and the hybrid row. Slot funds the
+    # crawl_to_corpus flagship promotion.
+    retired=True,
+    oracle=f"""
     WITH scored AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                {_cos('a.embedding', 'b.embedding')} AS cos_sim

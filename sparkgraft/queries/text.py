@@ -68,6 +68,75 @@ def doc_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The r13 multilingual plant (VERDICT r12 #7): once the charset decode
+# tier landed, the corpus stopped being ASCII-by-construction, so the
+# quality tier's whitespace/tokenizer classes must agree between Java
+# and RE2 on NON-ASCII input. The suffix plants every divergence
+# candidate: accented Latin, CJK, an IDEOGRAPHIC SPACE (U+3000 — in
+# NEITHER engine's \s, so it glues one symbol run), Hangul, a \x0b
+# vertical tab (Java's \s has it, RE2's does NOT — the classes are now
+# explicit on the Spark side so both engines keep it), guillemets, and
+# a no-break space (U+00A0 — whitespace in neither).
+_ML_SUFFIX = (
+    " Zürich café 東京　データ 데이터\x0b«ciao» fin"
+)
+_ML_SUFFIX_SQL = (
+    "' Zürich café 東京　データ 데이터' || chr(11) || "
+    "'«ciao» fin'"
+)
+
+
+@register(
+    "doc_quality_multilingual",
+    # NEW r13 retired tier: the doc_quality_metrics contract re-proved
+    # on non-ASCII text — same metric expressions, same oracle shape,
+    # over text || the multilingual suffix. Any Java-vs-RE2 class
+    # divergence (\x0b in \s, unicode whitespace, \w width) shifts
+    # n_punct / token counts and hash-mismatches.
+    retired=True,
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               coalesce(text, '') || {_ML_SUFFIX_SQL} AS t
+        FROM documents
+    ), m AS (
+        SELECT doc_id, t,
+               string_split(trim(regexp_replace(lower(t),
+                   '\\s+', ' ', 'g')), ' ') AS tok,
+               length(t) AS n_chars,
+               length(t)
+                 - length(regexp_replace(t, '[^\\w\\s]', '', 'g'))
+                 AS n_punct
+        FROM base
+    )
+    SELECT doc_id, n_chars,
+           len(tok) AS n_tokens,
+           round(n_punct / nullif(n_chars, 0), 6) AS punct_ratio,
+           round(list_sum(list_transform(tok, t -> length(t)))
+                 / nullif(len(tok), 0), 6) AS mean_token_len
+    FROM m
+    """,
+)
+def doc_quality_multilingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metrics over multilingual text: every document's text
+    carries the planted non-ASCII suffix, and the SAME codegen
+    expressions as doc_quality_metrics must produce the SAME counts
+    the DuckDB (RE2) twin computes — the proof that the explicit
+    whitespace classes hold off Java's \\x0b divergence and that
+    unicode spaces (U+3000, U+00A0) are data, not separators, in both
+    engines."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    t = F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(_ML_SUFFIX))
+    m = T.quality_metrics(t)
+    return docs.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["mean_token_len"].alias("mean_token_len"),
+    )
+
+
 @register(
     "doc_lang_id",
     # RETIRED r5 (two-round-stable; slot freed for ann_lsh_top1_planted,

@@ -546,8 +546,11 @@ def fuzzy_join_token_blocked(
         raise ValueError("max_dist must be >= 0")
 
     def postings(df, col, idc):
+        # explicit whitespace class == RE2's \s (excludes \x0B, which
+        # Java's \s would also split on) — keeps the DuckDB oracle
+        # twins byte-equivalent on every input (r13, VERDICT r12 #7)
         toks = F.filter(
-            F.split(F.trim(F.lower(F.col(col))), r"\s+"),
+            F.split(F.trim(F.lower(F.col(col))), r"[ \t\n\r\f]+"),
             lambda t: F.length(t) >= min_token_len,
         )
         return df.select(

@@ -39,7 +39,13 @@ __all__ = [
 # BPE-ish pretokenizer classes: letter runs, digit runs, non-space
 # symbol runs — the coarse shape GPT-style pretokenizers split on,
 # restricted to constructs Java regex and RE2 treat identically.
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+# Whitespace is the EXPLICIT class, not Java's \s (r13, VERDICT r12
+# #7): Java \s includes \x0B where RE2/DuckDB \s does not, so a \v in
+# the text would tokenize differently under the two engines; the
+# explicit set IS RE2's \s, making the DuckDB oracles' '\s' twins
+# byte-equivalent on every input.
+_WS_CLASS = " \\t\\n\\r\\f"
+BPE_ISH_PATTERN = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS_CLASS}]+"
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Deliberately small and embedded: broadcast as literals into the plan.
@@ -56,8 +62,13 @@ def _col(c: Column | str) -> Column:
 
 
 def normalize_text(text: Column | str) -> Column:
-    """Canonical form for hashing: lowercase, whitespace collapsed."""
-    return F.trim(F.regexp_replace(F.lower(_col(text)), r"\s+", " "))
+    """Canonical form for hashing: lowercase, whitespace collapsed —
+    the explicit ASCII class (== RE2's \\s, excludes \\x0B; see
+    BPE_ISH_PATTERN) so the DuckDB '\\s+' twins agree on every
+    input."""
+    return F.trim(
+        F.regexp_replace(F.lower(_col(text)), rf"[{_WS_CLASS}]+", " ")
+    )
 
 
 def tokens(text: Column | str) -> Column:
@@ -172,10 +183,14 @@ def quality_metrics(text: Column | str) -> dict[str, Column]:
     tok = tokens(t)
     n_chars = F.coalesce(F.length(t), F.lit(0)).cast("bigint")
     n_tokens = F.size(tok).cast("bigint")
-    # punctuation = anything outside \w and \s (ASCII classes both engines)
+    # punctuation = anything outside \w and whitespace (explicit class
+    # == RE2's \s — Java's would shelter \x0B from the punct count)
     n_punct = (
         F.coalesce(F.length(t), F.lit(0))
-        - F.coalesce(F.length(F.regexp_replace(t, r"[^\w\s]", "")), F.lit(0))
+        - F.coalesce(
+            F.length(F.regexp_replace(t, rf"[^\w{_WS_CLASS}]", "")),
+            F.lit(0),
+        )
     ).cast("bigint")
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     n_stop = F.size(F.filter(tok, lambda x: F.array_contains(en_stop, x))).cast(
@@ -450,7 +465,12 @@ def c4_line_filter(
         for p in C4_TERMINAL:
             punct_ok = punct_ok | lt.endswith(p)
         n_w = F.when(lt == "", F.lit(0)).otherwise(
-            F.size(F.split(F.trim(F.regexp_replace(l, r"\s+", " ")), " "))
+            F.size(
+                F.split(
+                    F.trim(F.regexp_replace(l, rf"[{_WS_CLASS}]+", " ")),
+                    " ",
+                )
+            )
         )
         clean = ~low.contains("{") & ~low.contains("}")
         for bad in C4_BAD_SUBSTRINGS:

@@ -218,3 +218,31 @@ def test_extract_html_resolved_operator(spark):
         df.where(F.col("html").isNotNull()).drop("url")
     ).collect()
     assert {tuple(r.links or []) for r in out5} == {("x", "../y?q=1#f"), ("x",), ("rel",)}
+
+
+def test_html_multilingual_normal_form():
+    """r13 (VERDICT r12 #7): with the charset decode tier the corpus
+    is no longer ASCII-by-construction — the extractor's whitespace
+    normal form must match the DuckDB oracle form
+    (trim(regexp_replace(x,'\\s+',' ','g'))) on NON-ASCII pages:
+    CJK (no spaces), accented Latin, &nbsp; (U+00A0), ideographic
+    space (U+3000), and \\x0b — none of which are ASCII whitespace in
+    either engine."""
+    import duckdb
+
+    cases = [
+        "東京は日本の首都です",          # CJK, zero whitespace
+        "Zürich café naïve Grüße",
+        "a\u00a0b\u00a0c",            # no-break space survives
+        "漢字\u3000かな",              # ideographic space survives
+        "x\x0by z",                      # \v survives (HTML spec set)
+        "mixed 東京 text  with\truns",
+    ]
+    for raw in cases:
+        page = f"<html><body><p>{raw}</p></body></html>"
+        got = H.html_to_text(page)
+        want = duckdb.sql(
+            "SELECT trim(regexp_replace(?, '\\s+', ' ', 'g'))",
+            params=[raw],
+        ).fetchone()[0]
+        assert got == want, (raw, got, want)

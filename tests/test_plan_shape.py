@@ -76,7 +76,8 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "ngram_jaccard_near_dups": (8, 3),
     "minhash_lsh_near_dups": (8, 3),
     "simhash_by_doc": (1, 0),
-    "embedding_near_dup_pairs": (9, 4),
+    # (embedding_near_dup_pairs' (9, 4) pin moved to R6_OP_PINS when
+    # retired, r13)
     # planted variant: same banded-LSH plan over the unioned planted
     # view (union adds no exchange — both branches scan in place)
     "embedding_near_dup_lsh_planted": (8, 3),
@@ -120,8 +121,8 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # fully-oracled hybrid: gated BM25 arm (see above) + the exact
     # cosine arm (the knn broadcast-query BNLJ tier) + decimal fusion
     "hybrid_bm25_cosine_rrf": (48, 4),
-    # one user-keyed window shuffle generates every training pair
-    "user_next_event_pairs": (1, 0),
+    # (user_next_event_pairs' (1, 0) pin moved to R6_OP_PINS when
+    # retired, r13)
     # allow-listed 1-row max-ts anchor broadcast (A5) + one per-user
     # map-side-combinable aggregate
     "user_decayed_engagement": (3, 0),
@@ -179,6 +180,18 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # dimension-mean aggregate + per-label dot aggregate + the counts
     # aggregate and its label join (AQE broadcasts the tiny side)
     "embedding_snapshot_drift": (4, 0),
+    # r13 promotions. robots_url_gate: its R6_OP_PINS shape moved here
+    # unchanged — every exchange is on the RULES side (Arrow parse,
+    # has-exact distinct, per-host array aggregate, broadcast) x two
+    # agents; the URL side takes zero shuffles beyond the spread.
+    "robots_url_gate": (9, 4),
+    # NEW r13 flagship: the full crawl chain in one plan — spread +
+    # two rules-side aggregates, then the ONLY corpus-side shuffles:
+    # the canonical-dedup groupBy and the cap's two bounded-rank
+    # windows; the two BHJs are the rules-side has-exact join and the
+    # broadcast rules-onto-URLs gate join. Build/crack/extract are
+    # three Arrow MapInPandas passes, never BatchEvalPython.
+    "crawl_to_corpus": (8, 2),
 }
 
 # Exact tiers that legitimately broadcast a bounded side against every
@@ -512,12 +525,20 @@ R6_OP_PINS = [
     # only; the page build is row-local codegen and the extractor is
     # one Arrow MapInPandas pass
     ("html_text_extraction", 1, False),
-    # NEW r12 retired tier: RFC 9309 robots gate, twice (two agents).
-    # Every exchange is on the RULES side (Arrow parse, the has-exact
-    # distinct, the per-host array aggregate, the broadcast) — the URL
-    # side takes zero shuffles beyond the spread; the verdict is a
-    # broadcast hash join + a row-local argmax fold
-    ("robots_url_gate", 9, False),
+    # (robots_url_gate's pin moved to PLAN_PINS when promoted to the
+    # bench headline, r13)
+    # NEW r13 retired tier: RFC 3986 reference resolution — spread
+    # only; page build is row-local codegen, parse+resolve is ONE
+    # Arrow MapInPandas pass, posexplode row-local
+    ("html_link_resolution", 1, False),
+    # NEW r13 retired tier: multilingual quality metrics — the gate
+    # rides the scan (spread only), every class explicit-ASCII codegen
+    ("doc_quality_multilingual", 1, False),
+    # r13 rotation retirements: shapes stay pinned after leaving the
+    # headline. near-dup pairs: the blocked numpy candidate plan (no
+    # CartesianProduct); next-event pairs: one user-keyed window
+    ("embedding_near_dup_pairs", 9, False),
+    ("user_next_event_pairs", 1, False),
 ]
 
 

@@ -286,3 +286,48 @@ def test_resolve_url_rfc3986_examples():
         assert got == want, (ref, got, want)
     # empty base path + relative ref: merge hangs a '/' (§5.2.3)
     assert W.resolve_url("http://h", "x") == "http://h/x"
+
+
+def test_registrable_domain_full_list_scale(spark):
+    """r13 (VERDICT r12 #8): PSL_SNAPSHOT is a curated subset, but the
+    operator must take the FULL ~10k-rule public list as a drop-in
+    `rules=` argument without plan blowup — the rule lists are two
+    plan-embedded literal arrays probed with array_contains, so rule
+    count scales the literals, not the expression tree. Synthesizes a
+    full-list-sized rule set (plain + wildcard + exception forms) and
+    checks the algorithm end to end through it."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    rules = tuple(
+        f"l2-{i}.tld{i % 60}" for i in range(9000)
+    ) + tuple(
+        f"*.wild{i}.tld{i % 60}" for i in range(500)
+    ) + tuple(
+        f"!keep{i}.wild{i}.tld{i % 60}" for i in range(500)
+    ) + ("co.uk",)
+    hosts = [
+        (1, "site.l2-4242.tld42", "site.l2-4242.tld42"),     # plain rule
+        (2, "a.b.wild7.tld7", "a.b.wild7.tld7"),             # wildcard: 1 extra label
+        (3, "x.keep7.wild7.tld7", "keep7.wild7.tld7"),       # exception cancels
+        (4, "example.co.uk", "example.co.uk"),
+        (5, "plain.com", "plain.com"),                       # implicit *
+        (6, "l2-1.tld1", None),                              # bare suffix
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in hosts], "id int, host string"
+    )
+    t0 = time.time()
+    got = {
+        r.id: r.rd
+        for r in df.select(
+            "id", W.registrable_domain("host", rules=rules).alias("rd")
+        ).collect()
+    }
+    elapsed = time.time() - t0
+    for i, _, want in hosts:
+        assert got[i] == want, (i, got[i], want)
+    # plan build + execution over 10k plan-literal rules stays cheap
+    # (seconds, not minutes — a blowup here is an expression-tree bug)
+    assert elapsed < 60, f"10k-rule plan took {elapsed:.1f}s"
