@@ -36,6 +36,7 @@ __all__ = [
     "html_title",
     "html_links",
     "html_base_href",
+    "html_meta",
     "resolve_links",
     "extract_html",
     "HTML_EXTRACT_SCHEMA",
@@ -85,6 +86,9 @@ class _Extractor(HTMLParser):
         self.links: list[str] = []
         self.title: str | None = None
         self.base_href: str | None = None
+        self.canonical_href: str | None = None
+        self.meta_robots: str | None = None
+        self.meta_description: str | None = None
         self._skip_depth = 0
         self._in_title = False
 
@@ -102,6 +106,26 @@ class _Extractor(HTMLParser):
                     if k == "href" and v:
                         self.base_href = v
                         break
+            elif tag == "link" and self.canonical_href is None:
+                # rel="canonical" (RFC 6596): the page's OWN dedup
+                # hint — rel is a space-separated token list, matched
+                # case-insensitively; first canonical link wins (r13)
+                a = dict(attrs)
+                rel = (a.get("rel") or "").lower().split()
+                if "canonical" in rel and a.get("href"):
+                    self.canonical_href = a["href"]
+            elif tag == "meta":
+                a = dict(attrs)
+                name = (a.get("name") or "").lower()
+                content = a.get("content")
+                if name == "robots" and content and self.meta_robots is None:
+                    self.meta_robots = content
+                elif (
+                    name == "description"
+                    and content
+                    and self.meta_description is None
+                ):
+                    self.meta_description = content
             return
         if tag in _SKIP_ELEMENTS:
             self._skip_depth += 1
@@ -164,6 +188,23 @@ def html_base_href(html: str) -> str | None:
     return _parse(html).base_href
 
 
+def html_meta(html: str) -> dict:
+    """The page's machine-readable curation signals (r13):
+    ``canonical_href`` (``<link rel=canonical>``, RFC 6596 — the
+    page's OWN dedup hint, a URI-reference to resolve against the
+    record URL), ``meta_robots`` (``<meta name=robots content>`` —
+    ``noindex`` here is a page-level exclusion every polite corpus
+    pipeline honors, the robots.txt gate's in-document sibling), and
+    ``meta_description``. First occurrence wins for each; absent ->
+    None."""
+    p = _parse(html)
+    return {
+        "canonical_href": p.canonical_href,
+        "meta_robots": p.meta_robots,
+        "meta_description": p.meta_description,
+    }
+
+
 def resolve_links(
     record_url: str | None,
     links: list[str],
@@ -186,12 +227,15 @@ def resolve_links(
 
 HTML_EXTRACT_SCHEMA = (
     "doc_id long, text string, title string, links array<string>, "
-    "base_href string"
+    "base_href string, canonical_href string, meta_robots string, "
+    "meta_description string"
 )
 
 HTML_EXTRACT_RESOLVED_SCHEMA = (
     "doc_id long, url string, text string, title string, "
-    "links array<string>, base_href string, resolved_links array<string>"
+    "links array<string>, base_href string, canonical_href string, "
+    "meta_robots string, meta_description string, "
+    "resolved_links array<string>"
 )
 
 
@@ -217,29 +261,25 @@ def extract_html(
 
     resolved = url_col is not None
     # arrow column order must match the declared schema
+    _meta_cols = ["canonical_href", "meta_robots", "meta_description"]
     out_cols = (
         ["doc_id", "url", "text", "title", "links", "base_href",
-         "resolved_links"]
+         *_meta_cols, "resolved_links"]
         if resolved
-        else ["doc_id", "text", "title", "links", "base_href"]
+        else ["doc_id", "text", "title", "links", "base_href", *_meta_cols]
     )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            out: dict[str, list] = {
-                "doc_id": [], "text": [], "title": [], "links": [],
-                "base_href": [],
-            }
-            if resolved:
-                out["url"] = []
-                out["resolved_links"] = []
+            out: dict[str, list] = {c: [] for c in out_cols}
             for i, (did, html) in enumerate(zip(pdf[id_col], pdf[html_col])):
                 out["doc_id"].append(int(did))
                 url = pdf[url_col].iloc[i] if resolved else None
                 if resolved:
                     out["url"].append(url)
                 if html is None:
-                    for k in ("text", "title", "links", "base_href"):
+                    for k in ("text", "title", "links", "base_href",
+                              *_meta_cols):
                         out[k].append(None)
                     if resolved:
                         out["resolved_links"].append(None)
@@ -251,6 +291,9 @@ def extract_html(
                 )
                 out["links"].append(p.links)
                 out["base_href"].append(p.base_href)
+                out["canonical_href"].append(p.canonical_href)
+                out["meta_robots"].append(p.meta_robots)
+                out["meta_description"].append(p.meta_description)
                 if resolved:
                     out["resolved_links"].append(
                         resolve_links(

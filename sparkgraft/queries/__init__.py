@@ -42,6 +42,7 @@ from .registry import (  # noqa: F401
 # Import order = verification priority (newest / least-stable first),
 # per the coverage policy above. Each module registers its queries.
 from . import crawl  # noqa: E402,F401  (NEW r13: end-to-end crawl-to-corpus flagship, ACTIVE)
+from . import sitemap_queries  # noqa: E402,F401  (NEW r13: XML sitemap frontier, retired tier)
 from . import robots_queries  # noqa: E402,F401  (NEW r12 retired; robots_url_gate ACTIVE r13)
 from . import html_queries  # noqa: E402,F401  (NEW r12: HTML extraction round trip, retired tier)
 from . import warc_queries  # noqa: E402,F401  (NEW r12: WARC ingestion round trip, retired tier)

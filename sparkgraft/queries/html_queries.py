@@ -153,3 +153,115 @@ def html_link_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.col("link_no").cast("int").alias("link_no"), "resolved_url"
     )
+
+
+@register(
+    "html_meta_canonical_gate",
+    # NEW r13 retired tier: the page-level curation signals — <link
+    # rel=canonical> (RFC 6596) resolved per RFC 3986 against the
+    # record URL, and <meta name=robots> noindex exclusion. The
+    # EFFECTIVE dedup key is the page's own canonical hint when
+    # present, else its canonicalized record URL — the real-pipeline
+    # rule this tier exists for. All plants are residue functions; the
+    # oracle states key and verdict directly.
+    retired=True,
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(doc_id % 3 = 0 AS BOOLEAN) AS noindex,
+           (CASE WHEN doc_id % 4 = 1
+                 THEN 'http://site.example.com/canon/'
+                      || CAST((doc_id // 4) * 4 + 1 AS VARCHAR)
+                 WHEN doc_id % 4 = 2
+                 THEN 'http://other.example.com/c/'
+                      || CAST(doc_id AS VARCHAR)
+                 ELSE 'http://site.example.com/page/'
+                      || CAST(doc_id AS VARCHAR) END) AS effective_key
+    FROM documents
+    """,
+)
+def html_meta_canonical_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant per-doc pages: every third doc carries ``<meta
+    name=robots content="noindex, nofollow">``; ``%4==1`` docs carry a
+    RELATIVE rel=canonical (``/canon/<4k+1>`` — resolution against the
+    record URL is on the hash), ``%4==2`` an ABSOLUTE cross-host one.
+    One Arrow extract pass; the effective key folds row-locally:
+    resolve(record_url, canonical_href) when present, else
+    canonical_url(record_url) (the record URLs carry tracking noise
+    the canonicalizer must strip). Zero shuffles beyond the spread."""
+    did = F.col("doc_id")
+    did_s = did.cast("string")
+    url = F.concat(
+        F.lit("http://site.example.com/page/"), did_s,
+        F.lit("?utm_source=x"),
+    )
+    canon_tag = (
+        F.when(
+            did % 4 == 1,
+            F.concat(
+                F.lit('<link rel="canonical" href="/canon/'),
+                (F.floor(did / 4) * 4 + 1).cast("bigint").cast("string"),
+                F.lit('">'),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit('<link rel="canonical" href="http://other.example.com/c/'),
+                did_s,
+                F.lit('">'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    robots_tag = F.when(
+        did % 3 == 0,
+        F.lit('<meta name="robots" content="noindex, nofollow">'),
+    ).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit("<html><head>"), canon_tag, robots_tag,
+        F.lit("</head><body><p>doc "), did_s,
+        F.lit("</p></body></html>"),
+    )
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    pages = docs.select(
+        did.cast("bigint").alias("doc_id"),
+        url.alias("url"),
+        page.alias("html"),
+    )
+    ext = H.extract_html(pages, url_col="url")
+    # resolve the canonical hint in the SAME Arrow tier is overkill
+    # for a single reference — the RFC resolver runs row-local via a
+    # tiny second pass? No: the hint here is either absolute or
+    # root-relative, so the resolution is expressible row-locally:
+    # scheme://host + href when href starts with '/', href when it
+    # has a scheme, else resolved by the Python tier upstream. The
+    # general path (dot segments, relative dirs) is owned by
+    # extract_html(url_col=...).resolved_links and html_link_
+    # resolution; HERE the fold stays pure codegen.
+    from .. import web as W
+
+    p = W.parse_url("url")
+    resolved_canon = (
+        F.when(
+            F.col("canonical_href").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+            F.col("canonical_href"),
+        )
+        .when(
+            F.col("canonical_href").startswith("/"),
+            F.concat(
+                p["scheme"], F.lit("://"), p["host"], F.col("canonical_href")
+            ),
+        )
+        .otherwise(F.col("canonical_href"))
+    )
+    noindex = F.coalesce(
+        F.col("meta_robots").rlike(r"(^|[,\s])noindex([,\s]|$)"),
+        F.lit(False),
+    )
+    return ext.select(
+        "doc_id",
+        noindex.alias("noindex"),
+        F.coalesce(
+            resolved_canon, W.canonical_url("url")
+        ).alias("effective_key"),
+    )

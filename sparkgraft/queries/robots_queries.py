@@ -98,3 +98,96 @@ def robots_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gated.select(
         "doc_id", "url", "allowed_unlisted", "allowed_graftbot"
     )
+
+
+@register(
+    "robots_sitemap_frontier",
+    # NEW r13 retired tier: sitemap discovery — the sitemaps.org
+    # GLOBAL records surface from each host's robots.txt in file
+    # order, deduped, never splitting a User-agent group. The plant is
+    # a pure residue function (evens carry a second Sitemap line, one
+    # duplicate line planted everywhere must drop), so the oracle
+    # states the frontier rows directly.
+    retired=True,
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'http://h' || CAST(doc_id AS VARCHAR) || '.example.com/s'
+             || CAST(n AS VARCHAR) || '.xml' AS sitemap_url
+    FROM documents
+    CROSS JOIN (SELECT unnest(range(1, 3)) AS n) r
+    WHERE n = 1 OR doc_id % 2 = 0
+    """,
+)
+def robots_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant one robots.txt per document (s1 for all, s2 for evens, a
+    duplicate s1 line that must drop, Sitemap lines interleaved with
+    the agent group to prove they never split it), crack with
+    ``robots_sitemaps`` — one Arrow pass, no shuffle beyond the
+    spread."""
+    did = F.col("doc_id")
+    base = F.concat(
+        F.lit("http://h"), did.cast("string"), F.lit(".example.com")
+    )
+    content = F.concat(
+        F.lit("Sitemap: "), base, F.lit("/s1.xml\n"),
+        F.lit("User-agent: *\n"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("Sitemap: "), base, F.lit("/s2.xml\n")),
+        ).otherwise(F.lit("")),
+        F.lit("Disallow: /x\n"),
+        F.lit("Sitemap: "), base, F.lit("/s1.xml\n"),  # dup: dropped
+    )
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    robots = docs.select(
+        did.cast("string").alias("host"), content.alias("content")
+    )
+    out = R.robots_sitemaps(robots)
+    return out.select(
+        F.col("host").cast("bigint").alias("doc_id"), "sitemap_url"
+    )
+
+
+@register(
+    "robots_crawl_delay_rows",
+    # NEW r13 retired tier: the politeness RATE companion to the gate
+    # — per-(host, agent) Crawl-delay seconds, group-bound (a delay
+    # planted in the '*' group must not leak to the exact group and
+    # vice versa), first-valid-value-wins, soup skipped. All residue
+    # functions; the oracle states the rows.
+    retired=True,
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, agent,
+           CAST(CASE WHEN agent = '*'
+                     THEN (doc_id % 5) + 1 ELSE 0.5 END AS DOUBLE)
+             AS crawl_delay_sec
+    FROM documents
+    CROSS JOIN (SELECT unnest(['*', 'graftbot']) AS agent) a
+    WHERE agent = '*' OR doc_id % 3 = 0
+    """,
+)
+def robots_crawl_delay_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant a '*' group delay of ``(doc_id % 5) + 1`` (preceded by a
+    soup value that must be skipped) and, on every third doc, a
+    graftbot group with delay 0.5; crack with ``robots_crawl_delays``
+    — one Arrow pass."""
+    did = F.col("doc_id")
+    content = F.concat(
+        F.lit("User-agent: *\nCrawl-delay: soup\nCrawl-delay: "),
+        ((did % 5) + 1).cast("int").cast("string"),
+        F.lit("\nDisallow: /x\n"),
+        F.when(
+            did % 3 == 0,
+            F.lit("\nUser-agent: graftbot\nCrawl-delay: 0.5\n"),
+        ).otherwise(F.lit("")),
+    )
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    robots = docs.select(
+        did.cast("string").alias("host"), content.alias("content")
+    )
+    out = R.robots_crawl_delays(robots)
+    return out.select(
+        F.col("host").cast("bigint").alias("doc_id"),
+        "agent",
+        "crawl_delay_sec",
+    )

@@ -40,21 +40,36 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "parse_robots",
+    "parse_robots_directives",
     "pattern_to_regex",
     "robots_rules",
     "robots_gate",
+    "robots_sitemaps",
+    "robots_crawl_delays",
     "ROBOTS_RULE_SCHEMA",
+    "ROBOTS_SITEMAP_SCHEMA",
+    "ROBOTS_DELAY_SCHEMA",
 ]
 
 
-def parse_robots(content: str) -> list[tuple[str, bool, str]]:
-    """Parse one robots.txt into ``(agent_lower, allow, pattern)``
-    rows. Comments (``#``) stripped, unknown directives ignored,
-    consecutive ``User-agent`` lines share the following rule block,
-    empty patterns dropped (an empty Disallow is the RFC's explicit
-    allow-everything no-op). Tolerant: a malformed line is skipped,
-    never an error — the public web's robots files are ~40% soup."""
+def parse_robots_directives(content: str) -> dict:
+    """Parse one robots.txt into ``{"rules": [(agent_lower, allow,
+    pattern)], "sitemaps": [url], "crawl_delays": {agent_lower:
+    seconds}}``. Comments (``#``) stripped, unknown directives
+    ignored, consecutive ``User-agent`` lines share the following rule
+    block, empty patterns dropped (an empty Disallow is the RFC's
+    explicit allow-everything no-op). ``Sitemap`` records are GLOBAL
+    (the sitemaps.org protocol: not tied to any group — collected in
+    file order, duplicates dropped); ``Crawl-delay`` is the
+    conventional non-standard group-member directive — it binds to the
+    current agent group (and, like Allow/Disallow, ends the
+    agent-collection phase), first value per agent wins, non-numeric
+    values are soup and skipped. Tolerant throughout: a malformed line
+    is skipped, never an error — the public web's robots files are
+    ~40% soup."""
     rules: list[tuple[str, bool, str]] = []
+    sitemaps: list[str] = []
+    delays: dict[str, float] = {}
     agents: list[str] = []
     collecting_agents = True
     for raw in (content or "").splitlines():
@@ -75,16 +90,34 @@ def parse_robots(content: str) -> list[tuple[str, bool, str]]:
         elif key in ("allow", "disallow"):
             # ONLY group-member rules end the agent-collection phase:
             # RFC 9309 §2.2.2 requires unrecognized lines not to
-            # interfere with group parsing, so a Sitemap/Crawl-delay
-            # line BETWEEN consecutive User-agent lines must not split
-            # the group (ADVICE r12 — it used to).
+            # interfere with group parsing, so a Sitemap line BETWEEN
+            # consecutive User-agent lines must not split the group
+            # (ADVICE r12 — it used to).
             collecting_agents = False
             if val:
                 for a in agents:
                     rules.append((a, key == "allow", val))
-        # sitemap, crawl-delay, soup: ignored entirely — neither a rule
-        # nor a group boundary
-    return rules
+        elif key == "crawl-delay":
+            collecting_agents = False  # group-member directive
+            try:
+                secs = float(val)
+            except ValueError:
+                continue
+            if secs >= 0:
+                for a in agents:
+                    delays.setdefault(a, secs)
+        elif key == "sitemap":
+            # global record: group context is NOT touched (§2.2.2)
+            if val and val not in sitemaps:
+                sitemaps.append(val)
+        # anything else: soup — neither a rule nor a group boundary
+    return {"rules": rules, "sitemaps": sitemaps, "crawl_delays": delays}
+
+
+def parse_robots(content: str) -> list[tuple[str, bool, str]]:
+    """The Allow/Disallow rule rows of :func:`parse_robots_directives`
+    (the original r12 surface; the gate consumes exactly these)."""
+    return parse_robots_directives(content)["rules"]
 
 
 def pattern_to_regex(pattern: str) -> str:
@@ -145,6 +178,71 @@ def robots_rules(
 
     return robots.select(host_col, content_col).mapInPandas(
         run, ROBOTS_RULE_SCHEMA
+    )
+
+
+ROBOTS_SITEMAP_SCHEMA = "host string, sitemap_url string"
+
+ROBOTS_DELAY_SCHEMA = "host string, agent string, crawl_delay_sec double"
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    content_col: str = "content",
+) -> DataFrame:
+    """Sitemap discovery (r13): one Arrow pass over ``(host,
+    content)`` robots files -> ``(host, sitemap_url)`` rows in file
+    order, duplicates dropped per file — the sitemaps.org global
+    records that seed a crawl's URL frontier alongside the outlink
+    tier (resolve/gate/canonicalize downstream like any other URL).
+    NULL/empty content yields no rows."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for host, content in zip(pdf[host_col], pdf[content_col]):
+                if content is None:
+                    continue
+                for sm in parse_robots_directives(str(content))["sitemaps"]:
+                    rows.append((host, sm))
+            yield pd.DataFrame(rows, columns=["host", "sitemap_url"])
+
+    return robots.select(host_col, content_col).mapInPandas(
+        run, ROBOTS_SITEMAP_SCHEMA
+    )
+
+
+def robots_crawl_delays(
+    robots: DataFrame,
+    host_col: str = "host",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-(host, agent) ``Crawl-delay`` seconds (r13) — the
+    politeness *rate* companion to the allow/disallow gate: a fetch
+    scheduler joins this (broadcast — a few rows per host) onto its
+    frontier to budget requests per host. One Arrow pass; files
+    without the directive yield no rows; a crawler resolves its
+    effective delay with the same group selection as the gate (exact
+    agent row if present, else the ``*`` row)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for host, content in zip(pdf[host_col], pdf[content_col]):
+                if content is None:
+                    continue
+                d = parse_robots_directives(str(content))["crawl_delays"]
+                for agent, secs in d.items():
+                    rows.append((host, agent, float(secs)))
+            yield pd.DataFrame(
+                rows, columns=["host", "agent", "crawl_delay_sec"]
+            )
+
+    return robots.select(host_col, content_col).mapInPandas(
+        run, ROBOTS_DELAY_SCHEMA
     )
 
 

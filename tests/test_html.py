@@ -246,3 +246,45 @@ def test_html_multilingual_normal_form():
             params=[raw],
         ).fetchone()[0]
         assert got == want, (raw, got, want)
+
+
+def test_html_meta_signals():
+    """r13: rel=canonical (token-list match, first wins), meta
+    robots, meta description — the page-level curation signals."""
+    page = (
+        '<html><head><link rel="stylesheet" href="/css">'
+        '<link rel="Alternate CANONICAL" href="https://e.com/canon">'
+        '<link rel="canonical" href="https://e.com/second">'
+        '<meta name="ROBOTS" content="noindex, nofollow">'
+        '<meta name="description" content="a page">'
+        '<meta name="description" content="dup ignored">'
+        "</head><body>x</body></html>"
+    )
+    m = H.html_meta(page)
+    assert m["canonical_href"] == "https://e.com/canon"  # token + first wins
+    assert m["meta_robots"] == "noindex, nofollow"
+    assert m["meta_description"] == "a page"
+    none = H.html_meta("<p>plain</p>")
+    assert none == {
+        "canonical_href": None, "meta_robots": None,
+        "meta_description": None,
+    }
+    # rel without the canonical token never matches
+    assert H.html_meta('<link rel="canonical-ish" href="/x">')[
+        "canonical_href"
+    ] is None
+
+
+def test_extract_html_meta_columns(spark):
+    rows = [
+        (1, '<head><link rel="canonical" href="/canon/1">'
+            '<meta name="robots" content="noindex"></head><p>t</p>'),
+        (2, "<p>no meta</p>"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r.doc_id: r for r in H.extract_html(df).collect()}
+    assert got[1].canonical_href == "/canon/1"
+    assert got[1].meta_robots == "noindex"
+    assert got[2].canonical_href is None and got[2].meta_robots is None
+    assert got[3].meta_description is None

@@ -534,6 +534,15 @@ R6_OP_PINS = [
     # NEW r13 retired tier: multilingual quality metrics — the gate
     # rides the scan (spread only), every class explicit-ASCII codegen
     ("doc_quality_multilingual", 1, False),
+    # NEW r13 retired tier: crawl-loop closure — sitemap discovery
+    # from robots.txt, per-(host, agent) Crawl-delay rows, XML sitemap
+    # cracking, and the rel=canonical / meta-noindex gate: each is
+    # build (row-local or Arrow) + ONE Arrow crack/extract pass, no
+    # shuffle beyond the spread
+    ("robots_sitemap_frontier", 1, False),
+    ("robots_crawl_delay_rows", 1, False),
+    ("sitemap_url_frontier", 1, False),
+    ("html_meta_canonical_gate", 1, False),
     # r13 rotation retirements: shapes stay pinned after leaving the
     # headline. near-dup pairs: the blocked numpy candidate plan (no
     # CartesianProduct); next-event pairs: one user-keyed window

@@ -158,3 +158,54 @@ def test_robots_gate_query_target_and_port(spark):
     assert got[4] is True
     assert got[5] is False   # bare-host rules govern host:port URLs
     assert got[6] is True
+
+
+def test_parse_robots_directives_sitemaps_and_delays():
+    """r13: Sitemap records are GLOBAL (file order, deduped, never a
+    group boundary); Crawl-delay binds to the current agent group
+    (first value per agent wins), soup values are skipped."""
+    d = R.parse_robots_directives(
+        "Sitemap: http://e.com/s0.xml\n"
+        "User-agent: a\n"
+        "Sitemap: http://e.com/s1.xml\n"   # between agents: no split
+        "User-agent: b\n"
+        "Crawl-delay: 2.5\n"
+        "Disallow: /x\n"
+        "User-agent: c\n"
+        "Crawl-delay: soup\n"              # non-numeric: skipped
+        "Crawl-delay: -1\n"                # negative: skipped
+        "Crawl-delay: 7\n"                 # first VALID value wins
+        "Crawl-delay: 9\n"
+        "Sitemap: http://e.com/s1.xml\n"   # duplicate: dropped
+    )
+    assert d["sitemaps"] == ["http://e.com/s0.xml", "http://e.com/s1.xml"]
+    assert d["crawl_delays"] == {"a": 2.5, "b": 2.5, "c": 7.0}
+    assert ("a", False, "/x") in d["rules"] and ("b", False, "/x") in d["rules"]
+    # crawl-delay is a group-member directive: a User-agent after it
+    # starts a NEW group (robotparser semantics)
+    d2 = R.parse_robots_directives(
+        "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /y\n"
+    )
+    assert ("a", False, "/y") not in d2["rules"]
+    assert d2["crawl_delays"] == {"a": 1.0}
+    assert R.parse_robots_directives("")["sitemaps"] == []
+
+
+def test_robots_sitemaps_and_delays_operators(spark):
+    robots = spark.createDataFrame(
+        [
+            ("a.example.com",
+             "Sitemap: http://a.example.com/s.xml\n"
+             "User-agent: *\nCrawl-delay: 3\nDisallow: /x\n"),
+            ("b.example.com", "User-agent: *\nDisallow: /y\n"),
+            ("c.example.com", None),
+        ],
+        "host string, content string",
+    )
+    sm = {(r.host, r.sitemap_url) for r in R.robots_sitemaps(robots).collect()}
+    assert sm == {("a.example.com", "http://a.example.com/s.xml")}
+    dl = {
+        (r.host, r.agent): r.crawl_delay_sec
+        for r in R.robots_crawl_delays(robots).collect()
+    }
+    assert dl == {("a.example.com", "*"): 3.0}
