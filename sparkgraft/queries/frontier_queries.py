@@ -1,0 +1,206 @@
+"""Crawl-frontier temporal queries (r13). The corpus has no crawl
+history, so each query plants one per-document URL universe as pure
+``doc_id`` residue functions — the oracle can state every verdict
+(staleness reason, fetch slot, change class) directly without
+reimplementing the operators. Library logic in sparkgraft/frontier.py
+and relational.snapshot_diff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import frontier as FR
+from ..io import read_table
+from ..relational import snapshot_diff, spread
+from .registry import register
+
+
+@register(
+    "recrawl_frontier_lastmod",
+    # NEW r13 retired tier: the incremental-recrawl decision —
+    # sitemap <lastmod> vs the last crawl's fetch time. Plant: every
+    # doc announces /p{doc_id} with lastmod day (doc_id%28)+1 (Jan
+    # 2026), EXCEPT %5==0 docs whose announcement carries no lastmod;
+    # %7==0 docs are announced a SECOND time with lastmod 2026-01-31
+    # (the max-fold must keep the freshest claim, and it can flip a
+    # fresh page stale); the snapshot holds every doc except %3==0
+    # (those are 'new'), all fetched 2026-01-15. Reasons are residue
+    # functions; the oracle states them.
+    retired=True,
+    oracle="""
+    WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN '2026-01-31'
+                    WHEN doc_id % 5 = 0 THEN NULL
+                    ELSE '2026-01-' ||
+                         lpad(CAST(CAST(doc_id % 28 AS INT) + 1
+                                   AS VARCHAR), 2, '0')
+               END AS lastmod,
+               CASE WHEN doc_id % 3 = 0 THEN NULL
+                    ELSE '2026-01-15' END AS fetched_at
+        FROM documents
+    )
+    SELECT 'http://s.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+           lastmod, fetched_at,
+           CASE WHEN fetched_at IS NULL THEN 'new'
+                WHEN lastmod IS NULL THEN 'unknown'
+                WHEN lastmod > fetched_at THEN 'stale'
+                ELSE 'fresh' END AS reason,
+           (fetched_at IS NULL)
+             OR (lastmod IS NOT NULL AND lastmod > fetched_at)
+             AS refetch
+    FROM base
+    """,
+)
+def recrawl_frontier_lastmod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Announcements (with a planted duplicate-announcement class and
+    a no-lastmod class) left-joined onto the planted snapshot via
+    ``frontier.recrawl_frontier`` — one lastmod max-fold + one key
+    join, verdicts row-local."""
+    did = F.col("doc_id")
+    url = F.concat(F.lit("http://s.example.com/p"), did.cast("string"))
+    day = F.lpad(((did % 28) + 1).cast("int").cast("string"), 2, "0")
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    primary = docs.select(
+        url.alias("url"),
+        F.when(did % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("2026-01-"), day))
+        .alias("lastmod"),
+    )
+    # second announcement for the %7==0 class: a fresher claim the
+    # per-URL fold must keep (and NULL-lastmod rows must not beat it)
+    extra = docs.where(did % 7 == 0).select(
+        url.alias("url"), F.lit("2026-01-31").alias("lastmod")
+    )
+    snapshot = docs.where(did % 3 != 0).select(
+        url.alias("url"), F.lit("2026-01-15").alias("fetched_at")
+    )
+    return FR.recrawl_frontier(primary.unionByName(extra), snapshot)
+
+
+@register(
+    "fetch_politeness_schedule",
+    # NEW r13 retired tier: per-host politeness serialization for
+    # agent 'graftbot'. 7 hosts by residue; the delay table plants
+    # every group-selection branch — hosts 0-3 a '*' delay of
+    # (h+1)*0.5s, host 4 a graftbot-only 0.25s, host 5 BOTH ('*'=2.0
+    # must lose to the exact group's 0.25), host 6 no rows at all
+    # (default 1.0). Slots order by url ASC within host; the oracle
+    # recomputes the window and the offset products (all values are
+    # exact binary fractions, so DOUBLE equality is safe).
+    retired=True,
+    oracle="""
+    WITH urls AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               'http://h' || CAST(CAST(doc_id % 7 AS INT) AS VARCHAR)
+                 || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+               'h' || CAST(CAST(doc_id % 7 AS INT) AS VARCHAR)
+                 || '.example.com' AS host,
+               CAST(doc_id % 7 AS INT) AS h
+        FROM documents
+    )
+    SELECT doc_id, url, host,
+           CAST(CASE WHEN h <= 3 THEN (h + 1) * 0.5
+                     WHEN h IN (4, 5) THEN 0.25
+                     ELSE 1.0 END AS DOUBLE) AS crawl_delay_sec,
+           CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
+                AS BIGINT) AS fetch_slot,
+           CAST((row_number() OVER (PARTITION BY host ORDER BY url) - 1)
+                * CASE WHEN h <= 3 THEN (h + 1) * 0.5
+                       WHEN h IN (4, 5) THEN 0.25
+                       ELSE 1.0 END AS DOUBLE) AS fetch_offset_sec
+    FROM urls
+    """,
+)
+def fetch_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant the 7-host frontier + the 4-branch delay table, schedule
+    with ``frontier.fetch_schedule`` (broadcast delay join + ONE
+    per-host window)."""
+    did = F.col("doc_id")
+    host = F.concat(
+        F.lit("h"), (did % 7).cast("int").cast("string"),
+        F.lit(".example.com"),
+    )
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    urls = docs.select(
+        did.cast("bigint").alias("doc_id"),
+        F.concat(
+            F.lit("http://"), host, F.lit("/p"), did.cast("string")
+        ).alias("url"),
+    )
+    hid = F.col("id").cast("int")
+    hname = F.concat(
+        F.lit("h"), hid.cast("string"), F.lit(".example.com")
+    )
+    star = (
+        spark.range(4)
+        .select(
+            hname.alias("host"), F.lit("*").alias("agent"),
+            ((hid + 1) * 0.5).cast("double").alias("crawl_delay_sec"),
+        )
+    )
+    exact = (
+        spark.range(4, 6)
+        .select(
+            hname.alias("host"), F.lit("graftbot").alias("agent"),
+            F.lit(0.25).cast("double").alias("crawl_delay_sec"),
+        )
+    )
+    decoy = (
+        spark.range(5, 6)  # host 5's '*' row must LOSE to the exact
+        .select(
+            hname.alias("host"), F.lit("*").alias("agent"),
+            F.lit(2.0).cast("double").alias("crawl_delay_sec"),
+        )
+    )
+    delays = star.unionByName(exact).unionByName(decoy)
+    return FR.fetch_schedule(urls, delays, agent="graftbot")
+
+
+@register(
+    "crawl_snapshot_delta",
+    # NEW r13 retired tier: recrawl economics — which URL-keyed pages
+    # changed between two crawls. COMPOSITION row: this is
+    # relational.snapshot_diff (the migration/CDC-derivation diff)
+    # keyed by URL with the content fingerprint as the compared
+    # column; no new operator. Plant: prev holds every URL except
+    # %5==0 (those are 'insert'), curr every URL except %7==0 (prev-
+    # only -> 'delete'); where both exist the fingerprint differs iff
+    # %3==0 ('update', else 'unchanged'). URLs in NEITHER (%35==0)
+    # must not appear. The oracle states change_type by residue.
+    retired=True,
+    oracle="""
+    SELECT 'http://c.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN doc_id % 5 = 0 THEN 'insert'
+                WHEN doc_id % 7 = 0 THEN 'delete'
+                WHEN doc_id % 3 = 0 THEN 'update'
+                ELSE 'unchanged' END AS change_type
+    FROM documents
+    WHERE doc_id % 5 != 0 OR doc_id % 7 != 0
+    """,
+)
+def crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two planted crawl snapshots (URL + content fingerprint) diffed
+    with ``snapshot_diff`` — one full outer join on the URL key, the
+    compared payload reduced to a map-side hash before the shuffle."""
+    did = F.col("doc_id")
+    url = F.concat(F.lit("http://c.example.com/p"), did.cast("string"))
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    prev = docs.where(did % 5 != 0).select(
+        url.alias("url"),
+        F.md5(F.concat(F.lit("a"), did.cast("string"))).alias("fp"),
+    )
+    curr = docs.where(did % 7 != 0).select(
+        url.alias("url"),
+        F.md5(
+            F.concat(
+                F.when(did % 3 == 0, F.lit("b")).otherwise(F.lit("a")),
+                did.cast("string"),
+            )
+        ).alias("fp"),
+    )
+    return snapshot_diff(
+        prev, curr, key_cols=["url"], include_unchanged=True
+    )

@@ -548,6 +548,17 @@ R6_OP_PINS = [
     # CartesianProduct); next-event pairs: one user-keyed window
     ("embedding_near_dup_pairs", 9, False),
     ("user_next_event_pairs", 1, False),
+    # NEW r13 retired tier: the crawl loop's TEMPORAL dimension
+    # (frontier.py). recrawl: the shared spread subtree prints once
+    # per consumer (3 planted frames off one scan) + the per-URL
+    # lastmod max-fold + the snapshot key join; schedule: spread +
+    # the delay-table fold + its BroadcastExchange + ONE per-host
+    # window (exact rank, so domain-cap the frontier first — module
+    # docstring); delta: two spread prints + snapshot_diff's one
+    # full-outer join (hash-reduced map-side, both sides exchange)
+    ("recrawl_frontier_lastmod", 5, False),
+    ("fetch_politeness_schedule", 4, False),
+    ("crawl_snapshot_delta", 4, False),
 ]
 
 
