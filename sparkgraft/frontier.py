@@ -139,13 +139,20 @@ def fetch_schedule(
     priority_col: str | None = None,
     agent: str = "*",
     default_delay_sec: float = 1.0,
+    connections: int = 1,
 ) -> DataFrame:
     """Serialize the fetch frontier per host: every URL gets a
     deterministic ``fetch_slot`` (0-based position in its host's
-    queue) and ``fetch_offset_sec = fetch_slot * delay`` — the
-    earliest politeness-legal start time relative to the host's first
-    fetch. A fetcher fleet partitioned by host can then honor
-    Crawl-delay with no coordination beyond the plan itself.
+    queue), a ``fetch_connection`` (which of the host's
+    ``connections`` parallel connections carries it — round-robin,
+    ``slot % connections``) and ``fetch_offset_sec = (slot //
+    connections) * delay`` — the earliest politeness-legal start time
+    relative to the host's first fetch, with Crawl-delay honored
+    PER CONNECTION (each connection waits ``delay`` between its own
+    fetches; ``connections=1``, the default, is strict single-lane
+    RFC 9309 politeness). A fetcher fleet partitioned by host can
+    then honor the budget with no coordination beyond the plan
+    itself.
 
     ``delays`` is per-(host, agent) ``crawl_delay_sec`` rows as
     parsed by ``robots.robots_crawl_delays``; group selection and the
@@ -161,10 +168,14 @@ def fetch_schedule(
     re-issues the same schedule.
 
     Returns the input columns plus ``(host, crawl_delay_sec,
-    fetch_slot, fetch_offset_sec)``. See the module docstring for why
-    the per-host window wants a domain-capped frontier.
+    fetch_slot, fetch_connection, fetch_offset_sec)``. See the module
+    docstring for why the per-host window wants a domain-capped
+    frontier.
     """
     from . import web as W
+
+    if connections < 1:
+        raise ValueError(f"connections must be >= 1, got {connections}")
 
     p = W.parse_url(url_col)
     in_cols = frontier.columns
@@ -190,12 +201,15 @@ def fetch_schedule(
     )
     w = Window.partitionBy("host").orderBy(*order)
     slot = (F.row_number().over(w) - F.lit(1)).cast("bigint")
+    conns = F.lit(int(connections)).cast("bigint")
     return tagged.withColumn("fetch_slot", slot).select(
         *in_cols,
         "host",
         "crawl_delay_sec",
         "fetch_slot",
-        (F.col("fetch_slot") * F.col("crawl_delay_sec")).alias(
-            "fetch_offset_sec"
-        ),
+        (F.col("fetch_slot") % conns).alias("fetch_connection"),
+        (
+            F.floor(F.col("fetch_slot") / conns).cast("bigint")
+            * F.col("crawl_delay_sec")
+        ).alias("fetch_offset_sec"),
     )

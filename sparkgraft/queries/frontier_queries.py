@@ -89,7 +89,9 @@ def recrawl_frontier_lastmod(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must lose to the exact group's 0.25), host 6 no rows at all
     # (default 1.0). Slots order by url ASC within host; the oracle
     # recomputes the window and the offset products (all values are
-    # exact binary fractions, so DOUBLE equality is safe).
+    # exact binary fractions, so DOUBLE equality is safe). Single-lane
+    # schedule (connections=1 -> fetch_connection uniformly 0); the
+    # multi-connection fan-out is unit/property-tested.
     retired=True,
     oracle="""
     WITH urls AS (
@@ -107,6 +109,7 @@ def recrawl_frontier_lastmod(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE 1.0 END AS DOUBLE) AS crawl_delay_sec,
            CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
                 AS BIGINT) AS fetch_slot,
+           CAST(0 AS BIGINT) AS fetch_connection,
            CAST((row_number() OVER (PARTITION BY host ORDER BY url) - 1)
                 * CASE WHEN h <= 3 THEN (h + 1) * 0.5
                        WHEN h IN (4, 5) THEN 0.25
