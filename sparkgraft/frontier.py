@@ -176,6 +176,19 @@ def fetch_schedule(
 
     if connections < 1:
         raise ValueError(f"connections must be >= 1, got {connections}")
+    reserved = {
+        "host",
+        "crawl_delay_sec",
+        "fetch_slot",
+        "fetch_connection",
+        "fetch_offset_sec",
+    } & set(frontier.columns)
+    if reserved:
+        raise ValueError(
+            "frontier already carries schedule output column(s) "
+            f"{sorted(reserved)} — rename them before scheduling "
+            "(silently overwriting would corrupt a re-schedule)"
+        )
 
     p = W.parse_url(url_col)
     in_cols = frontier.columns

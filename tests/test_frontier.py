@@ -316,3 +316,13 @@ def test_stream_recrawl_announcement_fold_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 40
+
+
+def test_fetch_schedule_rejects_reserved_columns(spark):
+    import pytest
+
+    frontier = spark.createDataFrame(
+        [("http://a.com/p", 3)], "url string, fetch_slot int"
+    )
+    with pytest.raises(ValueError, match="fetch_slot"):
+        FR.fetch_schedule(frontier)

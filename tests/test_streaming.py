@@ -1238,3 +1238,107 @@ def test_stream_canonical_url_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert {r.canonical_url for r in got} == batch_keys
     # the collapse is real: 4 noisy variants per bucket -> 1 key
     assert 0 < len(batch_keys) <= 240 // 4 + 1
+
+
+def test_stream_crawl_chain_matches_batch(spark, tmp_path):
+    """Streaming crawl INGESTION parity (r13): the crawl_to_corpus
+    chain's streamable prefix — WARC crack (Arrow mapInPandas) -> body
+    decode -> status filter -> HTML extraction -> robots gate
+    (stream-STATIC broadcast rules join) -> canonical-URL stream dedup
+    — replayed across 4 micro-batches must keep exactly the batch
+    chain's canonical key set. (The domain cap and min-doc dedup
+    winner need a total per-key order, so they stay batch/compaction
+    stages; the key SET is the parity surface, as in the canonical
+    dedup parity test.)"""
+    import pandas as pd
+
+    from sparkgraft import html as H
+    from sparkgraft import robots as R
+    from sparkgraft import warc as WC
+    from sparkgraft import web as W
+
+    robots_txt = "User-agent: *\nDisallow: /private/\n"
+
+    def build_pdf(n: int) -> pd.DataFrame:
+        ids, payloads = [], []
+        for did in range(n):
+            pid = did // 2  # pair-duplicated pages behind noise
+            host = f"h{pid % 2}.stream.example.com"
+            path = f"/private/x{pid}" if pid % 3 == 0 else f"/ok/x{pid}"
+            if did % 2 == 0:
+                url = f"http://www.{host}:80{path}?utm_source=x"
+            else:
+                url = f"http://{host}{path}"
+            body = (
+                f"<html><body><p>stream page {pid} body</p></body></html>"
+            ).encode()
+            enc = did % 3
+            resp = WC.build_http_response(
+                status=404 if did % 13 == 0 else 200,
+                body=body,
+                content_encoding="gzip" if enc == 1 else None,
+                chunked=enc == 2,
+            )
+            ids.append(did)
+            payloads.append(
+                WC.build_warc_file(
+                    [WC.build_warc_record("response", resp, url=url)],
+                    gzip_members=True,
+                )
+            )
+        return pd.DataFrame({"file_id": ids, "payload": payloads})
+
+    staged = spark.createDataFrame(build_pdf(96))
+    src = str(tmp_path / "warcfiles.parquet")
+    staged.write.mode("overwrite").parquet(src)
+
+    rules = R.robots_rules(
+        spark.createDataFrame(
+            [
+                (f"{w}h{i}.stream.example.com", robots_txt)
+                for i in (0, 1)
+                for w in ("", "www.")
+            ],
+            "host string, content string",
+        )
+    )
+
+    def chain(df):
+        resp = WC.warc_responses(df).where(
+            F.col("warc_error").isNull() & (F.col("status") == 200)
+        )
+        pages = resp.select(
+            F.col("file_id").cast("bigint").alias("doc_id"),
+            "url",
+            F.col("text_body").alias("html"),
+        )
+        ext = H.extract_html(pages, url_col="url")
+        gated = R.robots_gate(ext, rules, agent="graftbot", url_col="url")
+        return gated.where("robots_allowed").select(
+            "doc_id", W.canonical_url("url").alias("canonical_url")
+        )
+
+    stream = ST.stream_table(spark, str(tmp_path), "warcfiles", split_files=4)
+    out = ST.run_stream_to_memory(
+        ST.stream_dedup(
+            chain(stream).withColumn(
+                "ts", F.timestamp_seconds(F.lit(1700000000))
+            ),
+            key_cols=("canonical_url",),
+            watermark="365 days",
+        ),
+        "q_stream_crawl_chain",
+        output_mode="append",
+    )
+    batch_keys = {
+        r["canonical_url"]
+        for r in chain(spark.read.parquet(src))
+        .select("canonical_url")
+        .distinct()
+        .collect()
+    }
+    got = [r["canonical_url"] for r in out.select("canonical_url").collect()]
+    assert len(got) == len(set(got)) == len(batch_keys)
+    assert set(got) == batch_keys
+    # the plant is real: pairs collapsed, /private/ gated, 404s dropped
+    assert 0 < len(batch_keys) < 96
