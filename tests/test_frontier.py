@@ -326,3 +326,32 @@ def test_fetch_schedule_rejects_reserved_columns(spark):
     )
     with pytest.raises(ValueError, match="fetch_slot"):
         FR.fetch_schedule(frontier)
+
+
+def test_pagerank_prioritized_schedule_composition(spark):
+    """Graph tier -> temporal tier composition: page-level PageRank
+    over the resolved-link graph feeds fetch_schedule's priority, so
+    the politeness queue fetches a host's most-linked pages first."""
+    from sparkgraft.graph import pagerank
+
+    urls = [f"http://a.com/p{i}" for i in range(4)]
+    # p3 is the hub (everyone links to it); p3 links only to p1
+    edges = spark.createDataFrame(
+        [(urls[0], urls[3]), (urls[1], urls[3]), (urls[2], urls[3]),
+         (urls[3], urls[1])],
+        "src string, dst string",
+    )
+    # the p1<->p3 cycle converges geometrically (damping^k): run to
+    # the fixpoint via the operator's tol early-stop
+    ranks = pagerank(edges, iters=60, tol=1e-9)
+    frontier = spark.createDataFrame([(u,) for u in urls], "url string")
+    prioritized = frontier.join(
+        ranks.withColumnRenamed("node", "url"), "url", "left"
+    ).withColumnRenamed("rank", "priority")
+    sched = FR.fetch_schedule(prioritized, priority_col="priority")
+    order = [r["url"] for r in sched.orderBy("fetch_slot").collect()]
+    assert order[0] == urls[3]  # the hub fetches first
+    assert order[1] == urls[1]  # then the hub's own outlink
+    # politeness still holds: offsets step by the default delay
+    offs = [r["fetch_offset_sec"] for r in sched.orderBy("fetch_slot").collect()]
+    assert offs == [0.0, 1.0, 2.0, 3.0]
