@@ -43,7 +43,79 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["recrawl_frontier", "effective_delays", "fetch_schedule"]
+__all__ = [
+    "w3c_sortkey",
+    "recrawl_frontier",
+    "effective_delays",
+    "fetch_schedule",
+]
+
+
+def w3c_sortkey(ts: Column | str) -> Column:
+    """Normalize a W3C Datetime string (the sitemaps.org ``lastmod``
+    grammar: ``YYYY-MM-DD``, ``YYYY-MM-DDThh:mmTZD``,
+    ``YYYY-MM-DDThh:mm:ssTZD``, ``YYYY-MM-DDThh:mm:ss.sTZD``, TZD =
+    ``Z`` or ``±hh:mm``) into ONE canonical UTC form
+    ``'yyyy-MM-dd HH:mm:ss'`` that compares lexicographically across
+    ALL input precisions — the normalizer :func:`recrawl_frontier`'s
+    contract tells mixed-form callers to apply first. Date-only means
+    midnight UTC; fractional seconds order at second precision (the
+    sub-second tail is truncated — announcement granularity, not an
+    event log). Anything outside the grammar (including the RFC 822
+    dates some feeds emit) returns NULL — fold semantics then treat
+    the announcement as signal-less rather than mis-ordered.
+
+    Pure row-local codegen, and deliberately SESSION-TIMEZONE-PROOF:
+    the datetime part parses as ``timestamp_ntz`` (no TZ attached),
+    the ``±hh:mm`` offset is subtracted as an explicit interval, and
+    ``date_format`` of an ntz value involves no zone conversion —
+    the one classic trap (``to_timestamp`` on a naked string silently
+    binding the SESSION zone) structurally cannot occur."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    valid = c.rlike(
+        r"^\d{4}-\d{2}-\d{2}"
+        r"(T\d{2}:\d{2}(:\d{2})?(\.\d+)?(Z|[+-]\d{2}:\d{2}))?$"
+    )
+    date_part = F.regexp_extract(c, r"^(\d{4}-\d{2}-\d{2})", 1)
+    time_part = F.regexp_extract(c, r"T(\d{2}:\d{2}(?::\d{2})?)", 1)
+    tzd = F.regexp_extract(c, r"(Z|[+-]\d{2}:\d{2})$", 1)
+    hhmm = F.when(time_part == "", F.lit("00:00:00")).otherwise(
+        F.when(F.length(time_part) == 5, F.concat(time_part, F.lit(":00")))
+        .otherwise(time_part)
+    )
+    # assemble from numeric fields via try_make_timestamp_ntz: a
+    # regex-shaped non-date ('2026-13-45') yields NULL instead of a
+    # task-killing DateTimeException, and — unlike try_to_timestamp,
+    # whose TimestampType result binds the SESSION zone and corrupts
+    # wall-clock fields that fall into a DST gap when cast back — the
+    # ntz constructor never consults a zone at all
+    ntz = F.try_make_timestamp_ntz(
+        F.substring(date_part, 1, 4).cast("int"),
+        F.substring(date_part, 6, 2).cast("int"),
+        F.substring(date_part, 9, 2).cast("int"),
+        F.substring(hhmm, 1, 2).cast("int"),
+        F.substring(hhmm, 4, 2).cast("int"),
+        F.substring(hhmm, 7, 2).cast("int"),
+    )
+    # offset minutes: '+01:30' -> 90; 'Z'/'' -> 0; subtracting the
+    # offset converts local-with-offset to the UTC instant
+    sign = F.when(F.substring(tzd, 1, 1) == "-", F.lit(-1)).otherwise(
+        F.lit(1)
+    )
+    off_min = F.when(
+        tzd.rlike(r"^[+-]"),
+        sign
+        * (
+            F.substring(tzd, 2, 2).cast("int") * 60
+            + F.substring(tzd, 5, 2).cast("int")
+        ),
+    ).otherwise(F.lit(0))
+    utc = ntz - F.make_dt_interval(F.lit(0), F.lit(0), off_min.cast("int"))
+    # CAST(ntz AS STRING) renders the fields verbatim ('yyyy-MM-dd
+    # HH:mm:ss' for whole seconds); date_format would NOT do — it
+    # rebinds timestamp_ntz through the session zone and corrupts
+    # wall-clock values inside that zone's DST gap
+    return F.when(valid & ntz.isNotNull(), utc.cast("string"))
 
 
 def recrawl_frontier(

@@ -207,3 +207,85 @@ def crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         prev, curr, key_cols=["url"], include_unchanged=True
     )
+
+
+@register(
+    "recrawl_w3c_mixed_forms",
+    # NEW r13 retired tier: the w3c_sortkey normalization tier under
+    # the recrawl verdict — mixed-PRECISION W3C lastmod forms (the
+    # case raw lexicographic comparison gets wrong) normalized to the
+    # canonical UTC sortkey on BOTH sides. Forms by residue: %4==0
+    # date-only, %4==1 'T09:30:45Z', %4==2 '+01:00' offset (subtracts
+    # to 08:30), %4==3 an RFC 822 date (outside the grammar -> NULL
+    # -> 'unknown' when seen). Snapshot: every doc except %3==0
+    # ('new'), fetched 2026-01-15T12:00:00Z -> '2026-01-15 12:00:00'.
+    # The oracle knows nothing about datetime parsing: every
+    # normalized string and verdict is a stated residue function.
+    retired=True,
+    oracle="""
+    WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               lpad(CAST(CAST(doc_id % 27 AS INT) + 1 AS VARCHAR),
+                    2, '0') AS dd,
+               CAST(doc_id % 4 AS INT) AS form,
+               doc_id % 3 = 0 AS is_new
+        FROM documents
+    ), keyed AS (
+        SELECT doc_id,
+               CASE form
+                   WHEN 0 THEN '2026-01-' || dd || ' 00:00:00'
+                   WHEN 1 THEN '2026-01-' || dd || ' 09:30:45'
+                   WHEN 2 THEN '2026-01-' || dd || ' 08:30:00'
+                   ELSE NULL END AS lastmod,
+               CASE WHEN is_new THEN NULL
+                    ELSE '2026-01-15 12:00:00' END AS fetched_at,
+               form, is_new, dd
+        FROM base
+    )
+    SELECT 'http://w.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+           lastmod, fetched_at,
+           CASE WHEN fetched_at IS NULL THEN 'new'
+                WHEN lastmod IS NULL THEN 'unknown'
+                WHEN lastmod > fetched_at THEN 'stale'
+                ELSE 'fresh' END AS reason,
+           (fetched_at IS NULL)
+             OR (lastmod IS NOT NULL AND lastmod > fetched_at)
+             AS refetch
+    FROM keyed
+    """,
+)
+def recrawl_w3c_mixed_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant one announcement per doc in a mixed W3C form, normalize
+    with ``w3c_sortkey`` on both sides, verdict with
+    ``recrawl_frontier`` — all row-local codegen plus the op's one
+    fold + one join. Note only the NORMALIZED key makes class 1
+    comparable to the 12:00 fetch: raw string order would misread
+    'T09:30:45Z' day-15 announcements as after it."""
+    did = F.col("doc_id")
+    dd = F.lpad(((did % 27) + 1).cast("int").cast("string"), 2, "0")
+    raw = (
+        F.when(
+            did % 4 == 0, F.concat(F.lit("2026-01-"), dd)
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(F.lit("2026-01-"), dd, F.lit("T09:30:45Z")),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(F.lit("2026-01-"), dd, F.lit("T09:30:00+01:00")),
+        )
+        .otherwise(
+            F.concat(F.lit("Wed, "), dd, F.lit(" Jan 2026 09:30:00 GMT"))
+        )
+    )
+    url = F.concat(F.lit("http://w.example.com/p"), did.cast("string"))
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    candidates = docs.select(
+        url.alias("url"), FR.w3c_sortkey(raw).alias("lastmod")
+    )
+    snapshot = docs.where(did % 3 != 0).select(
+        url.alias("url"),
+        FR.w3c_sortkey(F.lit("2026-01-15T12:00:00Z")).alias("fetched_at"),
+    )
+    return FR.recrawl_frontier(candidates, snapshot)

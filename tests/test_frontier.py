@@ -355,3 +355,73 @@ def test_pagerank_prioritized_schedule_composition(spark):
     # politeness still holds: offsets step by the default delay
     offs = [r["fetch_offset_sec"] for r in sched.orderBy("fetch_slot").collect()]
     assert offs == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_w3c_sortkey_matrix(spark):
+    """The W3C Datetime normalization matrix (sitemaps.org lastmod
+    grammar), under a NON-UTC session zone — date-only, minute/second/
+    fractional precision, Z and ±hh:mm offsets (incl. day rollover
+    both ways), and the rejection classes (time without TZD, RFC 822
+    dates, regex-shaped non-dates, out-of-range time fields)."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        cases = [
+            ("2026-01-15", "2026-01-15 00:00:00"),
+            ("2026-01-15T09:30Z", "2026-01-15 09:30:00"),
+            ("2026-01-15T09:30:45Z", "2026-01-15 09:30:45"),
+            ("2026-01-15T09:30:45.123Z", "2026-01-15 09:30:45"),
+            ("2026-01-15T09:30:00+01:00", "2026-01-15 08:30:00"),
+            ("2026-01-15T22:30:00-05:30", "2026-01-16 04:00:00"),
+            ("2026-01-01T00:30:00+01:00", "2025-12-31 23:30:00"),
+            # a wall time inside the session zone's DST gap must NOT
+            # shift (the date_format-on-ntz trap)
+            ("2026-03-08T02:30:00Z", "2026-03-08 02:30:00"),
+            ("2026-01-15T09:30:00", None),
+            ("Wed, 15 Jan 2026 09:30:00 GMT", None),
+            ("2026-13-45", None),
+            ("2026-01-15T25:99:00Z", None),
+            ("", None),
+            (None, None),
+        ]
+        df = spark.createDataFrame([(c,) for c, _ in cases], "ts string")
+        got = [
+            r["k"] for r in df.select(FR.w3c_sortkey("ts").alias("k")).collect()
+        ]
+        assert got == [w for _, w in cases]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_recrawl_frontier_with_w3c_normalization(spark):
+    # mixed-precision announcements, normalized through w3c_sortkey on
+    # BOTH sides, give the verdicts lexicographic comparison alone
+    # would get wrong ('2026-01-15T09:00:00Z' > '2026-01-15' as raw
+    # strings, but 09:00 is BEFORE a 12:00 fetch)
+    candidates = spark.createDataFrame(
+        [
+            ("u/a", "2026-01-15T09:00:00Z"),   # before the 12:00 fetch
+            ("u/b", "2026-01-15T13:00:00Z"),   # after it
+            ("u/c", "2026-01-16"),             # date-only, after
+            ("u/d", "Wed, 14 Jan 2026"),       # junk -> unknown
+        ],
+        "url string, lastmod string",
+    )
+    norm = candidates.select(
+        "url", FR.w3c_sortkey("lastmod").alias("lastmod")
+    )
+    snapshot = spark.createDataFrame(
+        [(u, "2026-01-15T12:00:00Z") for u in ("u/a", "u/b", "u/c", "u/d")],
+        "url string, fetched_at string",
+    )
+    snap_norm = snapshot.select(
+        "url", FR.w3c_sortkey("fetched_at").alias("fetched_at")
+    )
+    out = FR.recrawl_frontier(norm, snap_norm)
+    got = {r["url"]: r["reason"] for r in out.collect()}
+    assert got == {
+        "u/a": "fresh",
+        "u/b": "stale",
+        "u/c": "stale",
+        "u/d": "unknown",
+    }

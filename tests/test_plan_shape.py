@@ -559,6 +559,9 @@ R6_OP_PINS = [
     ("recrawl_frontier_lastmod", 5, False),
     ("fetch_politeness_schedule", 4, False),
     ("crawl_snapshot_delta", 4, False),
+    # w3c_sortkey is pure row-local codegen — the shape is exactly
+    # recrawl's (2 spread prints + fold + join), normalization free
+    ("recrawl_w3c_mixed_forms", 4, False),
 ]
 
 
