@@ -124,6 +124,7 @@ def recrawl_frontier(
     url_col: str = "url",
     lastmod_col: str = "lastmod",
     fetched_col: str = "fetched_at",
+    validator_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Decide which announced URLs an incremental recrawl should fetch.
 
@@ -155,12 +156,21 @@ def recrawl_frontier(
     session-timezone trap this operator refuses to hide.
 
     Returns one row per candidate URL: ``(url_col, lastmod_col,
-    fetched_col, reason string, refetch boolean)``.
+    fetched_col, reason string, refetch boolean)``. With
+    ``validator_cols`` (snapshot columns holding the last response's
+    cache validators — the ``etag`` / ``last_modified`` that
+    ``warc.warc_responses`` now surfaces), those columns ride through
+    and a ``fetch_mode`` verdict is added — the recrawl's COST plan:
+    ``'conditional'`` for a refetch whose snapshot holds any
+    validator (an If-None-Match / If-Modified-Since revalidation that
+    costs headers on a 304, not the body), ``'full'`` for a refetch
+    with none (a new URL, or a server that sent no validators), NULL
+    for skipped rows.
     """
     folded = candidates.groupBy(url_col).agg(
         F.max(lastmod_col).alias(lastmod_col)
     )
-    snap = snapshot.select(url_col, fetched_col)
+    snap = snapshot.select(url_col, fetched_col, *validator_cols)
     joined = folded.join(snap, url_col, "left")
     lastmod = F.col(lastmod_col)
     fetched = F.col(fetched_col)
@@ -170,13 +180,26 @@ def recrawl_frontier(
         .when(lastmod > fetched, F.lit("stale"))
         .otherwise(F.lit("fresh"))
     )
-    return joined.select(
+    refetch = reason.isin("new", "stale")
+    out = [
         url_col,
         lastmod_col,
         fetched_col,
         reason.alias("reason"),
-        reason.isin("new", "stale").alias("refetch"),
-    )
+        refetch.alias("refetch"),
+    ]
+    if validator_cols:
+        any_validator = F.coalesce(*validator_cols, F.lit(None)).isNotNull()
+        out += [
+            *validator_cols,
+            F.when(
+                refetch,
+                F.when(any_validator, F.lit("conditional")).otherwise(
+                    F.lit("full")
+                ),
+            ).alias("fetch_mode"),
+        ]
+    return joined.select(*out)
 
 
 def effective_delays(

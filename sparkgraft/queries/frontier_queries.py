@@ -289,3 +289,61 @@ def recrawl_w3c_mixed_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
         FR.w3c_sortkey(F.lit("2026-01-15T12:00:00Z")).alias("fetched_at"),
     )
     return FR.recrawl_frontier(candidates, snapshot)
+
+
+@register(
+    "recrawl_conditional_plan",
+    # NEW r13 retired tier: revalidation ECONOMICS — the fetch_mode
+    # verdict over planted cache validators (the etag/last_modified
+    # warc_responses surfaces). Plant: all announcements lastmod
+    # 2026-01-20; snapshot holds every doc except %3==0 ('new' ->
+    # 'full': no snapshot, no validators), fetched 2026-01-15; etag
+    # planted iff %2==0, last_modified iff %4==3 (odd -> never both);
+    # stale rows plan 'conditional' iff any validator else 'full'.
+    # All residue functions; the oracle states every column.
+    retired=True,
+    oracle="""
+    SELECT 'http://r.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+           '2026-01-20' AS lastmod,
+           CASE WHEN doc_id % 3 = 0 THEN NULL
+                ELSE '2026-01-15' END AS fetched_at,
+           CASE WHEN doc_id % 3 = 0 THEN 'new'
+                ELSE 'stale' END AS reason,
+           TRUE AS refetch,
+           CASE WHEN doc_id % 3 != 0 AND doc_id % 2 = 0
+                THEN '"e' || CAST(doc_id AS VARCHAR) || '"'
+                ELSE NULL END AS etag,
+           CASE WHEN doc_id % 3 != 0 AND doc_id % 4 = 3
+                THEN 'Thu, 08 Jan 2026 00:00:00 GMT'
+                ELSE NULL END AS last_modified,
+           CASE WHEN doc_id % 3 = 0 THEN 'full'
+                WHEN doc_id % 2 = 0 OR doc_id % 4 = 3
+                THEN 'conditional'
+                ELSE 'full' END AS fetch_mode
+    FROM documents
+    """,
+)
+def recrawl_conditional_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted validator matrix through ``recrawl_frontier(
+    validator_cols=...)`` — same one-fold-one-join shape, the cost
+    verdict row-local."""
+    did = F.col("doc_id")
+    url = F.concat(F.lit("http://r.example.com/p"), did.cast("string"))
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    candidates = docs.select(
+        url.alias("url"), F.lit("2026-01-20").alias("lastmod")
+    )
+    snapshot = docs.where(did % 3 != 0).select(
+        url.alias("url"),
+        F.lit("2026-01-15").alias("fetched_at"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit('"e'), did.cast("string"), F.lit('"')),
+        ).alias("etag"),
+        F.when(
+            did % 4 == 3, F.lit("Thu, 08 Jan 2026 00:00:00 GMT")
+        ).alias("last_modified"),
+    )
+    return FR.recrawl_frontier(
+        candidates, snapshot, validator_cols=("etag", "last_modified")
+    )

@@ -60,6 +60,7 @@ def build_http_response(
     content_encoding: str | None = None,
     chunked: bool = False,
     chunk_size: int = 64,
+    extra_headers: list[tuple[str, str]] | None = None,
 ) -> bytes:
     """HTTP/1.1 response bytes (status line + headers + CRLF CRLF +
     body) — what a WARC ``response`` record's block carries. ``body``
@@ -82,6 +83,8 @@ def build_http_response(
             raise ValueError(f"builder: unsupported {content_encoding!r}")
     head = f"HTTP/1.1 {status} {reason}\r\n".encode("ascii")
     head += f"Content-Type: {content_type}\r\n".encode("ascii")
+    for k, v in extra_headers or []:
+        head += f"{k}: {v}\r\n".encode("ascii")
     if content_encoding:
         head += f"Content-Encoding: {content_encoding}\r\n".encode("ascii")
     if chunked:
@@ -453,7 +456,8 @@ def decode_text_body(body: bytes, content_type: str) -> str:
 
 WARC_RESPONSE_SCHEMA = (
     "file_id long, url string, status int, content_type string, "
-    "body binary, n_body_bytes long, text_body string, warc_error string"
+    "body binary, n_body_bytes long, text_body string, "
+    "etag string, last_modified string, warc_error string"
 )
 
 
@@ -467,7 +471,12 @@ def warc_responses(
     ``mapInPandas`` pass over ``(file_id, payload)`` rows (the
     ``binaryFile`` source's shape) emitting one row per ``response``
     record — ``(file_id, url, status, content_type, body,
-    n_body_bytes, text_body, warc_error)``. ``body`` is the PAYLOAD
+    n_body_bytes, text_body, etag, last_modified, warc_error)``.
+    ``etag``/``last_modified`` are the response's cache validators
+    verbatim (r13 — the recrawl snapshot stores them so
+    ``frontier.recrawl_frontier`` can plan CONDITIONAL refetches:
+    an If-None-Match/If-Modified-Since 304 costs headers, a full
+    GET costs the body). ``body`` is the PAYLOAD
     bytes — Transfer-Encoding de-framed and Content-Encoding
     decompressed (r13, VERDICT r12 #1: most real crawl bodies arrive
     gzip-encoded and/or chunked; before this tier they reached the
@@ -502,7 +511,8 @@ def warc_responses(
                     records, err = [], str(e)
                 if err is not None:
                     rows.append(
-                        (fid, None, None, None, None, None, None, err)
+                        (fid, None, None, None, None, None, None,
+                         None, None, err)
                     )
                     if not recover:
                         continue
@@ -514,7 +524,7 @@ def warc_responses(
                     except ValueError as e:
                         rows.append(
                             (fid, rec["url"], None, None, None, None,
-                             None, str(e))
+                             None, None, None, str(e))
                         )
                         continue
                     h = http["headers"]
@@ -543,6 +553,8 @@ def warc_responses(
                             payload,
                             len(payload),
                             text,
+                            h.get("etag") or None,
+                            h.get("last-modified") or None,
                             decode_err,
                         )
                     )
@@ -550,7 +562,8 @@ def warc_responses(
                 rows,
                 columns=[
                     "file_id", "url", "status", "content_type",
-                    "body", "n_body_bytes", "text_body", "warc_error",
+                    "body", "n_body_bytes", "text_body",
+                    "etag", "last_modified", "warc_error",
                 ],
             )
 

@@ -425,3 +425,98 @@ def test_recrawl_frontier_with_w3c_normalization(spark):
         "u/c": "stale",
         "u/d": "unknown",
     }
+
+
+def test_recrawl_fetch_mode_with_validators(spark):
+    """Revalidation economics: a refetch whose snapshot carries a
+    cache validator (etag / last_modified off warc_responses) plans a
+    CONDITIONAL revalidation; one with none plans a FULL fetch;
+    skipped rows get NULL fetch_mode."""
+    candidates = spark.createDataFrame(
+        [
+            ("u/new", "2026-01-20"),       # not in snapshot -> full
+            ("u/etag", "2026-01-20"),      # stale + etag -> conditional
+            ("u/lm", "2026-01-20"),        # stale + last-modified only
+            ("u/bare", "2026-01-20"),      # stale, no validators -> full
+            ("u/fresh", "2026-01-01"),     # skip -> NULL mode
+        ],
+        "url string, lastmod string",
+    )
+    snapshot = spark.createDataFrame(
+        [
+            ("u/etag", "2026-01-15", '"abc123"', None),
+            ("u/lm", "2026-01-15", None, "Thu, 15 Jan 2026 00:00:00 GMT"),
+            ("u/bare", "2026-01-15", None, None),
+            ("u/fresh", "2026-01-15", '"zzz"', None),
+        ],
+        "url string, fetched_at string, etag string, last_modified string",
+    )
+    out = FR.recrawl_frontier(
+        candidates, snapshot, validator_cols=("etag", "last_modified")
+    )
+    got = {r["url"]: (r["reason"], r["fetch_mode"]) for r in out.collect()}
+    assert got == {
+        "u/new": ("new", "full"),
+        "u/etag": ("stale", "conditional"),
+        "u/lm": ("stale", "conditional"),
+        "u/bare": ("stale", "full"),
+        "u/fresh": ("fresh", None),
+    }
+    # validators ride through for the fetcher to echo back
+    etags = {r["url"]: r["etag"] for r in out.collect()}
+    assert etags["u/etag"] == '"abc123"' and etags["u/new"] is None
+
+
+def test_warc_validators_feed_recrawl_snapshot(spark):
+    """End-to-end validator plumbing: ETag / Last-Modified response
+    headers survive the WARC crack and drive the conditional-refetch
+    plan."""
+    import pandas as pd
+
+    from sparkgraft import warc as WC
+
+    def wfile(url, extra):
+        resp = WC.build_http_response(
+            body=b"<html><body>x</body></html>", extra_headers=extra
+        )
+        return WC.build_warc_file(
+            [WC.build_warc_record("response", resp, url=url)],
+            gzip_members=True,
+        )
+
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "file_id": [1, 2, 3],
+                "payload": [
+                    wfile("http://v.com/a", [("ETag", '"e1"')]),
+                    wfile(
+                        "http://v.com/b",
+                        [("Last-Modified", "Thu, 15 Jan 2026 00:00:00 GMT")],
+                    ),
+                    wfile("http://v.com/c", []),
+                ],
+            }
+        )
+    )
+    resp = WC.warc_responses(files)
+    snapshot = resp.select(
+        "url",
+        F.lit("2026-01-15 00:00:00").alias("fetched_at"),
+        "etag",
+        "last_modified",
+    )
+    candidates = spark.createDataFrame(
+        [(u, "2026-01-20 00:00:00") for u in
+         ("http://v.com/a", "http://v.com/b", "http://v.com/c")],
+        "url string, lastmod string",
+    )
+    out = FR.recrawl_frontier(
+        candidates, snapshot, validator_cols=("etag", "last_modified")
+    )
+    got = {r["url"]: r["fetch_mode"] for r in out.collect()}
+    assert got == {
+        "http://v.com/a": "conditional",
+        "http://v.com/b": "conditional",
+        "http://v.com/c": "full",
+    }

@@ -562,6 +562,8 @@ R6_OP_PINS = [
     # w3c_sortkey is pure row-local codegen — the shape is exactly
     # recrawl's (2 spread prints + fold + join), normalization free
     ("recrawl_w3c_mixed_forms", 4, False),
+    # validator carry + fetch_mode are row-local too: same shape
+    ("recrawl_conditional_plan", 4, False),
 ]
 
 
