@@ -520,3 +520,37 @@ def test_warc_validators_feed_recrawl_snapshot(spark):
         "http://v.com/b": "conditional",
         "http://v.com/c": "full",
     }
+
+
+def test_sitemap_xml_to_recrawl_composition(spark):
+    """The announcement source is REAL sitemap XML: build_sitemap ->
+    sitemap_entries crack -> w3c_sortkey normalization ->
+    recrawl_frontier verdicts. Mixed lastmod precisions in one urlset,
+    plus an entry with no lastmod at all."""
+    from sparkgraft import sitemap as SM
+
+    xml = SM.build_sitemap(
+        [
+            ("http://x.com/a", "2026-01-20"),
+            ("http://x.com/b", "2026-01-10T09:00:00Z"),
+            ("http://x.com/c", None),
+            ("http://x.com/d", "2026-01-15T13:00:00+01:00"),  # 12:00 UTC
+        ]
+    )
+    docs = spark.createDataFrame([(1, xml)], "site_id long, xml string")
+    entries = SM.sitemap_entries(docs).where("sitemap_error IS NULL")
+    candidates = entries.select(
+        F.col("loc").alias("url"), FR.w3c_sortkey("lastmod").alias("lastmod")
+    )
+    snapshot = spark.createDataFrame(
+        [(f"http://x.com/{p}", "2026-01-15 12:00:00") for p in "abcd"],
+        "url string, fetched_at string",
+    )
+    out = FR.recrawl_frontier(candidates, snapshot)
+    got = {r["url"]: r["reason"] for r in out.collect()}
+    assert got == {
+        "http://x.com/a": "stale",
+        "http://x.com/b": "fresh",
+        "http://x.com/c": "unknown",
+        "http://x.com/d": "fresh",  # 13:00+01:00 == the 12:00 fetch
+    }
