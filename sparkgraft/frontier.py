@@ -72,9 +72,13 @@ def w3c_sortkey(ts: Column | str) -> Column:
     the one classic trap (``to_timestamp`` on a naked string silently
     binding the SESSION zone) structurally cannot occur."""
     c = F.col(ts) if isinstance(ts, str) else ts
+    # TZD hour/minute bounds are part of the grammar: '+24:00' or
+    # '+00:60' is not a W3C offset — reject (NULL), don't compute a
+    # nonsense instant from it
     valid = c.rlike(
         r"^\d{4}-\d{2}-\d{2}"
-        r"(T\d{2}:\d{2}(:\d{2})?(\.\d+)?(Z|[+-]\d{2}:\d{2}))?$"
+        r"(T\d{2}:\d{2}(:\d{2})?(\.\d+)?"
+        r"(Z|[+-]([01][0-9]|2[0-3]):[0-5][0-9]))?$"
     )
     date_part = F.regexp_extract(c, r"^(\d{4}-\d{2}-\d{2})", 1)
     time_part = F.regexp_extract(c, r"T(\d{2}:\d{2}(?::\d{2})?)", 1)

@@ -381,6 +381,9 @@ def test_w3c_sortkey_matrix(spark):
             ("Wed, 15 Jan 2026 09:30:00 GMT", None),
             ("2026-13-45", None),
             ("2026-01-15T25:99:00Z", None),
+            ("2026-01-15T09:30:00+24:00", None),  # TZD hour out of range
+            ("2026-01-15T09:30:00-00:60", None),  # TZD minute out of range
+            ("2026-01-15T09:30:00+23:59", "2026-01-14 09:31:00"),
             ("", None),
             (None, None),
         ]
