@@ -66,11 +66,14 @@ def w3c_sortkey(ts: Column | str) -> Column:
     the announcement as signal-less rather than mis-ordered.
 
     Pure row-local codegen, and deliberately SESSION-TIMEZONE-PROOF:
-    the datetime part parses as ``timestamp_ntz`` (no TZ attached),
-    the ``±hh:mm`` offset is subtracted as an explicit interval, and
-    ``date_format`` of an ntz value involves no zone conversion —
-    the one classic trap (``to_timestamp`` on a naked string silently
-    binding the SESSION zone) structurally cannot occur."""
+    the fields assemble via ``try_make_timestamp_ntz`` (no zone ever
+    attached), the ``±hh:mm`` offset is subtracted as an explicit
+    interval, and the render is ``CAST(ntz AS STRING)`` — NOT
+    ``date_format``, which rebinds a timestamp_ntz through the
+    session zone and corrupts wall-clocks inside that zone's DST gap,
+    and NOT ``to_timestamp`` on the raw string, which silently binds
+    the session zone outright. Both traps are pinned by the test
+    matrix under ``America/New_York``."""
     c = F.col(ts) if isinstance(ts, str) else ts
     # TZD hour/minute bounds are part of the grammar: '+24:00' or
     # '+00:60' is not a W3C offset — reject (NULL), don't compute a
