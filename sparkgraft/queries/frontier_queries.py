@@ -347,3 +347,186 @@ def recrawl_conditional_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FR.recrawl_frontier(
         candidates, snapshot, validator_cols=("etag", "last_modified")
     )
+
+
+@register(
+    "crawl_funnel_report",
+    # NEW r13 retired tier: per-registrable-domain funnel ACCOUNTING —
+    # the observability row a crawl operator watches: how many URLs
+    # each gate dropped, the canonical dedup rate, and what the
+    # diversity cap will keep. Same plant geometry as the
+    # crawl_to_corpus flagship (pair-duplicated pages, 12 hosts / 3
+    # .co.uk registrable domains x 2 spellings, 4 path classes incl.
+    # the query-matched robots rule and the /ads/ gate class, 404s by
+    # %13) minus the wire/HTML codec tiers (their dead-letter
+    # accounting is their own oracled surface). The oracle replays the
+    # residue matrix and states every count; n_kept_after_cap =
+    # least(25, n_canonical) is exact WITHOUT running the cap — the
+    # cap keeps min(cap, groups) per domain by construction.
+    retired=True,
+    oracle="""
+    WITH pages AS (
+        SELECT doc_id,
+               doc_id // 2 AS pid,
+               doc_id % 13 = 0 AS dropped,
+               CAST((doc_id // 2) % 4 AS INT) AS c,
+               (doc_id // 2) % 8 = 7 AS ads,
+               'site' || CAST((doc_id // 2) % 3 AS VARCHAR)
+                 || '.co.uk' AS dom,
+               (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+                 || 'h' || CAST((doc_id // 2) % 4 AS VARCHAR)
+                 || '.site' || CAST((doc_id // 2) % 3 AS VARCHAR)
+                 || '.co.uk' AS host
+        FROM documents
+    ), flags AS (
+        SELECT *,
+               NOT dropped AND c IN (0, 2) AS robots_blocked,
+               NOT dropped AND c = 3 AND ads AS gate_blocked,
+               NOT dropped AND (c = 1 OR (c = 3 AND NOT ads))
+                 AS candidate
+        FROM pages
+    )
+    SELECT dom AS registrable_domain,
+           count(*) AS n_urls,
+           count(DISTINCT host) AS n_hosts,
+           count(CASE WHEN dropped THEN 1 END) AS n_status_dropped,
+           count(CASE WHEN robots_blocked THEN 1 END)
+             AS n_robots_blocked,
+           count(CASE WHEN gate_blocked THEN 1 END) AS n_gate_blocked,
+           count(CASE WHEN candidate THEN 1 END) AS n_candidates,
+           count(DISTINCT CASE WHEN candidate THEN pid END)
+             AS n_canonical,
+           least(25, count(DISTINCT CASE WHEN candidate THEN pid END))
+             AS n_kept_after_cap,
+           CAST(CASE WHEN count(CASE WHEN candidate THEN 1 END) > 0
+                THEN 1.0
+                     - count(DISTINCT CASE WHEN candidate THEN pid END)
+                       * 1.0
+                       / count(CASE WHEN candidate THEN 1 END)
+                END AS DOUBLE) AS dedup_rate
+    FROM flags
+    GROUP BY dom
+    """,
+)
+def crawl_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship's gates re-run for ACCOUNTING: plant the URL
+    universe, apply the real robots gate + url_filter + canonical
+    key, then ONE per-domain aggregation of stage counts. Shapes: the
+    rules broadcast join + the grouped distinct-count aggregation —
+    no per-stage jobs, no collect."""
+    from .. import robots as R
+    from .. import web as W
+
+    did = F.col("doc_id")
+    pid = F.floor(did / 2).cast("bigint")
+    c = (pid % 4).cast("int")
+    ads = pid % 8 == 7
+    host = F.concat(
+        F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("h"), (pid % 4).cast("string"),
+        F.lit(".site"), (pid % 3).cast("string"),
+        F.lit(".co.uk"),
+    )
+    path = (
+        F.when(c == 0, F.concat(F.lit("/private/x"), pid.cast("string")))
+        .when(c == 1, F.concat(F.lit("/private/public/x"), pid.cast("string")))
+        .when(c == 2, F.lit("/search"))
+        .when(ads, F.concat(F.lit("/ads/x"), pid.cast("string")))
+        .otherwise(F.concat(F.lit("/ok/x"), pid.cast("string")))
+    )
+    query = F.when(
+        c == 2,
+        F.concat(
+            F.lit("?q="), pid.cast("string"),
+            F.when(did % 2 == 0, F.lit("&utm_source=x")).otherwise(F.lit("")),
+        ),
+    ).otherwise(
+        F.when(did % 2 == 0, F.lit("?utm_source=x")).otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("http://"), host,
+        F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+        path, query,
+    )
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    urls = docs.select(
+        did.cast("bigint").alias("doc_id"),
+        url.alias("url"),
+        (did % 13 == 0).alias("dropped"),
+    )
+    robots_txt = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/public/\n"
+        "Disallow: /search?q=\n"
+    )
+    hosts = spark.range(24).select(
+        F.concat(
+            F.when(F.col("id") >= 12, F.lit("www.")).otherwise(F.lit("")),
+            F.lit("h"), (F.col("id") % 4).cast("string"),
+            F.lit(".site"),
+            ((F.col("id") % 12) / 4).cast("int").cast("string"),
+            F.lit(".co.uk"),
+        ).alias("host"),
+        F.lit(robots_txt).alias("content"),
+    )
+    gated = R.robots_gate(
+        urls, R.robots_rules(hosts), agent="graftbot", url_col="url"
+    )
+    bare_host = F.regexp_replace(
+        W.parse_url("url")["host"], r":[0-9]+$", ""
+    )
+    flagged = gated.select(
+        W.registrable_domain(bare_host).alias("registrable_domain"),
+        bare_host.alias("host"),
+        "dropped",
+        (~F.col("dropped") & ~F.col("robots_allowed")).alias(
+            "robots_blocked"
+        ),
+        (
+            ~F.col("dropped")
+            & F.col("robots_allowed")
+            & ~W.url_filter("url")["keep"]
+        ).alias("gate_blocked"),
+        (
+            ~F.col("dropped")
+            & F.col("robots_allowed")
+            & W.url_filter("url")["keep"]
+        ).alias("candidate"),
+        W.canonical_url("url").alias("canonical_url"),
+    )
+    one = F.lit(1)
+    n_cand = F.count(F.when(F.col("candidate"), one))
+    n_canon = F.countDistinct(
+        F.when(F.col("candidate"), F.col("canonical_url"))
+    )
+    agg = flagged.groupBy("registrable_domain").agg(
+        F.count(one).alias("n_urls"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.count(F.when(F.col("dropped"), one)).alias("n_status_dropped"),
+        F.count(F.when(F.col("robots_blocked"), one)).alias(
+            "n_robots_blocked"
+        ),
+        F.count(F.when(F.col("gate_blocked"), one)).alias("n_gate_blocked"),
+        n_cand.alias("n_candidates"),
+        n_canon.alias("n_canonical"),
+    )
+    return agg.select(
+        "registrable_domain",
+        "n_urls",
+        "n_hosts",
+        "n_status_dropped",
+        "n_robots_blocked",
+        "n_gate_blocked",
+        "n_candidates",
+        "n_canonical",
+        F.least(F.lit(25).cast("bigint"), F.col("n_canonical")).alias(
+            "n_kept_after_cap"
+        ),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.lit(1.0)
+            - F.col("n_canonical").cast("double")
+            / F.col("n_candidates").cast("double"),
+        ).alias("dedup_rate"),
+    )

@@ -564,6 +564,12 @@ R6_OP_PINS = [
     ("recrawl_w3c_mixed_forms", 4, False),
     # validator carry + fetch_mode are row-local too: same shape
     ("recrawl_conditional_plan", 4, False),
+    # funnel accounting: spread + rules broadcast + ONE grouped
+    # aggregation whose two DISTINCT aggregates expand (Spark's
+    # multi-distinct Expand adds partial/final exchange pairs) — the
+    # URL side still crosses the wire once per distinct set, never
+    # per stage
+    ("crawl_funnel_report", 7, False),
 ]
 
 
