@@ -527,6 +527,11 @@ R6_OP_PINS = [
     ("html_text_extraction", 1, False),
     # (robots_url_gate's pin moved to PLAN_PINS when promoted to the
     # bench headline, r13)
+    # NEW r13 retired tier: tar-shard container round trip — spread +
+    # ONE shuffle into shard groups (the applyInPandas build) + the
+    # sample-pivot groupBy; the crack is one Arrow MapInPandas pass,
+    # bytes never transit the driver
+    ("tar_shard_corpus_roundtrip", 3, False),
     # NEW r13 retired tier: RFC 3986 reference resolution — spread
     # only; page build is row-local codegen, parse+resolve is ONE
     # Arrow MapInPandas pass, posexplode row-local
