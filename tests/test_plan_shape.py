@@ -527,6 +527,10 @@ R6_OP_PINS = [
     ("html_text_extraction", 1, False),
     # (robots_url_gate's pin moved to PLAN_PINS when promoted to the
     # bench headline, r13)
+    # NEW r13 retired tier: UAX #15 NFC canonical keys — rides the
+    # scan (spread only); the normalize passes are Arrow-batched
+    # (ArrowEvalPython, never BatchEvalPython)
+    ("nfc_canonical_dedup", 1, False),
     # NEW r13 retired tier: tar-shard container round trip — spread +
     # ONE shuffle into shard groups (the applyInPandas build) + the
     # sample-pivot groupBy; the crack is one Arrow MapInPandas pass,
