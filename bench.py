@@ -39,12 +39,18 @@ HEADLINE = [
     "doc_gopher_quality_gate",
     "tfidf_top_terms",
     "corpus_curation_pipeline",
-    "dedup_exact_keep_first",
+    # (dedup_exact_keep_first retired in the r13 second rotation —
+    # funded the tar-shard container promotion)
     "dedup_repeated_spans",
     "decontaminate_docs",
     "ngram_jaccard_near_dups",
     "minhash_lsh_near_dups",
-    "simhash_by_doc",
+    # (simhash_by_doc retired in the r13 second rotation — funded the
+    # NFC canonical-key promotion)
+    # r13 second rotation promotions: the session's two new tiers take
+    # driver slots and bench rows (coverage policy: newest first)
+    "tar_shard_corpus_roundtrip",
+    "nfc_canonical_dedup",
     # (embedding_near_dup_pairs retired r13 — see the r13 rotation note)
     "embedding_near_dup_lsh_planted",
     "ann_lsh_top1_planted",

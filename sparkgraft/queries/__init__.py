@@ -41,8 +41,8 @@ from .registry import (  # noqa: F401
 
 # Import order = verification priority (newest / least-stable first),
 # per the coverage policy above. Each module registers its queries.
-from . import unicode_queries  # noqa: E402,F401  (NEW r13: UAX #15 NFC canonical dedup keys, retired tier)
-from . import tarshard_queries  # noqa: E402,F401  (NEW r13: WebDataset-style tar-shard container round trip, retired tier)
+from . import unicode_queries  # noqa: E402,F401  (NEW r13: UAX #15 NFC canonical dedup keys, ACTIVE)
+from . import tarshard_queries  # noqa: E402,F401  (NEW r13: WebDataset-style tar-shard container round trip, ACTIVE)
 from . import frontier_queries  # noqa: E402,F401  (NEW r13: recrawl staleness + politeness schedule + crawl delta, retired tier)
 from . import crawl  # noqa: E402,F401  (NEW r13: end-to-end crawl-to-corpus flagship, ACTIVE)
 from . import sitemap_queries  # noqa: E402,F401  (NEW r13: XML sitemap frontier, retired tier)

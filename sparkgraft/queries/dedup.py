@@ -44,7 +44,10 @@ _SH_CTE = f"""
 
 @register(
     "dedup_exact_keep_first",
-    """
+    # r13 second rotation: retired (driver-green since r1) to fund the
+    # tar-shard container promotion; oracle intact, still swept
+    retired=True,
+    oracle="""
     SELECT doc_id, lang, source, n_chars FROM (
         SELECT d.*, row_number() OVER (
             PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
@@ -147,7 +150,10 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_by_doc",
-    f"""
+    # r13 second rotation: retired (driver-green since r2) to fund the
+    # NFC canonical-key promotion; oracle intact, still swept
+    retired=True,
+    oracle=f"""
     WITH base AS (SELECT doc_id, {_TOK} AS tok FROM documents)
     SELECT doc_id,
            CASE WHEN len(tok) = 0 THEN NULL

@@ -27,7 +27,8 @@ from .registry import register
 
 @register(
     "tar_shard_corpus_roundtrip",
-    retired=True,
+    # ACTIVE (r13 second rotation): newest tier takes a driver slot
+    # per the coverage policy; dedup_exact_keep_first retired to fund it
     # the oracle states only what ingestion must recover from the
     # documents table: byte counts are UTF-8 byte lengths (strlen),
     # every sample carries exactly its two members

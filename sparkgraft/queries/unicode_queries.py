@@ -30,7 +30,8 @@ _DECOMPOSED = " cafe\u0301 A\u030a"
 
 @register(
     "nfc_canonical_dedup",
-    retired=True,
+    # ACTIVE (r13 second rotation): newest tier takes a driver slot
+    # per the coverage policy; simhash_by_doc retired to fund it
     # chr(233)=é chr(197)=Å chr(769)=U+0301 chr(778)=U+030A
     oracle="""
     WITH planted AS (

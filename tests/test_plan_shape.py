@@ -71,11 +71,16 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     "doc_importance_resampling": (22, 0),
     "corpus_curation_pipeline": (2, 0),
     "tfidf_top_terms": (9, 1),  # doc_len rides the rank window's exchange
-    "dedup_exact_keep_first": (1, 0),
+    # (dedup_exact_keep_first's and simhash_by_doc's (1, 0) pins moved
+    # to R6_OP_PINS in the r13 second rotation)
     "decontaminate_docs": (5, 1),
     "ngram_jaccard_near_dups": (8, 3),
     "minhash_lsh_near_dups": (8, 3),
-    "simhash_by_doc": (1, 0),
+    # r13 second rotation promotions: tar-shard container round trip
+    # (spread + shard-group applyInPandas + sample pivot) and the NFC
+    # canonical keys (rides the scan, Arrow-batched normalize)
+    "tar_shard_corpus_roundtrip": (3, 0),
+    "nfc_canonical_dedup": (1, 0),
     # (embedding_near_dup_pairs' (9, 4) pin moved to R6_OP_PINS when
     # retired, r13)
     # planted variant: same banded-LSH plan over the unioned planted
@@ -527,15 +532,11 @@ R6_OP_PINS = [
     ("html_text_extraction", 1, False),
     # (robots_url_gate's pin moved to PLAN_PINS when promoted to the
     # bench headline, r13)
-    # NEW r13 retired tier: UAX #15 NFC canonical keys — rides the
-    # scan (spread only); the normalize passes are Arrow-batched
-    # (ArrowEvalPython, never BatchEvalPython)
-    ("nfc_canonical_dedup", 1, False),
-    # NEW r13 retired tier: tar-shard container round trip — spread +
-    # ONE shuffle into shard groups (the applyInPandas build) + the
-    # sample-pivot groupBy; the crack is one Arrow MapInPandas pass,
-    # bytes never transit the driver
-    ("tar_shard_corpus_roundtrip", 3, False),
+    # r13 second rotation retirements: shapes stay pinned after
+    # leaving the headline (exact-dedup fingerprint groupBy; simhash
+    # single scan-side pass)
+    ("dedup_exact_keep_first", 1, False),
+    ("simhash_by_doc", 1, False),
     # NEW r13 retired tier: RFC 3986 reference resolution — spread
     # only; page build is row-local codegen, parse+resolve is ONE
     # Arrow MapInPandas pass, posexplode row-local
