@@ -63,6 +63,7 @@ __all__ = [
     "samples_wide",
     "write_tar_shards",
     "read_tar_shards",
+    "stream_tar_shards",
 ]
 
 # Whole-shard parse cap — same bound and rationale as warc.py: a
@@ -372,59 +373,98 @@ def read_tar_shards(
     missing manifest with ``verify=True`` raises — an uncommitted
     (crashed) write must not read as an empty-but-valid corpus.
     """
-    expected: dict[str, str] = {}
-    if verify:
-        manifest_path = os.path.join(path, "manifest.json")
-        if not os.path.exists(manifest_path):
-            raise FileNotFoundError(
-                f"read_tar_shards: no manifest at {manifest_path} — the"
-                " directory was never committed (write crashed before the"
-                " manifest, or this is not a tar-shard store); pass"
-                " verify=False to scavenge shard files anyway"
-            )
-        with open(manifest_path) as f:
-            for s in json.load(f)["shards"]:
-                expected[s["file"]] = s["sha256"]
-
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "shard-*.tar")
-        .load(path)
-        .select(
-            F.element_at(F.split(F.col("path"), "/"), -1).alias("__file"),
-            F.regexp_extract(
-                F.element_at(F.split(F.col("path"), "/"), -1),
-                r"shard-(\d+)\.tar",
-                1,
-            )
-            .cast("long")
-            .alias("shard_id"),
-            F.col("content").alias("payload"),
-        )
+    return _crack_source(
+        _read_manifest(path) if verify else None,
+        (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "shard-*.tar")
+            .load(path)
+        ),
     )
-    if verify:
-        if expected:
-            exp = F.create_map(
-                *[F.lit(x) for kv in expected.items() for x in kv]
-            )
-            ok = F.coalesce(
-                F.element_at(exp, F.col("__file"))
-                == F.sha2(F.col("payload"), 256),
-                F.lit(False),
-            )
-        else:  # committed-but-empty manifest: any shard file is a stray
-            ok = F.lit(False)
-        files = files.withColumn("__ok", ok)
-        good = tar_samples(
-            files.where(F.col("__ok")).select("shard_id", "payload")
+
+
+def stream_tar_shards(
+    spark: SparkSession,
+    path: str,
+    verify: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_tar_shards`: the ``binaryFile``
+    source as a file STREAM (each shard file arrives once, whole — tar
+    shards are immutable after their atomic publish, so file-at-a-time
+    is the natural micro-batch grain), cracked by the SAME
+    ``tar_samples`` pass, checksum-verified against the SAME manifest.
+    Batch/stream parity is therefore structural, and asserted over a
+    multi-batch replay in tests.  The manifest read is driver-side at
+    plan time: a shard added AFTER the stream starts still cracks, but
+    dead-letters under ``verify=True`` until the manifest recommits —
+    exactly the fail-loud contract the batch reader has.
+    """
+    schema = (
+        "path string, modificationTime timestamp, length long,"
+        " content binary"
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "shard-*.tar")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _crack_source(
+        _read_manifest(path) if verify else None, reader.load(path)
+    )
+
+
+def _read_manifest(path: str) -> dict[str, str]:
+    manifest_path = os.path.join(path, "manifest.json")
+    if not os.path.exists(manifest_path):
+        raise FileNotFoundError(
+            f"tar shards: no manifest at {manifest_path} — the"
+            " directory was never committed (write crashed before the"
+            " manifest, or this is not a tar-shard store); pass"
+            " verify=False to scavenge shard files anyway"
         )
-        bad = files.where(~F.col("__ok")).select(
-            "shard_id",
-            F.lit(None).cast("int").alias("sample_seq"),
-            F.lit(None).cast("string").alias("key"),
-            F.lit(None).cast("string").alias("ext"),
-            F.lit(None).cast("binary").alias("content"),
-            F.lit("tar: checksum mismatch").alias("tar_error"),
+    with open(manifest_path) as f:
+        return {s["file"]: s["sha256"] for s in json.load(f)["shards"]}
+
+
+def _crack_source(
+    expected: dict[str, str] | None, source: DataFrame
+) -> DataFrame:
+    """Shared batch/stream tail: name -> shard_id, optional manifest
+    checksum gate (good shards crack, drifted ones dead-letter whole),
+    then the Arrow crack pass."""
+    files = source.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("__file"),
+        F.regexp_extract(
+            F.element_at(F.split(F.col("path"), "/"), -1),
+            r"shard-(\d+)\.tar",
+            1,
         )
-        return good.unionByName(bad)
-    return tar_samples(files.select("shard_id", "payload"))
+        .cast("long")
+        .alias("shard_id"),
+        F.col("content").alias("payload"),
+    )
+    if expected is None:
+        return tar_samples(files.select("shard_id", "payload"))
+    if expected:
+        exp = F.create_map(*[F.lit(x) for kv in expected.items() for x in kv])
+        ok = F.coalesce(
+            F.element_at(exp, F.col("__file"))
+            == F.sha2(F.col("payload"), 256),
+            F.lit(False),
+        )
+    else:  # committed-but-empty manifest: any shard file is a stray
+        ok = F.lit(False)
+    files = files.withColumn("__ok", ok)
+    good = tar_samples(files.where(F.col("__ok")).select("shard_id", "payload"))
+    bad = files.where(~F.col("__ok")).select(
+        "shard_id",
+        F.lit(None).cast("int").alias("sample_seq"),
+        F.lit(None).cast("string").alias("key"),
+        F.lit(None).cast("string").alias("ext"),
+        F.lit(None).cast("binary").alias("content"),
+        F.lit("tar: checksum mismatch").alias("tar_error"),
+    )
+    return good.unionByName(bad)

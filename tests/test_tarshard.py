@@ -235,3 +235,100 @@ def test_overwrite_retracts_manifest_first(spark, tmp_path):
         if r.tar_error is None
     }
     assert keys == {"0", "1", "2", "4"}
+
+
+def test_stream_tar_shards_matches_batch(spark, tmp_path):
+    """Streaming ingest parity: the binaryFile STREAM over a shard dir
+    (one file per micro-batch) cracks to exactly the batch reader's
+    member rows, checksum gate included."""
+    df = spark.range(30).select(
+        F.lpad(F.col("id").cast("string"), 4, "0").alias("key"),
+        F.encode(F.concat(F.lit("doc "), F.col("id")), "utf-8").alias("txt"),
+    )
+    path = str(tmp_path / "stream")
+    manifest = TS.write_tar_shards(df, path, "key", [("txt", "txt")], 4)
+    assert len(manifest) >= 2  # parity must span multiple micro-batches
+    # corrupt one shard post-commit: the stream must dead-letter it too
+    victim = manifest[0]
+    with open(os.path.join(path, victim["file"]), "r+b") as f:
+        f.write(b"\xff")
+
+    q = (
+        TS.stream_tar_shards(spark, path, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("tar_stream_parity")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select shard_id, sample_seq, key, ext, content, tar_error"
+        " from tar_stream_parity"
+    ).collect()
+    want = TS.read_tar_shards(spark, path).collect()
+
+    def canon(rows):
+        return sorted(
+            (
+                r.shard_id,
+                r.sample_seq,
+                r.key,
+                r.ext,
+                None if r.content is None else bytes(r.content),
+                r.tar_error,
+            )
+            for r in rows
+        )
+
+    assert canon(got) == canon(want)
+    assert sum(1 for r in got if r.tar_error == "tar: checksum mismatch") == 1
+
+
+def test_tar_shards_compose_with_media_tier(spark, tmp_path):
+    """The WebDataset use case end to end: image+caption samples
+    through tar shards, cracked members feeding perceptual_hash —
+    hashes must equal the direct (container-free) path bit for bit."""
+    import numpy as np
+
+    from sparkgraft import multimodal as M
+
+    rows = []
+    for i in range(6):
+        img = (np.arange(64 * 64, dtype=np.uint64) * (i + 3) % 251).astype(
+            "uint8"
+        ).reshape(64, 64)
+        rows.append(
+            (
+                f"{i:04d}",
+                bytearray(M.jpeg_encode_gray(img)),
+                bytearray(f"caption {i}".encode()),
+            )
+        )
+    df = spark.createDataFrame(rows, "key string, jpg binary, txt binary")
+    path = str(tmp_path / "wds")
+    TS.write_tar_shards(df, path, "key", [("jpg", "jpg"), ("txt", "txt")], 2)
+
+    wide = TS.samples_wide(
+        TS.read_tar_shards(spark, path), exts=["jpg", "txt"]
+    )
+    via_tar = M.perceptual_hash(
+        wide.select(
+            F.col("key").cast("long").alias("media_id"),
+            F.col("jpg").alias("payload"),
+        )
+    )
+    direct = M.perceptual_hash(
+        df.select(
+            F.col("key").cast("long").alias("media_id"),
+            F.col("jpg").alias("payload"),
+        )
+    )
+    got = {r.media_id: r.phash for r in via_tar.collect()}
+    want = {r.media_id: r.phash for r in direct.collect()}
+    assert got == want and len(got) == 6
+    # captions ride the same samples
+    caps = {
+        r.key: bytes(r.txt).decode()
+        for r in wide.select("key", "txt").collect()
+    }
+    assert caps["0003"] == "caption 3"
