@@ -45,6 +45,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r13 optimization round (guide §2.2/§2.4): let AQE coalesce the
+        # output partitioning of CACHED plans too (off by default only
+        # to keep cached partitioning stable for consumers that rely on
+        # it — nothing here does). Without it a persisted intermediate
+        # materializes at the static shuffle-partition count (32 here,
+        # 1000s on a cluster) no matter how few bytes it holds, and
+        # every downstream consumer stage — the BM25 tail alone hangs
+        # ~10 subquery reads off its persisted tf state — pays a
+        # 32-task scheduling floor to scan kilobytes. With the flag on,
+        # AQE sizes cached-plan partitions by BYTES (advisory size), so
+        # a small state caches as 1 partition at sf0.1 and as hundreds
+        # only when it actually holds that much data — the
+        # scale-adaptive behavior the guide's §2 asks for.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

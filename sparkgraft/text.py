@@ -1481,16 +1481,38 @@ def bm25_topk_from_index(
     # accumulated one cached state per invocation for the session's
     # lifetime); evicting a handle an earlier lazy result still
     # references merely recomputes it — never a correctness risk.
-    tf = index.select(
+    sel = index.select(
         F.col(id_col), F.col("term").alias("__term"), F.col("tf").alias("__tf")
-    ).persist()
-    with _BM25_TF_STATES_LOCK:
-        while len(_BM25_TF_STATES) >= _BM25_TF_STATES_MAX:
-            try:
-                _BM25_TF_STATES.pop(0).unpersist(False)
-            except Exception:
-                pass  # a dead SparkSession just means nothing to free
-        _BM25_TF_STATES.append(tf)
+    )
+    # r13 optimization round (guide §2.4/§5): materialize the index
+    # state ONCE, eagerly, with its lineage truncated. The scoring
+    # tail hangs ~10 consumers off this state (doc lengths, term df,
+    # the 1-row N/avgdl scalars, query terms, the candidate set), and
+    # Spark runs broadcast exchanges as CONCURRENT futures at job
+    # start — under the previous lazy persist they all found the cache
+    # cold and each raced the whole tokenize+aggregate subtree
+    # (measured: 8 racing stages of 7-13s executor-run apiece at
+    # sf0.1, tools/query_profile.py). An EAGER localCheckpoint both
+    # materializes before any consumer executes and cuts the lineage,
+    # so every consumer plans against a compact materialized leaf
+    # instead of its own copy of the index subtree (the dedup_spans
+    # spine precedent — DataFrame reuse is not plan reuse). Blocks are
+    # freed by the ContextCleaner when the result goes out of scope,
+    # so the old persisted-handle rotation is unnecessary on this
+    # path; streaming folds (per micro-batch inside foreachBatch,
+    # where eager actions on the unbound frame are illegal) keep the
+    # lazy persist + bounded rotation.
+    if sel.isStreaming:
+        tf = sel.persist()
+        with _BM25_TF_STATES_LOCK:
+            while len(_BM25_TF_STATES) >= _BM25_TF_STATES_MAX:
+                try:
+                    _BM25_TF_STATES.pop(0).unpersist(False)
+                except Exception:
+                    pass  # a dead SparkSession just means nothing to free
+            _BM25_TF_STATES.append(tf)
+    else:
+        tf = sel.localCheckpoint(eager=True)
     dlen = tf.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
     stats = dlen.agg(
         F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
@@ -1513,21 +1535,46 @@ def bm25_topk_from_index(
         )
     )
     contrib = F.round(idf * tfnorm, 12).cast("decimal(18,12)")
+    # r13 optimization round (guide §2.3 / §3): the per-(doc, term)
+    # BM25 contribution is QUERY-INDEPENDENT (idf, tf and dl never
+    # mention the query), so compute it ONCE per (doc, term) on the
+    # index restricted to the union of query vocabularies, and let the
+    # per-query expansion join move a precomputed ~9-byte DECIMAL
+    # instead of re-running ln/round/decimal per (query, doc, term) —
+    # previously the scoring stage evaluated the full contribution
+    # expression on |Q|x as many rows (measured 15.5s executor-CPU in
+    # one stage at sf0.1; the expanded rows now only SUM). The df/dl
+    # attach joins also shrink from the expanded hits to the restricted
+    # index: df restricted to query terms is bounded by the query set
+    # and BROADCASTS at any corpus size (the semi-join pre-filter move,
+    # guide §3.2), while dl joins the restricted index on id_col — an
+    # exchange of compact rows bounded by the query vocabulary's
+    # postings, not by per-query duplication.
+    qt_dist = qterms.select("__term").distinct()
+    dft_q = dft.join(F.broadcast(qt_dist), "__term")
+    base = (
+        tf.join(F.broadcast(qt_dist), "__term")
+        .join(F.broadcast(dft_q), "__term")
+        .join(dlen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), "__term", contrib.alias("__contrib"))
+    )
     if max_df_ratio is None:
-        hits = tf.join(F.broadcast(qterms), "__term").where(
+        hits = base.join(F.broadcast(qterms), "__term").where(
             F.col(id_col) != F.col("query_id")
         )
     else:
         # term-skew guard: candidates come ONLY through discriminative
         # terms (df <= max_df_ratio * N — the df aggregate is already
-        # computed for scoring, so the gate reuses it; N rides the
-        # 1-row stats broadcast)...
-        gen_terms = (
-            dft.crossJoin(F.broadcast(stats.select("__n")))
+        # computed for scoring and pre-restricted to query terms, so
+        # the gate is a bounded broadcast; N rides the 1-row stats
+        # broadcast)...
+        q_rare = (
+            qterms.join(F.broadcast(dft_q), "__term")
+            .crossJoin(F.broadcast(stats.select("__n")))
             .where(F.col("__df") <= F.lit(max_df_ratio) * F.col("__n"))
-            .select("__term")
+            .select("query_id", "__term")
         )
-        q_rare = qterms.join(gen_terms, "__term").select("query_id", "__term")
         # ...starvation fallback: a query whose EVERY term is hot
         # cannot propose candidates through the gate and would return
         # nothing at all (measured on a 31-term synthetic vocabulary
@@ -1539,32 +1586,34 @@ def bm25_topk_from_index(
         starved = query_ids.select(F.col(id_col).alias("query_id")).join(
             q_rare.select("query_id").distinct(), "query_id", "left_anti"
         )
-        hits_direct = tf.join(
+        hits_direct = base.join(
             F.broadcast(qterms.join(F.broadcast(starved), "query_id")),
             "__term",
         ).where(F.col(id_col) != F.col("query_id"))
         cand = (
-            tf.join(F.broadcast(q_rare), "__term")
+            base.join(F.broadcast(q_rare), "__term")
             .where(F.col(id_col) != F.col("query_id"))
             .select("query_id", id_col)
             .distinct()
         )
         # ...then each gated candidate is scored with EVERY matching
         # query term, hot ones included: re-attach the candidate docs'
-        # term rows map-side (broadcast pair set) and keep the query
-        # matches — exact BM25, rank-neutral among survivors. Neither
-        # join is proportional to hot-term postings. (cand carries no
-        # starved query ids — q_rare excludes them by construction —
-        # so the union with the direct arm never double-counts.)
-        hits = tf.join(F.broadcast(cand), id_col).join(
+        # precomputed contributions map-side (broadcast pair set) and
+        # keep the query matches — exact BM25, rank-neutral among
+        # survivors. Neither join is proportional to hot-term postings.
+        # (cand carries no starved query ids — q_rare excludes them by
+        # construction — so the union with the direct arm never
+        # double-counts.)
+        hits = base.join(F.broadcast(cand), id_col).join(
             F.broadcast(qterms), ["query_id", "__term"]
-        ).unionByName(hits_direct)
+        ).select(
+            "query_id", id_col, "__term", "__contrib"
+        ).unionByName(
+            hits_direct.select("query_id", id_col, "__term", "__contrib")
+        )
     scored = (
-        hits.join(dft, "__term")
-        .join(dlen, id_col)
-        .crossJoin(F.broadcast(stats))
-        .groupBy("query_id", id_col)
-        .agg(F.round(F.sum(contrib).cast("double"), round_to).alias("bm25_score"))
+        hits.groupBy("query_id", id_col)
+        .agg(F.round(F.sum("__contrib").cast("double"), round_to).alias("bm25_score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("bm25_score"), F.asc(id_col)

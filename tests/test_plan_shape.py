@@ -110,22 +110,29 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # plan as the rows-only variant it replaces (groupBy cid is the
     # only Exchange — the planted union scans in place).
     "semantic_dedup_planted": (1, 0),
-    # BM25: one tokenize pass -> the persisted (doc, term, tf) index
-    # state (prints once per consumer: doc lengths, df counts, query
-    # terms, postings join — materializes once), broadcast query-term
-    # postings join, the allow-listed 1-row N/avgdl scalar broadcast
-    # (A5), rank window. r9: the term-skew guard defaults ON
-    # (max_df_ratio=0.5, VERDICT r8 #3), so the driver-facing plan is
-    # the GATED one — rare-term candidate distinct + broadcast
-    # join-back + the starved-query direct arm. The printed Exchange
-    # count nearly triples because the persisted tf subtree now prints
-    # under ~9 consumers instead of 4 (it still materializes ONCE at
-    # runtime: measured sf0.1 wall 3.0s gated vs 2.8s ungated, and the
-    # gate wins 3.6x on a real Zipfian corpus — BM25_SKEW_PROBE)
-    "bm25_doc_retrieval": (45, 4),
+    # BM25: one tokenize pass -> the (doc, term, tf) index state,
+    # materialized ONCE as an eager lineage-truncating localCheckpoint
+    # (r13 optimization round: the previous lazy persist let the
+    # tail's ~10 concurrent broadcast-subquery futures each race the
+    # whole tokenize+aggregate subtree — measured 8 racing stages of
+    # 7-13s executor-run apiece at sf0.1). The scoring tail computes
+    # each (doc, term) contribution once on the query-vocabulary-
+    # restricted index (query-independent — guide §2.3), broadcasts
+    # the bounded restricted-df side (semi-join pre-filter, §3.2), and
+    # per-query expansion joins move only precomputed decimals. r9:
+    # the term-skew guard defaults ON (max_df_ratio=0.5, VERDICT r8
+    # #3), so the driver-facing plan is the GATED one — rare-term
+    # candidate distinct + broadcast join-back + the starved-query
+    # direct arm. Printed exchanges rose vs the r12 pin (45) because
+    # the restructured tail derives qterms/base per consumer from the
+    # checkpoint leaf (each prints its own small subtree); executor
+    # CPU per pass dropped 37-58s -> ~2s at sf0.1 (query_profile). The
+    # 5th BNLJ print is the same allow-listed 1-row N/avgdl scalar
+    # under the contribution base.
+    "bm25_doc_retrieval": (68, 5),
     # fully-oracled hybrid: gated BM25 arm (see above) + the exact
     # cosine arm (the knn broadcast-query BNLJ tier) + decimal fusion
-    "hybrid_bm25_cosine_rrf": (48, 4),
+    "hybrid_bm25_cosine_rrf": (71, 6),
     # (user_next_event_pairs' (1, 0) pin moved to R6_OP_PINS when
     # retired, r13)
     # allow-listed 1-row max-ts anchor broadcast (A5) + one per-user
@@ -162,16 +169,19 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # shortlist plan (cid-keyed probe join + top-k window) + the exact
     # rerank tail's broadcast join-backs + the final window
     "ann_ivfpq_rerank_top1_planted": (6, 3),
-    # default-on skew guard under its own oracle: the persisted tf
-    # subtree prints once per consumer (materializes once — the DSIR
-    # precedent); BNLJs are the allow-listed 1-row N scalar broadcasts
-    "bm25_pruned_retrieval": (45, 4),
+    # default-on skew guard under its own oracle: same checkpointed-
+    # index tail as bm25_doc_retrieval above (r13 pin update, same
+    # explanation); BNLJs are the allow-listed 1-row N scalar
+    # broadcasts
+    "bm25_pruned_retrieval": (68, 5),
     # r11 rotation promotions (their retired-tier R6_OP_PINS entries
     # moved here; measured shapes unchanged). folded index: the
-    # persisted folded state prints per consumer (~9 consumers x a
-    # 3-branch folded union — materializes once, the DSIR precedent);
+    # 3-batch fold now materializes INTO the eager checkpoint leaf at
+    # construction (r13), so the printed plan equals the one-shot
+    # arm's — the fold subtree no longer prints per consumer at all
+    # (was 73 with the persisted fold printing under ~9 consumers);
     # BNLJs are the allow-listed 1-row N/avgdl scalar broadcasts (A5)
-    "bm25_from_folded_index": (73, 4),
+    "bm25_from_folded_index": (68, 5),
     # TPC-H Q18 shape: two key-shuffle joins feeding one exact-decimal
     # aggregate with the HAVING on top (AQE may elect broadcast for
     # the customer side at bench SF)
