@@ -241,9 +241,12 @@ def duplicated_shingle_stats(
         "doc_id", F.xxhash64("shingle").alias("shingle")
     )
     if persist_shingles:
-        from pyspark import StorageLevel
+        # eager + lineage-truncating (r13): the two consumers below are
+        # planned as concurrent AQE stages and raced the cold cache —
+        # see relational.materialize_intermediate
+        from .relational import materialize_intermediate
 
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = materialize_intermediate(sh)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     return (
         sh.join(dfreq, "shingle")
@@ -299,9 +302,9 @@ def jaccard_pairs(
     """
     sh_sets = _doc_shingle_sets(df, text_col, id_col, k)
     if persist_intermediates:
-        from pyspark import StorageLevel
+        from .relational import materialize_intermediate
 
-        sh_sets = sh_sets.persist(StorageLevel.MEMORY_AND_DISK)
+        sh_sets = materialize_intermediate(sh_sets)
     # join key = 64-bit hash of the shingle, not the string: halves the
     # shuffle bytes and makes comparisons fixed-width. Engine-internal
     # only — outputs carry counts, never the hashed key. (xxhash64
@@ -570,7 +573,7 @@ def minhash_near_dups(
     over the corpus — measured 2-3x end-to-end. Disable if the corpus
     shingle table cannot fit cluster memory+disk cache.
     """
-    from pyspark import StorageLevel
+    from .relational import materialize_intermediate
 
     rows = num_hashes // num_bands
     # staged projections: tokens -> shingles -> signature -> bands.
@@ -579,7 +582,7 @@ def minhash_near_dups(
     # num_hashes minhash expressions (measured 25x slowdown).
     sh_df = _doc_shingle_sets(df, text_col, id_col, k)
     if persist_intermediates:
-        sh_df = sh_df.persist(StorageLevel.MEMORY_AND_DISK)
+        sh_df = materialize_intermediate(sh_df)
     sigs = sh_df.select(
         "doc_id",
         signature_from_shingles(F.col("shingles"), num_hashes).alias("__sig"),
@@ -601,7 +604,7 @@ def minhash_near_dups(
         )
     )
     if persist_intermediates:
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        banded = materialize_intermediate(banded)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -1323,6 +1326,17 @@ def dedup_boilerplate_lines(
             ).otherwise(F.split(F.col(text_col), "\n"))
         ).alias("__line_idx", "__line"),
     ).withColumn("__k", F.md5(normalize_text(F.col("__line"))))
+    # r13 optimization round: materialize the exploded+hashed lines
+    # ONCE (DISK_ONLY — text-bearing, the dedup_spans budget class).
+    # The frequency pass and the rebuild are concurrent consumers of
+    # this subtree; unmaterialized, each re-ran the explode +
+    # normalize + md5 over the whole corpus (measured as two ~5.5s-CPU
+    # twin stages at sf0.1 — tools/query_profile.py).
+    from pyspark import StorageLevel
+
+    from .relational import materialize_intermediate
+
+    lines = materialize_intermediate(lines, StorageLevel.DISK_ONLY)
     freq = (
         lines.where(F.col("__line").isNotNull())
         .groupBy("__k")

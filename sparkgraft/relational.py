@@ -68,6 +68,45 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(partitions)
 
 
+def materialize_intermediate(df: DataFrame, storage_level=None) -> DataFrame:
+    """Eagerly materialize a multi-consumer intermediate with its
+    lineage truncated (r13 optimization round, guide §2.4/§5).
+
+    A lazy ``persist()`` is NOT enough when the consumers are
+    concurrent: Spark launches broadcast-exchange subqueries and AQE
+    query stages as parallel futures at job start, and against a cold
+    cache each future independently recomputes the whole producing
+    subtree (measured on the BM25 tail: 8 racing stages of 7-13s
+    executor-run apiece at sf0.1 — tools/query_profile.py). The eager
+    ``localCheckpoint`` materializes ONCE before any consumer executes
+    and replaces the lineage with a compact leaf, so consumers also
+    stop re-planning (and re-printing) their own copies of the subtree.
+
+    Trade-offs, deliberately accepted: blocks are not fault-tolerant
+    (an executor loss recomputes from the checkpoint's source — the
+    dedup_spans spine precedent calls this "the distributed-disk
+    equivalent of one more corpus write"), and the leaf's partitioning
+    is opaque to Catalyst, so a downstream operation keyed exactly like
+    the producing aggregate re-exchanges (every current call site
+    re-keys anyway). Streaming frames cannot run eager actions — they
+    fall back to the lazy persist (inside foreachBatch the frames are
+    batch frames, so real micro-batch pipelines take the eager path).
+
+    Pass ``storage_level`` (e.g. ``StorageLevel.DISK_ONLY``) for
+    text-bearing intermediates whose bytes are corpus-sized — the
+    dedup_spans discipline: per-executor local disk holds
+    corpus/num_executors bytes, the same budget class as a shuffle,
+    where pinning it in executor MEMORY would hold ~the corpus.
+    """
+    if df.isStreaming:
+        from pyspark import StorageLevel
+
+        return df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    if storage_level is not None:
+        return df.localCheckpoint(eager=True, storageLevel=storage_level)
+    return df.localCheckpoint(eager=True)
+
+
 def pushdown_fence(df: DataFrame) -> DataFrame:
     """Stop predicate pushdown below this point — a semantics-free
     NONDETERMINISTIC filter (``rand() >= -1``, always true): Catalyst

@@ -866,9 +866,13 @@ def cosine_pairs_lsh(
         .drop("__bsz")
     )
     if persist_intermediates:
-        from pyspark import StorageLevel
+        # eager + lineage-truncating (r13): the two self-join sides are
+        # planned as concurrent AQE stages and raced the cold cache,
+        # running the Arrow bucket matmul + window twice — see
+        # relational.materialize_intermediate
+        from .relational import materialize_intermediate
 
-        ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
+        ids = materialize_intermediate(ids)
     cand = (
         ids.select("table", "bucket", F.col("__id").alias("id_a"))
         .join(

@@ -535,9 +535,9 @@ def tfidf_top_terms(
     ).where(F.col("term").isNotNull())
     tc = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("__tf_raw"))
     if persist_intermediates:
-        from pyspark import StorageLevel
+        from .relational import materialize_intermediate
 
-        tc = tc.persist(StorageLevel.MEMORY_AND_DISK)
+        tc = materialize_intermediate(tc)
     dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = df.select(F.count(F.lit(1)).alias("__n_docs"))
     wd = Window.partitionBy("doc_id")
@@ -616,10 +616,12 @@ def importance_llr(
 
     tc = term_counts(df)
     if persist_intermediates:
-        from pyspark import StorageLevel
+        from .relational import materialize_intermediate
 
-        # tc feeds the raw-model totals AND the scoring join
-        tc = tc.persist(StorageLevel.MEMORY_AND_DISK)
+        # tc feeds the raw-model totals AND the scoring join; eager +
+        # lineage-truncating (r13) — the totals run as concurrent
+        # broadcast futures and raced the cold cache
+        tc = materialize_intermediate(tc)
     raw_ctf = tc.groupBy("term").agg(F.sum("__tf").alias("__rctf"))
     tgt_ctf = term_counts(target_df).groupBy("term").agg(
         F.sum("__tf").alias("__tctf")
@@ -855,10 +857,10 @@ def unigram_logprob(
     tc = term_counts(df)
     if model_df is None:
         if persist_intermediates:
-            from pyspark import StorageLevel
+            from .relational import materialize_intermediate
 
             # tc feeds both the model totals and the scoring join
-            tc = tc.persist(StorageLevel.MEMORY_AND_DISK)
+            tc = materialize_intermediate(tc)
         model_tc = tc
     else:
         model_tc = term_counts(model_df)
@@ -1135,9 +1137,9 @@ def bigram_logprob(
     doc_bg = bigram_counts(df)
     if model_df is None:
         if persist_intermediates:
-            from pyspark import StorageLevel
+            from .relational import materialize_intermediate
 
-            doc_bg = doc_bg.persist(StorageLevel.MEMORY_AND_DISK)
+            doc_bg = materialize_intermediate(doc_bg)
         model_bg = doc_bg
     else:
         model_bg = bigram_counts(model_df)
