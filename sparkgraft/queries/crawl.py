@@ -216,7 +216,10 @@ def crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # robots: one file per host SPELLING (www and bare serve alike
     # here; real crawls key rules per authority) — 24 rules rows,
     # broadcast onto the URL side
-    hosts = spark.range(24).select(
+    # (coalesce(1): 24 fixture rows — see robots_queries.py's r13 note;
+    # the rules side otherwise runs its Arrow parse as 32-way
+    # near-empty Python tasks per reference)
+    hosts = spark.range(24).coalesce(1).select(
         F.concat(
             F.when(F.col("id") >= 12, F.lit("www.")).otherwise(F.lit("")),
             F.lit("h"), (F.col("id") % 4).cast("string"),

@@ -78,8 +78,16 @@ def robots_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = docs.select(
         did.cast("bigint").alias("doc_id"), url.alias("url")
     )
+    # r13 optimization round: coalesce the 5-row fixture to ONE
+    # partition — spark.range spreads it over defaultParallelism (32)
+    # near-empty partitions, and the rules side is referenced four
+    # times (has_exact + eff, x2 agents), so the Arrow parse ran as
+    # 128 near-empty Python tasks per query. A real caller's rules
+    # frame carries its own data-sized partitioning; this is fixture
+    # sizing, not an operator change.
     hosts = (
         spark.range(5)
+        .coalesce(1)
         .select(
             F.concat(
                 F.lit("h"), F.col("id").cast("string"),
