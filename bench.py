@@ -251,6 +251,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     import __spark_entry__ as E
     from sparkgraft.session import get_spark
@@ -394,6 +395,7 @@ def main() -> int:
         "exec_bytes_per_pass": exec_out,
         "canary": canary,
         "sf": sf,
+        "cpus": cpus,
     }
     # Artifact discipline (r13, VERDICT r12 #6): every run writes its
     # OWN timestamped detail file, and the canonical
@@ -402,6 +404,12 @@ def main() -> int:
     # this run's canary is NOT >20% slower than the control's (a
     # contended run can add a new artifact but can never mutate the
     # quiet control in place; a quieter-or-equal run refreshes it).
+    # r14 (VERDICT r13 #3): the guard also refuses CROSS-CPUS
+    # overwrites — the driver runs the bench at a lower core count to
+    # measure scaling, and in r13 that quiet 8-core run silently
+    # replaced the 32-core control, contaminating every later
+    # "vs control" comparison. A control is only comparable to a run
+    # at the same sf AND the same core count.
     control_updated = False
     try:
         art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -425,6 +433,8 @@ def main() -> int:
             new_spark = min(canary["spark_pre"], canary["spark_post"])
             if old.get("sf") != sf:
                 update = False  # a smoke run at another SF is no control
+            elif old.get("cpus", cpus) != cpus:
+                update = False  # cross-cpus run is no control (r14 guard)
             elif old_spark != float("inf") and new_spark > 1.2 * old_spark:
                 update = False  # contended: keep the quiet control
         if update:
@@ -440,6 +450,7 @@ def main() -> int:
         "queries": timings,
         "canary": canary,
         "sf": sf,
+        "cpus": cpus,
         "ctl": int(control_updated),  # 0 = contended run, quiet control kept
     }
     if jitter_flags:
