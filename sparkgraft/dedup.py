@@ -304,7 +304,13 @@ def jaccard_pairs(
     if persist_intermediates:
         from .relational import materialize_intermediate
 
-        sh_sets = materialize_intermediate(sh_sets)
+        # eager=False (r14, VERDICT r13 #1): the self-join sides share
+        # ONE subtree via ReusedExchange and the only other consumer is
+        # the cheap sizes projection; the driver's quiet bench showed
+        # the r13 eager checkpoint a net loss here (ngram_jaccard
+        # 1.62→1.80s at sf0.1). Lazy persist restores the benched-green
+        # pre-r13 behavior.
+        sh_sets = materialize_intermediate(sh_sets, eager=False)
     # join key = 64-bit hash of the shingle, not the string: halves the
     # shuffle bytes and makes comparisons fixed-width. Engine-internal
     # only — outputs carry counts, never the hashed key. (xxhash64
@@ -580,9 +586,15 @@ def minhash_near_dups(
     # Each boundary materializes a multi-referenced array once per row;
     # inlining instead re-evaluates the tokenizer inside all
     # num_hashes minhash expressions (measured 25x slowdown).
+    # eager=False on both states (r14, VERDICT r13 #1): the banded
+    # self-join sides share one subtree via ReusedExchange and the
+    # shingle sets feed cheap projections; the driver's quiet bench
+    # showed the r13 eager checkpoints a net loss (minhash_lsh
+    # 1.18→1.97s at sf0.1). Lazy persist restores the benched-green
+    # pre-r13 behavior.
     sh_df = _doc_shingle_sets(df, text_col, id_col, k)
     if persist_intermediates:
-        sh_df = materialize_intermediate(sh_df)
+        sh_df = materialize_intermediate(sh_df, eager=False)
     sigs = sh_df.select(
         "doc_id",
         signature_from_shingles(F.col("shingles"), num_hashes).alias("__sig"),
@@ -604,7 +616,7 @@ def minhash_near_dups(
         )
     )
     if persist_intermediates:
-        banded = materialize_intermediate(banded)
+        banded = materialize_intermediate(banded, eager=False)
 
     a = banded.alias("a")
     b = banded.alias("b")

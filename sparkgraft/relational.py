@@ -68,29 +68,54 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(partitions)
 
 
-def materialize_intermediate(df: DataFrame, storage_level=None) -> DataFrame:
-    """Eagerly materialize a multi-consumer intermediate with its
-    lineage truncated (r13 optimization round, guide §2.4/§5).
+def materialize_intermediate(
+    df: DataFrame, storage_level=None, eager: bool = True
+) -> DataFrame:
+    """Materialize a multi-consumer intermediate (r13/r14 optimization
+    rounds, guide §2.4/§5). Two modes:
 
-    A lazy ``persist()`` is NOT enough when the consumers are
-    concurrent: Spark launches broadcast-exchange subqueries and AQE
-    query stages as parallel futures at job start, and against a cold
-    cache each future independently recomputes the whole producing
-    subtree (measured on the BM25 tail: 8 racing stages of 7-13s
-    executor-run apiece at sf0.1 — tools/query_profile.py). The eager
+    ``eager=True`` (default) — eager ``localCheckpoint``: a lazy
+    ``persist()`` is NOT enough when the consumers are concurrent.
+    Spark launches broadcast-exchange subqueries and AQE query stages
+    as parallel futures at job start, and against a cold cache each
+    future independently recomputes the whole producing subtree
+    (measured on the BM25 tail: 8 racing stages of 7-13s executor-run
+    apiece at sf0.1 — tools/query_profile.py). The eager
     ``localCheckpoint`` materializes ONCE before any consumer executes
     and replaces the lineage with a compact leaf, so consumers also
     stop re-planning (and re-printing) their own copies of the subtree.
 
-    Trade-offs, deliberately accepted: blocks are not fault-tolerant
-    (an executor loss recomputes from the checkpoint's source — the
-    dedup_spans spine precedent calls this "the distributed-disk
-    equivalent of one more corpus write"), and the leaf's partitioning
-    is opaque to Catalyst, so a downstream operation keyed exactly like
-    the producing aggregate re-exchanges (every current call site
-    re-keys anyway). Streaming frames cannot run eager actions — they
-    fall back to the lazy persist (inside foreachBatch the frames are
-    batch frames, so real micro-batch pipelines take the eager path).
+    ``eager=False`` — plain lazy ``persist()``. Use this where the
+    producing subtree is CHEAP relative to the eager checkpoint's
+    fixed costs (one blocking Spark job at DataFrame-CONSTRUCTION time
+    plus the block writes): r13 applied the eager form unconditionally
+    and the driver's quiet 8-core bench proved three adopters slower
+    for it (minhash 1.18→1.97s, tfidf 1.19→1.60s, ngram_jaccard
+    1.62→1.80s at sf0.1 — VERDICT r13 #1); their intermediates are a
+    single map-side-combined aggregate or a hash projection whose
+    recompute race costs less than the checkpoint write, and their
+    self-join consumers already share one subtree via ReusedExchange.
+    Eager construction-time execution also means merely BUILDING the
+    plan (explain, conditional composition) runs the corpus job —
+    another reason cheap-subtree call sites stay lazy.
+
+    Fault tolerance (VERDICT r13 #2 — the previous docstring misstated
+    this): ``localCheckpoint`` TRUNCATES lineage and keeps blocks only
+    on executors. Losing an executor mid-query loses blocks that can
+    NOT be recomputed — downstream jobs FAIL with block-not-found, they
+    do not silently recompute. On a static-allocation batch cluster
+    that is the same failure class as losing shuffle output without an
+    external shuffle service; on preemptible/dynamic-allocation
+    clusters with executor churn it is a real reliability hazard. Set
+    ``SPARK_GRAFT_EAGER_MATERIALIZE=0`` in the driver environment to
+    force every call site back to the lazy ``persist()`` path (cached
+    blocks then recompute from lineage on loss, degrading gracefully),
+    or use ``sparkContext.setCheckpointDir`` + reliable ``checkpoint``
+    in code paths that need both truncation and fault tolerance.
+
+    Streaming frames cannot run eager actions — they always take the
+    lazy persist (inside foreachBatch the frames are batch frames, so
+    real micro-batch pipelines take the eager path).
 
     Pass ``storage_level`` (e.g. ``StorageLevel.DISK_ONLY``) for
     text-bearing intermediates whose bytes are corpus-sized — the
@@ -98,10 +123,20 @@ def materialize_intermediate(df: DataFrame, storage_level=None) -> DataFrame:
     corpus/num_executors bytes, the same budget class as a shuffle,
     where pinning it in executor MEMORY would hold ~the corpus.
     """
-    if df.isStreaming:
-        from pyspark import StorageLevel
+    import os
 
-        return df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    if eager and os.environ.get("SPARK_GRAFT_EAGER_MATERIALIZE", "1") == "0":
+        eager = False
+    if df.isStreaming or not eager:
+        if storage_level is not None:
+            return df.persist(storage_level)
+        if df.isStreaming:
+            from pyspark import StorageLevel
+
+            return df.persist(StorageLevel.MEMORY_AND_DISK)
+        # batch-lazy: the engine default (MEMORY_AND_DISK_DESER) — the
+        # exact pre-r13 persist these call sites benched green with
+        return df.persist()
     if storage_level is not None:
         return df.localCheckpoint(eager=True, storageLevel=storage_level)
     return df.localCheckpoint(eager=True)

@@ -537,7 +537,13 @@ def tfidf_top_terms(
     if persist_intermediates:
         from .relational import materialize_intermediate
 
-        tc = materialize_intermediate(tc)
+        # eager=False (r14, VERDICT r13 #1): this intermediate is ONE
+        # map-side-combined aggregate with exactly two consumers; the
+        # driver's quiet 8-core bench showed the r13 eager checkpoint
+        # costing more than the cold-cache race it removes
+        # (tfidf_top_terms 1.19→1.60s at sf0.1). Lazy persist restores
+        # the benched-green pre-r13 behavior.
+        tc = materialize_intermediate(tc, eager=False)
     dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = df.select(F.count(F.lit(1)).alias("__n_docs"))
     wd = Window.partitionBy("doc_id")
