@@ -17,9 +17,13 @@ candidate generation is |docs| x shingles (jaccard) or |docs| x bands
 re-splits if a hot shingle skews (stopword-heavy shingles are capped
 by ``max_df`` document-frequency pruning, the standard trick).
 
-Cross-engine determinism: every hash is md5 (identical hex everywhere),
-and MinHash minimizes the md5 *hex string* lexicographically — a valid
-uniform min-hash that needs no engine-specific 64-bit integer coercion.
+Cross-engine determinism: every hash whose VALUE reaches an output or
+ordering is md5 (identical hex everywhere), and MinHash minimizes the
+md5 *hex string* lexicographically — a valid uniform min-hash that
+needs no engine-specific 64-bit integer coercion. Purely INTERNAL
+grouping/join keys (the shingle inverted index, boilerplate line keys)
+use xxhash64 instead — 8-byte fixed-width keys, ~4x narrower shuffles,
+same groups.
 Reference parity note: the reference has no dedup at all; this is the
 north-star extension surface (BASELINE.json).
 """
@@ -1321,11 +1325,18 @@ def dedup_boilerplate_lines(
     dropped.
 
     Scale shape: explode lines once; the line-frequency aggregate is a
-    two-phase distinct count keyed on the md5 of the normalized line
-    (the shuffle carries 32-hex keys, never line text); the flagged
-    key set — tiny by construction, only keys crossing ``min_docs`` —
-    broadcasts back; the rebuild is one doc-keyed groupBy. Document
-    text crosses exactly one exchange (the rebuild's).
+    two-phase distinct count keyed on the xxhash64 of the normalized
+    line (r14, guide §2.3: the key is engine-INTERNAL — outputs carry
+    rebuilt text and counts, never the key — so the 8-byte fixed-width
+    hash replaces r13's 32-hex md5 string: ~4x narrower shuffle keys
+    and a far cheaper hash per line; grouping by any
+    injective-in-practice hash of the normalized line yields identical
+    groups, and the oracle keys on md5 of the same normal form —
+    results are byte-identical, which the hash oracle pins). The
+    flagged key set — tiny by construction, only keys crossing
+    ``min_docs`` — broadcasts back; the rebuild is one doc-keyed
+    groupBy. Document text crosses exactly one exchange (the
+    rebuild's).
     """
     from .text import normalize_text
 
@@ -1337,7 +1348,7 @@ def dedup_boilerplate_lines(
                 F.array().cast("array<string>"),
             ).otherwise(F.split(F.col(text_col), "\n"))
         ).alias("__line_idx", "__line"),
-    ).withColumn("__k", F.md5(normalize_text(F.col("__line"))))
+    ).withColumn("__k", F.xxhash64(normalize_text(F.col("__line"))))
     # r13 optimization round: materialize the exploded+hashed lines
     # ONCE (DISK_ONLY — text-bearing, the dedup_spans budget class).
     # The frequency pass and the rebuild are concurrent consumers of
