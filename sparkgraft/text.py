@@ -1504,12 +1504,23 @@ def bm25_topk_from_index(
     # materializes before any consumer executes and cuts the lineage,
     # so every consumer plans against a compact materialized leaf
     # instead of its own copy of the index subtree (the dedup_spans
-    # spine precedent — DataFrame reuse is not plan reuse). Blocks are
-    # freed by the ContextCleaner when the result goes out of scope,
-    # so the old persisted-handle rotation is unnecessary on this
-    # path; streaming folds (per micro-batch inside foreachBatch,
+    # spine precedent — DataFrame reuse is not plan reuse).
+    #
+    # Block lifecycle on this path (ADVICE r13, documented contract):
+    # a checkpointed leaf's blocks live exactly as long as something
+    # references the RDD — each RESULT DataFrame holds one through its
+    # plan, so blocks are freed by the JVM ContextCleaner when the
+    # last retaining result is garbage-collected, and a bounded
+    # rotation here could only EXTEND lifetimes (pinning the newest K
+    # leaves alive after their results die), never shorten them: there
+    # is no unpersist for a leaf a live result still needs. The cap is
+    # therefore per-CALLER: a long-lived driver that retains N BM25
+    # result DataFrames retains up to N index-sized block sets; drop
+    # result references (or collect results and let the frames go) to
+    # free them. Streaming folds (per micro-batch inside foreachBatch,
     # where eager actions on the unbound frame are illegal) keep the
-    # lazy persist + bounded rotation.
+    # lazy persist + the bounded _BM25_TF_STATES rotation, where
+    # explicit unpersist IS safe (evicting merely forces a recompute).
     if sel.isStreaming:
         tf = sel.persist()
         with _BM25_TF_STATES_LOCK:
@@ -1522,10 +1533,20 @@ def bm25_topk_from_index(
     else:
         tf = sel.localCheckpoint(eager=True)
     dlen = tf.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
-    stats = dlen.agg(
-        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    # r14 (guide §2.3, VERDICT r13 #7): N/avgdl straight off the leaf in
+    # ONE aggregate — avg(dl) over docs == sum(all tf) / n_docs and
+    # n_docs == count_distinct(id) (both exact integer sums divided as
+    # doubles, bit-identical to avg over the per-doc sums) — instead of
+    # chaining a 1-row aggregate on a SECOND dlen subtree; the dlen
+    # per-doc aggregate itself now computes once (for the dl attach)
+    # rather than once per consumer.
+    stats = tf.agg(
+        F.count_distinct(F.col(id_col)).alias("__n"),
+        (
+            F.sum("__tf").cast("double")
+            / F.count_distinct(F.col(id_col)).cast("double")
+        ).alias("__avgdl"),
     )
-    dft = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
     qterms = tf.join(
         F.broadcast(query_ids.select(F.col(id_col))), id_col
     ).select(F.col(id_col).alias("query_id"), "__term")
@@ -1559,7 +1580,20 @@ def bm25_topk_from_index(
     # exchange of compact rows bounded by the query vocabulary's
     # postings, not by per-query duplication.
     qt_dist = qterms.select("__term").distinct()
-    dft_q = dft.join(F.broadcast(qt_dist), "__term")
+    # r14 (guide §2.3, VERDICT r13 #7): per-term document frequencies
+    # are only ever read for QUERY terms, so restrict the index to the
+    # bounded query vocabulary BEFORE the df aggregate instead of
+    # aggregating the full vocabulary and then filtering — at corpus
+    # scale this replaces a vocabulary-wide shuffle with one bounded by
+    # the query terms' postings (map-side combined), and at sf0.1 it
+    # removes a full aggregate stage over the index. __df values for
+    # query terms are identical by construction (count of index rows
+    # per term, filtered by term either side of the count).
+    dft_q = (
+        tf.join(F.broadcast(qt_dist), "__term")
+        .groupBy("__term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
     base = (
         tf.join(F.broadcast(qt_dist), "__term")
         .join(F.broadcast(dft_q), "__term")
