@@ -142,12 +142,29 @@ _MIN_WORDS = 10
 def crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The chain, one lazy plan. See the module docstring for the
     plant geometry; every stage below is the engine's own operator —
-    nothing here reimplements a tier."""
+    nothing here reimplements a tier.
+
+    r14 optimization (guide §4, VERDICT r13 #4): the three Python
+    passes — fixture WARC build, ``warc.warc_responses`` crack, and
+    ``html.extract_html`` — are FUSED into one ``mapInPandas``
+    iterator composing the SAME per-record library functions
+    (``parse_warc_recover`` -> ``parse_http_response`` ->
+    ``decode_http_payload``/``decode_text_body`` -> ``html_to_text``),
+    applying the identical ``warc_error IS NULL AND status = 200``
+    drop in place. One JVM<->Python boundary crossing instead of
+    three: the WARC payload bytes and the HTML string no longer
+    round-trip through Arrow twice each, and only the three columns
+    downstream actually reads (doc_id, url, text — the query's own
+    r13 comment: 'the frontier columns exist but are unused') cross
+    back, instead of the 10-column response row plus the 10-column
+    extract row with links/resolved_links nobody consumes."""
     import pandas as pd
 
-    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def build_crack_extract(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            ids, payloads = [], []
+            ids, urls, texts = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(doc_id)
                 pid = did // 2
@@ -189,30 +206,53 @@ def crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     content_encoding="gzip" if enc == 1 else None,
                     chunked=enc == 2,
                 )
-                ids.append(did)
-                payloads.append(
-                    WC.build_warc_file(
-                        [WC.build_warc_record("response", resp, url=url)],
-                        gzip_members=True,
-                    )
+                payload = WC.build_warc_file(
+                    [WC.build_warc_record("response", resp, url=url)],
+                    gzip_members=True,
                 )
-            yield pd.DataFrame({"file_id": ids, "payload": payloads})
+                # crack + decode + status filter, in place: records a
+                # dead-letter row would carry warc_error for (torn
+                # file, bad HTTP block, bad wire coding) are exactly
+                # the rows the old `warc_error IS NULL` filter dropped
+                records, _err = WC.parse_warc_recover(payload)
+                for rec in records:
+                    if rec["warc_type"] != "response":
+                        continue
+                    try:
+                        http = WC.parse_http_response(rec["payload"])
+                    except ValueError:
+                        continue  # dead-letter row -> filtered
+                    h = http["headers"]
+                    try:
+                        body = WC.decode_http_payload(
+                            http["body"],
+                            h.get("transfer-encoding", ""),
+                            h.get("content-encoding", ""),
+                        )
+                        tb = (
+                            WC.decode_text_body(body, http["content_type"])
+                            if WC.is_text_content_type(http["content_type"])
+                            else None
+                        )
+                    except ValueError:
+                        continue  # decode dead-letter -> filtered
+                    if http["status"] != 200:
+                        continue
+                    ids.append(did)
+                    urls.append(rec["url"])
+                    # extract_html's text product (NULL html -> NULL
+                    # text, the codec dead-letter convention)
+                    texts.append(
+                        H.html_to_text(tb) if tb is not None else None
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "url": urls, "text": texts}
+            )
 
     docs = spread(read_table(spark, sf_dir, "documents"))
-    files = docs.select("doc_id", "text").mapInPandas(
-        build, "file_id long, payload binary"
+    ext = docs.select("doc_id", "text").mapInPandas(
+        build_crack_extract, "doc_id long, url string, text string"
     )
-    # crack + decode + status filter
-    resp = WC.warc_responses(files).where(
-        F.col("warc_error").isNull() & (F.col("status") == 200)
-    )
-    pages = resp.select(
-        F.col("file_id").cast("bigint").alias("doc_id"),
-        "url",
-        F.col("text_body").alias("html"),
-    )
-    # extract (text rides; the frontier columns exist but are unused)
-    ext = H.extract_html(pages, url_col="url")
     # robots: one file per host SPELLING (www and bare serve alike
     # here; real crawls key rules per authority) — 24 rules rows,
     # broadcast onto the URL side
