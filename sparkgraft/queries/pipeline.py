@@ -130,7 +130,12 @@ def conformance_pipeline_versioned(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("context"),
         F.col("props").alias("properties"),
     )
-    spec_wide = spark.createDataFrame(_SPEC_WIDE, _SPEC_SCHEMA)
+    # 1-slice parallelize: 6 fixture rows — see queries/core.py's
+    # _event_spec note (a .coalesce(1) here would serialize 32 Python
+    # partition round-trips into one task)
+    spec_wide = spark.createDataFrame(
+        spark.sparkContext.parallelize(_SPEC_WIDE, 1), _SPEC_SCHEMA
+    )
     out = C.verify_pipeline(
         catalog,
         spec_wide,
