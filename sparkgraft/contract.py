@@ -108,8 +108,13 @@ def validate_contract(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
         long = wide.selectExpr(
             f"stack({len(scalar)}, {pairs}) as (rule_id, n_violations)"
         )
+        # 1-slice parallelize (r14, guide §4): a few rule-meta rows,
+        # broadcast-joined below — the default createDataFrame spreads
+        # them over defaultParallelism near-empty Python partitions
         meta = spark.createDataFrame(
-            [(rid, r["column"], r["check"]) for rid, r in scalar],
+            spark.sparkContext.parallelize(
+                [(rid, r["column"], r["check"]) for rid, r in scalar], 1
+            ),
             "rule_id string, column string, check string",
         )
         reports.append(long.join(F.broadcast(meta), "rule_id"))

@@ -54,7 +54,12 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure row-local predicate: it pushes to the scan side of the join,
     no shuffle at all at any scale."""
     docs = read_table(spark, sf_dir, "documents")
-    rates = spark.createDataFrame(_RATES, "source string, thr string")
+    # 1-slice parallelize: 3 fixture rows — see queries/core.py's
+    # _event_spec note
+    rates = spark.createDataFrame(
+        spark.sparkContext.parallelize(_RATES, 1),
+        "source string, thr string",
+    )
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
     thr = F.coalesce(F.col("__thr"), F.lit(_DEFAULT_THR))
     return (
