@@ -31,7 +31,14 @@ from sparkgraft import queries as Q
 # name -> (max Exchange count, min BroadcastHashJoin count)
 PLAN_PINS: dict[str, tuple[int, int]] = {
     "conformance_flagship": (4, 2),  # +1: spread before the fence
-    "conformance_pipeline_versioned": (10, 4),  # +1: spread before the fence
+    # r14 (VERDICT r13 #8): latest-version selection became ONE max
+    # window on the KB-sized spec (ties kept, same semantics), removing
+    # the groupBy-max aggregate AND its broadcast join-back from BOTH
+    # prints of the spec_long subtree — printed plan 20 -> 12 Exchange
+    # references, BHJ prints 8 -> 4 (executed-plan BHJ count 4 -> 2:
+    # the two that remain are the catalog fan-out and the zero-fill
+    # left join, both still broadcast)
+    "conformance_pipeline_versioned": (8, 2),
     "conformance_three_payload": (4, 2),  # +1: spread before the fence
     # repeated-span dedup (r6 checkpointed-spine rewrite): the plan the
     # driver sees starts AT the eager DISK_ONLY localCheckpoint of the
@@ -89,8 +96,11 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # planted ANN top-1 (the rows-only ann_*_topk twins retired r6;
     # the planted queries carry the same bucketed/cid-keyed plans)
     "ann_lsh_top1_planted": (6, 3),
-    # Q21: one per-order countDistinct aggregate folds both correlated
-    # quantifiers; orderkey partitioning reused by the join-back
+    # Q21 (r13 restructure): a two-level aggregate — (orderkey,
+    # suppkey) dedup with max(flag) map-side, then per-order pair
+    # counts — replaces the double countDistinct (no Expand, no row
+    # doubling before the first exchange); orderkey partitioning
+    # reused by the join-back
     "suppliers_sole_returned": (7, 4),
     # r7 rotation promotions (the retired-tier R6_OP_PINS entries for
     # boilerplate_line_removal / bloom_pruned_urgent_revenue moved
@@ -98,9 +108,10 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # bitmap build agg + 3 broadcast word probes + verify join + month agg
     "bloom_pruned_urgent_revenue": (8, 2),
     # line explode x2 consumers (freq + rebuild branches of one scan),
-    # md5-key distinct count, broadcast flagged-keys join-back, the
-    # doc-keyed rebuild, and the final id join; no text in the
-    # frequency shuffle
+    # xxhash64-key distinct count (r14: 8-byte internal key replaced
+    # the 32-hex md5 — outputs never carry the key), broadcast
+    # flagged-keys join-back, the doc-keyed rebuild, and the final id
+    # join; no text in the frequency shuffle
     "boilerplate_line_removal": (8, 2),
     # (doc_hash_embedding's (2, 0) pin moved back to R6_OP_PINS when
     # retired, r12)
@@ -204,8 +215,13 @@ PLAN_PINS: dict[str, tuple[int, int]] = {
     # two rules-side aggregates, then the ONLY corpus-side shuffles:
     # the canonical-dedup groupBy and the cap's two bounded-rank
     # windows; the two BHJs are the rules-side has-exact join and the
-    # broadcast rules-onto-URLs gate join. Build/crack/extract are
-    # three Arrow MapInPandas passes, never BatchEvalPython.
+    # broadcast rules-onto-URLs gate join. r14 (guide §4, VERDICT r13
+    # #4): build/crack/extract are FUSED into ONE Arrow MapInPandas
+    # pass composing the same library functions (was three passes;
+    # the WARC payload and HTML string no longer round-trip through
+    # Arrow twice each, and only doc_id/url/text cross back) — the
+    # remaining MapInPandas prints are the tiny rules-side parse.
+    # Never BatchEvalPython.
     "crawl_to_corpus": (8, 2),
 }
 
