@@ -247,6 +247,31 @@ def _canary(spark) -> dict[str, float]:
     }
 
 
+def should_update_control(
+    old: dict | None, sf: float, cpus: int, canary: dict[str, float]
+) -> bool:
+    """Whether this run may replace the committed quiet control
+    (artifacts/BENCH_latest_local.json). Refuses when the existing
+    control is at a different sf or core count (r14, VERDICT r13 #3 —
+    the driver's low-core scaling run must never displace the 32-core
+    control), or when this run's best spark canary is >20% slower than
+    the control's (a contended run can add a timestamped artifact but
+    never mutate the quiet control in place)."""
+    if not old:
+        return True
+    if old.get("sf") != sf:
+        return False  # a smoke run at another SF is no control
+    if old.get("cpus", cpus) != cpus:
+        return False  # cross-cpus run is no control (r14 guard)
+    old_canary = old.get("canary", {})
+    old_spark = min(
+        old_canary.get("spark_pre", float("inf")),
+        old_canary.get("spark_post", float("inf")),
+    )
+    new_spark = min(canary["spark_pre"], canary["spark_post"])
+    return old_spark == float("inf") or new_spark <= 1.2 * old_spark
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -421,23 +446,11 @@ def main() -> int:
         ) as f:
             json.dump(detail, f, indent=1)
         canonical = os.path.join(art, "BENCH_latest_local.json")
-        update = True
+        old = None
         if os.path.exists(canonical):
             with open(canonical) as f:
                 old = json.load(f) or {}
-            old_canary = old.get("canary", {})
-            old_spark = min(
-                old_canary.get("spark_pre", float("inf")),
-                old_canary.get("spark_post", float("inf")),
-            )
-            new_spark = min(canary["spark_pre"], canary["spark_post"])
-            if old.get("sf") != sf:
-                update = False  # a smoke run at another SF is no control
-            elif old.get("cpus", cpus) != cpus:
-                update = False  # cross-cpus run is no control (r14 guard)
-            elif old_spark != float("inf") and new_spark > 1.2 * old_spark:
-                update = False  # contended: keep the quiet control
-        if update:
+        if should_update_control(old, sf, cpus, canary):
             with open(canonical, "w") as f:
                 json.dump(detail, f, indent=1)
             control_updated = True

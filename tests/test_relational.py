@@ -557,3 +557,32 @@ def test_materialize_intermediate_modes(spark, monkeypatch):
     assert hatch.count() == 100
     hatch.unpersist()
     monkeypatch.delenv("SPARK_GRAFT_EAGER_MATERIALIZE", raising=False)
+
+
+def test_bench_control_update_guard():
+    """r14 (VERDICT r13 #3): the quiet-control guard refuses cross-sf,
+    cross-cpus, and slower-canary overwrites — the r13 driver's quiet
+    8-core run silently replaced the 32-core control through the old
+    sf/canary-only check."""
+    import bench
+
+    ctl = {
+        "sf": 0.1,
+        "cpus": 32,
+        "canary": {"spark_pre": 0.5, "spark_post": 0.4},
+    }
+    quiet = {"spark_pre": 0.45, "spark_post": 0.41}
+    # no existing control: always write
+    assert bench.should_update_control(None, 0.1, 32, quiet)
+    # same sf/cpus, quiet canary: refresh
+    assert bench.should_update_control(ctl, 0.1, 32, quiet)
+    # cross-cpus (the r13 incident): refuse even with a quieter canary
+    assert not bench.should_update_control(ctl, 0.1, 8, quiet)
+    # cross-sf smoke run: refuse
+    assert not bench.should_update_control(ctl, 0.01, 32, quiet)
+    # contended run (>20% slower best spark canary): refuse
+    hot = {"spark_pre": 1.9, "spark_post": 0.55}
+    assert not bench.should_update_control(ctl, 0.1, 32, hot)
+    # legacy control without cpus: same-cpus comparison assumed
+    legacy = {"sf": 0.1, "canary": {"spark_pre": 0.5, "spark_post": 0.4}}
+    assert bench.should_update_control(legacy, 0.1, 32, quiet)
